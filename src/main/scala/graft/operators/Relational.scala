@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Relational / OLAP operators.
+  *
+  * Reference semantics: /root/reference/main/scala/ca/uwaterloo/cs451/a6/
+  * Q1.scala:47-66 (filter-count), Q2.scala:108-122 (join+top20),
+  * Q3.scala:96-105 (map-side join via broadcast), Q4.scala:120-152
+  * (4-way join + per-nation counts) — re-expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown/pruning/join strategy,
+  * plus the standard OLAP idioms (TPC-H Q1/Q6 shapes, window top-k,
+  * rollup, sessionization) the toolkit's SQL surface implies.
+  *
+  * Scale notes (100 TB): q1/q6 are scan+partial-agg, zero wide shuffle;
+  * q3 broadcasts both dims (map-side join, zero shuffle); q2/q4/q8 do
+  * ONE shuffle on the join key each — the date filter collapses the
+  * fact side first, and AQE converts the shrunken side to broadcast at
+  * runtime. customer is NOT force-broadcast (it scales with SF; the
+  * reference's collectAsMap would OOM the driver at scale).
+  */
+object Relational {
+  val ShipDate  = "1996-01-02"
+  val Q5Cutoff  = "1998-09-02"
+  val Q9Thresh  = 450000.0
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
+  val HourUs: Long = 3600L * 1000 * 1000
+
+  /** a6 Q1: count of lineitems shipped on a given day (pushdown scan). */
+  def q1FilterCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) === lit(ShipDate))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** a6 Q2: orders that had a lineitem shipped on the day; first 20 by key.
+    * (reference cogroups orders×lineitem and emits one row per order). */
+  def q2JoinTop20(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) === lit(ShipDate))
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey").as("orderkey"))
+      .orderBy("orderkey")
+      .limit(20)
+  }
+
+  /** a6 Q3: lineitems on the day with part/supplier names — both dims
+    * broadcast (the reference hand-rolls this with collectAsMap). */
+  def q3BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) === lit(ShipDate))
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("p_name").as("part_name"),
+        col("s_name").as("supp_name"))
+      .orderBy("orderkey", "linenumber")
+      .limit(20)
+  }
+
+  /** a6 Q4: shipments per nation on the day (li⋈orders⋈customer⋈nation). */
+  def q4NationCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) === lit(ShipDate))
+      .select(col("l_orderkey"))
+    li.join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey").as("nationkey"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("shipments"))
+      .orderBy("nationkey")
+  }
+
+  /** TPC-H Q1 idiom: grouped pricing summary with partial (map-side) aggs. */
+  def q5AggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= lit(Q5Cutoff))
+      .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("returnflag", "linestatus")
+
+  /** TPC-H Q6 idiom: selective filter + single aggregate (no shuffle). */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1996-12-31")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Window top-k: 3 highest-value orders per priority class. */
+  def q7TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("o_orderpriority").as("priority"),
+        col("rnk"),
+        col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"))
+      .orderBy("priority", "rnk")
+  }
+
+  /** Snowflake join: 1996 revenue per region (5-way join, dims broadcast). */
+  def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between(lit("1996-01-01"), lit("1996-12-31")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("region")
+  }
+
+  /** Semi + anti join: customers with orders but none above the threshold. */
+  def q9SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    Tables.customer(spark, dir)
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_totalprice") > Q9Thresh).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      .orderBy("custkey")
+  }
+
+  /** ROLLUP hierarchical aggregate (nulls normalized to 'ALL' for the oracle). */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Sessionization: per-user sessions split on >30 min inactivity gaps
+    * (lag + running sum of session-break flags). One shuffle on user_id;
+    * at scale the window partitions by user so state never concentrates. */
+  def q11Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("sess_no",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        expr("min(ts_us) div 1000").as("start_ms"),
+        expr("max(ts_us) div 1000").as("end_ms"))
+      .select(col("user_id"), col("sess_no").cast("long").as("session_id"),
+        col("n_events"), col("sum_value"), col("start_ms"), col("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling 1 h window aggregate by event type (batch mirror of the
+    * a7 streaming shape; arithmetic window start so the oracle is exact). */
+  def q12EventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .groupBy(col("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_ms", "event_type")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_filter_count", q1FilterCount, Some(
+      s"SELECT count(*) AS cnt FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '$ShipDate'")),
+    QueryDef("q2_join_top20", q2JoinTop20, Some(
+      s"""SELECT o.o_orderpriority AS priority, o.o_orderkey AS orderkey
+          FROM orders o
+          JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) = DATE '$ShipDate') l
+            ON l.l_orderkey = o.o_orderkey
+          ORDER BY orderkey LIMIT 20""")),
+    QueryDef("q3_broadcast_join", q3BroadcastJoin, Some(
+      s"""SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+                 p.p_name AS part_name, s.s_name AS supp_name
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE CAST(l.l_shipdate AS DATE) = DATE '$ShipDate'
+          ORDER BY orderkey, linenumber LIMIT 20""")),
+    QueryDef("q4_nation_count", q4NationCount, Some(
+      s"""SELECT n.n_nationkey AS nationkey, n.n_name AS nation, count(*) AS shipments
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE CAST(l.l_shipdate AS DATE) = DATE '$ShipDate'
+          GROUP BY 1, 2 ORDER BY nationkey""")),
+    QueryDef("q5_agg_pricing", q5AggPricing, Some(
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                 round(avg(l_quantity), 6) AS avg_qty,
+                 round(avg(l_extendedprice), 6) AS avg_price,
+                 round(avg(l_discount), 6) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '$Q5Cutoff'
+          GROUP BY 1, 2 ORDER BY returnflag, linestatus""")),
+    QueryDef("q6_revenue", q6Revenue, Some(
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+    QueryDef("q7_topk_window", q7TopkWindow, Some(
+      """SELECT priority, rnk, orderkey, totalprice FROM (
+           SELECT o_orderpriority AS priority,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                  o_orderkey AS orderkey, o_totalprice AS totalprice
+           FROM orders) WHERE rnk <= 3 ORDER BY priority, rnk""")),
+    QueryDef("q8_region_revenue", q8RegionRevenue, Some(
+      """SELECT r.r_name AS region,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY 1 ORDER BY region""")),
+    QueryDef("q9_semi_anti", q9SemiAnti, Some(
+      s"""SELECT c_custkey AS custkey, c_name AS name FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > $Q9Thresh)
+          ORDER BY custkey""")),
+    QueryDef("q10_rollup", q10Rollup, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""")),
+    QueryDef("q11_sessionize", q11Sessionize, Some(
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+           l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+           s AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapUs} THEN 1 ELSE 0 END AS brk FROM l),
+           c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sess_no FROM s)
+          SELECT user_id, CAST(sess_no AS BIGINT) AS session_id, count(*) AS n_events,
+                 round(sum(value), 2) AS sum_value,
+                 min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
+          FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
+    QueryDef("q12_event_window", q12EventWindow, Some(
+      s"""SELECT (epoch_us(ts) // ${HourUs}) * 3600000 AS hour_ms, event_type,
+                 count(*) AS cnt, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
+  )
+}

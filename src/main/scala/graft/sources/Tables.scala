@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Typed loaders for the driver-generated parquet tables.
+  *
+  * Every operator goes through these so schema quirks are handled once.
+  * At cluster scale these would carry bucketing / partition metadata; in
+  * local mode they are plain parquet scans that Catalyst prunes and
+  * pushes filters into (verify via `.explain` → `PushedFilters`).
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events` carries nanosecond timestamps (parquet TIMESTAMP(NANOS)),
+    * which Spark's TimestampType (micros) can't hold natively. We read
+    * the raw int64 nanos and expose:
+    *   - `ts_us`: epoch micros (long) — exact, matches DuckDB `epoch_us`
+    *   - `ts`:    TimestampType at micro precision, for window functions
+    * Integer `div` (not `/`) everywhere: double division would lose
+    * precision on 1e18-scale nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    val withUs = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
+      case _        => raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}
