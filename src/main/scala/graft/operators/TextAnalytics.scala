@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text analytics over the `documents` table.
+  *
+  * Reference semantics: a0/WordCountSimple.java (token frequency; the
+  * `keyword` filter covers a0/PerfectX.java:52-77), a2/
+  * ComputeBigramRelativeFrequencyPairs.scala:60-110 (P(w2|w1) per line),
+  * a1/PairsPMI.java + a2/PairsPMI.scala:80-110 (pairwise PMI over the
+  * first-40-distinct tokens per doc, count threshold), a3/
+  * BuildInvertedIndexCompressed.java (term → df + (docno, tf) postings),
+  * a3/BooleanRetrievalCompressed.java (AND retrieval over the index).
+  *
+  * Spark-first shape: tokenize ONCE into an array column (codegen'd
+  * `split`), expand with `transform`/`explode` inside the row (no
+  * shuffle), then a single groupBy whose map-side partial aggregation
+  * means shuffle volume ∝ vocabulary, not corpus — the property that
+  * makes these viable at 100 TB. The reference's PMI broadcasts a
+  * collectAsMap of the vocabulary (driver OOM at scale); we keep word
+  * counts as a DataFrame and let Catalyst/AQE choose broadcast vs
+  * shuffle join by size.
+  */
+object TextAnalytics {
+  val PmiTake      = 40
+  val PmiThreshold = 10L
+  val RetrievalTerms: Seq[String] = Seq("spark", "join", "fast")
+
+  /** doc_id + whitespace token array (single tokenize point). */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** a0: corpus-wide token frequency. */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** a2: bigram relative frequency P(w2|w1); pairs built in-row via
+    * `transform` over an index sequence — zero shuffle until the count. */
+  def bigramRelFreq(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenized(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .withColumn("relfreq",
+        round(col("pair_cnt") / sum(col("pair_cnt")).over(Window.partitionBy(col("w1"))), 6))
+      .orderBy("w1", "w2")
+  }
+
+  /** a1/a2: PMI over co-occurring tokens (first 40, distinct, per doc). */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+      .select(col("doc_id"), array_distinct(slice(col("toks"), 1, PmiTake)).as("s"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val words = docs.select(explode(col("s")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pairs = docs
+      .select(explode(expr(
+        "flatten(transform(s, x -> transform(filter(s, y -> y != x), y -> struct(x AS w1, y AS w2))))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= PmiThreshold)
+    pairs
+      .join(broadcast(words.select(col("w").as("w1"), col("wc").as("n1"))), "w1")
+      .join(broadcast(words.select(col("w").as("w2"), col("wc").as("n2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n12"),
+        round(log10((col("n12") * col("n_docs")) / (col("n1") * col("n2"))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  /** a3: inverted index as a flat postings relation (term, doc_id, tf)
+    * with per-term document frequency — the content the reference's
+    * compressed MapFile encodes, in queryable columnar form. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .orderBy("term", "doc_id")
+
+  /** a3: conjunctive (AND) retrieval driven by the postings relation. */
+  def booleanRetrieval(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(RetrievalTerms: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === RetrievalTerms.length)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  private val termList = RetrievalTerms.map(t => s"'$t'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("wordcount", wordcount, Some(
+      """SELECT w AS word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1 ORDER BY word""")),
+    QueryDef("bigram_relfreq", bigramRelFreq, Some(
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                 for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+           c AS (SELECT w1, w2, count(*) AS pair_cnt FROM p GROUP BY 1, 2)
+         SELECT w1, w2, pair_cnt,
+                round(pair_cnt / (sum(pair_cnt) OVER (PARTITION BY w1)), 6) AS relfreq
+         FROM c ORDER BY w1, w2""")),
+    QueryDef("pmi_pairs", pmiPairs, Some(
+      s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')[1:$PmiTake]) AS s
+                     FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            w AS (SELECT u.w AS w, count(*) AS wc FROM d, unnest(d.s) AS u(w) GROUP BY 1),
+            p AS (SELECT a.w1 AS w1, b.w2 AS w2
+                  FROM d, unnest(d.s) AS a(w1), unnest(d.s) AS b(w2) WHERE a.w1 <> b.w2),
+            c AS (SELECT w1, w2, count(*) AS n12 FROM p GROUP BY 1, 2
+                  HAVING count(*) >= $PmiThreshold)
+          SELECT c.w1, c.w2, c.n12,
+                 round(log10((c.n12 * n.n_docs) / (wa.wc * wb.wc)), 6) AS pmi
+          FROM c, n
+          JOIN w wa ON c.w1 = wa.w
+          JOIN w wb ON c.w2 = wb.w
+          ORDER BY w1, w2""")),
+    QueryDef("inverted_index", invertedIndex, Some(
+      """WITH tf AS (SELECT w AS term, doc_id, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                     WHERE w <> '' GROUP BY 1, 2)
+         SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
+         FROM tf ORDER BY term, doc_id""")),
+    QueryDef("boolean_retrieval", booleanRetrieval, Some(
+      s"""SELECT doc_id
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w IN ($termList)
+          GROUP BY doc_id HAVING count(DISTINCT w) = ${RetrievalTerms.length}
+          ORDER BY doc_id""")),
+  )
+}
