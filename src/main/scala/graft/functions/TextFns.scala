@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash Column builders.
+  *
+  * Everything here is codegen'd built-ins (`split`, `md5`, `conv`,
+  * `transform`) — no UDFs — so the hot path stays inside whole-stage
+  * codegen. The hash pipeline is deliberately reproducible in plain SQL
+  * (md5 → first 8 hex digits → int) so DuckDB oracles can mirror it
+  * bit-for-bit; `HashingScheme` centralizes the MinHash/SimHash constants
+  * so the Spark plans and the generated oracle SQL share one source.
+  */
+object TextFns {
+  /** whitespace tokens */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stable 32-bit content hash as a non-negative long:
+    * value of the first 8 hex digits of md5. Equals DuckDB
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** w-gram shingles over a token-array column (w consecutive tokens
+    * joined by a space). Built in-row with `transform` — no shuffle. */
+  def shingles(toksCol: String, w: Int): Column =
+    expr(s"transform(sequence(1, greatest(size($toksCol) - ${w - 1}, 0)), " +
+      s"i -> array_join(slice($toksCol, i, $w), ' '))")
+}
+
+/** MinHash / SimHash parameterization shared by Spark plans and the
+  * generated DuckDB oracle SQL. Universal hashing h_i(x) = (a_i·x + b_i)
+  * mod p over the Mersenne prime 2^31−1: with x < 2^31 and a_i < 2^31
+  * the product stays < 2^62 — no int64 overflow on either engine. */
+object HashingScheme {
+  val P: Long = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val SimHashBits = 32
+
+  def a(i: Int): Long = { val v = ((i + 1) * 2654435761L) % P; if (v == 0) 1L else v }
+  def b(i: Int): Long = ((i + 1) * 1013904223L) % P
+
+  /** Spark-side: minhash_i of a 32-bit hash column (reduced mod p first). */
+  def minhashExpr(hCol: String, i: Int): String =
+    s"min((${a(i)}L * ($hCol % $P) + ${b(i)}L) % $P)"
+
+  /** DuckDB-side: identical formula (BIGINT arithmetic). */
+  def minhashSql(hSql: String, i: Int): String =
+    s"min((${a(i)} * ($hSql % $P) + ${b(i)}) % $P)"
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.HashingScheme._
+
+/** Deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, in increasing scale-tolerance:
+  *  - exact: content-hash groupBy (one shuffle on the hash).
+  *  - n-gram Jaccard: exact set similarity over 3-gram shingles —
+  *    quadratic in docs-per-shared-shingle; the ground truth the
+  *    approximate tiers are judged against.
+  *  - MinHash + LSH: 16 permutations, 4 bands × 4 rows; candidate
+  *    generation joins on (band, band-signature) so shuffle volume is
+  *    bands×docs, never docs² — the 100 TB path.
+  *  - SimHash: 32-bit weighted-vote fingerprint + banded Hamming join
+  *    (4 bytes; Hamming ≤ 3 ⇒ at least one byte equal, so the band
+  *    join is exact, not heuristic).
+  *
+  * All hashes derive from md5 (see TextFns.hash32 / HashingScheme) so
+  * every tier is reproducible in the DuckDB oracle with identical bits.
+  */
+object Dedup {
+  val JaccardThreshold = 0.5
+  val HammingMax = 3
+
+  private def withToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** (doc_id, shingle) distinct pairs; shingles built in-row. */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+        "i -> array_join(slice(toks, i, 3), ' '))")).as("sh"))
+      .distinct()
+
+  private val shingleSql =
+    """SELECT DISTINCT doc_id, u.sh AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)]) AS u(sh)"""
+
+  /** Exact dedup: group identical content, keep the smallest doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Exact 3-gram-shingle Jaccard near-dup pairs (≥ threshold). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** MinHash signatures: one row per doc, 16 min-aggregated permutation
+    * hashes computed in a single groupBy pass over exploded shingles. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleSet(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFns.hash32(col("sh")).as("h"))
+    val mins = (0 until NumHashes).map(i => expr(minhashExpr("h", i)).as(s"mh$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
+    * agreeing permutations). Join key is (band, concatenated band sig). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val bandCols = (0 until Bands).map { j =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
+      s"concat_ws('_', $parts) AS band$j"
+    }
+    val banded = sigs.selectExpr(Seq("doc_id") ++ bandCols: _*)
+    val cand = (0 until Bands).map { j =>
+      banded.select(col("doc_id"), lit(j).as("bj"), col(s"band$j").as("bv"))
+    }.reduce(_ unionAll _)
+    val pairs = cand.select(col("doc_id").as("a"), col("bj"), col("bv"))
+      .join(cand.select(col("doc_id").as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    pairs.alias("p")
+      .join(sigs.alias("sa"), col("p.a") === col("sa.doc_id"))
+      .join(sigs.alias("sb"), col("p.b") === col("sb.doc_id"))
+      .selectExpr("p.a AS a", "p.b AS b",
+        s"round(($matchSum) / ${NumHashes}.0, 6) AS est_jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** SimHash: 32-bit fingerprint from tf-weighted bit votes over token
+    * hashes, then banded Hamming-distance near-dup pairs. */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = withToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", graft.functions.TextFns.hash32(col("t")))
+    val votes = (0 until SimHashBits).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2 = 1"), col("tf")).otherwise(-col("tf"))).as(s"v$j"))
+    val sigExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .selectExpr("doc_id", s"CAST($sigExpr AS BIGINT) AS sig")
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
+    val bands = (0 until 4).map(j =>
+      sigs.selectExpr("doc_id", "sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
+      .reduce(_ unionAll _)
+    bands.select(col("doc_id").as("a"), col("sig").as("siga"), col("bj"), col("bv"))
+      .join(bands.select(col("doc_id").as("b"), col("sig").as("sigb"), col("bj"), col("bv")),
+        Seq("bj", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "siga", "sigb").distinct()
+      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  // ---- generated DuckDB oracles (same constants via HashingScheme) ----
+
+  private val minhashOracle: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"${minhashSql("h", i)} AS mh$i").mkString(",\n                 ")
+    val bandSelects = (0 until Bands).map { j =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $j AS bj, concat_ws('_', $parts) AS bv FROM sigs"
+    }.mkString("\n                 UNION ALL ")
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS ($shingleSql),
+          hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+          sigs AS (SELECT doc_id,
+                 $mins
+                 FROM hashed GROUP BY doc_id),
+          cand AS ($bandSelects),
+          pairs AS (SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
+                    FROM cand ca JOIN cand cb ON ca.bj = cb.bj AND ca.bv = cb.bv
+                    WHERE ca.doc_id < cb.doc_id)
+        SELECT p.a AS a, p.b AS b, round(($matchSum) / ${NumHashes}.0, 6) AS est_jaccard
+        FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id
+        ORDER BY a, b"""
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until SimHashBits)
+      .map(j => s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN tf ELSE -tf END) AS v$j")
+      .mkString(",\n                 ")
+    val sigExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, sig, $j AS bj, (sig // ${1L << (8 * j)}) % 256 AS bv FROM sigs")
+      .mkString("\n                 UNION ALL ")
+    s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                    WHERE t <> '' GROUP BY doc_id, t),
+          v AS (SELECT doc_id,
+                 $votes
+                 FROM tf GROUP BY doc_id),
+          sigs AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM v),
+          bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT ca.doc_id AS a, ca.sig AS siga, cb.doc_id AS b, cb.sig AS sigb
+                    FROM bands ca JOIN bands cb ON ca.bj = cb.bj AND ca.bv = cb.bv
+                    WHERE ca.doc_id < cb.doc_id)
+        SELECT a, b, CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(siga, sigb)) <= $HammingMax
+        ORDER BY a, b"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact, Some(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""")),
+    QueryDef("dedup_ngram_jaccard", dedupNgramJaccard, Some(
+      s"""WITH sh AS ($shingleSql),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+          SELECT i.a AS a, i.b AS b,
+                 round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+          FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+          WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold
+          ORDER BY a, b""")),
+    QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_simhash", dedupSimhash, Some(simhashOracle)),
+  )
+}

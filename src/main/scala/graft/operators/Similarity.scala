@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (array<float>[64]).
+  *
+  * - `sim_cosine_topk`: brute-force exact top-k — the baseline. The dot
+  *   product is a codegen'd `aggregate(zip_with(...))` fold (no UDF);
+  *   query vectors are broadcast so the big side streams with zero
+  *   shuffle until the per-query top-k.
+  * - `sim_ann_lsh`: random-hyperplane LSH (signs of 8 deterministic
+  *   pseudo-random hyperplanes → 8-bit bucket). Candidates only within
+  *   the query's bucket — the 100 TB path: bucket join instead of a
+  *   full cross product. Verified rows-only; the spec measures recall
+  *   against the exact baseline.
+  */
+object Similarity {
+  val NumQueries = 10
+  val TopK = 5
+  val NumPlanes = 8
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Exact cosine top-k for the first NumQueries vector ids. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        expr(dot.format("qv", "v")) /
+          (sqrt(expr(dot.format("qv", "qv"))) * sqrt(expr(dot.format("v", "v")))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim d): derived
+    * from the shared md5-based hash so it is reproducible anywhere. */
+  private def planeSignExpr(j: Int, d: Int): String =
+    s"(CAST(conv(substring(md5('plane_${j}_$d'), 1, 8), 16, 10) AS BIGINT) % 2) * 2 - 1"
+
+  /** 8-bit LSH bucket of a vector column (signs of plane dot products). */
+  private def bucketExpr(vcol: String): String = {
+    val bits = (0 until NumPlanes).map { j =>
+      val terms = (0 until 64).map(d => s"($vcol[$d] * (${planeSignExpr(j, d)}))").mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN ${1 << j} ELSE 0 END"
+    }
+    bits.mkString(" + ")
+  }
+
+  /** ANN via LSH buckets: exact cosine, but only within the bucket. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", expr(bucketExpr("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        expr(dot.format("qv", "v")) /
+          (sqrt(expr(dot.format("qv", "qv"))) * sqrt(expr(dot.format("v", "v")))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_cosine_topk", cosineTopk, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+            c AS (SELECT q.qid, e.vec_id AS neighbor,
+                         list_dot_product(q.qv, e.v) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+                  FROM q, e WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, neighbor, cos,
+                         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+                  FROM c)
+          SELECT qid, rnk, neighbor, round(cos, 6) AS cos
+          FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
+    QueryDef("sim_ann_lsh", annLsh, None),
+  )
+}
