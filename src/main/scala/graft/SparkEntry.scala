@@ -8,7 +8,8 @@ object SparkEntry {
   /** All implemented operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
     Relational.defs ++ TextAnalytics.defs ++ Dedup.defs ++
-      Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs
+      Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
+      Graph.defs ++ graft.streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

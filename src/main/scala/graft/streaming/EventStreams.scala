@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.QueryDef
+
+/** Streaming event analytics (reference: a7).
+  *
+  * a7/EventCount.scala:69-74 counts events per window; a7/
+  * RegionEventCount.scala:63-92 buckets events into named regions and
+  * counts per window; a7/TrendingArrivals.scala:46-58,117-145 keeps
+  * per-key state to compare a window's count against the previous
+  * window and flags ≥2× jumps over a minimum.
+  *
+  * The reference replays batch files through a DStream queue with a
+  * manual clock. Spark-first, each computation is ONE declarative plan
+  * with two front-ends:
+  *  - `queries` entries: the batch mirror (runs on the events table,
+  *    verified against the DuckDB oracle);
+  *  - `stream*` builders: the same plan over `readStream` with a
+  *    watermark, driven in the specs via the file source + memory sink.
+  * Structured Streaming's incrementalization guarantees the streaming
+  * result converges to the batch result for these windowed aggregates —
+  * that is exactly what the spec asserts.
+  *
+  * Scale: windowed counts shuffle on (window, key) with map-side
+  * partial aggregation; watermarks bound state. The trending op keys
+  * state by event_type — state size = |keys|, not |events|.
+  */
+object EventStreams {
+  val HourUs: Long = 3600L * 1000 * 1000
+  val TenMinUs: Long = 600L * 1000 * 1000
+  val TrendMin = 10L
+
+  /** Value-range "regions" standing in for the reference's geo boxes. */
+  val regionExpr: org.apache.spark.sql.Column =
+    when(col("value") < 50, "low").when(col("value") < 150, "mid").otherwise("high")
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+
+  // ---- batch mirrors (driver-verified) ----
+
+  /** a7 EventCount: events per 1 h tumbling window. */
+  def eventCountBatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .groupBy("window_ms")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("window_ms")
+
+  /** a7 RegionEventCount: per-region counts per 1 h window. */
+  def regionCountBatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("region", regionExpr)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .groupBy("window_ms", "region")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("window_ms", "region")
+
+  /** a7 TrendingArrivals: 10 min windows per event_type whose count is
+    * ≥ TrendMin and ≥ 2× the count of the PRECEDING window (a missing
+    * preceding window counts as 0, like the reference's initial state). */
+  def trendingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win"))
+    events(spark, dir)
+      .withColumn("win", expr(s"ts_us div $TenMinUs"))
+      .groupBy("event_type", "win")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_win", lag(col("win"), 1).over(w))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("prev",
+        when(col("prev_win").isNotNull && col("prev_win") === col("win") - 1, col("prev_cnt"))
+          .otherwise(lit(0L)))
+      .filter(col("cnt") >= TrendMin && col("cnt") >= lit(2) * col("prev"))
+      .select((col("win") * 600000).as("window_ms"), col("event_type"), col("cnt"), col("prev"))
+      .orderBy("window_ms", "event_type")
+  }
+
+  // ---- streaming front-ends (spec-driven; same plans over readStream) ----
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** readStream view of the events parquet (ts arrives as int64 nanos). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Streaming a7 EventCount: 1 h tumbling windows with a watermark. */
+  def eventCountStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_ms"), col("cnt"))
+
+  /** Streaming a7 RegionEventCount. */
+  def regionCountStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withColumn("region", regionExpr)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("region"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_ms"), col("region"), col("cnt"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_event_count", eventCountBatch, Some(
+      s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms, count(*) AS cnt
+          FROM events GROUP BY 1 ORDER BY window_ms""")),
+    QueryDef("stream_region_count", regionCountBatch, Some(
+      s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
+                 CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS region,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2 ORDER BY window_ms, region""")),
+    QueryDef("stream_trending", trendingBatch, Some(
+      s"""WITH w AS (SELECT event_type, epoch_us(ts) // $TenMinUs AS win, count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+            l AS (SELECT *, lag(win) OVER (PARTITION BY event_type ORDER BY win) AS prev_win,
+                         lag(cnt) OVER (PARTITION BY event_type ORDER BY win) AS prev_cnt
+                  FROM w),
+            p AS (SELECT event_type, win, cnt,
+                         CASE WHEN prev_win IS NOT NULL AND prev_win = win - 1
+                              THEN prev_cnt ELSE 0 END AS prev
+                  FROM l)
+          SELECT win * 600000 AS window_ms, event_type, cnt, prev
+          FROM p WHERE cnt >= $TrendMin AND cnt >= 2 * prev
+          ORDER BY window_ms, event_type""")),
+  )
+}
