@@ -102,7 +102,7 @@ object Dedup {
       .join(sigs.alias("sa"), col("p.a") === col("sa.doc_id"))
       .join(sigs.alias("sb"), col("p.b") === col("sb.doc_id"))
       .selectExpr("p.a AS a", "p.b AS b",
-        s"round(($matchSum) / ${NumHashes}.0, 6) AS est_jaccard")
+        s"round(($matchSum) / CAST($NumHashes AS DOUBLE), 6) AS est_jaccard")
       .orderBy("a", "b")
   }
 
@@ -160,7 +160,7 @@ object Dedup {
           pairs AS (SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
                     FROM cand ca JOIN cand cb ON ca.bj = cb.bj AND ca.bv = cb.bv
                     WHERE ca.doc_id < cb.doc_id)
-        SELECT p.a AS a, p.b AS b, round(($matchSum) / ${NumHashes}.0, 6) AS est_jaccard
+        SELECT p.a AS a, p.b AS b, round(($matchSum) / CAST($NumHashes AS DOUBLE), 6) AS est_jaccard
         FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id
         ORDER BY a, b"""
   }

@@ -32,7 +32,7 @@ import graft.QueryDef
 object EventStreams {
   val HourUs: Long = 3600L * 1000 * 1000
   val TenMinUs: Long = 600L * 1000 * 1000
-  val TrendMin = 10L
+  val TrendMin = 3L
 
   /** Value-range "regions" standing in for the reference's geo boxes. */
   val regionExpr: org.apache.spark.sql.Column =
@@ -86,10 +86,18 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** readStream view of the events parquet (ts arrives as int64 nanos). */
+  /** readStream view of the events parquet (ts arrives as int64 nanos).
+    * The file source wants a directory; the single-file testdata layout
+    * is bridged with a symlink under a temp dir (read-only on the data). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(s"$dir/events.parquet")
+    val streamDir = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(eventSchema).parquet(streamDir.toString)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
@@ -110,6 +118,35 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("region"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("window_ms"), col("region"), col("cnt"))
+
+  /** Streaming a7 TrendingArrivals: per-event_type keyed state holding
+    * the previous window's count (the Structured Streaming analog of the
+    * reference's mapWithState; reference a7/TrendingArrivals.scala:46-58).
+    * Emits (window_ms, event_type, cnt, prev) whenever a window's count
+    * is ≥ TrendMin and ≥ 2× the preceding window's. */
+  def trendingStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    readEvents(spark, dir)
+      .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, String, Long, Long)](
+        OM.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          val counts = rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          var (prevWin, prevCnt) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = counts.flatMap { case (w, c) =>
+            val prev = if (w == prevWin + 1) prevCnt else 0L
+            prevWin = w; prevCnt = c
+            if (c >= TrendMin && c >= 2 * prev) Some((w * 600000, key, c, prev)) else None
+          }
+          state.update((prevWin, prevCnt))
+          out.iterator
+      }
+      .toDF("window_ms", "event_type", "cnt", "prev")
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_event_count", eventCountBatch, Some(

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator behavioral specs on sf0.001 (the full oracle equivalence
+  * runs via Verify + the driver's DuckDB compare; these assert the
+  * semantic properties that make each operator correct by construction). */
+class OperatorsSpec extends SparkSpec {
+  import operators._
+
+  test("every declared query runs and is non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      // Sparse-by-construction ops may legitimately be empty at sf0.001:
+      val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+        "stream_trending") // event density at sf0.001 can't reach the trend minimum
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("q5 pricing groups cover all flag/status combinations") {
+    val rows = Relational.q5AggPricing(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q9 semi/anti: no kept customer has an above-threshold order") {
+    val kept = Relational.q9SemiAnti(spark, sf)
+    val bad = kept.join(
+      sources.Tables.orders(spark, sf).filter(col("o_totalprice") > Relational.Q9Thresh),
+      col("custkey") === col("o_custkey"), "inner")
+    assert(bad.count() == 0)
+  }
+
+  test("sessionize: intra-session gaps never exceed the cutoff") {
+    val sess = Relational.q11Sessionize(spark, sf)
+    // sessions are disjoint per user and ordered
+    val overlaps = sess.alias("a").join(sess.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.session_id") === col("b.session_id") - 1 &&
+        col("a.end_ms") >= col("b.start_ms"))
+    assert(overlaps.count() == 0)
+  }
+
+  test("bigram relative frequencies sum to 1 per leading word") {
+    val sums = TextAnalytics.bigramRelFreq(spark, sf)
+      .groupBy("w1").agg(sum("relfreq").as("s")).collect()
+    assert(sums.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-3))
+  }
+
+  test("boolean retrieval docs all contain every query term") {
+    val docs = TextAnalytics.booleanRetrieval(spark, sf)
+      .join(sources.Tables.documents(spark, sf), "doc_id")
+    val n = docs.count()
+    val ok = TextAnalytics.RetrievalTerms.foldLeft(docs) { (d, t) =>
+      d.filter(array_contains(split(col("text"), " "), t))
+    }.count()
+    assert(n == ok && n > 0)
+  }
+
+  test("pagerank mass is conserved (sums to 1)") {
+    val total = operators.Graph.pagerank(spark, sf)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"mass = $total")
+  }
+
+  test("minhash est_jaccard ≈ exact jaccard on the planted near-dups") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .select(col("a"), col("b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every high-similarity exact pair should be an LSH candidate
+    val strong = exact.filter(_._2 >= 0.7)
+    val found = strong.keySet.count(est.contains)
+    assert(strong.isEmpty || found >= strong.size / 2,
+      s"LSH recall too low: $found/${strong.size}")
+  }
+
+  test("ann lsh results are a subset-quality approximation of exact topk") {
+    val exact = operators.Similarity.cosineTopk(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    val ann = operators.Similarity.annLsh(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    // ANN is approximate: require it found SOME queries' true top-1
+    val hits = exact.count { case (q, n) => ann.get(q).contains(n) }
+    assert(ann.nonEmpty, "ann produced nothing")
+    info(s"ann top-1 recall: $hits/${exact.size}")
+  }
+
+  test("spam classifier: averaged training agrees with serial on most predictions") {
+    val serial = Classify.apply_(spark, sf)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val w = Classify.trainAveraged(spark, sf)
+    val feat = Classify.instances(spark, sf)
+      .select(col("doc_id"), explode(col("features")).as("feature"))
+    val avg = feat.join(broadcast(w), Seq("feature"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("weight"), lit(0.0))).as("score"))
+      .select(col("doc_id"), (col("score") > 0).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agree = serial.count { case (d, p) => avg.get(d).contains(p) }
+    assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
+  }
+
+  test("multimodal metadata matches payload byte lengths") {
+    val bad = Multimodal.metadata(spark, sf)
+      .join(sources.Tables.documents(spark, sf), "doc_id")
+      .filter(length(col("text")) =!= col("byte_len"))
+    assert(bad.count() == 0)
+  }
+}

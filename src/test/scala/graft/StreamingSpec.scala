@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.EventStreams
+
+/** Drives the REAL Structured Streaming plans (readStream → watermarked
+  * window aggs → memory sink) and asserts they converge to the batch
+  * mirrors the driver verifies — the stream/batch agreement that
+  * Structured Streaming's incremental execution guarantees. */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming event count converges to the batch mirror") {
+    runToMemory(EventStreams.eventCountStream(spark, sf), "sec")
+    val streamed = spark.table("sec").collect()
+      .map(r => r.getAs[Long]("window_ms") -> r.getAs[Long]("cnt")).toMap
+    val batch = EventStreams.eventCountBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("window_ms") -> r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming region count converges to the batch mirror") {
+    runToMemory(EventStreams.regionCountStream(spark, sf), "src")
+    val streamed = spark.table("src").collect()
+      .map(r => (r.getAs[Long]("window_ms"), r.getAs[String]("region")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val batch = EventStreams.regionCountBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("window_ms"), r.getAs[String]("region")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful trending stream (flatMapGroupsWithState) matches batch lag()") {
+    runToMemory(EventStreams.trendingStream(spark, sf), "trend", OutputMode.Append())
+    val alerts = spark.table("trend")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventStreams.trendingBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(alerts == batch)
+  }
+}
