@@ -93,8 +93,43 @@ object Classify {
       .orderBy("doc_id")
   }
 
+  /** Ensemble (reference a5/ApplyEnsembleSpamClassifier.scala:83-107):
+    * three models trained on disjoint shards, combined by score-average
+    * AND by ±1 vote. Shard key (doc_id div 3) % 3 mixes labels across
+    * shards (doc_id % 3 would put every spam doc in one shard). */
+  def ensemble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inst = instances(spark, dir)
+    val models = (0 until 3).map { s =>
+      inst.filter(expr(s"(doc_id div 3) % 3 = $s"))
+        .as[(Long, Boolean, Seq[Int])]
+        .repartition(1).sortWithinPartitions("doc_id")
+        .mapPartitions(rows => sgd(rows).iterator)
+        .toDF("feature", s"w$s")
+    }
+    val feat = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("feature"))
+    val scored = models.zipWithIndex.foldLeft(feat) { case (d, (m, i)) =>
+      d.join(broadcast(m), Seq("feature"), "left")
+    }
+    scored
+      .groupBy("doc_id", "is_spam")
+      .agg(
+        sum(coalesce(col("w0"), lit(0.0))).as("s0"),
+        sum(coalesce(col("w1"), lit(0.0))).as("s1"),
+        sum(coalesce(col("w2"), lit(0.0))).as("s2"))
+      .select(col("doc_id"), col("is_spam"),
+        round((col("s0") + col("s1") + col("s2")) / 3, 6).as("score_avg"),
+        (when(col("s0") > 0, 1).otherwise(-1) +
+         when(col("s1") > 0, 1).otherwise(-1) +
+         when(col("s2") > 0, 1).otherwise(-1)).cast("long").as("votes"))
+      .withColumn("predicted_avg", col("score_avg") > 0)
+      .withColumn("predicted_vote", col("votes") > 0)
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spam_train", train, None),
     QueryDef("spam_apply", apply_, None),
+    QueryDef("spam_ensemble", ensemble, None),
   )
 }

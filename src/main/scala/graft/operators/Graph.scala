@@ -80,7 +80,18 @@ object Graph {
         SELECT v, round(r, 8) AS rank FROM r$Iters ORDER BY v"""
   }
 
+  /** a4/FindMaxPageRankNodes.java: top-k nodes by rank. Ordering on the
+    * ROUNDED rank (ties broken by node id) keeps the cutoff deterministic
+    * across engines despite last-ulp float differences. */
+  def pagerankTopk(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir)
+      .orderBy(col("rank").desc, col("v"))
+      .limit(20)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(oracle)),
+    QueryDef("pagerank_topk", pagerankTopk, Some(
+      s"""WITH pr AS ($oracle)
+          SELECT v, rank FROM pr ORDER BY rank DESC, v LIMIT 20""")),
   )
 }

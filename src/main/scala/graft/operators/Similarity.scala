@@ -23,11 +23,11 @@ object Similarity {
   val TopK = 5
   val NumPlanes = 8
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-
-  private val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  }
 
   /** Exact cosine top-k for the first NumQueries vector ids. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -35,9 +35,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        expr(dot.format("qv", "v")) /
-          (sqrt(expr(dot.format("qv", "qv"))) * sqrt(expr(dot.format("v", "v")))))
+      .withColumn("cos", expr("cosine_sim(qv, v)")) // native codegen'd Expression
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
@@ -66,9 +64,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        expr(dot.format("qv", "v")) /
-          (sqrt(expr(dot.format("qv", "qv"))) * sqrt(expr(dot.format("v", "v")))))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
