@@ -27,118 +27,36 @@ object Dedup {
   val JaccardThreshold = 0.5
   val HammingMax = 3
 
-  private def withToks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-
-  /** (doc_id, shingle) distinct pairs; shingles built in-row. */
-  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
-    withToks(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-        "i -> array_join(slice(toks, i, 3), ' '))")).as("sh"))
-      .distinct()
-
   private val shingleSql =
     """SELECT DISTINCT doc_id, u.sh AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                     for i in generate_series(1, len(toks) - 2)]) AS u(sh)"""
 
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
   /** Exact dedup: group identical content, keep the smallest doc_id. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    graft.api.GraftOps.dedupExact(docs(spark, dir), "doc_id", "text")
       .orderBy("keep_id")
 
   /** Exact 3-gram-shingle Jaccard near-dup pairs (≥ threshold). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("a"), col("sh"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select("a", "b", "jaccard")
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
       .orderBy("a", "b")
-  }
 
-  /** MinHash signatures: one row per doc, 16 min-aggregated permutation
-    * hashes computed in a single groupBy pass over exploded shingles. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleSet(spark, dir)
-      .select(col("doc_id"), graft.functions.TextFns.hash32(col("sh")).as("h"))
-    val mins = (0 until NumHashes).map(i => expr(minhashExpr("h", i)).as(s"mh$i"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
-
-  /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
-    * agreeing permutations). Join key is (band, concatenated band sig). */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
-    val bandCols = (0 until Bands).map { j =>
-      val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
-      s"concat_ws('_', $parts) AS band$j"
-    }
-    val banded = sigs.selectExpr(Seq("doc_id") ++ bandCols: _*)
-    val cand = (0 until Bands).map { j =>
-      banded.select(col("doc_id"), lit(j).as("bj"), col(s"band$j").as("bv"))
-    }.reduce(_ unionAll _)
-    val pairs = cand.select(col("doc_id").as("a"), col("bj"), col("bv"))
-      .join(cand.select(col("doc_id").as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val matchSum = (0 until NumHashes)
-      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    pairs.alias("p")
-      .join(sigs.alias("sa"), col("p.a") === col("sa.doc_id"))
-      .join(sigs.alias("sb"), col("p.b") === col("sb.doc_id"))
-      .selectExpr("p.a AS a", "p.b AS b",
-        s"round(($matchSum) / CAST($NumHashes AS DOUBLE), 6) AS est_jaccard")
+  /** MinHash + LSH candidate pairs with estimated Jaccard. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
       .orderBy("a", "b")
-  }
 
-  /** SimHash: 32-bit fingerprint from tf-weighted bit votes over token
-    * hashes, then banded Hamming-distance near-dup pairs. */
-  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val tf = withToks(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("h", graft.functions.TextFns.hash32(col("t")))
-    val votes = (0 until SimHashBits).map(j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2 = 1"), col("tf")).otherwise(-col("tf"))).as(s"v$j"))
-    val sigExpr = (0 until SimHashBits)
-      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
-    tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .selectExpr("doc_id", s"CAST($sigExpr AS BIGINT) AS sig")
-  }
-
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(spark, dir)
-    val bands = (0 until 4).map(j =>
-      sigs.selectExpr("doc_id", "sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
-      .reduce(_ unionAll _)
-    bands.select(col("doc_id").as("a"), col("sig").as("siga"), col("bj"), col("bv"))
-      .join(bands.select(col("doc_id").as("b"), col("sig").as("sigb"), col("bj"), col("bv")),
-        Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "siga", "sigb").distinct()
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+  /** SimHash banded Hamming near-dup pairs. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.simhashCandidates(docs(spark, dir), "doc_id", "text",
+        maxHamming = HammingMax)
       .orderBy("a", "b")
-  }
 
   // ---- generated DuckDB oracles (same constants via HashingScheme) ----
 

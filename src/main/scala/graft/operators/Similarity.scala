@@ -31,15 +31,9 @@ object Similarity {
 
   /** Exact cosine top-k for the first NumQueries vector ids. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim(qv, v)")) // native codegen'd Expression
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
+    val all = Tables.embeddings(spark, dir)
+    graft.api.GraftOps.cosineTopK(all, "vec_id", "embedding",
+        queries = all.filter(col("vec_id") < NumQueries), k = TopK)
       .orderBy("qid", "rnk")
   }
 

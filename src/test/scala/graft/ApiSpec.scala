@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps.implicits._
+
+/** The user-facing library surface: generic operators via implicit
+  * syntax on arbitrary DataFrames (not the driver test tables). */
+class ApiSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap here at all"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("id", "body")
+
+  test("dedupExact groups identical bodies") {
+    val groups = corpus.dedupExact("id", "body").collect()
+    assert(groups.length == 3)
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngramJaccardPairs finds the near-dup and not the unrelated doc") {
+    val pairs = corpus.ngramJaccardPairs("id", "body", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // one-word diff
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashCandidates surfaces the exact-dup pair with est 1.0") {
+    val cands = corpus.minhashCandidates("id", "body")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(cands.get((1L, 4L)).contains(1.0))
+  }
+
+  test("simhashCandidates: identical docs at hamming 0, unrelated doc absent") {
+    val cands = corpus.simhashCandidates("id", "body")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(cands.get((1L, 4L)).contains(0L))
+    assert(!cands.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosineTopK on arbitrary vectors ranks the aligned vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vid", "emb")
+    val top = vecs.cosineTopK("vid", "emb", vecs.filter(col("vid") === 0L), k = 3)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor")))
+    assert(top.toSeq.sorted.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("sessionize splits on gaps for any key/timestamp columns") {
+    val ev = Seq(
+      ("u1", 1000000L), ("u1", 2000000L), ("u1", 100000000L),
+      ("u2", 5000000L),
+    ).toDF("user", "t_us")
+    val sess = ev.sessionize("user", "t_us", gapUs = 10000000L)
+      .collect().map(r => (r.getAs[String]("user"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(sess == Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L)))
+  }
+
+  test("topKPerGroup keeps k rows per partition key") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("g", "x")
+    val top = df.topKPerGroup("g", col("x").desc, 2).collect()
+    assert(top.count(_.getAs[String]("g") == "a") == 2)
+    assert(top.count(_.getAs[String]("g") == "b") == 1)
+  }
+}
