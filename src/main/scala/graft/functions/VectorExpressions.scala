@@ -62,10 +62,79 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket of an array<double> vector: bit j of the
+  * result is the sign of the dot product with deterministic pseudo-random
+  * hyperplane j. The plane matrix is md5-derived (±1 components), baked
+  * into the expression via a codegen reference object — a tight Java
+  * loop instead of the 512-term folded SQL expression it replaces.
+  */
+case class LshBucket(child: Expression, numPlanes: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  @transient lazy val planes: Array[Array[Double]] = LshBucket.planes(numPlanes, dims)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dims, v.numElements())
+    var bucket = 0
+    var j = 0
+    while (j < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getDouble(d) * planes(j)(d); d += 1 }
+      if (dot > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |int $bucket = 0;
+         |for (int $j = 0; $j < $numPlanes; $j++) {
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) { $dot += $a.getDouble($d) * $p[$j][$d]; }
+         |  if ($dot > 0) $bucket |= (1 << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+}
+
+object LshBucket {
+  /** ±1 plane components from md5("plane_<j>_<d>") — the same derivation
+    * a SQL oracle can reproduce with md5/substr/hex-cast. */
+  def planes(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (j, d) =>
+      val hex = md.digest(s"plane_${j}_$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2) * 2.0 - 1.0
+    }
+  }
+}
+
 object VectorExpressions {
   /** Idempotently register graft's native functions on a session so
     * plans can reference them via `expr("cosine_sim(a, b)")` / SQL. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", exprs => LshBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+  }
 }

@@ -37,23 +37,11 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane j, dim d): derived
-    * from the shared md5-based hash so it is reproducible anywhere. */
-  private def planeSignExpr(j: Int, d: Int): String =
-    s"(CAST(conv(substring(md5('plane_${j}_$d'), 1, 8), 16, 10) AS BIGINT) % 2) * 2 - 1"
-
-  /** 8-bit LSH bucket of a vector column (signs of plane dot products). */
-  private def bucketExpr(vcol: String): String = {
-    val bits = (0 until NumPlanes).map { j =>
-      val terms = (0 until 64).map(d => s"($vcol[$d] * (${planeSignExpr(j, d)}))").mkString(" + ")
-      s"CASE WHEN ($terms) > 0 THEN ${1 << j} ELSE 0 END"
-    }
-    bits.mkString(" + ")
-  }
-
-  /** ANN via LSH buckets: exact cosine, but only within the bucket. */
+  /** ANN via LSH buckets: exact cosine, but only within the bucket.
+    * Bucketing is the native `lsh_bucket` expression (md5-derived ±1
+    * hyperplanes; see functions.LshBucket). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", expr(bucketExpr("v")))
+    val e = emb(spark, dir).withColumn("bucket", expr(s"lsh_bucket(v, $NumPlanes, 64)"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
