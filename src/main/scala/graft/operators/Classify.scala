@@ -52,8 +52,16 @@ object Classify {
     w.toMap
   }
 
+  // trained weights memoized per (session, dir): apply/ensemble reuse
+  // the model instead of re-running the sequential pass
+  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   /** Serial SGD (reference semantics): 1 partition, doc_id order. */
-  def train(spark: SparkSession, dir: String): DataFrame = {
+  def train(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
+      trainUncached(spark, dir).localCheckpoint())
+
+  private def trainUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     instances(spark, dir)
       .as[(Long, Boolean, Seq[Int])]

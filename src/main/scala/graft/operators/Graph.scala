@@ -30,31 +30,53 @@ object Graph {
   val PartOffset = 1000000L
   val Sources: Seq[Long] = Seq(0L, 1L, 2L)
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  // converged rank table memoized per (session, dir): topk and any other
+  // consumer reuse one cached computation instead of re-iterating
+  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  // localCheckpoint (not cache): materializes through the normal AQE
+  // execution path and truncates the 5-iteration lineage; cache() would
+  // plan the whole loop without AQE's runtime re-optimization.
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
+      computeRanks(spark, dir).localCheckpoint())
+
+  private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_partkey")).distinct()
+    // cache the deduped pair set once; both edge directions derive from
+    // it as narrow maps (an explicit repartition(src) would add a full
+    // shuffle that AQE's runtime planning makes unnecessary here)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().cache()
     val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
     val nodes = edges.select(col("src").as("v")).distinct().cache()
 
     val srcDf = Sources.toDF("v")
-      .withColumn("jump", lit(1.0 / Sources.length))
-    var ranks = nodes.join(srcDf, Seq("v"), "left")
-      .select(col("v"), coalesce(col("jump"), lit(0.0)).as("r"))
+      .withColumn("jump0", lit(1.0 / Sources.length))
+    // node table with its personalized-jump share, built & cached ONCE;
+    // each iteration is then a single contrib join against it
+    val base = nodes.join(srcDf, Seq("v"), "left")
+      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0"))
+      .cache()
+    var ranks = base.select(col("v"), col("jump0").as("r"))
+    // rank-with-degree is |V|-sized; broadcasting it turns the per-
+    // iteration edge join into a map-side pass over the cached edge
+    // partitions (one shuffle per iteration: the contrib groupBy).
+    // NOTE at |V| beyond broadcast size, drop the hint and AQE picks a
+    // shuffle join on the co-partitioned (src) layout instead.
     for (_ <- 1 to Iters) {
-      val contrib = ranks
-        .join(edges, ranks("v") === edges("src"))
-        .join(deg, "src")
+      val rd = ranks.join(deg, ranks("v") === deg("src"))
+        .select(col("v").as("rv"), (col("r") / col("d")).as("rd"))
+      val contrib = edges.join(broadcast(rd), edges("src") === col("rv"))
         .groupBy(col("dst").as("v"))
-        .agg(sum(col("r") / col("d")).as("c"))
-      ranks = nodes
-        .join(contrib, Seq("v"), "left")
-        .join(srcDf, Seq("v"), "left")
+        .agg(sum(col("rd")).as("c"))
+      ranks = base
+        .join(broadcast(contrib), Seq("v"), "left")
         .select(col("v"),
           (lit(1 - Alpha) * coalesce(col("c"), lit(0.0)) +
-           lit(Alpha) * coalesce(col("jump"), lit(0.0))).as("r"))
+           lit(Alpha) * col("jump0")).as("r"))
     }
     ranks.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
   }
