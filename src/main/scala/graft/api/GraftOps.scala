@@ -162,6 +162,22 @@ object GraftOps {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Skew-safe equi-join: salt the (skewed) left side's key with a
+    * random suffix in [0, salt) and replicate each right-side row salt
+    * times, so one hot key spreads over `salt` reducers instead of one.
+    * AQE's skew-join handles moderate skew automatically; this is the
+    * explicit tool for pathological keys (and for engines/configs where
+    * AQE is off). Output columns = left ++ right (join key deduped).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int = 8): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val saltedR = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
+  }
+
   object implicits {
     implicit class GraftDataFrameOps(private val df: DataFrame) {
       def dedupExact(id: String, content: String): DataFrame =
@@ -180,6 +196,8 @@ object GraftOps {
         GraftOps.sessionize(df, key, tsUs, gapUs, valueCol)
       def topKPerGroup(part: String, order: Column, k: Int): DataFrame =
         GraftOps.topKPerGroup(df, part, order, k)
+      def saltedJoin(right: DataFrame, key: String, salt: Int = 8): DataFrame =
+        GraftOps.saltedJoin(df, right, key, salt)
     }
   }
 }

@@ -68,6 +68,16 @@ class ApiSpec extends SparkSpec {
     assert(sess == Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L)))
   }
 
+  test("saltedJoin matches a plain join exactly") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (1, "d")).toDF("k", "lv")
+    val right = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val salted = left.saltedJoin(right, "k", salt = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("topKPerGroup keeps k rows per partition key") {
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("g", "x")
     val top = df.topKPerGroup("g", col("x").desc, 2).collect()
