@@ -132,7 +132,7 @@ object GraftOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(id))
     e.join(broadcast(q), col(id) =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long")) // bigint: DuckDB parity
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
   }

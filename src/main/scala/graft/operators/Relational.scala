@@ -110,7 +110,7 @@ object Relational {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long")) // bigint: DuckDB row_number parity
       .filter(col("rnk") <= 3)
       .select(
         col("o_orderpriority").as("priority"),

@@ -48,7 +48,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rnk")

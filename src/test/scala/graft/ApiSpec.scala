@@ -53,7 +53,7 @@ class ApiSpec extends SparkSpec {
       (3L, Array(-1.0f, 0.0f, 0.0f)),
     ).toDF("vid", "emb")
     val top = vecs.cosineTopK("vid", "emb", vecs.filter(col("vid") === 0L), k = 3)
-      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor")))
+      .collect().map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor")))
     assert(top.toSeq.sorted.map(_._2) == Seq(1L, 2L, 3L))
   }
 

@@ -18,6 +18,33 @@ def norm(rows, cols):
     return [sorted(cols), out]
 
 
+ARROW_TO_DUCK = {
+    "int64": "BIGINT", "int32": "INTEGER", "double": "DOUBLE",
+    "float": "FLOAT", "string": "VARCHAR", "large_string": "VARCHAR",
+    "bool": "BOOLEAN",
+}
+
+
+def schema_mismatch(con, pq_glob, sql):
+    """Return a description of Spark-parquet vs DuckDB-result type
+    mismatches (duck types via DESCRIBE), or None if compatible."""
+    import pyarrow.parquet as papq
+    import glob as g
+    f = g.glob(pq_glob)[0]
+    spark_types = {}
+    sch = papq.read_schema(f)
+    for name in sch.names:
+        spark_types[name] = ARROW_TO_DUCK.get(str(sch.field(name).type),
+                                              str(sch.field(name).type))
+    duck_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    diffs = []
+    for c in duck_types:
+        st, dt = spark_types.get(c), duck_types[c]
+        if st is not None and st != dt:
+            diffs.append(f"{c}: spark={st} duck={dt}")
+    return "; ".join(diffs) or None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -42,6 +69,11 @@ def main(sf_dir, out_dir):
             erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        sm = schema_mismatch(con, f"{pq}/*.parquet", sql)
+        if sm:
+            print(f"FAIL {name}: schema types: {sm}")
             n_fail += 1
             continue
         g = norm(grows, gcols)
