@@ -162,6 +162,21 @@ object GraftOps {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Heap-based top-k per group via the `top_k_pairs` TypedImperative-
+    * Aggregate: map-side k-bounded heaps combine before the shuffle, so
+    * at most k·|groups| rows move per partition — the at-scale form of
+    * `topKPerGroup` (whose window sorts every group in full).
+    * Output: (part, rnk bigint, payload, ord), rnk 1..k by ord desc. */
+  def topKPerGroupAgg(df: DataFrame, part: String, ordCol: String,
+                      payloadCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.groupBy(part)
+      .agg(expr(s"top_k_pairs(CAST($ordCol AS DOUBLE), CAST($payloadCol AS BIGINT), $k)").as("__tk"))
+      .select(col(part), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(part), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__e.payload").as(payloadCol), col("__e.ord").as(ordCol))
+  }
+
   /** Skew-safe equi-join: salt the (skewed) left side's key with a
     * random suffix in [0, salt) and replicate each right-side row salt
     * times, so one hot key spreads over `salt` reducers instead of one.

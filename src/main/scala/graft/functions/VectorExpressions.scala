@@ -136,5 +136,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => LshBucket(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_pairs", exprs => TopKAggBuilder(exprs), "built-in")
   }
+
+  private[functions] def TopKAggBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    TopKPairs(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])
 }

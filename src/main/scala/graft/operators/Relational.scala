@@ -120,6 +120,18 @@ object Relational {
       .orderBy("priority", "rnk")
   }
 
+  /** q7 again through the heap-based `top_k_pairs` aggregate — the
+    * at-scale form (map-side bounded heaps; shuffles ≤ k rows per group
+    * per partition instead of sorting whole groups). Same oracle as q7. */
+  def q7TopkAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.topKPerGroupAgg(
+        Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("totalprice"),
+          col("o_orderkey").as("orderkey")),
+        part = "priority", ordCol = "totalprice", payloadCol = "orderkey", k = 3)
+      .orderBy("priority", "rnk")
+
   /** Snowflake join: 1996 revenue per region (5-way join, dims broadcast). */
   def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -235,6 +247,13 @@ object Relational {
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
     QueryDef("q7_topk_window", q7TopkWindow, Some(
+      """SELECT priority, rnk, orderkey, totalprice FROM (
+           SELECT o_orderpriority AS priority,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                  o_orderkey AS orderkey, o_totalprice AS totalprice
+           FROM orders) WHERE rnk <= 3 ORDER BY priority, rnk""")),
+    QueryDef("q7_topk_agg", q7TopkAgg, Some(
       """SELECT priority, rnk, orderkey, totalprice FROM (
            SELECT o_orderpriority AS priority,
                   row_number() OVER (PARTITION BY o_orderpriority
