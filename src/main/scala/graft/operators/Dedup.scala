@@ -52,6 +52,24 @@ object Dedup {
     graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
       .orderBy("a", "b")
 
+  /** Embedding-cosine near-dup pairs: all (a < b) vector pairs at/above
+    * the similarity threshold, exact brute force (the testdata has no
+    * planted embedding dups; max observed cos ≈ 0.51, so 0.45 exercises
+    * the tail). The at-scale path reuses the `lsh_bucket` prefilter from
+    * Similarity — candidates within a bucket only. */
+  val EmbThreshold = 0.45
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
+      .filter(col("cos") >= EmbThreshold)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
   /** SimHash banded Hamming near-dup pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.simhashCandidates(docs(spark, dir), "doc_id", "text",
@@ -124,6 +142,13 @@ object Dedup {
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_embedding", dedupEmbedding, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                         round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          SELECT a, b, cos FROM p WHERE cos >= $EmbThreshold ORDER BY a, b""")),
     QueryDef("dedup_simhash", dedupSimhash, Some(simhashOracle)),
   )
 }

@@ -60,6 +60,19 @@ object Multimodal {
     }(enc).orderBy("doc_id")
   }
 
+  /** Frame sampling: expand each payload into its (stub-)decoded frame
+    * rows with a stable per-frame key — the one-to-many media expansion
+    * (video → frames, audio → chunks) a training pipeline feeds to
+    * feature extraction. In-row `sequence` + `explode`: no shuffle. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    metadata(spark, dir)
+      .withColumn("frame_no", explode(expr(
+        "CASE WHEN frames > 0 THEN sequence(0L, CAST(frames - 1 AS LONG)) ELSE array() END")))
+      .select(col("doc_id"), col("frame_no"),
+        md5(concat(col("doc_id").cast("string"), lit("_"), col("frame_no").cast("string")))
+          .as("frame_key"))
+      .orderBy("doc_id", "frame_no")
+
   val defs: Seq[QueryDef] = Seq(
     // Oracle covers the deterministic stub arithmetic; the decode seam
     // itself is the part a real codec would replace.
@@ -70,5 +83,11 @@ object Multimodal {
                 CAST(octet_length(text::BLOB) % 480 AS INT) AS height,
                 CAST(octet_length(text::BLOB) % 16 AS INT) AS frames
          FROM documents ORDER BY doc_id""")),
+    QueryDef("mm_frames", (s, d) => frames(s, d), Some(
+      """SELECT doc_id, f AS frame_no,
+                md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f AS VARCHAR)) AS frame_key
+         FROM (SELECT doc_id, octet_length(text::BLOB) % 16 AS nf FROM documents),
+              unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS u(f)
+         ORDER BY doc_id, frame_no""")),
   )
 }

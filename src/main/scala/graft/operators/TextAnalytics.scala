@@ -91,6 +91,18 @@ object TextAnalytics {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .orderBy("term", "doc_id")
 
+  /** a0/PerfectX.java:52-77: occurrences of one keyword across the
+    * corpus (total hits + number of containing docs). */
+  val Keyword = "spark"
+  def keywordCount(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        expr(s"size(filter(toks, t -> t = '$Keyword'))").as("hits"))
+      .agg(
+        sum(col("hits")).as("total_hits"),
+        count(when(col("hits") > 0, 1)).as("n_docs"))
+      .select(lit(Keyword).as("keyword"), col("total_hits"), col("n_docs"))
+
   /** a3: conjunctive (AND) retrieval driven by the postings relation. */
   def booleanRetrieval(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
@@ -133,6 +145,12 @@ object TextAnalytics {
           JOIN w wa ON c.w1 = wa.w
           JOIN w wb ON c.w2 = wb.w
           ORDER BY w1, w2""")),
+    QueryDef("keyword_count", keywordCount, Some(
+      s"""SELECT '$Keyword' AS keyword,
+                 CAST(sum(hits) AS BIGINT) AS total_hits,
+                 count(*) FILTER (hits > 0) AS n_docs
+          FROM (SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = '$Keyword')) AS hits
+                FROM documents)""")),
     QueryDef("inverted_index", invertedIndex, Some(
       """WITH tf AS (SELECT w AS term, doc_id, count(*) AS tf
                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
