@@ -33,6 +33,19 @@ object Tables {
     * Integer `div` (not `/`) everywhere: double division would lose
     * precision on 1e18-scale nanos.
     */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (same names the DuckDB oracle
+    * uses), so the whole engine is also drivable via `spark.sql`. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else read(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    graft.functions.VectorExpressions.register(spark)
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")

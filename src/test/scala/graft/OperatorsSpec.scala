@@ -115,6 +115,18 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
   }
 
+  test("registerAll exposes the tables and native functions to spark.sql") {
+    sources.Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY 1 ORDER BY 1""").collect()
+    assert(r.length == 3)
+    val c = spark.sql(
+      """SELECT cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)),
+                           transform(embedding, x -> CAST(x AS DOUBLE))) AS s
+         FROM embeddings LIMIT 1""").head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val bad = Multimodal.metadata(spark, sf)
       .join(sources.Tables.documents(spark, sf), "doc_id")
