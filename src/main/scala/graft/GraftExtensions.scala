@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "lsh_bucket"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.LshBucket(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+          if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0)))
   }
 }

@@ -68,13 +68,13 @@ case class CosineSim(left: Expression, right: Expression)
   * into the expression via a codegen reference object — a tight Java
   * loop instead of the 512-term folded SQL expression it replaces.
   */
-case class LshBucket(child: Expression, numPlanes: Int, dims: Int)
+case class LshBucket(child: Expression, numPlanes: Int, dims: Int, seed: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_bucket"
 
-  @transient lazy val planes: Array[Array[Double]] = LshBucket.planes(numPlanes, dims)
+  @transient lazy val planes: Array[Array[Double]] = LshBucket.planes(numPlanes, dims, seed)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -115,12 +115,12 @@ case class LshBucket(child: Expression, numPlanes: Int, dims: Int)
 }
 
 object LshBucket {
-  /** ±1 plane components from md5("plane_<j>_<d>") — the same derivation
-    * a SQL oracle can reproduce with md5/substr/hex-cast. */
-  def planes(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+  /** ±1 plane components from md5("plane_<seed>_<j>_<d>") — the same
+    * derivation a SQL oracle can reproduce with md5/substr/hex-cast. */
+  def planes(numPlanes: Int, dims: Int, seed: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dims) { (j, d) =>
-      val hex = md.digest(s"plane_${j}_$d".getBytes("UTF-8"))
+      val hex = md.digest(s"plane_${seed}_${j}_$d".getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
       (java.lang.Long.parseLong(hex, 16) % 2) * 2.0 - 1.0
     }
@@ -135,7 +135,8 @@ object VectorExpressions {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => LshBucket(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", exprs => TopKAggBuilder(exprs), "built-in")
   }

@@ -21,7 +21,12 @@ import graft.sources.Tables
 object Similarity {
   val NumQueries = 10
   val TopK = 5
-  val NumPlanes = 8
+  // multi-table LSH: L tables of b sign-bits each; a candidate needs to
+  // collide in ANY table, so top-1 recall ≈ 1-(1-p^b)^L with p the
+  // per-plane agreement probability — 8×6 puts useful recall at the
+  // cos ≈ 0.4–0.5 neighbors this corpus actually has
+  val NumTables = 8
+  val BitsPerTable = 6
 
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -37,18 +42,66 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** ANN via LSH buckets: exact cosine, but only within the bucket.
-    * Bucketing is the native `lsh_bucket` expression (md5-derived ±1
-    * hyperplanes; see functions.LshBucket). */
+  /** ANN via multi-table LSH: candidates collide with the query in ANY
+    * of the NumTables sign-bit buckets (native `lsh_bucket` expression,
+    * one seed per table), then exact cosine + top-k over the candidate
+    * union. Shuffle volume ∝ tables × docs, never docs². */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", expr(s"lsh_bucket(v, $NumPlanes, 64)"))
+    val e0 = emb(spark, dir)
+    val buckets = (0 until NumTables).map(t =>
+      expr(s"lsh_bucket(v, $BitsPerTable, 64, $t)").as(s"b$t"))
+    val e = e0.select(col("vec_id") +: col("v") +: buckets: _*)
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
+    // candidate union across tables, deduped per (qid, vec_id)
+    val cand = (0 until NumTables).map { t =>
+      e.select(col("vec_id"), col("v"), col(s"b$t").as("bv"))
+        .join(broadcast(
+          q.select(col("vec_id").as("qid"), col("v").as("qv"), col(s"b$t").as("bv"))),
+          Seq("bv"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+    }.reduce(_ unionAll _).distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("cos", expr("cosine_sim(qv, v)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** ANN via IVF (inverted-file index, training-free): every 50th vector
+    * is a "centroid"; vectors are assigned to their nearest centroid
+    * (one broadcast pass), and each query probes only its own NProbe
+    * nearest centroid cells. At scale the assignment is a map-side pass
+    * and the search shuffles only the probed cells — candidate count ∝
+    * corpus/|centroids| · NProbe, not the corpus. */
+  val CentroidEvery = 50
+  val NProbe = 2
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // cell assignment: nearest centroid per vector (broadcast argmax)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // queries probe their NProbe nearest cells
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", expr("cosine_sim(qv, cv)"))
+      .withColumn("crnk", row_number().over(qw))
+      .filter(col("crnk") <= NProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val rw = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
       .filter(col("rnk") <= TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rnk")
@@ -68,5 +121,6 @@ object Similarity {
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, None),
+    QueryDef("sim_ann_ivf", annIvf, None),
   )
 }

@@ -14,6 +14,7 @@ class OperatorsSpec extends SparkSpec {
       assert(n >= 0, s"$name failed")
       // Sparse-by-construction ops may legitimately be empty at sf0.001:
       val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+        "dedup_embedding", // no embedding pair need clear the cosine threshold
         "stream_trending") // event density at sf0.001 can't reach the trend minimum
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
@@ -87,17 +88,32 @@ class OperatorsSpec extends SparkSpec {
       s"LSH recall too low: $found/${strong.size}")
   }
 
-  test("ann lsh results are a subset-quality approximation of exact topk") {
+  test("ann (lsh and ivf) results approximate exact topk") {
     val exact = operators.Similarity.cosineTopk(spark, sf)
       .filter(col("rnk") === 1).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
-    val ann = operators.Similarity.annLsh(spark, sf)
-      .filter(col("rnk") === 1).collect()
-      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
-    // ANN is approximate: require it found SOME queries' true top-1
-    val hits = exact.count { case (q, n) => ann.get(q).contains(n) }
-    assert(ann.nonEmpty, "ann produced nothing")
-    info(s"ann top-1 recall: $hits/${exact.size}")
+    for ((name, df) <- Seq(
+        "lsh" -> operators.Similarity.annLsh(spark, sf),
+        "ivf" -> operators.Similarity.annIvf(spark, sf))) {
+      val ann = df.filter(col("rnk") === 1).collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+      val hits = exact.count { case (q, n) => ann.get(q).contains(n) }
+      assert(ann.nonEmpty, s"$name produced nothing")
+      info(s"$name top-1 recall: $hits/${exact.size}")
+    }
+  }
+
+  test("streaming dropDuplicates dedups a replayed event stream") {
+    import graft.streaming.EventStreams
+    val q = EventStreams.readEvents(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("dd").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dd").head.getLong(0)
+    val distinct = sources.Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == distinct)
   }
 
   test("spam classifier: averaged training agrees with serial on most predictions") {
