@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashingScheme, LshBucket, TopKPairs}
+
+/** Unit specs for the native Catalyst expressions and hashing scheme. */
+class FunctionsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def register() = graft.functions.VectorExpressions.register(spark)
+
+  test("cosine_sim: known values, null propagation, codegen/interpreted parity") {
+    register()
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0)),
+    ).toDF("a", "b")
+    val got = df.selectExpr("round(cosine_sim(a, b), 9) AS c").collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 11.0 / (math.sqrt(5) * 5)) < 1e-9)
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b)").collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("lsh_bucket: deterministic, seed-sensitive, within range") {
+    register()
+    val df = Seq(Tuple1(Array.tabulate(64)(i => math.sin(i.toDouble)))).toDF("v")
+    val b1 = df.selectExpr("lsh_bucket(v, 6, 64, 0)").head.getInt(0)
+    val b2 = df.selectExpr("lsh_bucket(v, 6, 64, 0)").head.getInt(0)
+    val b3 = df.selectExpr("lsh_bucket(v, 6, 64, 1)").head.getInt(0)
+    assert(b1 == b2)
+    assert(b1 >= 0 && b1 < 64)
+    assert(b3 >= 0 && b3 < 64)
+    // planes are ±1 and stable
+    val p = LshBucket.planes(2, 4, 0)
+    assert(p.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(p.map(_.toSeq).toSeq == LshBucket.planes(2, 4, 0).map(_.toSeq).toSeq)
+  }
+
+  test("top_k_pairs: keeps k largest with deterministic tie-breaks across partitions") {
+    register()
+    val rows = (1L to 1000L).map(i => (i % 7, (i % 13).toDouble, i))
+    val df = rows.toDF("g", "ord", "p").repartition(11)
+    val got = df.groupBy("g").agg(expr("top_k_pairs(ord, p, 3)").as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.ord"), col("e.payload"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // expected via plain Scala
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy { case (o, p) => (-o, p) }.take(3)
+        .map { case (o, p) => (g, o, p) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("hash32 equals the documented md5-prefix derivation") {
+    val got = Seq("hello").toDF("s")
+      .select(graft.functions.TextFns.hash32(col("s"))).head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("hello".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(got == java.lang.Long.parseLong(hex, 16))
+  }
+
+  test("minhash permutation constants stay within the no-overflow envelope") {
+    (0 until HashingScheme.NumHashes).foreach { i =>
+      assert(HashingScheme.a(i) > 0 && HashingScheme.a(i) < HashingScheme.P)
+      assert(HashingScheme.b(i) >= 0 && HashingScheme.b(i) < HashingScheme.P)
+    }
+  }
+}
