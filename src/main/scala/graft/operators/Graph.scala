@@ -64,7 +64,7 @@ object Graph {
     // rank-with-degree is |V|-sized; broadcasting it turns the per-
     // iteration edge join into a map-side pass over the cached edge
     // partitions (one shuffle per iteration: the contrib groupBy).
-    // NOTE at |V| beyond broadcast size, drop the hint and AQE picks a
+    // NOTE at |V| beyond broadcast size, drop the hints and AQE picks a
     // shuffle join on the co-partitioned (src) layout instead.
     for (_ <- 1 to Iters) {
       val rd = ranks.join(deg, ranks("v") === deg("src"))
