@@ -13,11 +13,22 @@ object Bench {
     // untimed warmup: JVM/codegen/session init shouldn't be billed to
     // whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two full passes, min per query: insulated from one-off JIT/GC/load
+    // spikes. Memoized results (pagerank ranks, trained weights) are
+    // cleared at each pass start so every pass pays the real compute;
+    // within a pass, downstream ops legitimately reuse them.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] = {
+      operators.Graph.reset(); operators.Classify.reset()
+      names.map { case (name, fn) => name -> time(fn) }.toMap
+    }
+    val (p1, p2) = (pass(), pass())
+    val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

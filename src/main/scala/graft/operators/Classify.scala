@@ -56,6 +56,10 @@ object Classify {
   // the model instead of re-running the sequential pass
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** Drop memoized models (benchmarks call this so a timed pass pays
+    * the real training cost). */
+  def reset(): Unit = memo.clear()
+
   /** Serial SGD (reference semantics): 1 partition, doc_id order. */
   def train(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,

@@ -34,6 +34,10 @@ object Graph {
   // consumer reuse one cached computation instead of re-iterating
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** Drop memoized results (benchmarks call this so a timed pass pays
+    * the real computation cost). */
+  def reset(): Unit = memo.clear()
+
   // localCheckpoint (not cache): materializes through the normal AQE
   // execution path and truncates the 5-iteration lineage; cache() would
   // plan the whole loop without AQE's runtime re-optimization.
