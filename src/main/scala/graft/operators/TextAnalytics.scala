@@ -113,6 +113,32 @@ object TextAnalytics {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** a3/BooleanRetrievalCompressed.java:runQuery — stack-based postfix
+    * boolean query evaluation ("a b AND c OR"): each term resolves to
+    * its doc set from the postings; AND/OR intersect/union the top two
+    * stack entries. Set algebra stays distributed (semi-joins/unions on
+    * doc_id), so an arbitrarily nested query never leaves the cluster. */
+  def postfixRetrieval(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val postings = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    var stack = List.empty[DataFrame]
+    query.trim.split("\\s+").foreach {
+      case "AND" =>
+        val (b, a) = (stack.head, stack.tail.head)
+        stack = a.join(b, Seq("doc_id"), "left_semi") :: stack.drop(2)
+      case "OR" =>
+        val (b, a) = (stack.head, stack.tail.head)
+        stack = a.unionAll(b).distinct() :: stack.drop(2)
+      case term =>
+        stack = postings.filter(col("term") === term).select("doc_id").distinct() :: stack
+    }
+    require(stack.size == 1, s"malformed postfix query: $query")
+    stack.head.orderBy("doc_id")
+  }
+
+  /** Mixed AND/OR query as a verified QueryDef: (spark AND join) OR vector. */
+  val PostfixQuery = "spark join AND vector OR"
+
   private val termList = RetrievalTerms.map(t => s"'$t'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -157,6 +183,14 @@ object TextAnalytics {
                      WHERE w <> '' GROUP BY 1, 2)
          SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
          FROM tf ORDER BY term, doc_id""")),
+    QueryDef("boolean_retrieval_postfix", (s, d) => postfixRetrieval(s, d, PostfixQuery), Some(
+      """SELECT doc_id FROM (
+           SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w IN ('spark', 'join') GROUP BY doc_id HAVING count(DISTINCT w) = 2
+           UNION
+           SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w = 'vector')
+         ORDER BY doc_id""")),
     QueryDef("boolean_retrieval", booleanRetrieval, Some(
       s"""SELECT doc_id
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
