@@ -46,6 +46,20 @@ object Tables {
     graft.functions.VectorExpressions.register(spark)
   }
 
+  /** Write a DataFrame as a bucketed+sorted managed table: both sides of
+    * a repeated equi-join bucketed on the key join WITHOUT any runtime
+    * Exchange — the shuffle is paid once at write time. This is the
+    * at-scale layout for fact⋈fact joins (e.g. lineitem⋈orders on
+    * orderkey over 100 TB: bucket both at load, join shuffle-free ever
+    * after). Buckets should be sized so each ≈ 100–200 MB at the target
+    * scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")

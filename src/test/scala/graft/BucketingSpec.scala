@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bucketed-table join layout: the shuffle is paid once at write time;
+  * subsequent equi-joins on the bucket key plan with NO Exchange. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
+    // (managed tables land in ./spark-warehouse — gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Tables.writeBucketed(Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "li_b", "l_orderkey", 8)
+      Tables.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        "o_b", "o_orderkey", 8)
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same result as the plain join
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
