@@ -21,12 +21,15 @@ import graft.functions.HashingScheme._
   */
 object GraftOps {
 
-  /** (id, shingle) distinct pairs for n-gram shingling of a text column. */
+  /** (id, shingle) distinct pairs for n-gram shingling of a text column.
+    * Docs shorter than n tokens yield no shingles (the CASE guard
+    * matters: Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+    * empty, and would feed slice() an invalid 0 index). */
   def shingleSet(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     df.select(col(id), split(col(text), " ").as("__toks"))
       .select(col(id), explode(expr(
-        s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 0)), " +
-        s"i -> array_join(slice(__toks, i, $n), ' '))")).as("sh"))
+        s"CASE WHEN size(__toks) >= $n THEN transform(sequence(1, size(__toks) - ${n - 1}), " +
+        s"i -> array_join(slice(__toks, i, $n), ' ')) ELSE array() END")).as("sh"))
       .distinct()
 
   /** Exact dedup groups: content hash → (keep_id = min id, group size). */

@@ -23,10 +23,12 @@ object TextFns {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** w-gram shingles over a token-array column (w consecutive tokens
-    * joined by a space). Built in-row with `transform` — no shuffle. */
+    * joined by a space). Built in-row with `transform` — no shuffle.
+    * CASE guard: sequence(1, 0) in Spark is the DESCENDING [1, 0]. */
   def shingles(toksCol: String, w: Int): Column =
-    expr(s"transform(sequence(1, greatest(size($toksCol) - ${w - 1}, 0)), " +
-      s"i -> array_join(slice($toksCol, i, $w), ' '))")
+    expr(s"CASE WHEN size($toksCol) >= $w THEN " +
+      s"transform(sequence(1, size($toksCol) - ${w - 1}), " +
+      s"i -> array_join(slice($toksCol, i, $w), ' ')) ELSE array() END")
 }
 
 /** MinHash / SimHash parameterization shared by Spark plans and the

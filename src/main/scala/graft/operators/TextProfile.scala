@@ -66,7 +66,8 @@ object TextProfile {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir)
       .withColumn("sh", expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> array_join(slice(toks, i, 3), ' '))"))
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+        "i -> array_join(slice(toks, i, 3), ' ')) ELSE array() END"))
       .select(col("doc_id"), md5(col("text")).as("content_hash"),
         expr("array_min(transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)))")
           .as("sketch"))
