@@ -41,7 +41,8 @@ object GraftOps {
     * in docs-per-shared-shingle — ground truth for the LSH tiers. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSet(df, id, text, n)
+    // consumed 3× (sizes + both join sides); materialized once
+    val sh = shingleSet(df, id, text, n).localCheckpoint()
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
     sh.select(col(id).as("a"), col("sh"))
       .join(sh.select(col(id).as("b"), col("sh")), Seq("sh"))
@@ -67,7 +68,9 @@ object GraftOps {
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard.
     * Shuffle volume is bands×|docs| — the at-scale dedup path. */
   def minhashCandidates(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, n)
+    // one row per doc, consumed 3× (banding + both pair-join sides):
+    // materialize once rather than recompute the shingle pass each time
+    val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
     val bandCols = (0 until Bands).map { j =>
       val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
       s"concat_ws('_', $parts) AS band$j"
@@ -110,7 +113,7 @@ object GraftOps {
     * (radius ≤ 3 over 4 bytes ⇒ some byte equal: exact by pigeonhole). */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, id, text)
+    val sigs = simhashSignatures(df, id, text).localCheckpoint()
     val bands = (0 until 4).map(j =>
       sigs.selectExpr(id, "sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
       .reduce(_ unionAll _)
