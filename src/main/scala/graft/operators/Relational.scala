@@ -202,6 +202,21 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_ms", "event_type")
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
+    * percentiles per group — the constant-memory path for cardinality /
+    * quantile questions at 100 TB (exact distinct shuffles every value;
+    * HLL merges 16 KB sketches). Verified rows-only; the spec bounds the
+    * approximation error against exact answers. */
+  def q13ApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy("returnflag")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_filter_count", q1FilterCount, Some(
       s"SELECT count(*) AS cnt FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '$ShipDate'")),
@@ -292,6 +307,7 @@ object Relational {
                  round(sum(value), 2) AS sum_value,
                  min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
+    QueryDef("q13_approx_sketch", q13ApproxSketch, None),
     QueryDef("q12_event_window", q12EventWindow, Some(
       s"""SELECT (epoch_us(ts) // ${HourUs}) * 3600000 AS hour_ms, event_type,
                  count(*) AS cnt, round(sum(value), 2) AS sum_value

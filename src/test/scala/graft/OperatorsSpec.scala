@@ -131,6 +131,21 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
   }
 
+  test("sketch aggregates stay within their error bounds of exact answers") {
+    val approx = operators.Relational.q13ApproxSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = approx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$k distinct: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.05, s"$k median: $am vs $m")
+    }
+  }
+
   test("registerAll exposes the tables and native functions to spark.sql") {
     sources.Tables.registerAll(spark, sf)
     val r = spark.sql(
