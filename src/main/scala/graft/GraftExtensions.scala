@@ -14,17 +14,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // single source of truth for builders (incl. input-type coercion):
+    // graft.functions.VectorExpressions — keep the two registration
+    // points from diverging
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSim(exprs.head, exprs(1))))
+      graft.functions.VectorExpressions.cosineBuilder _))
     e.injectFunction((
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "lsh_bucket"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.LshBucket(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
-          if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0)))
+      graft.functions.VectorExpressions.lshBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "top_k_pairs"),
+      graft.functions.VectorExpressions.topKBuilder _))
   }
 }

@@ -113,6 +113,10 @@ object GraftOps {
     * (radius ≤ 3 over 4 bytes ⇒ some byte equal: exact by pigeonhole). */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxHamming: Int = 3): DataFrame = {
+    // 4 byte-bands are exhaustive only up to Hamming 3 (pigeonhole);
+    // a larger radius would silently drop in-radius pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-band exhaustive search, got $maxHamming")
     val sigs = simhashSignatures(df, id, text).localCheckpoint()
     val bands = (0 until 4).map(j =>
       sigs.selectExpr(id, "sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))

@@ -128,20 +128,39 @@ object LshBucket {
 }
 
 object VectorExpressions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+
+  /** Coerce a vector argument to array<double> at the builder so SQL
+    * callers can pass the natural array<float> column directly — without
+    * this, getDouble(i) over float-element ArrayData silently reads
+    * garbage (UnsafeArrayData) or throws mid-job. */
+  private def asDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case _ => Cast(e, ArrayType(DoubleType))
+  }
+
+  private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression =
+    CosineSim(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
+
+  private[graft] def lshBuilder(exprs: Seq[Expression]): Expression =
+    LshBucket(asDoubleArray(exprs.head),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+      if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0)
+
+  private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
+    val ord = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
+    val payload = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
+    TopKPairs(ord, payload, exprs(2).eval().asInstanceOf[Int])
+  }
+
   /** Idempotently register graft's native functions on a session so
     * plans can reference them via `expr("cosine_sim(a, b)")` / SQL. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket", exprs => LshBucket(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
-        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0), "built-in")
+      "lsh_bucket", lshBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_pairs", exprs => TopKAggBuilder(exprs), "built-in")
+      "top_k_pairs", topKBuilder, "built-in")
   }
-
-  private[functions] def TopKAggBuilder(
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
-    TopKPairs(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])
 }

@@ -55,10 +55,13 @@ object Graph {
     val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
-    val nodes = edges.select(col("src").as("v")).distinct().cache()
 
     val srcDf = Sources.toDF("v")
       .withColumn("jump0", lit(1.0 / Sources.length))
+    // sources are nodes even when absent from the edge set — otherwise
+    // their jump mass would silently vanish and Σr < 1
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(srcDf.select(col("v"))).distinct().cache()
     // node table with its personalized-jump share, built & cached ONCE;
     // each iteration is then a single contrib join against it
     val base = nodes.join(srcDf, Seq("v"), "left")
@@ -99,7 +102,8 @@ object Graph {
     s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
           edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
           deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-          nodes AS (SELECT DISTINCT src AS v FROM edges),
+          nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+                    UNION ALL SELECT * FROM (VALUES (${Sources.mkString("), (")})) s(v))),
           r0 AS (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
                  FROM nodes n),
           $iterCtes

@@ -52,15 +52,19 @@ object Similarity {
       expr(s"lsh_bucket(v, $BitsPerTable, 64, $t)").as(s"b$t"))
     val e = e0.select(col("vec_id") +: col("v") +: buckets: _*)
     val q = e.filter(col("vec_id") < NumQueries)
-    // candidate union across tables, deduped per (qid, vec_id)
-    val cand = (0 until NumTables).map { t =>
-      e.select(col("vec_id"), col("v"), col(s"b$t").as("bv"))
-        .join(broadcast(
-          q.select(col("vec_id").as("qid"), col("v").as("qv"), col(s"b$t").as("bv"))),
-          Seq("bv"))
+    // candidate union across tables: dedup on the bare id pair (the
+    // vectors are functionally determined by the ids — carrying them
+    // through the distinct would shuffle ~64 doubles per row per table),
+    // then join the vectors back once
+    val ids = (0 until NumTables).map { t =>
+      e.select(col("vec_id"), col(s"b$t").as("bv"))
+        .join(broadcast(q.select(col("vec_id").as("qid"), col(s"b$t").as("bv"))), Seq("bv"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+        .select(col("qid"), col("vec_id"))
     }.reduce(_ unionAll _).distinct()
+    val cand = ids
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .join(e0, Seq("vec_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("cos", expr("cosine_sim(qv, v)"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -71,9 +71,13 @@ object TextAnalytics {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= PmiThreshold)
+    // no broadcast hint on the vocabulary table: it scales with corpus
+    // vocabulary, so AQE must stay free to pick shuffle joins when it
+    // outgrows the broadcast threshold (the hint would recreate the
+    // reference's driver-OOM failure mode at scale)
     pairs
-      .join(broadcast(words.select(col("w").as("w1"), col("wc").as("n1"))), "w1")
-      .join(broadcast(words.select(col("w").as("w2"), col("wc").as("n2"))), "w2")
+      .join(words.select(col("w").as("w1"), col("wc").as("n1")), "w1")
+      .join(words.select(col("w").as("w2"), col("wc").as("n2")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("n12"),
         round(log10((col("n12") * col("n_docs")) / (col("n1") * col("n2"))), 6).as("pmi"))

@@ -53,6 +53,7 @@ object TextFormats {
       .schema(schemas(table))
       .option("sep", "|")
       .option("timestampFormat", "yyyy-MM-dd[ HH:mm:ss]")
+      .option("timestampNTZFormat", "yyyy-MM-dd[ HH:mm:ss]") // schemas use TimestampNTZ
       .csv(path)
 
   /** Read a plain-text corpus: one document per line, stable line ids

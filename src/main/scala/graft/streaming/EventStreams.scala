@@ -127,22 +127,37 @@ object EventStreams {
   def trendingStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    // State = (open window counts, last completed win, its count). A
+    // window's events may SPAN micro-batches, so counts accumulate in
+    // state and a window is only evaluated once a later window appears
+    // (event-time completion; a production job would close on watermark
+    // timers instead). The per-key final window therefore stays open at
+    // stream end — the spec accounts for that.
     readEvents(spark, dir)
       .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Map[Long, Long], Long, Long), (Long, String, Long, Long)](
         OM.Append(), GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
-          val counts = rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
-            .toSeq.sortBy(_._1)
-          var (prevWin, prevCnt) = state.getOption.getOrElse((Long.MinValue, 0L))
-          val out = counts.flatMap { case (w, c) =>
-            val prev = if (w == prevWin + 1) prevCnt else 0L
-            prevWin = w; prevCnt = c
-            if (c >= TrendMin && c >= 2 * prev) Some((w * 600000, key, c, prev)) else None
+        (key: String,
+         rows: Iterator[(String, Long)],
+         state: GroupState[(Map[Long, Long], Long, Long)]) =>
+          var (open, lastWin, lastCnt) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], Long.MinValue, 0L))
+          rows.foreach { case (_, w) => open = open.updated(w, open.getOrElse(w, 0L) + 1) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+          if (open.nonEmpty) {
+            val maxWin = open.keys.max
+            open.toSeq.sortBy(_._1).foreach { case (w, c) =>
+              if (w < maxWin) { // complete: a later window has started
+                val prev = if (w == lastWin + 1) lastCnt else 0L
+                if (c >= TrendMin && c >= 2 * prev) out += ((w * 600000, key, c, prev))
+                lastWin = w; lastCnt = c
+                open = open - w
+              }
+            }
           }
-          state.update((prevWin, prevCnt))
+          state.update((open, lastWin, lastCnt))
           out.iterator
       }
       .toDF("window_ms", "event_type", "cnt", "prev")

@@ -151,11 +151,16 @@ class OperatorsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY 1 ORDER BY 1""").collect()
     assert(r.length == 3)
+    // raw array<float> column: the builder coerces to array<double>
+    // (previously read garbage bytes via getDouble on float ArrayData)
     val c = spark.sql(
-      """SELECT cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)),
-                           transform(embedding, x -> CAST(x AS DOUBLE))) AS s
-         FROM embeddings LIMIT 1""").head.getDouble(0)
+      "SELECT cosine_sim(embedding, embedding) AS s FROM embeddings LIMIT 1")
+      .head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-9)
+    // top_k_pairs coerces int/float arguments too
+    val tk = spark.sql(
+      "SELECT top_k_pairs(l_linenumber, l_orderkey, 2) AS t FROM lineitem")
+    assert(tk.selectExpr("size(t)").head.getInt(0) == 2)
   }
 
   test("multimodal metadata matches payload byte lengths") {

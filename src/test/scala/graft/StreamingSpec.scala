@@ -41,8 +41,16 @@ class StreamingSpec extends SparkSpec {
     runToMemory(EventStreams.trendingStream(spark, sf), "trend", OutputMode.Append())
     val alerts = spark.table("trend")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-    val batch = EventStreams.trendingBatch(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // the stream can only evaluate COMPLETED windows; each key's final
+    // window is still open at stream end, so drop it from the batch side
+    val batchRows = EventStreams.trendingBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trueLast = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"max(ts_us div ${EventStreams.TenMinUs}) * 600000").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = batchRows.filter { case (w, k, _, _) => w < trueLast(k) }.toSet
     assert(alerts == batch)
   }
 }
