@@ -126,16 +126,22 @@ object EventStreams {
     * is ≥ TrendMin and ≥ 2× the preceding window's. */
   def trendingStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
-    // State = (open window counts, last completed win, its count). A
-    // window's events may SPAN micro-batches, so counts accumulate in
-    // state and a window is only evaluated once a later window appears
-    // (event-time completion; a production job would close on watermark
-    // timers instead). The per-key final window therefore stays open at
-    // stream end — the spec accounts for that.
-    readEvents(spark, dir)
+    trendingCore(readEvents(spark, dir)
       .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"))
-      .as[(String, Long)]
+      .as[(String, Long)])
+  }
+
+  /** Core of the trending detector over a (key, window-id) stream.
+    * State = (open window counts, last completed win, its count). A
+    * window's events may SPAN micro-batches, so counts accumulate in
+    * state and a window is only evaluated once a later window appears
+    * (event-time completion; a production job would close on watermark
+    * timers instead). The per-key final window therefore stays open at
+    * stream end — the specs account for that. */
+  def trendingCore(wins: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    import wins.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    wins
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Map[Long, Long], Long, Long), (Long, String, Long, Long)](
         OM.Append(), GroupStateTimeout.NoTimeout) {

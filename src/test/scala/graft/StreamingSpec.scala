@@ -53,4 +53,47 @@ class StreamingSpec extends SparkSpec {
     val batch = batchRows.filter { case (w, k, _, _) => w < trueLast(k) }.toSet
     assert(alerts == batch)
   }
+
+  test("trending state survives a window split across micro-batches") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.types._
+    // two files = two micro-batches (maxFilesPerTrigger=1); the split
+    // point cuts a window in half, so its count must accumulate in state
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr(s"ts_us div ${EventStreams.TenMinUs}").as("win"))
+      .orderBy("win").collect().map(r => (r.getString(0), r.getLong(1)))
+    val mid = ev.length / 2
+    Seq(ev.take(mid) -> "p1", ev.drop(mid) -> "p2").foreach { case (rows, name) =>
+      rows.toSeq.toDF("event_type", "win").coalesce(1)
+        .write.parquet(s"$dir/$name")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("win", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+      .as[(String, Long)]
+    val q = EventStreams.trendingCore(stream)
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("mb").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // expected: batch alert computation over all rows, minus final windows
+    val byKey = ev.groupBy(_._1)
+    val expected = byKey.flatMap { case (k, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val maxWin = counts.map(_._1).max
+      var (lw, lc) = (Long.MinValue, 0L)
+      counts.flatMap { case (w, c) =>
+        val prev = if (w == lw + 1) lc else 0L
+        lw = w; lc = c
+        if (w < maxWin && c >= EventStreams.TrendMin && c >= 2 * prev)
+          Some((w * 600000, k, c, prev))
+        else None
+      }
+    }.toSet
+    assert(streamed == expected)
+  }
 }
