@@ -217,6 +217,44 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
       .orderBy("returnflag")
 
+  /** As-of (temporal) join, composed from a running window rather than a
+    * custom physical operator (Spark's sort on (user, ts) makes the
+    * "latest signup at or before each event" a running max — the
+    * sort-merge as-of technique; no per-row probe, one shuffle on user). */
+  def q14AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("signup_us",
+        max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .select(col("event_id"), col("user_id"),
+        expr("ts_us div 1000").as("ts_ms"),
+        expr("signup_us div 1000").as("last_signup_ms"))
+      .orderBy("event_id")
+  }
+
+  /** CUBE grouping sets (all flag×status subtotal combinations). */
+  def q15Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Moving window frame: 7-row trailing average of daily revenue. */
+  def q16MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg(col("revenue")).over(w), 2))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_filter_count", q1FilterCount, Some(
       s"SELECT count(*) AS cnt FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '$ShipDate'")),
@@ -308,6 +346,25 @@ object Relational {
                  min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
     QueryDef("q13_approx_sketch", q13ApproxSketch, None),
+    QueryDef("q14_asof_join", q14AsofJoin, Some(
+      """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
+                (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING)) // 1000 AS last_signup_ms
+         FROM events ORDER BY event_id""")),
+    QueryDef("q15_cube", q15Cube, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""")),
+    QueryDef("q16_moving_avg", q16MovingAvg, Some(
+      """WITH daily AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                              round(sum(l_extendedprice), 2) AS revenue
+                        FROM lineitem GROUP BY 1)
+         SELECT day, revenue,
+                round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+         FROM daily ORDER BY day""")),
     QueryDef("q12_event_window", q12EventWindow, Some(
       s"""SELECT (epoch_us(ts) // ${HourUs}) * 3600000 AS hour_ms, event_type,
                  count(*) AS cnt, round(sum(value), 2) AS sum_value
