@@ -172,6 +172,28 @@ object GraftOps {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Data-profiling: per-column null count, distinct count, min/max
+    * (stringified for type uniformity) in ONE aggregation pass over the
+    * table + an in-row `stack` unpivot — schema-driven, works on any
+    * DataFrame, the standard first look at an unfamiliar 100 TB table. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.map(_.name)
+    val aggs = fields.flatMap { f =>
+      Seq(
+        sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"${f}__nulls"),
+        countDistinct(col(f)).as(s"${f}__distinct"),
+        min(col(f)).cast("string").as(s"${f}__min"),
+        max(col(f)).cast("string").as(s"${f}__max"))
+    } :+ count(lit(1)).as("__n")
+    val stacked = fields.map(f =>
+      s"'$f', ${f}__nulls, ${f}__distinct, ${f}__min, ${f}__max").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("__n",
+        s"stack(${fields.length}, $stacked) AS (column, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("column"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   /** Heap-based top-k per group via the `top_k_pairs` TypedImperative-
     * Aggregate: map-side k-bounded heaps combine before the shuffle, so
     * at most k·|groups| rows move per partition — the at-scale form of
@@ -223,6 +245,7 @@ object GraftOps {
         GraftOps.topKPerGroup(df, part, order, k)
       def saltedJoin(right: DataFrame, key: String, salt: Int = 8): DataFrame =
         GraftOps.saltedJoin(df, right, key, salt)
+      def profile(): DataFrame = GraftOps.profile(df)
     }
   }
 }

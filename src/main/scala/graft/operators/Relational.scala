@@ -255,7 +255,33 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Semi-structured: extract a field from the JSON props column and
+    * aggregate by its bucket (get_json_object is codegen'd; at scale
+    * prefer from_json with an explicit schema once fields stabilize). */
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("k_bucket")
+
+  /** Table profiling over orders (generic impl: GraftOps.profile). */
+  def q18ProfileOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.profile(Tables.orders(spark, dir)).orderBy("column")
+
+  private val profileOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+                 count(*) - count($c) AS n_nulls,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+          FROM orders""").mkString("\n UNION ALL ") + "\n ORDER BY \"column\""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_profile", q18ProfileOrders, Some(profileOracle)),
     QueryDef("q1_filter_count", q1FilterCount, Some(
       s"SELECT count(*) AS cnt FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '$ShipDate'")),
     QueryDef("q2_join_top20", q2JoinTop20, Some(
@@ -358,6 +384,10 @@ object Relational {
                 count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""")),
+    QueryDef("q17_json_extract", q17JsonExtract, Some(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+                count(*) AS cnt, round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1 ORDER BY k_bucket""")),
     QueryDef("q16_moving_avg", q16MovingAvg, Some(
       """WITH daily AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
                               round(sum(l_extendedprice), 2) AS revenue
