@@ -9,7 +9,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ TextAnalytics.defs ++ Dedup.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
-      Graph.defs ++ graft.streaming.EventStreams.defs
+      Graph.defs ++ Curation.defs ++ graft.streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

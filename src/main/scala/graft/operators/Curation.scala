@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Training-data curation: the selection/packing steps between raw
+  * corpus and training batches.
+  *
+  * All three are DETERMINISTIC (content-hash driven, not RNG driven):
+  * the same corpus always yields the same sample/split/packing on any
+  * cluster size — reproducibility that `rand()`-based sampling cannot
+  * give across retries/re-partitions, and the property that lets the
+  * DuckDB oracle verify them value-for-value.
+  *
+  *  - `sampleHash`: keep rows whose md5-derived hash lands under pct%.
+  *  - `splitHash`: 80/10/10 train/val/test assignment from hash ranges.
+  *  - `packSequences`: greedy token-budget packing — per source, docs
+  *    (in stable doc_id order) are assigned to consecutive bins via the
+  *    running token total div budget; one window pass, no driver loop.
+  */
+object Curation {
+  val SamplePct = 10L
+  val TokenBudget = 512L
+
+  /** Deterministic pct% sample of any DataFrame by a key column. */
+  def sampleHash(df: DataFrame, key: String, pct: Long): DataFrame =
+    df.filter(TextFns.hash32(col(key).cast("string")) % 100 < pct)
+
+  /** Deterministic train/val/test split (80/10/10) by key hash. */
+  def splitHash(df: DataFrame, key: String): DataFrame =
+    df.withColumn("bucket", TextFns.hash32(col(key).cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  def sampleDocs(spark: SparkSession, dir: String): DataFrame =
+    sampleHash(Tables.documents(spark, dir), "doc_id", SamplePct)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  def splitDocs(spark: SparkSession, dir: String): DataFrame =
+    splitHash(Tables.documents(spark, dir), "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
+  /** Token-budget packing: (doc_id, source, n_tokens, bin). Bin id =
+    * exclusive running token total div budget, per source partition. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bin", expr(s"(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        s"ROWS UNBOUNDED PRECEDING) - n_tokens) div $TokenBudget"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_sample_hash", sampleDocs, Some(
+      s"""SELECT doc_id, n_chars FROM documents
+          WHERE $hashSql % 100 < $SamplePct ORDER BY doc_id""")),
+    QueryDef("cur_split_hash", splitDocs, Some(
+      s"""SELECT CASE WHEN $hashSql % 100 < 80 THEN 'train'
+                      WHEN $hashSql % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split, count(*) AS n_docs
+          FROM documents GROUP BY 1 ORDER BY split""")),
+    QueryDef("cur_pack_sequences", packSequences, Some(
+      s"""SELECT doc_id, source, n_tokens,
+                 CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // $TokenBudget AS BIGINT) AS bin
+          FROM (SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents)
+          ORDER BY source, doc_id""")),
+  )
+}
