@@ -163,6 +163,26 @@ class OperatorsSpec extends SparkSpec {
     assert(tk.selectExpr("size(t)").head.getInt(0) == 2)
   }
 
+  test("curation: split ratios near 80/10/10 and packing respects the budget") {
+    val n = sources.Tables.documents(spark, sf).count().toDouble
+    val bykind = operators.Curation.splitDocs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bykind("train") / n - 0.8) < 0.06, s"train ratio ${bykind("train") / n}")
+    assert(bykind.values.sum == n.toLong)
+    // packing invariant: a bin exceeds the budget only by its final
+    // (boundary-crossing) document
+    val pack = operators.Curation.packSequences(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bin")).orderBy(col("doc_id").desc)
+    val bad = pack
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source", "bin")
+      .agg(sum("n_tokens").as("total"),
+        max(when(col("rn") === 1, col("n_tokens"))).as("last_tokens"))
+      .filter(col("total") - col("last_tokens") >= operators.Curation.TokenBudget)
+    assert(bad.count() == 0)
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val bad = Multimodal.metadata(spark, sf)
       .join(sources.Tables.documents(spark, sf), "doc_id")
