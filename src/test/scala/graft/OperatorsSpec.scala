@@ -183,6 +183,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("as-of join: aligned signup is never after the event and really is a signup time") {
+    val asof = Relational.q14AsofJoin(spark, sf)
+    assert(asof.filter(col("last_signup_ms") > col("ts_ms")).count() == 0)
+    val signupTimes = sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(expr("ts_us div 1000").as("ms")).distinct()
+    val bogus = asof.filter(col("last_signup_ms").isNotNull)
+      .join(signupTimes, col("last_signup_ms") === col("ms"), "left_anti")
+    assert(bogus.count() == 0)
+  }
+
+  test("inverted index: df equals the count of postings per term") {
+    val idx = TextAnalytics.invertedIndex(spark, sf)
+    val bad = idx.groupBy("term").agg(count(lit(1)).as("n"), max("df").as("df"), min("df").as("df2"))
+      .filter(col("n") =!= col("df") || col("df") =!= col("df2"))
+    assert(bad.count() == 0)
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val bad = Multimodal.metadata(spark, sf)
       .join(sources.Tables.documents(spark, sf), "doc_id")
