@@ -7,9 +7,10 @@ import graft.operators._
 object SparkEntry {
   /** All implemented operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
-    Relational.defs ++ TextAnalytics.defs ++ Dedup.defs ++
+    Relational.defs ++ Relational2.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Dedup.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
-      Graph.defs ++ Curation.defs ++ graft.streaming.EventStreams.defs
+      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++
+      graft.streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

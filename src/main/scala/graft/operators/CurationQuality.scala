@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Corpus curation filters: the reject/flag/rebalance passes a training
+  * pipeline runs between raw ingest and tokenization.
+  *
+  *  - `qualityFilter`: Gopher-style hard rules (length, lexical
+  *    diversity, stopword load, mean token length) → keep + reasons.
+  *  - `contamination`: n-gram overlap of every candidate doc against a
+  *    held-out benchmark subset (deterministic hash-selected) — the
+  *    eval-leakage check run before any model sees the corpus.
+  *  - `piiScan`: email/phone/long-digit detection + redacted-text hash.
+  *  - `domainMix`: deterministic per-source quota sampling to hit a
+  *    target domain mixture exactly.
+  *
+  * Scale: qualityFilter and piiScan are pure per-row column expressions
+  * (whole-stage codegen, zero shuffle — scan speed at 100 TB).
+  * contamination shuffles shingles, volume ∝ distinct n-grams, and the
+  * benchmark side is tiny → broadcast semi-join; at a 100 TB corpus vs
+  * a few-GB benchmark the candidate side never moves. domainMix is one
+  * count-groupBy + one window rank per source — the quota join is a
+  * 20-row broadcast.
+  */
+object CurationQuality {
+  // qualityFilter rule constants (tuned so each rule fires on this corpus)
+  val MinToks = 20L
+  val MaxToks = 80L
+  val MinDistinctRatio = 0.45
+  val MaxStopRatio = 0.3
+  val MinMeanLen = 3.0
+  val MaxMeanLen = 10.0
+  // contamination
+  val ShingleW = 3
+  val BenchPctFloor = 97L // hash%100 >= 97 → ~3% held-out benchmark
+  val ContamThreshold = 0.1
+  // domainMix: even-numbered sources get 3× the weight of odd ones
+  val EvenWeight = 0.075
+  val OddWeight = 0.025
+  // piiScan regexes — shared RE2/Java subset (no backrefs/lookarounds)
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val DigitRunRe = "[0-9]{9,}"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  private def toksDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        split(col("text"), " ").as("toks"))
+
+  /** Hard-rule quality filter: keep + semicolon-joined fail reasons.
+    * All thresholds compare ROUNDED ratios so a last-ulp float delta
+    * can't flip a verdict between engines. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio", round(expr("size(array_distinct(toks)) / size(toks)"), 6))
+      .withColumn("stop_ratio", round(expr("size(filter(toks, t -> t = 'the' OR t = 'a')) / size(toks)"), 6))
+      .withColumn("mean_len", round(expr("aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)"), 6))
+      .withColumn("reasons", concat_ws(";",
+        when(col("n_toks") < MinToks || col("n_toks") > MaxToks, "len"),
+        when(col("distinct_ratio") < MinDistinctRatio, "div"),
+        when(col("stop_ratio") > MaxStopRatio, "stop"),
+        when(col("mean_len") < MinMeanLen || col("mean_len") > MaxMeanLen, "charlen")))
+      .select(col("doc_id"), col("n_toks"), col("distinct_ratio"),
+        col("stop_ratio"), col("mean_len"),
+        col("reasons"), (col("reasons") === "").as("keep"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination check: fraction of each candidate doc's
+    * distinct 3-gram shingles that appear in the hash-held-out benchmark
+    * subset. The benchmark shingle set is DISTINCT and small → Spark
+    * broadcasts the semi-join side; candidates never shuffle. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val base = toksDf(spark, dir)
+      .withColumn("is_bench", TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor)
+    val sh = base.select(col("doc_id"), col("is_bench"),
+      explode(array_distinct(TextFns.shingles("toks", ShingleW))).as("sh"))
+    val benchSh = sh.filter(col("is_bench")).select("sh").distinct()
+    val cand = sh.filter(!col("is_bench"))
+    val tot = cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cand.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("ratio", round(col("n_hits") / col("n_shingles"), 6))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("ratio"),
+        (col("ratio") >= ContamThreshold).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scan: match counts per class + md5 of the redacted text.
+    * (This corpus is synthetic lowercase prose, so counts are 0 here;
+    * the ScalaTest spec drives crafted rows through the same exprs.) */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        DigitRunRe, "<ID>"),
+      PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic domain-mix sampling: per-source quotas that realize a
+    * target mixture exactly; docs chosen by hash rank (reproducible on
+    * any cluster size — no rand()). Total T = min over sources of
+    * n_s / p_s, quota_s = floor(p_s · T). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val pExpr: Column = when(
+      expr("CAST(substring(source, 4) AS INT)") % 2 === 0, EvenWeight
+    ).otherwise(OddWeight)
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextFns.hash32(col("doc_id").cast("string")).as("h"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("p", pExpr)
+    val t = counts.agg(min(col("n") / col("p")).as("t"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .select(col("source"), floor(col("p") * col("t")).as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    base.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+  private val shingleSql =
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "for i in generate_series(1, len(toks) - 2)])"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_quality_filter", qualityFilter, Some(
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                        round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+                        round(len(list_filter(toks, t -> t = 'the' OR t = 'a')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+                        round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6) AS mean_len
+                 FROM b),
+           r AS (SELECT *, concat_ws(';',
+                        CASE WHEN n_toks < $MinToks OR n_toks > $MaxToks THEN 'len' END,
+                        CASE WHEN distinct_ratio < $MinDistinctRatio THEN 'div' END,
+                        CASE WHEN stop_ratio > $MaxStopRatio THEN 'stop' END,
+                        CASE WHEN mean_len < $MinMeanLen OR mean_len > $MaxMeanLen THEN 'charlen' END) AS reasons
+                 FROM m)
+          SELECT doc_id, n_toks, distinct_ratio, stop_ratio, mean_len, reasons,
+                 reasons = '' AS keep
+          FROM r ORDER BY doc_id""")),
+    QueryDef("cur_contamination", contamination, Some(
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                            $hashSql % 100 >= $BenchPctFloor AS is_bench
+                     FROM documents),
+           sh AS (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                  FROM b WHERE len(toks) >= $ShingleW),
+           bench AS (SELECT DISTINCT sh FROM sh WHERE is_bench),
+           tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh WHERE NOT is_bench GROUP BY 1),
+           hit AS (SELECT s.doc_id, count(*) AS n_hits
+                   FROM sh s JOIN bench USING (sh) WHERE NOT s.is_bench GROUP BY 1)
+          SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+                 round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS ratio,
+                 round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) >= $ContamThreshold AS flagged
+          FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+          ORDER BY t.doc_id""")),
+    QueryDef("cur_pii", piiScan, Some(
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+                 CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '$EmailRe', '<EMAIL>', 'g'),
+                     '$DigitRunRe', '<ID>', 'g'),
+                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+          FROM documents ORDER BY doc_id""")),
+    QueryDef("cur_domain_mix", domainMix, Some(
+      s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
+           counts AS (SELECT source, count(*) AS n,
+                             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                  THEN CAST($EvenWeight AS DOUBLE)
+                                  ELSE CAST($OddWeight AS DOUBLE) END AS p
+                      FROM base GROUP BY 1),
+           t AS (SELECT min(n / p) AS t FROM counts),
+           quotas AS (SELECT source, floor(p * t.t) AS quota FROM counts, t),
+           ranked AS (SELECT source, doc_id,
+                             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+                      FROM base)
+          SELECT r.source, r.doc_id
+          FROM ranked r JOIN quotas q ON r.source = q.source
+          WHERE r.rn <= q.quota
+          ORDER BY r.source, r.doc_id""")),
+  )
+}

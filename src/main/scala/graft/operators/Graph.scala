@@ -92,19 +92,21 @@ object Graph {
   private val oracle: String = {
     val srcList = Sources.mkString(", ")
     val jump = s"CASE WHEN n.v IN ($srcList) THEN $Alpha * (1.0 / ${Sources.length}) ELSE 0 END"
+    // MATERIALIZED: every rK is referenced twice downstream; DuckDB's
+    // default CTE inlining would re-evaluate each round 2^Iters times.
     val iterCtes = (1 to Iters).map { k =>
-      s"""c$k AS (SELECT e.dst AS v, sum(r.r / d.d) AS c
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS v, sum(r.r / d.d) AS c
                   FROM r${k - 1} r JOIN edges e ON r.v = e.src JOIN deg d ON r.v = d.src
                   GROUP BY 1),
-          r$k AS (SELECT n.v, ${1 - Alpha} * coalesce(c.c, 0) + $jump AS r
+          r$k AS MATERIALIZED (SELECT n.v, ${1 - Alpha} * coalesce(c.c, 0) + $jump AS r
                   FROM nodes n LEFT JOIN c$k c ON n.v = c.v)"""
     }.mkString(",\n          ")
-    s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
-          edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
-          deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-          nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+          nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
                     UNION ALL SELECT * FROM (VALUES (${Sources.mkString("), (")})) s(v))),
-          r0 AS (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
+          r0 AS MATERIALIZED (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
                  FROM nodes n),
           $iterCtes
         SELECT v, round(r, 8) AS rank FROM r$Iters ORDER BY v"""
@@ -118,10 +120,109 @@ object Graph {
       .orderBy(col("rank").desc, col("v"))
       .limit(20)
 
+  /** Degree distribution of the supplier↔part graph: how many nodes have
+    * each degree. Scan + two groupBys (map-side partial both times);
+    * shuffle volume ∝ |V| then ∝ distinct degrees. */
+  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Connected components by min-label propagation: comp(v) starts at v,
+    * each round takes the min over the neighborhood; after `CcIters`
+    * rounds comp(v) = min node id within CcIters hops (= the true
+    * component once rounds ≥ diameter — the spec asserts convergence at
+    * test scale). A FIXED round count keeps the oracle exact.
+    *
+    * Scale: each round is one join against the cached edge table + one
+    * min-groupBy — the same co-partitioned layout as PageRank (shuffle
+    * ∝ |V| per round, not |E|). At 100 TB diameters, switch to the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce"), which converges in O(log n) rounds with
+    * the same join+min building blocks; localCheckpoint every 3 rounds
+    * truncates the growing lineage either way. */
+  val CcIters = 12
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().cache()
+    val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v"))
+    for (i <- 1 to CcIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
+      labels = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      if (i % 3 == 0) labels = labels.localCheckpoint()
+    }
+    labels.orderBy("v")
+  }
+
+  // Each lK is referenced twice (by mK+1 and lK+1): DuckDB inlines CTEs
+  // by default, which would expand this 2^CcIters times — MATERIALIZED
+  // pins each round to one evaluation (Spark-side localCheckpoint is the
+  // same idea).
+  private val ccOracle: String = {
+    val iters = (1 to CcIters).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT e.dst AS v, min(l.comp) AS nc
+                  FROM l${k - 1} l JOIN edges e ON l.v = e.src GROUP BY 1),
+          l$k AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.nc, l.comp)) AS comp
+                  FROM l${k - 1} l LEFT JOIN m$k m ON l.v = m.v)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          $iters
+        SELECT v, comp FROM l$CcIters ORDER BY v"""
+  }
+
+  /** Triangle count on the co-purchase graph (parts co-occurring in an
+    * order). Edges oriented a<b so each triangle is counted once via the
+    * standard two-path + closing-edge join.
+    *
+    * Scale: the at-scale refinement is DEGREE ordering instead of id
+    * ordering (orient each edge toward the higher-degree endpoint), which
+    * bounds the two-path fan-out by sqrt(|E|) per node and tames hub
+    * skew; the id-ordered form keeps the oracle trivially identical.
+    * Both need only equi-joins on node ids → shuffle-partitioned, AQE
+    * handles residual skew. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+    val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    wedges.join(edges.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_triangles"), col("n_edges"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(oracle)),
     QueryDef("pagerank_topk", pagerankTopk, Some(
       s"""WITH pr AS ($oracle)
           SELECT v, rank FROM pr ORDER BY rank DESC, v LIMIT 20""")),
+    QueryDef("graph_degree", graphDegree, Some(
+      s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+           edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+           deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
+          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
+    QueryDef("graph_components", graphComponents, Some(ccOracle)),
+    QueryDef("graph_triangles", graphTriangles, Some(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                     FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+           tri AS (SELECT count(*) AS n_triangles
+                   FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+                   WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b))
+          SELECT tri.n_triangles, (SELECT count(*) FROM edges) AS n_edges FROM tri""")),
   )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Second tier of relational surface: reshaping (pivot/unpivot), set
+  * operations, correlated-subquery decorrelation, and range joins.
+  *
+  * Scale notes:
+  *  - q19 pivot: EXPLICIT pivot values (no driver-side distinct-collect
+  *    to discover them) → single groupBy, map-side partial agg of
+  *    #groups × #values cells.
+  *  - q20 set ops: INTERSECT/EXCEPT compile to aggregate/anti-join on
+  *    the key — one shuffle each on custkey.
+  *  - q21: the correlated `l_quantity < 0.2 · avg per part` subquery is
+  *    written decorrelated (per-part agg + equi-join) — the form that
+  *    scales; Catalyst reaches the same plan when fed the subquery.
+  *  - q22 range join: the naive form is a BroadcastNestedLoopJoin (per-
+  *    row range probes). We compute the bucket id arithmetically and
+  *    equi-join the bucket dim — O(1) per row, broadcast, zero range
+  *    scan; the DuckDB oracle uses the declarative non-equi join to
+  *    prove the rewrite exact.
+  *  - q23 unpivot: per-row expand (no shuffle) then map-side partial agg.
+  */
+object Relational2 {
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  val BucketWidth = 50.0
+  val NBuckets = 10
+
+  /** Pivot: yearly revenue per order priority, priorities as columns. */
+  def q19Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val renamed = Priorities.map(p => (p, "p" + p.charAt(0))) // p1..p5: stable ANSI column names
+    val df = Tables.orders(spark, dir)
+      .withColumn("year", year(to_date(col("o_orderdate"))).cast("long"))
+      .groupBy("year")
+      .pivot("o_orderpriority", Priorities)
+      .agg(round(sum(col("o_totalprice")), 2))
+    renamed.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+      .orderBy("year")
+  }
+
+  /** INTERSECT / EXCEPT: customers ordering in both 1995 and 1996 vs
+    * only in 1995, tagged and unioned. */
+  def q20Setops(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(yr: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(to_date(col("o_orderdate"))) === yr)
+        .select(col("o_custkey").as("custkey")).distinct()
+    val both = custsIn(1995).intersect(custsIn(1996)).withColumn("tag", lit("both"))
+    val only95 = custsIn(1995).except(custsIn(1996)).withColumn("tag", lit("only_1995"))
+    both.unionAll(only95).orderBy("tag", "custkey")
+  }
+
+  /** TPC-H Q17 idiom: revenue lost to small orders — lineitems under
+    * 20% of their part's average quantity (decorrelated per-part avg). */
+  def q21Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Range join: events bucketed by value range against a bucket dim.
+    * Implemented as arithmetic bucket id + broadcast equi-join (the
+    * 100 TB form); oracle joins on lo <= value < hi (the spec'd
+    * semantics) — identical because the dim IS the arithmetic grid. */
+  def q22RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = (0 until NBuckets)
+      .map(i => (i.toLong, i * BucketWidth, (i + 1) * BucketWidth, s"bucket_$i"))
+      .toDF("bucket_id", "lo", "hi", "label")
+    Tables.events(spark, dir)
+      .withColumn("bucket_id", floor(col("value") / BucketWidth))
+      .join(broadcast(dim), "bucket_id")
+      .groupBy("bucket_id", "label")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("bucket_id")
+  }
+
+  /** Unpivot: lineitem measure columns melted to (measure, val) rows,
+    * then per-measure stats — the wide→long reshape. */
+  def q23Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 2).as("sum_val"),
+        round(avg(col("val")), 6).as("avg_val"))
+      .orderBy("measure")
+
+  private val bucketDimSql: String =
+    (0 until NBuckets)
+      .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
+      .mkString("(VALUES ", ", ", ") d(bucket_id, lo, hi, label)")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q19_pivot", q19Pivot, Some(
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                 ${Priorities.map(p => s"round(sum(CASE WHEN o_orderpriority = '$p' THEN o_totalprice END), 2) AS p${p.charAt(0)}").mkString(",\n                 ")}
+          FROM orders GROUP BY 1 ORDER BY year""")),
+    QueryDef("q20_setops", q20Setops, Some(
+      """WITH c95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995),
+           c96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+         SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM c95 INTERSECT SELECT custkey FROM c96)
+         UNION ALL
+         SELECT custkey, 'only_1995' AS tag FROM (SELECT custkey FROM c95 EXCEPT SELECT custkey FROM c96)
+         ORDER BY tag, custkey""")),
+    QueryDef("q21_correlated", q21Correlated, Some(
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+         FROM lineitem l
+         JOIN (SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+               FROM lineitem GROUP BY 1) pa ON l.l_partkey = pa.ak
+         WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * pa.avg_qty""")),
+    QueryDef("q22_range_join", q22RangeJoin, Some(
+      s"""SELECT CAST(d.bucket_id AS BIGINT) AS bucket_id, d.label,
+                 count(*) AS cnt, round(sum(e.value), 2) AS sum_value
+          FROM events e JOIN $bucketDimSql
+            ON e.value >= d.lo AND e.value < d.hi
+          GROUP BY 1, 2 ORDER BY bucket_id""")),
+    QueryDef("q23_unpivot", q23Unpivot, Some(
+      """SELECT measure, count(*) AS cnt, round(sum(val), 2) AS sum_val,
+                round(avg(val), 6) AS avg_val
+         FROM (SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+               UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+               UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+         GROUP BY 1 ORDER BY measure""")),
+  )
+}
