@@ -79,7 +79,33 @@ object EventStreams {
       .orderBy("window_ms", "event_type")
   }
 
+  /** Session windows: per-user sessions that merge events closer than
+    * SessionGap; a gap ≥ 30 min (session_window's boundary is
+    * EXCLUSIVE: break at diff ≥ gap, vs q11's hand-rolled `> gap`)
+    * starts a new session. Batch mirror of the streaming
+    * `session_window` aggregation — dynamic-gap merging is Spark's
+    * native session operator, not a window-function emulation.
+    * Scale: state per ACTIVE session only (watermark evicts closed
+    * sessions); shuffle keyed on user_id. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms")
+
   // ---- streaming front-ends (spec-driven; same plans over readStream) ----
+
+  /** Streaming session windows (same plan over readStream). */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        col("n_events"), col("sum_value"))
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -178,6 +204,15 @@ object EventStreams {
                  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS region,
                  count(*) AS cnt
           FROM events GROUP BY 1, 2 ORDER BY window_ms, region""")),
+    QueryDef("stream_session_window", sessionWindowBatch, Some(
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+            l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+            s AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= $SessionGapUs THEN 1 ELSE 0 END AS brk FROM l),
+            c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess_no FROM s)
+          SELECT user_id, min(ts_us) // 1000 AS start_ms, count(*) AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM c GROUP BY user_id, sess_no ORDER BY user_id, start_ms""")),
     QueryDef("stream_trending", trendingBatch, Some(
       s"""WITH w AS (SELECT event_type, epoch_us(ts) // $TenMinUs AS win, count(*) AS cnt
                      FROM events GROUP BY 1, 2),

@@ -37,6 +37,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming session windows converge to the batch mirror") {
+    runToMemory(EventStreams.sessionWindowStream(spark, sf), "ssw")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))
+    val streamed = spark.table("ssw").collect().map(key).toMap
+    val batch = EventStreams.sessionWindowBatch(spark, sf).collect().map(key).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful trending stream (flatMapGroupsWithState) matches batch lag()") {
     runToMemory(EventStreams.trendingStream(spark, sf), "trend", OutputMode.Append())
     val alerts = spark.table("trend")
