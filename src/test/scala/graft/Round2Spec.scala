@@ -34,20 +34,19 @@ class Round2Spec extends SparkSpec {
     assert(total === 2 * li)
   }
 
-  test("graph_triangles: closed wedges on a known toy graph") {
-    import SparkSpec.spark.implicits._
-    // triangle 1-2-3 plus pendant edge 3-4 → exactly 1 triangle
-    val op = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L))
-      .toDF("ok", "pk").createOrReplaceTempView("toy_op")
-    // same algebra as graphTriangles, over the toy edge set
-    val edges = spark.sql(
-      """SELECT DISTINCT x.pk AS a, y.pk AS b FROM toy_op x JOIN toy_op y
-         ON x.ok = y.ok AND x.pk < y.pk""").cache()
-    val w = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e2.a").as("wb"), col("e2.b").as("wc"))
-    val tri = w.join(edges.as("e3"),
-      col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi").count()
-    assert(tri === 1L)
+  test("graph_triangles: degree-ordered count equals naive id-ordered count") {
+    val r = Graph.graphTriangles(spark, sf).head
+    graft.sources.Tables.lineitem(spark, sf).createOrReplaceTempView("li_tri")
+    // independent id-ordered formulation over the same co-purchase graph
+    val naive = spark.sql(
+      """WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM li_tri),
+           e AS (SELECT DISTINCT x.pk a, y.pk b FROM op x JOIN op y
+                 ON x.ok = y.ok AND x.pk < y.pk)
+         SELECT count(*) FROM e e1 JOIN e e2 ON e1.b = e2.a
+         WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)""")
+      .head.getLong(0)
+    assert(r.getAs[Long]("n_triangles") === naive)
+    assert(r.getAs[Long]("n_triangles") > 0L) // non-degenerate at sf0.001
   }
 
   test("text_tfidf: rare terms outrank common terms within a doc") {
