@@ -209,6 +209,148 @@ object GraftOps {
         col("__e.payload").as(payloadCol), col("__e.ord").as(ordCol))
   }
 
+  /** TF-IDF: top-k terms per document by tf·ln(N/df), over any
+    * (id, text) corpus. Ranking happens on 6dp-ROUNDED scores with a
+    * term tie-break so float last-ulp noise can't flip ranks.
+    * Scale: tf+df is the inverted-index build (map-side partial agg,
+    * shuffle ∝ postings); N is a 1-row broadcast. */
+  def tfidfTopTerms(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    val tf = df.select(col(id), explode(split(col(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", id).agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = withDf.crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(id), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 ranked retrieval of a term query over any (id, text) corpus.
+    * Corpus stats (N, avgdl) are scalar broadcasts, never collected. */
+  def bm25Rank(df: DataFrame, id: String, text: String, terms: Seq[String],
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(id), split(col(text), " ").as("__toks"))
+      .select(col(id), expr("size(filter(__toks, t -> t != ''))").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = df.select(col(id), explode(split(col(text), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(id, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(docs), id)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(id)
+      .agg(round(sum(col("contrib")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col(id))
+      .limit(k)
+  }
+
+  /** Connected components of an UNDIRECTED edge list by fixed-round
+    * min-label propagation (mirrored internally). Returns (v, comp).
+    * Rounds must be ≥ graph diameter for true components; a fixed count
+    * keeps the result deterministic and cross-engine verifiable. At
+    * 100 TB diameters switch to large-star/small-star contraction
+    * (same join+min building blocks, O(log n) rounds). */
+  def connectedComponents(und: DataFrame, u: String, v: String,
+                          iters: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    // consumed every round (plus the node build): materialize once —
+    // without this each round re-runs the upstream edge derivation
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v"))
+    for (i <- 1 to iters) {
+      val nbrMin = edges.join(broadcast(labels), edges("src") === labels("v"))
+        .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
+      labels = labels.join(broadcast(nbrMin), Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      if (i % 3 == 0) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
+    * via degree-ordered orientation: wedges fan out from each edge's
+    * lower-(degree, id) endpoint (bounded ~√|E|), and both the wedge
+    * build and the closing-edge semi-join run against the broadcast
+    * oriented edge set — wedge intermediates are never shuffled. Node
+    * ids must fit below 2^33 for the packed (degree, id) order key. */
+  def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
+    val und = und0.select(col(u).as("a"), col(v).as("b")).cache()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    def ord(dc: Column, idc: Column): Column = dc * lit(1L << 33) + idc
+    val or = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
+        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
+        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), ord(col("db"), col("b")))
+          .otherwise(ord(col("da"), col("a"))).as("odst"))
+      .localCheckpoint() // consumed 3x (both wedge sides + closing edges)
+    val wedges = or.as("e1")
+      .join(broadcast(or).as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+    wedges
+      .join(broadcast(or.select(col("src").as("u"), col("dst").as("w"))), Seq("u", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_triangles"), col("n_edges"))
+  }
+
+  /** Benchmark-contamination scan: fraction of each candidate doc's
+    * distinct w-gram shingles present in the benchmark subset (rows
+    * where `isBench` is true). The benchmark shingle set broadcasts;
+    * candidates never shuffle — at a 100 TB corpus vs a few-GB
+    * benchmark this is a pure scan + map-side semi-join. */
+  def contaminationScan(df: DataFrame, id: String, text: String,
+                        isBench: Column, w: Int = 3,
+                        threshold: Double = 0.1): DataFrame = {
+    val base = df.select(col(id), split(col(text), " ").as("toks"))
+      .withColumn("__bench", isBench)
+    val sh = base.select(col(id), col("__bench"),
+      explode(array_distinct(graft.functions.TextFns.shingles("toks", w))).as("sh"))
+    val benchSh = sh.filter(col("__bench")).select("sh").distinct()
+    val cand = sh.filter(!col("__bench"))
+    val tot = cand.groupBy(id).agg(count(lit(1)).as("n_shingles"))
+    val hits = cand.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_hits"))
+    tot.join(hits, Seq(id), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("ratio", round(col("n_hits") / col("n_shingles"), 6))
+      .select(col(id), col("n_shingles"), col("n_hits"), col("ratio"),
+        (col("ratio") >= threshold).as("flagged"))
+  }
+
+  /** Deterministic domain-mix sampling: per-domain quotas realizing the
+    * target weights exactly (T = min n_d / p_d, quota_d = ⌊p_d · T⌋),
+    * docs picked by hash rank — reproducible on any cluster size. */
+  def domainMixSample(df: DataFrame, id: String, domain: String,
+                      weight: Column): DataFrame = {
+    val base = df.select(col(domain), col(id),
+      graft.functions.TextFns.hash32(col(id).cast("string")).as("__h"))
+    val counts = base.groupBy(domain).agg(count(lit(1)).as("__n"))
+      .withColumn("__p", weight)
+    val t = counts.agg(min(col("__n") / col("__p")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .select(col(domain), floor(col("__p") * col("__t")).as("__quota"))
+    val w = Window.partitionBy(col(domain)).orderBy(col("__h"), col(id))
+    base.withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), domain)
+      .filter(col("__rn") <= col("__quota"))
+      .select(col(domain), col(id))
+  }
+
   /** Skew-safe equi-join: salt the (skewed) left side's key with a
     * random suffix in [0, salt) and replicate each right-side row salt
     * times, so one hot key spreads over `salt` reducers instead of one.
@@ -246,6 +388,19 @@ object GraftOps {
       def saltedJoin(right: DataFrame, key: String, salt: Int = 8): DataFrame =
         GraftOps.saltedJoin(df, right, key, salt)
       def profile(): DataFrame = GraftOps.profile(df)
+      def tfidfTopTerms(id: String, text: String, k: Int = 5): DataFrame =
+        GraftOps.tfidfTopTerms(df, id, text, k)
+      def bm25Rank(id: String, text: String, terms: Seq[String], k: Int = 20): DataFrame =
+        GraftOps.bm25Rank(df, id, text, terms, k)
+      def connectedComponents(u: String, v: String, iters: Int): DataFrame =
+        GraftOps.connectedComponents(df, u, v, iters)
+      def triangleCount(u: String, v: String): DataFrame =
+        GraftOps.triangleCount(df, u, v)
+      def contaminationScan(id: String, text: String, isBench: Column,
+                            w: Int = 3, threshold: Double = 0.1): DataFrame =
+        GraftOps.contaminationScan(df, id, text, isBench, w, threshold)
+      def domainMixSample(id: String, domain: String, weight: Column): DataFrame =
+        GraftOps.domainMixSample(df, id, domain, weight)
     }
   }
 }

@@ -75,23 +75,12 @@ object CurationQuality {
     * distinct 3-gram shingles that appear in the hash-held-out benchmark
     * subset. The benchmark shingle set is DISTINCT and small → Spark
     * broadcasts the semi-join side; candidates never shuffle. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val base = toksDf(spark, dir)
-      .withColumn("is_bench", TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor)
-    val sh = base.select(col("doc_id"), col("is_bench"),
-      explode(array_distinct(TextFns.shingles("toks", ShingleW))).as("sh"))
-    val benchSh = sh.filter(col("is_bench")).select("sh").distinct()
-    val cand = sh.filter(!col("is_bench"))
-    val tot = cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = cand.join(broadcast(benchSh), Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    tot.join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("ratio", round(col("n_hits") / col("n_shingles"), 6))
-      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("ratio"),
-        (col("ratio") >= ContamThreshold).as("flagged"))
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.contaminationScan(
+        Tables.documents(spark, dir), "doc_id", "text",
+        isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
+        w = ShingleW, threshold = ContamThreshold)
       .orderBy("doc_id")
-  }
 
   /** PII scan: match counts per class + md5 of the redacted text.
     * (This corpus is synthetic lowercase prose, so counts are 0 here;
@@ -119,19 +108,8 @@ object CurationQuality {
     val pExpr: Column = when(
       expr("CAST(substring(source, 4) AS INT)") % 2 === 0, EvenWeight
     ).otherwise(OddWeight)
-    val base = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        TextFns.hash32(col("doc_id").cast("string")).as("h"))
-    val counts = base.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("p", pExpr)
-    val t = counts.agg(min(col("n") / col("p")).as("t"))
-    val quotas = counts.crossJoin(broadcast(t))
-      .select(col("source"), floor(col("p") * col("t")).as("quota"))
-    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    base.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(quotas), "source")
-      .filter(col("rn") <= col("quota"))
-      .select(col("source"), col("doc_id"))
+    graft.api.GraftOps.domainMixSample(
+        Tables.documents(spark, dir), "doc_id", "source", weight = pExpr)
       .orderBy("source", "doc_id")
   }
 

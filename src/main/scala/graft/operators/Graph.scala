@@ -148,23 +148,10 @@ object Graph {
     * truncates the growing lineage either way. */
   val CcIters = 6 // all test SFs converge in 3 rounds (measured); 2× margin
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct().cache()
-    val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v"))
-    for (i <- 1 to CcIters) {
-      // labels is |V|-sized → broadcast turns the edge join map-side;
-      // one shuffle per round (the min-groupBy). At |V| beyond broadcast
-      // size drop the hint and AQE uses the co-partitioned layout.
-      val nbrMin = edges.join(broadcast(labels), edges("src") === labels("v"))
-        .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
-      labels = labels.join(broadcast(nbrMin), Seq("v"), "left")
-        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      if (i % 3 == 0) labels = labels.localCheckpoint()
-    }
-    labels.orderBy("v")
+    val und = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.connectedComponents(und, "s", "p", CcIters).orderBy("v")
   }
 
   // Each lK is referenced twice (by mK+1 and lK+1): DuckDB inlines CTEs
@@ -203,30 +190,8 @@ object Graph {
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val und = op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    // total order as one long: (degree, id) lexicographic; ids here are
-    // part keys < 2^33 (struct comparison instead once ids outgrow it)
-    def ord(dc: Column, idc: Column): Column = dc * lit(1L << 33) + idc
-    val or = und
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      .select(
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), ord(col("db"), col("b")))
-          .otherwise(ord(col("da"), col("a"))).as("odst"))
-      .localCheckpoint() // consumed 3× (both wedge sides + closing edges)
-    val wedges = or.as("e1")
-      .join(broadcast(or).as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
-      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
-    wedges
-      .join(broadcast(or.select(col("src").as("u"), col("dst").as("w"))), Seq("u", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .select(col("n_triangles"), col("n_edges"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    graft.api.GraftOps.triangleCount(und, "a", "b")
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -36,46 +36,19 @@ object TextRank {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
 
-  /** TF-IDF: top-5 terms per document by tf·ln(N/df). */
-  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tf = postings(spark, dir)
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val scored = withDf.crossJoin(broadcast(n))
-      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= TopTerms)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  /** TF-IDF: top-5 terms per document by tf·ln(N/df)
+    * (generic core: [[graft.api.GraftOps.tfidfTopTerms]]). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps
+      .tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", TopTerms)
       .orderBy("doc_id", "rnk")
-  }
 
-  /** BM25 (k1=1.2, b=0.75): top-20 docs for a fixed term query. */
-  def textBm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        expr("size(filter(toks, t -> t != ''))").cast("long").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = postings(spark, dir)
-      .filter(col("term").isin(QueryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .join(broadcast(docs), "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * col("tf") * (lit(Bm25K1) + 1) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum(col("contrib")), 6).as("bm25"), count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(Bm25TopK)
-  }
+  /** BM25 (k1=1.2, b=0.75): top-20 docs for a fixed term query
+    * (generic core: [[graft.api.GraftOps.bm25Rank]]). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps
+      .bm25Rank(Tables.documents(spark, dir), "doc_id", "text", QueryTerms,
+        Bm25TopK, Bm25K1, Bm25B)
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 

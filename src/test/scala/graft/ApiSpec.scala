@@ -84,4 +84,58 @@ class ApiSpec extends SparkSpec {
     assert(top.count(_.getAs[String]("g") == "a") == 2)
     assert(top.count(_.getAs[String]("g") == "b") == 1)
   }
+
+  test("tfidfTopTerms: discriminative term tops its doc, stopword-ish term does not") {
+    val top = corpus.tfidfTopTerms("id", "body", k = 3).collect()
+    val doc3Top = top.filter(r => r.getAs[Long]("id") == 3L && r.getAs[Long]("rnk") == 1L)
+    assert(doc3Top.nonEmpty) // unique-vocab doc has positive-idf terms
+    // 'the' appears in all docs → idf ln(1)=0 → never outranks unique terms
+    assert(!top.filter(_.getAs[Long]("rnk") == 1L).exists(_.getAs[String]("term") == "the"))
+  }
+
+  test("bm25Rank: docs containing more query terms rank first") {
+    val ranked = corpus.bm25Rank("id", "body", Seq("fox", "overlap"), k = 4).collect()
+    assert(ranked.nonEmpty)
+    assert(ranked.forall(_.getAs[Double]("bm25") > 0.0))
+  }
+
+  test("connectedComponents: two islands get two labels, converged") {
+    // path 1-2-3 and island 10-11
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val comp = und.connectedComponents("u", "v", iters = 4).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("comp")).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("triangleCount: toy graph with one triangle and one pendant edge") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = und.triangleCount("u", "v").head
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+  }
+
+  test("contaminationScan: copied shingles are flagged against the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // benchmark
+      (2L, "alpha beta gamma delta unrelated tail here"), // copies a prefix
+      (3L, "totally fresh words nothing shared at all")
+    ).toDF("id", "body")
+    val res = docs.contaminationScan("id", "body", isBench = col("id") === 1L,
+        w = 3, threshold = 0.1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("flagged")).toMap
+    assert(res(2L) && !res(3L))
+    assert(!res.contains(1L)) // benchmark rows are not candidates
+  }
+
+  test("domainMixSample: quotas follow weights and never exceed domain sizes") {
+    val df = (1 to 40).map(i => (i.toLong, if (i <= 30) "big" else "small"))
+      .toDF("id", "dom")
+    val kept = df.domainMixSample("id", "dom",
+        weight = when(col("dom") === "big", 0.75).otherwise(0.25))
+      .groupBy("dom").count().collect()
+      .map(r => r.getAs[String]("dom") -> r.getAs[Long]("count")).toMap
+    // T = min(30/.75, 10/.25) = 40 → quotas 30 and 10
+    assert(kept("big") == 30L && kept("small") == 10L)
+  }
 }
