@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     assert(alerts == batch)
   }
 
+  test("file sink + checkpoint recovery: restart resumes offsets exactly-once") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def write(ids: Range, name: String): Unit =
+      ids.map(_.toLong).toDF("id").coalesce(1).write.parquet(s"$in/$name")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$in/*")
+        .select(col("id"), (col("id") * 2).as("doubled"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    write(0 until 100, "f1"); run()   // batch 1 committed, query stopped
+    write(100 until 250, "f2"); run() // restart from checkpoint picks up only f2
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 250)                         // no f1 reprocessing
+    assert(rows.map(_.getLong(0)).toSet === (0L until 250L).toSet)
+    assert(rows.forall(r => r.getLong(1) === 2 * r.getLong(0)))
+  }
+
   test("trending state survives a window split across micro-batches") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.types._
