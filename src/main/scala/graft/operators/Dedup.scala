@@ -70,6 +70,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →
+    * connected components → one keeper per cluster (the min doc_id).
+    * This is THE production dedup step — pairs alone don't dedup; a
+    * doc chained A≈B≈C must collapse to one cluster even when A,C never
+    * pair directly. Singletons keep themselves.
+    * Scale: the pair graph is far smaller than the corpus (only near-
+    * dups appear), so the CC rounds run on a tiny edge set; the final
+    * assignment is one left join on doc_id. */
+  val ClusterIters = 6
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.GraftOps
+      .minhashCandidates(docs(spark, dir), "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", ClusterIters)
+    docs(spark, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("is_keep", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val clusterOracle: String =
+    s"""WITH $minhashPairCtes,
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(ClusterIters)}
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster,
+               (d.doc_id = coalesce(l.comp, d.doc_id)) AS is_keep
+        FROM documents d LEFT JOIN l$ClusterIters l ON d.doc_id = l.v
+        ORDER BY d.doc_id"""
+
   /** SimHash banded Hamming near-dup pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.simhashCandidates(docs(spark, dir), "doc_id", "text",
@@ -78,24 +110,33 @@ object Dedup {
 
   // ---- generated DuckDB oracles (same constants via HashingScheme) ----
 
-  private val minhashOracle: String = {
+  /** Shared CTE chain ending in `pairs` (a < b candidate pairs) —
+    * reused by the pair oracle and the cluster oracle. sigs/pairs are
+    * MATERIALIZED: both are referenced more than once downstream. */
+  // lazy: referenced by clusterOracle, which is declared earlier in the
+  // object body (a strict val here would still be null at that point)
+  private lazy val minhashPairCtes: String = {
     val mins = (0 until NumHashes)
       .map(i => s"${minhashSql("h", i)} AS mh$i").mkString(",\n                 ")
     val bandSelects = (0 until Bands).map { j =>
       val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $j AS bj, concat_ws('_', $parts) AS bv FROM sigs"
     }.mkString("\n                 UNION ALL ")
-    val matchSum = (0 until NumHashes)
-      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS ($shingleSql),
+    s"""sh AS ($shingleSql),
           hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
-          sigs AS (SELECT doc_id,
+          sigs AS MATERIALIZED (SELECT doc_id,
                  $mins
                  FROM hashed GROUP BY doc_id),
           cand AS ($bandSelects),
-          pairs AS (SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
+          pairs AS MATERIALIZED (SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
                     FROM cand ca JOIN cand cb ON ca.bj = cb.bj AND ca.bv = cb.bv
-                    WHERE ca.doc_id < cb.doc_id)
+                    WHERE ca.doc_id < cb.doc_id)"""
+  }
+
+  private val minhashOracle: String = {
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashPairCtes
         SELECT p.a AS a, p.b AS b, round(($matchSum) / CAST($NumHashes AS DOUBLE), 6) AS est_jaccard
         FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id
         ORDER BY a, b"""
@@ -142,6 +183,7 @@ object Dedup {
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             p AS (SELECT a.vec_id AS a, b.vec_id AS b,

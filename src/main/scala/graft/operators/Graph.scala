@@ -154,23 +154,24 @@ object Graph {
     graft.api.GraftOps.connectedComponents(und, "s", "p", CcIters).orderBy("v")
   }
 
-  // Each lK is referenced twice (by mK+1 and lK+1): DuckDB inlines CTEs
-  // by default, which would expand this 2^CcIters times — MATERIALIZED
-  // pins each round to one evaluation (Spark-side localCheckpoint is the
-  // same idea).
-  private val ccOracle: String = {
-    val iters = (1 to CcIters).map { k =>
-      s"""m$k AS MATERIALIZED (SELECT e.dst AS v, min(l.comp) AS nc
-                  FROM l${k - 1} l JOIN edges e ON l.v = e.src GROUP BY 1),
-          l$k AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.nc, l.comp)) AS comp
-                  FROM l${k - 1} l LEFT JOIN m$k m ON l.v = m.v)"""
-    }.mkString(",\n          ")
+  /** Unrolled min-label-propagation CTEs (l1..lK over CTEs `edges` +
+    * `l0`), shared by every CC-based oracle. Each lK is referenced twice
+    * (by mK+1 and lK+1): DuckDB inlines CTEs by default, which would
+    * expand this 2^K times — MATERIALIZED pins each round to one
+    * evaluation (Spark-side localCheckpoint is the same idea). */
+  def ccUnrolledCtes(iters: Int): String = (1 to iters).map { k =>
+    s"""m$k AS MATERIALIZED (SELECT e.dst AS v, min(l.comp) AS nc
+                FROM l${k - 1} l JOIN edges e ON l.v = e.src GROUP BY 1),
+        l$k AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.nc, l.comp)) AS comp
+                FROM l${k - 1} l LEFT JOIN m$k m ON l.v = m.v)"""
+  }.mkString(",\n          ")
+
+  private val ccOracle: String =
     s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
           edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
           l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
-          $iters
+          ${ccUnrolledCtes(CcIters)}
         SELECT v, comp FROM l$CcIters ORDER BY v"""
-  }
 
   /** Triangle count on the co-purchase graph (parts co-occurring in an
     * order), via degree-ordered edge orientation: each undirected edge

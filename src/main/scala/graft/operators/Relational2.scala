@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -97,6 +98,44 @@ object Relational2 {
         round(avg(col("val")), 6).as("avg_val"))
       .orderBy("measure")
 
+  /** Rank-function tier: ntile decile + percent_rank/cume_dist per
+    * priority, summarized per (priority, decile). min/max aggregates
+    * only — order-independent, so double summation order can't perturb
+    * the oracle hash. Full (price, orderkey) tie-break makes every rank
+    * deterministic. */
+  def q24WindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("tp"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice").as("tp"),
+        col("o_orderkey"))
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("priority", "tile")
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("pr")), 6).as("min_pr"),
+        round(max(col("cd")), 6).as("max_cd"),
+        round(min(col("tp")), 2).as("min_price"),
+        round(max(col("tp")), 2).as("max_price"))
+      .orderBy("priority", "tile")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: value at rank (n−1)·p with linear
+    * interpolation — deterministic on the sorted multiset, no
+    * summation-order sensitivity). The constant-memory at-scale form is
+    * q13's approx_percentile sketch; this is the exact baseline. */
+  def q25Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy("returnflag")
+
   private val bucketDimSql: String =
     (0 until NBuckets)
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
@@ -126,6 +165,24 @@ object Relational2 {
           FROM events e JOIN $bucketDimSql
             ON e.value >= d.lo AND e.value < d.hi
           GROUP BY 1, 2 ORDER BY bucket_id""")),
+    QueryDef("q24_window_stats", q24WindowStats, Some(
+      """SELECT priority, tile, count(*) AS cnt,
+                round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd,
+                round(min(tp), 2) AS min_price, round(max(tp), 2) AS max_price
+         FROM (SELECT o_orderpriority AS priority, o_totalprice AS tp,
+                      CAST(ntile(10) OVER w AS BIGINT) AS tile,
+                      percent_rank() OVER w AS pr,
+                      cume_dist() OVER w AS cd
+               FROM orders
+               WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+         GROUP BY 1, 2 ORDER BY priority, tile""")),
+    QueryDef("q25_percentile", q25Percentile, Some(
+      """SELECT l_returnflag AS returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+                round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         FROM lineitem GROUP BY 1 ORDER BY returnflag""")),
     QueryDef("q23_unpivot", q23Unpivot, Some(
       """SELECT measure, count(*) AS cnt, round(sum(val), 2) AS sum_val,
                 round(avg(val), 6) AS avg_val

@@ -67,6 +67,21 @@ class Round2Spec extends SparkSpec {
     assert(res.forall(_.getDouble(res.head.fieldIndex("bm25")) > 0.0))
   }
 
+  test("dedup_cluster: paired docs share a cluster; keeper is the cluster min") {
+    val clusters = Dedup.dedupCluster(spark, sf).cache()
+    val pairs = Dedup.dedupMinhash(spark, sf).select("a", "b")
+    val ca = clusters.select(col("doc_id").as("a"), col("cluster").as("cl_a"))
+    val cb = clusters.select(col("doc_id").as("b"), col("cluster").as("cl_b"))
+    // every candidate pair must land in the same cluster (transitivity)
+    assert(pairs.join(ca, "a").join(cb, "b")
+      .filter(col("cl_a") =!= col("cl_b")).count() === 0L)
+    // exactly one keeper per cluster, and it's the min doc_id
+    val byCluster = clusters.groupBy("cluster")
+      .agg(min(col("doc_id")).as("mn"),
+        sum(when(col("is_keep"), 1).otherwise(0)).as("keepers"))
+    assert(byCluster.filter(col("keepers") =!= 1 || col("mn") =!= col("cluster")).count() === 0L)
+  }
+
   test("cur_quality_filter: keep <=> empty reasons; every rule fires somewhere") {
     val qf = CurationQuality.qualityFilter(spark, sf).cache()
     assert(qf.filter(col("keep") =!= (col("reasons") === "")).count() === 0L)
