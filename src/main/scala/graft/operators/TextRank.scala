@@ -50,9 +50,57 @@ object TextRank {
       .bm25Rank(Tables.documents(spark, dir), "doc_id", "text", QueryTerms,
         Bm25TopK, Bm25K1, Bm25B)
 
+  /** Dunning log-likelihood-ratio collocations over corpus bigrams (the
+    * significance-test complement to PMI, which over-weights rare
+    * pairs). Contingency counts come from three groupBys over the same
+    * bigram relation (map-side partial aggs; shuffle ∝ distinct
+    * bigrams); N is a 1-row broadcast. LLR is pure per-row arithmetic
+    * on integer counts — no float accumulation across rows. */
+  val LlrMinPair = 5L
+  def textLlr(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .localCheckpoint() // consumed 4x (rows/cols/total/base)
+    val r = big.groupBy("w1").agg(sum(col("k11")).as("r1"))
+    val c = big.groupBy("w2").agg(sum(col("k11")).as("c1"))
+    val n = big.agg(sum(col("k11")).as("nn"))
+    def xx(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
+    big.filter(col("k11") >= LlrMinPair)
+      .join(r, "w1").join(c, "w2").crossJoin(broadcast(n))
+      .withColumn("llr", round(expr(
+        s"2.0 * (${xx("k11")} + ${xx("r1 - k11")} + ${xx("c1 - k11")} + ${xx("nn - r1 - c1 + k11")}" +
+        s" - ${xx("r1")} - ${xx("nn - r1")} - ${xx("c1")} - ${xx("nn - c1")} + ${xx("nn")})"), 6))
+      .select(col("w1"), col("w2"), col("k11"), col("llr"))
+      .orderBy("w1", "w2")
+  }
+
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  private def xxSql(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_llr", textLlr, Some(
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                 for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+           big AS MATERIALIZED (SELECT w1, w2, count(*) AS k11 FROM p GROUP BY 1, 2),
+           r AS (SELECT w1, sum(k11) AS r1 FROM big GROUP BY 1),
+           c AS (SELECT w2, sum(k11) AS c1 FROM big GROUP BY 1),
+           n AS (SELECT sum(k11) AS nn FROM big)
+          SELECT b.w1, b.w2, b.k11,
+                 round(2.0 * (${xxSql("k11")} + ${xxSql("r1 - k11")} + ${xxSql("c1 - k11")}
+                       + ${xxSql("nn - r1 - c1 + k11")} - ${xxSql("r1")} - ${xxSql("nn - r1")}
+                       - ${xxSql("c1")} - ${xxSql("nn - c1")} + ${xxSql("nn")}), 6) AS llr
+          FROM big b JOIN r ON b.w1 = r.w1 JOIN c ON b.w2 = c.w2, n
+          WHERE b.k11 >= $LlrMinPair
+          ORDER BY b.w1, b.w2""")),
     QueryDef("text_tfidf", textTfidf, Some(
       s"""WITH post AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
            tf AS (SELECT term, doc_id, count(*) AS tf FROM post WHERE term <> '' GROUP BY 1, 2),
