@@ -351,6 +351,35 @@ object GraftOps {
       .select(col(domain), col(id))
   }
 
+  /** Upsert (merge, latest-wins): rows of `updates` replace base rows
+    * with the same key; unmatched base rows survive, new keys insert.
+    * Anti-join + union — no global window, both sides shuffle once on
+    * the key (and zero times if base/updates are bucketed on it). This
+    * is the batch MERGE INTO primitive for incremental 100 TB tables. */
+  def upsertByKey(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(col(key)), Seq(key), "left_anti"))
+
+  /** Snapshot diff (the SCD change-detection primitive): full outer
+    * join of two keyed snapshots, each key classified added / removed /
+    * changed / unchanged (null-safe column compare). One shuffle per
+    * side on the key. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val p = prev.select((key +: compareCols).map(col): _*).alias("p")
+    val c = cur.select((key +: compareCols).map(col): _*).alias("c")
+    val differs = compareCols
+      .map(f => !(col(s"p.$f") <=> col(s"c.$f")))
+      .reduce(_ || _)
+    p.join(c, col(s"p.$key") === col(s"c.$key"), "full_outer")
+      .select(
+        coalesce(col(s"p.$key"), col(s"c.$key")).as(key),
+        when(col(s"p.$key").isNull, "added")
+          .when(col(s"c.$key").isNull, "removed")
+          .when(differs, "changed")
+          .otherwise("unchanged").as("change_type"))
+  }
+
   /** Skew-safe equi-join: salt the (skewed) left side's key with a
     * random suffix in [0, salt) and replicate each right-side row salt
     * times, so one hot key spreads over `salt` reducers instead of one.
@@ -401,6 +430,10 @@ object GraftOps {
         GraftOps.contaminationScan(df, id, text, isBench, w, threshold)
       def domainMixSample(id: String, domain: String, weight: Column): DataFrame =
         GraftOps.domainMixSample(df, id, domain, weight)
+      def upsertByKey(updates: DataFrame, key: String): DataFrame =
+        GraftOps.upsertByKey(df, updates, key)
+      def snapshotDiff(cur: DataFrame, key: String, compareCols: Seq[String]): DataFrame =
+        GraftOps.snapshotDiff(df, cur, key, compareCols)
     }
   }
 }

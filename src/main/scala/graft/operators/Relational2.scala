@@ -136,6 +136,39 @@ object Relational2 {
         round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
       .orderBy("returnflag")
 
+  /** Incremental merge (upsert): a derived delta batch (every 7th order
+    * re-priced and re-statused) replaces its base rows latest-wins; the
+    * merged table is summarized per status. The delta derives
+    * DETERMINISTICALLY from orders so the DuckDB oracle rebuilds it
+    * bit-for-bit. Generic core: [[graft.api.GraftOps.upsertByKey]]. */
+  def q26Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val delta = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    graft.api.GraftOps.upsertByKey(base, delta, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("status")
+  }
+
+  /** SCD snapshot diff: two keyed snapshots (1996 cutoff vs 1997 cutoff
+    * with deterministic synthetic edits/deletes) classified added /
+    * removed / changed / unchanged via one full outer join.
+    * Generic core: [[graft.api.GraftOps.snapshotDiff]]. */
+  def q27ScdDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snap1 = o.filter(to_date(col("o_orderdate")) < lit("1997-01-01"))
+    val snap2 = o.filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .filter(col("o_orderkey") % 11 =!= 0) // synthetic deletes
+      .withColumn("o_orderstatus",          // synthetic edits
+        when(col("o_orderkey") % 5 === 0, lit("P")).otherwise(col("o_orderstatus")))
+    graft.api.GraftOps
+      .snapshotDiff(snap1, snap2, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+      .groupBy("change_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("change_type")
+  }
+
   private val bucketDimSql: String =
     (0 until NBuckets)
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
@@ -183,6 +216,34 @@ object Relational2 {
                 round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
          FROM lineitem GROUP BY 1 ORDER BY returnflag""")),
+    QueryDef("q26_upsert", q26Upsert, Some(
+      """WITH delta AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+                               o_totalprice + 1000 AS o_totalprice
+                        FROM orders WHERE o_orderkey % 7 = 0),
+           merged AS (SELECT o_orderstatus, o_totalprice FROM delta
+                      UNION ALL
+                      SELECT o.o_orderstatus, o.o_totalprice FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                                        WHERE d.o_orderkey = o.o_orderkey))
+         SELECT o_orderstatus AS status, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM merged GROUP BY 1 ORDER BY status""")),
+    QueryDef("q27_scd_diff", q27ScdDiff, Some(
+      """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                     WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+           s2 AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 5 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+                         o_totalprice
+                  FROM orders
+                  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                    AND o_orderkey % 11 <> 0),
+           d AS (SELECT CASE WHEN s1.o_orderkey IS NULL THEN 'added'
+                             WHEN s2.o_orderkey IS NULL THEN 'removed'
+                             WHEN s1.o_orderstatus IS DISTINCT FROM s2.o_orderstatus
+                               OR s1.o_totalprice IS DISTINCT FROM s2.o_totalprice THEN 'changed'
+                             ELSE 'unchanged' END AS change_type
+                 FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey)
+         SELECT change_type, count(*) AS cnt FROM d GROUP BY 1 ORDER BY change_type""")),
     QueryDef("q23_unpivot", q23Unpivot, Some(
       """SELECT measure, count(*) AS cnt, round(sum(val), 2) AS sum_val,
                 round(avg(val), 6) AS avg_val

@@ -81,9 +81,59 @@ object TextRank {
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Bigram language-model scoring with add-one smoothing: the corpus
+    * trains P(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V); each doc reports its
+    * bigram count, how many of its bigrams are rare (P < RareP), and
+    * its minimum log-probability. Aggregates are count/min only —
+    * order-independent, so float summation order can't perturb the
+    * oracle (a sum-of-logs perplexity would be ulp-order-sensitive).
+    * Scale: model = two groupBys over the bigram relation (shuffle ∝
+    * bigram types, not corpus); scoring joins docs' bigrams against
+    * the (broadcastable) model. */
+  val RareP = 0.005
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docBig = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pair = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pair.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = docBig.select(col("w2")).unionAll(docBig.select(col("w1").as("w2")))
+      .agg(countDistinct(col("w2")).as("v"))
+    docBig
+      .join(pair, Seq("w1", "w2")).join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", (col("c12") + 1) / (col("c1") + col("v")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p") < RareP, 1L).otherwise(0L)).as("n_rare"),
+        round(min(log(col("p"))), 6).as("min_lp"))
+      .orderBy("doc_id")
+  }
+
   private def xxSql(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_lm_score", textLmScore, Some(
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           db AS (SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+                  FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                  for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                  WHERE len(toks) >= 2),
+           pair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+           uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1),
+           v AS (SELECT count(DISTINCT w2) AS v
+                 FROM (SELECT w2 FROM db UNION ALL SELECT w1 FROM db)),
+           s AS (SELECT db.doc_id,
+                        (pair.c12 + 1) / (CAST(uni.c1 AS DOUBLE) + v.v) AS p
+                 FROM db JOIN pair ON db.w1 = pair.w1 AND db.w2 = pair.w2
+                 JOIN uni ON db.w1 = uni.w1, v)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(CASE WHEN p < $RareP THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                 round(min(ln(p)), 6) AS min_lp
+          FROM s GROUP BY 1 ORDER BY doc_id""")),
     QueryDef("text_llr", textLlr, Some(
       s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
            p AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2

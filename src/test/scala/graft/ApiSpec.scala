@@ -128,6 +128,22 @@ class ApiSpec extends SparkSpec {
     assert(!res.contains(1L)) // benchmark rows are not candidates
   }
 
+  test("upsertByKey: updates win, unmatched base survives, new keys insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val merged = base.upsertByKey(updates, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged (null-safe)") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None)).toDF("k", "v")
+    val cur = Seq((2L, Some("B")), (3L, None), (4L, Some("d"))).toDF("k", "v")
+    val d = prev.snapshotDiff(cur, "k", Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged", 4L -> "added"))
+  }
+
   test("domainMixSample: quotas follow weights and never exceed domain sizes") {
     val df = (1 to 40).map(i => (i.toLong, if (i <= 30) "big" else "small"))
       .toDF("id", "dom")

@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     assert(alerts == batch)
   }
 
+  test("rate source sustains a watermarked windowed aggregation (load smoke)") {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 5000).load()
+      .withWatermark("timestamp", "10 seconds")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ratewin").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows < 5000 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(rows >= 5000, s"only $rows rows ingested — rate source stalled")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint recovery: restart resumes offsets exactly-once") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.types._
