@@ -96,7 +96,50 @@ object EventStreams {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_ms")
 
+  /** Interval join: per purchase, clicks by the same user in the
+    * preceding 30 minutes (batch mirror of the stream-stream time-bound
+    * join). Equi-join on user_id + range predicate — one shuffle; at
+    * scale the range bound is what lets streaming state be evicted, and
+    * in batch it keeps the per-user join output bounded. */
+  val JoinWindowUs: Long = 30L * 60 * 1000 * 1000
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts_us").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts_us").as("cts"))
+    // range predicate INSIDE the left-join condition: a purchase whose
+    // same-user clicks all fall outside the window must still survive
+    // with n_clicks = 0
+    p.join(c,
+        col("pu") === col("cu") &&
+          col("cts") >= col("pts") - JoinWindowUs && col("cts") <= col("pts"),
+        "left")
+      .groupBy(col("pid"), col("pu"), col("pts"))
+      .agg(count(col("cid")).as("n_clicks"))
+      .select(col("pid").as("event_id"), col("pu").as("user_id"),
+        expr("pts div 1000").as("ts_ms"), col("n_clicks"))
+      .orderBy("event_id")
+  }
+
   // ---- streaming front-ends (spec-driven; same plans over readStream) ----
+
+  /** Stream-stream interval join (same semantics over two readStreams
+    * with watermarks): emits matched (purchase, click) pairs; the time
+    * bound + watermarks let Spark evict join state. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val c = readEvents(spark, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    p.join(c,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("pid"), col("cid"))
+  }
 
   /** Streaming session windows (same plan over readStream). */
   def sessionWindowStream(spark: SparkSession, dir: String): DataFrame =
@@ -204,6 +247,14 @@ object EventStreams {
                  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS region,
                  count(*) AS cnt
           FROM events GROUP BY 1, 2 ORDER BY window_ms, region""")),
+    QueryDef("stream_interval_join", intervalJoinBatch, Some(
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+            p AS (SELECT event_id AS pid, user_id, ts_us AS pts FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS cid, user_id, ts_us AS cts FROM e WHERE event_type = 'click')
+          SELECT p.pid AS event_id, p.user_id, p.pts // 1000 AS ts_ms, count(c.cid) AS n_clicks
+          FROM p LEFT JOIN c ON p.user_id = c.user_id
+            AND c.cts >= p.pts - ${JoinWindowUs} AND c.cts <= p.pts
+          GROUP BY 1, 2, 3 ORDER BY event_id""")),
     QueryDef("stream_session_window", sessionWindowBatch, Some(
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
             l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
     assert(alerts == batch)
   }
 
+  test("stream-stream interval join emits exactly the batch pair set") {
+    runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("pid"), r.getAs[Long]("cid"))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts_us").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts_us").as("cts"))
+    val batch = p.join(c,
+        col("pu") === col("cu") &&
+          col("cts") >= col("pts") - EventStreams.JoinWindowUs && col("cts") <= col("pts"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("rate source sustains a watermarked windowed aggregation (load smoke)") {
     val stream = spark.readStream.format("rate")
       .option("rowsPerSecond", 5000).load()
