@@ -66,4 +66,22 @@ object TextFormats {
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType))))
   }
+
+  /** JSONL (one JSON object per line — the interchange format most
+    * corpus pipelines speak). Explicit schema: schema inference would
+    * cost an extra full pass over 100 TB and can mis-type sparse
+    * fields. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Hive-partitioned parquet: the at-scale table layout. Filters on
+    * the partition column become directory pruning (zero IO for
+    * excluded partitions — `PartitionFilters` in the scan node), and
+    * each partition writes its own files so downstream jobs can process
+    * partitions independently. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

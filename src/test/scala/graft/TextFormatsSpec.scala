@@ -27,6 +27,31 @@ class TextFormatsSpec extends SparkSpec {
     assert(fromText.schema == li.schema)
   }
 
+  test("jsonl round-trips the documents table value-for-value") {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.documents(spark, sf)
+    TextFormats.writeJsonl(docs, s"$tmp/docs")
+    val back = TextFormats.jsonl(spark, s"$tmp/docs", docs.schema)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("partitioned parquet write prunes partitions on read (PartitionFilters)") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    TextFormats.writePartitioned(Tables.documents(spark, sf), s"$tmp/docs", "lang")
+    val back = spark.read.parquet(s"$tmp/docs").filter(col("lang") === "en")
+    // correctness: only the en partition's rows come back
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(back.count() === expected)
+    // scale behavior: the lang predicate is a partition filter on the
+    // scan (directory pruning), not a data filter over all rows
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
   test("text corpus reader assigns stable line ids and feeds wordcount") {
     val tmp = Files.createTempDirectory("graft-corpus").toString
     Files.write(java.nio.file.Paths.get(tmp, "docs.txt"),
