@@ -169,6 +169,43 @@ object Relational2 {
       .orderBy("change_type")
   }
 
+  /** Explicit GROUPING SETS (beyond q10 ROLLUP / q15 CUBE): chosen
+    * subtotal combinations with grouping indicators distinguishing
+    * "NULL because subtotal" from data NULLs. */
+  def q28GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus", "g_status")
+
+  /** Frame-navigation window functions: first/last/nth value over an
+    * explicit full-partition frame (the default frame stops at
+    * CURRENT ROW — spelled out so both engines agree). */
+  def q29FrameNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("priority")).orderBy(col("tp"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice").as("tp"),
+        col("o_orderkey"))
+      .withColumn("lo", first(col("tp")).over(w))
+      .withColumn("hi", last(col("tp")).over(w))
+      .withColumn("second", nth_value(col("tp"), 2).over(w))
+      .groupBy("priority")
+      .agg(round(min(col("lo")), 2).as("min_price"),
+        round(max(col("hi")), 2).as("max_price"),
+        round(min(col("second")), 2).as("second_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("priority")
+  }
+
   private val bucketDimSql: String =
     (0 until NBuckets)
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
@@ -216,6 +253,27 @@ object Relational2 {
                 round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
          FROM lineitem GROUP BY 1 ORDER BY returnflag""")),
+    QueryDef("q28_grouping_sets", q28GroupingSets, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY returnflag, linestatus, g_status""")),
+    QueryDef("q29_frame_nav", q29FrameNav, Some(
+      """WITH f AS (SELECT o_orderpriority AS priority, o_totalprice AS tp,
+                           first_value(o_totalprice) OVER w AS lo,
+                           last_value(o_totalprice) OVER w AS hi,
+                           nth_value(o_totalprice, 2) OVER w AS second
+                    FROM orders
+                    WINDOW w AS (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT priority, round(min(lo), 2) AS min_price, round(max(hi), 2) AS max_price,
+                round(min(second), 2) AS second_price, count(*) AS cnt
+         FROM f GROUP BY 1 ORDER BY priority""")),
     QueryDef("q26_upsert", q26Upsert, Some(
       """WITH delta AS (SELECT o_orderkey, 'X' AS o_orderstatus,
                                o_totalprice + 1000 AS o_totalprice

@@ -136,6 +136,17 @@ class ApiSpec extends SparkSpec {
     assert(merged === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
+  test("upsertByKey is idempotent; snapshotDiff(x, x) is all-unchanged") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val delta = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val once = base.upsertByKey(delta, "k")
+    val twice = once.upsertByKey(delta, "k")
+    assert(once.collect().map(_.toSeq).toSet === twice.collect().map(_.toSeq).toSet)
+    val self = once.snapshotDiff(once, "k", Seq("v"))
+      .select("change_type").distinct().collect().map(_.getString(0)).toSeq
+    assert(self === Seq("unchanged"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged (null-safe)") {
     val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None)).toDF("k", "v")
     val cur = Seq((2L, Some("B")), (3L, None), (4L, Some("d"))).toDF("k", "v")
