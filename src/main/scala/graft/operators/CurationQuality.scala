@@ -113,6 +113,59 @@ object CurationQuality {
       .orderBy("source", "doc_id")
   }
 
+  /** The composed curation pipeline — quality filter → MinHash near-dup
+    * clustering among survivors → keep one per cluster → deterministic
+    * 80/10/10 split — reported as per-split doc/token counts. Each stage
+    * is an already-verified operator; this QueryDef proves they COMPOSE
+    * (the real shape of a production corpus build) and the oracle
+    * replays the full chain in SQL.
+    * Scale: stages are narrow joins on doc_id between the stages'
+    * shuffles; nothing recomputes — survivors flow straight through. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+    val pairs = graft.api.GraftOps.minhashCandidates(qdocs, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = qdocs
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+    Curation.splitHash(kept, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  private val qualityPassSql: String =
+    s"""NOT (CAST(len(toks) AS BIGINT) < $MinToks OR CAST(len(toks) AS BIGINT) > $MaxToks)
+        AND round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) >= $MinDistinctRatio
+        AND round(len(list_filter(toks, t -> t = 'the' OR t = 'a')) / CAST(len(toks) AS DOUBLE), 6) <= $MaxStopRatio
+        AND round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6)
+            BETWEEN $MinMeanLen AND $MaxMeanLen"""
+
+  // lazy: references hashSql, declared after it in the object body
+  private lazy val pipelineOracle: String =
+    s"""WITH qdocs AS MATERIALIZED (
+            SELECT doc_id, text
+            FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+            WHERE $qualityPassSql
+          ),
+          ${Dedup.minhashPairCtesFrom("qdocs")},
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
+          kept AS (SELECT d.doc_id, d.text FROM qdocs d
+                   LEFT JOIN l${Dedup.ClusterIters} l ON d.doc_id = l.v
+                   WHERE d.doc_id = coalesce(l.comp, d.doc_id))
+        SELECT CASE WHEN $hashSql % 100 < 80 THEN 'train'
+                    WHEN $hashSql % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY 1 ORDER BY split"""
+
   private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
   private val shingleSql =
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
@@ -160,6 +213,7 @@ object CurationQuality {
                      '$DigitRunRe', '<ID>', 'g'),
                      '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
           FROM documents ORDER BY doc_id""")),
+    QueryDef("cur_pipeline", pipeline, Some(pipelineOracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
            counts AS (SELECT source, count(*) AS n,

@@ -27,11 +27,13 @@ object Dedup {
   val JaccardThreshold = 0.5
   val HammingMax = 3
 
-  private val shingleSql =
-    """SELECT DISTINCT doc_id, u.sh AS sh
-       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** 3-gram shingle relation over any docs relation (doc_id, text). */
+  def shingleSqlFrom(rel: String): String =
+    s"""SELECT DISTINCT doc_id, u.sh AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                     for i in generate_series(1, len(toks) - 2)]) AS u(sh)"""
+  private val shingleSql = shingleSqlFrom("documents")
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -113,16 +115,18 @@ object Dedup {
   /** Shared CTE chain ending in `pairs` (a < b candidate pairs) —
     * reused by the pair oracle and the cluster oracle. sigs/pairs are
     * MATERIALIZED: both are referenced more than once downstream. */
-  // lazy: referenced by clusterOracle, which is declared earlier in the
-  // object body (a strict val here would still be null at that point)
-  private lazy val minhashPairCtes: String = {
+  /** CTE chain ending in `pairs` (a < b candidate pairs) over any docs
+    * relation — reused by the pair oracle, the cluster oracle, and the
+    * composed pipeline oracle. sigs/pairs are MATERIALIZED: both are
+    * referenced more than once downstream. */
+  def minhashPairCtesFrom(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(i => s"${minhashSql("h", i)} AS mh$i").mkString(",\n                 ")
     val bandSelects = (0 until Bands).map { j =>
       val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $j AS bj, concat_ws('_', $parts) AS bv FROM sigs"
     }.mkString("\n                 UNION ALL ")
-    s"""sh AS ($shingleSql),
+    s"""sh AS (${shingleSqlFrom(rel)}),
           hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
           sigs AS MATERIALIZED (SELECT doc_id,
                  $mins
@@ -132,6 +136,9 @@ object Dedup {
                     FROM cand ca JOIN cand cb ON ca.bj = cb.bj AND ca.bv = cb.bv
                     WHERE ca.doc_id < cb.doc_id)"""
   }
+  // lazy: referenced by clusterOracle, which is declared earlier in the
+  // object body (a strict val here would still be null at that point)
+  private lazy val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
   private val minhashOracle: String = {
     val matchSum = (0 until NumHashes)
