@@ -139,9 +139,89 @@ object Classify {
       .orderBy("doc_id")
   }
 
+  /** Multinomial Naive Bayes with add-one smoothing — the classical
+    * counting classifier, and (unlike sequential SGD) fully expressible
+    * as relational aggregation, so train AND apply verify exactly
+    * against the DuckDB oracle. Same synthetic labels as the SGD tier.
+    * Scale: training is one groupBy over token occurrences (map-side
+    * partial counts; shuffle ∝ vocabulary); scoring joins the broadcast
+    * model onto exploded tokens — no serial bottleneck anywhere, the
+    * shape sequential SGD can't achieve. */
+  def nbModel(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 3 === 0).as("is_spam"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = tok.groupBy("t").agg(
+      sum(when(col("is_spam"), 1L).otherwise(0L)).as("cs"),
+      sum(when(!col("is_spam"), 1L).otherwise(0L)).as("ch"))
+    val tot = counts.agg(sum(col("cs")).as("ns"), sum(col("ch")).as("nh"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("t"),
+        round(log((col("cs") + 1) / (col("ns") + col("v"))), 6).as("ll_spam"),
+        round(log((col("ch") + 1) / (col("nh") + col("v"))), 6).as("ll_ham"))
+  }
+
+  def nbTrain(spark: SparkSession, dir: String): DataFrame =
+    nbModel(spark, dir).orderBy("t")
+
+  /** Score every doc with the trained model: per-token log-likelihoods
+    * (the ROUNDED model values, so both engines sum identical numbers)
+    * plus class log-priors; argmax prediction. */
+  def nbApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 3 === 0).as("is_spam"))
+    val priors = docs.agg(
+      log(sum(when(col("is_spam"), 1L).otherwise(0L)) / count(lit(1))).as("lp_spam"),
+      log(sum(when(!col("is_spam"), 1L).otherwise(0L)) / count(lit(1))).as("lp_ham"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    tok.join(broadcast(nbModel(spark, dir)), "t")
+      .groupBy("doc_id")
+      .agg(sum(col("ll_spam")).as("ss"), sum(col("ll_ham")).as("sh"))
+      .crossJoin(broadcast(priors))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("is_spam"),
+        (col("ss") + col("lp_spam") > col("sh") + col("lp_ham")).as("predicted"))
+      .withColumn("correct", col("predicted") === col("is_spam"))
+      .orderBy("doc_id")
+  }
+
+  private val nbModelSql: String =
+    """tok AS (SELECT doc_id, doc_id % 3 = 0 AS is_spam, u.t AS t
+              FROM documents, unnest(string_split(text, ' ')) AS u(t)
+              WHERE u.t <> ''),
+       counts AS MATERIALIZED (SELECT t,
+                 count(*) FILTER (is_spam) AS cs,
+                 count(*) FILTER (NOT is_spam) AS ch
+                 FROM tok GROUP BY 1),
+       tot AS (SELECT sum(cs) AS ns, sum(ch) AS nh, count(*) AS v FROM counts),
+       model AS MATERIALIZED (SELECT t,
+                round(ln((cs + 1) / (CAST(ns AS DOUBLE) + v)), 6) AS ll_spam,
+                round(ln((ch + 1) / (CAST(nh AS DOUBLE) + v)), 6) AS ll_ham
+                FROM counts, tot)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spam_train", train, None),
     QueryDef("spam_apply", apply_, None),
     QueryDef("spam_ensemble", ensemble, None),
+    QueryDef("spam_nb_train", nbTrain, Some(
+      s"""WITH $nbModelSql
+          SELECT t, ll_spam, ll_ham FROM model ORDER BY t""")),
+    QueryDef("spam_nb_apply", nbApply, Some(
+      s"""WITH $nbModelSql,
+           docs AS (SELECT doc_id, doc_id % 3 = 0 AS is_spam FROM documents),
+           priors AS (SELECT ln(count(*) FILTER (is_spam) / CAST(count(*) AS DOUBLE)) AS lp_spam,
+                             ln(count(*) FILTER (NOT is_spam) / CAST(count(*) AS DOUBLE)) AS lp_ham
+                      FROM docs),
+           scores AS (SELECT tok.doc_id, sum(m.ll_spam) AS ss, sum(m.ll_ham) AS sh
+                      FROM tok JOIN model m ON tok.t = m.t GROUP BY 1)
+          SELECT d.doc_id, d.is_spam,
+                 (s.ss + p.lp_spam > s.sh + p.lp_ham) AS predicted,
+                 (s.ss + p.lp_spam > s.sh + p.lp_ham) = d.is_spam AS correct
+          FROM scores s JOIN docs d ON s.doc_id = d.doc_id, priors p
+          ORDER BY d.doc_id""")),
   )
 }
