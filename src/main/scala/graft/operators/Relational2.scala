@@ -206,6 +206,21 @@ object Relational2 {
       .orderBy("priority")
   }
 
+  /** RANGE window frame: per-day revenue plus the revenue of the
+    * trailing 7-day VALUE range (not 7 rows — days with no shipments
+    * leave real gaps that ROWS frames would silently bridge). */
+  def q30RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .withColumn("day_no", datediff(col("d"), lit("1995-01-01")).cast("long"))
+    val w = Window.orderBy(col("day_no")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7d", round(sum(col("revenue")).over(w), 2))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("revenue"), col("rev7d"))
+      .orderBy("day")
+  }
+
   private val bucketDimSql: String =
     (0 until NBuckets)
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
@@ -274,6 +289,15 @@ object Relational2 {
          SELECT priority, round(min(lo), 2) AS min_price, round(max(hi), 2) AS max_price,
                 round(min(second), 2) AS second_price, count(*) AS cnt
          FROM f GROUP BY 1 ORDER BY priority""")),
+    QueryDef("q30_range_frame", q30RangeFrame, Some(
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                               round(sum(l_extendedprice), 2) AS revenue
+                        FROM lineitem GROUP BY 1),
+           n AS (SELECT *, CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS day_no FROM daily)
+         SELECT strftime(d, '%Y-%m-%d') AS day, revenue,
+                round(sum(revenue) OVER (ORDER BY day_no
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7d
+         FROM n ORDER BY day""")),
     QueryDef("q26_upsert", q26Upsert, Some(
       """WITH delta AS (SELECT o_orderkey, 'X' AS o_orderstatus,
                                o_totalprice + 1000 AS o_totalprice

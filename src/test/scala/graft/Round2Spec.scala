@@ -82,6 +82,19 @@ class Round2Spec extends SparkSpec {
     assert(byCluster.filter(col("keepers") =!= 1 || col("mn") =!= col("cluster")).count() === 0L)
   }
 
+  test("spam_nb: model covers the vocabulary; accuracy tracks the class prior") {
+    val model = Classify.nbTrain(spark, sf).cache()
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    assert(model.count() === vocab)
+    // labels are independent of text → NB can do no better than priors;
+    // it must at least not collapse below chance
+    val applied = Classify.nbApply(spark, sf)
+    val acc = applied.filter(col("correct")).count().toDouble / applied.count()
+    assert(acc >= 0.5 && acc <= 0.9, s"accuracy $acc outside sane band")
+  }
+
   test("cur_quality_filter: keep <=> empty reasons; every rule fires somewhere") {
     val qf = CurationQuality.qualityFilter(spark, sf).cache()
     assert(qf.filter(col("keep") =!= (col("reasons") === "")).count() === 0L)
