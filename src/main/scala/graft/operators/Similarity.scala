@@ -111,7 +111,34 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥ Radius
+    * of each query — the fixed-threshold complement of top-k (recall
+    * jobs want "all sufficiently-similar", not "best k"). Same broadcast
+    * query-side scan shape as top-k; the per-query WINDOW disappears,
+    * so this is a pure map-side filter over the corpus — at 100 TB it
+    * runs at scan speed with zero shuffle before the final collect. */
+  val Radius = 0.25
+  def cosineRadius(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(expr("cosine_sim(qv, v)"), 6))
+      .filter(col("cos") >= Radius)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("qid", "neighbor")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_radius", cosineRadius, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+            c AS (SELECT q.qid, e.vec_id AS neighbor,
+                         round(list_dot_product(q.qv, e.v) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+                  FROM q, e WHERE e.vec_id <> q.qid)
+          SELECT qid, neighbor, cos FROM c WHERE cos >= $Radius
+          ORDER BY qid, neighbor""")),
     QueryDef("sim_cosine_topk", cosineTopk, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
