@@ -29,7 +29,10 @@ object Bench {
     // before their consumers and each timing reflects its real compute
     // (alphabetical put spam_apply before spam_train, crediting training
     // to the wrong query)
+    // optional args: query-name filter (local iteration aid; the driver
+    // passes none and benches the full inventory)
     val names = SparkEntry.all.map(q => q.name -> q.fn)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     def pass(): Map[String, Double] = {
       operators.Graph.reset(); operators.Classify.reset()
       names.map { case (name, fn) => name -> time(fn) }.toMap
