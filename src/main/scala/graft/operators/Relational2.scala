@@ -221,6 +221,27 @@ object Relational2 {
       .orderBy("day")
   }
 
+  /** Time-series gap filling: a generated day spine left-joined to the
+    * daily aggregate so empty days materialize as zero rows (resample
+    * semantics). The spine derives from the data's own min/max — a
+    * 1-row agg exploded in-row, no driver round-trip. */
+  val GapFillDiscount = 0.09 // selective slice → real empty days to fill
+  def q31GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > GapFillDiscount)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val spine = Tables.lineitem(spark, dir)
+      .agg(min(to_date(col("l_shipdate"))).as("lo"), max(to_date(col("l_shipdate"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        col("n_items").isNull.as("gap"))
+      .orderBy("day")
+  }
+
   private val bucketDimSql: String =
     (0 until NBuckets)
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
@@ -289,6 +310,19 @@ object Relational2 {
          SELECT priority, round(min(lo), 2) AS min_price, round(max(hi), 2) AS max_price,
                 round(min(second), 2) AS second_price, count(*) AS cnt
          FROM f GROUP BY 1 ORDER BY priority""")),
+    QueryDef("q31_gap_fill", q31GapFill, Some(
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_items,
+                               round(sum(l_extendedprice), 2) AS revenue
+                        FROM lineitem WHERE l_discount > 0.09 GROUP BY 1),
+           bounds AS (SELECT min(CAST(l_shipdate AS DATE)) AS lo,
+                             max(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
+           spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds)
+         SELECT strftime(s.d, '%Y-%m-%d') AS day,
+                coalesce(dd.n_items, 0) AS n_items,
+                coalesce(dd.revenue, 0.0) AS revenue,
+                dd.n_items IS NULL AS gap
+         FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+         ORDER BY day""")),
     QueryDef("q30_range_frame", q30RangeFrame, Some(
       """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
                                round(sum(l_extendedprice), 2) AS revenue
