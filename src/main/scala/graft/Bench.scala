@@ -35,6 +35,10 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     def pass(): Map[String, Double] = {
       operators.Graph.reset(); operators.Classify.reset()
+      // also drop CacheManager state: cache()d fragments are keyed by
+      // canonicalized plan, so pass 2's identical plans would silently
+      // reuse pass 1's materialized data and under-report their cost
+      spark.catalog.clearCache()
       names.map { case (name, fn) => name -> time(fn) }.toMap
     }
     val (p1, p2) = (pass(), pass())

@@ -229,7 +229,10 @@ object GraftOps {
   }
 
   /** BM25 ranked retrieval of a term query over any (id, text) corpus.
-    * Corpus stats (N, avgdl) are scalar broadcasts, never collected. */
+    * Corpus stats (N, avgdl) and the per-TERM df table are scalar/tiny
+    * broadcasts; the per-DOCUMENT length table scales with the corpus,
+    * so that join carries no hint — AQE broadcasts it while it fits and
+    * degrades to a shuffle join on the id beyond that. */
   def bm25Rank(df: DataFrame, id: String, text: String, terms: Seq[String],
                k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = df.select(col(id), split(col(text), " ").as("__toks"))
@@ -240,7 +243,7 @@ object GraftOps {
       .groupBy(id, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
-      .join(broadcast(docs), id)
+      .join(docs, id)
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("contrib",
@@ -267,10 +270,14 @@ object GraftOps {
       .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("comp", col("v"))
+    // NO broadcast hints on the |V|-sized label tables: a hint bypasses
+    // the size threshold and would OOM on billion-vertex graphs. AQE
+    // broadcasts them at runtime while they fit and keeps the
+    // co-partitioned shuffle join beyond that.
     for (i <- 1 to iters) {
-      val nbrMin = edges.join(broadcast(labels), edges("src") === labels("v"))
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
         .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
-      labels = labels.join(broadcast(nbrMin), Seq("v"), "left")
+      labels = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
       if (i % 3 == 0) labels = labels.localCheckpoint()
     }
@@ -284,7 +291,10 @@ object GraftOps {
     * oriented edge set — wedge intermediates are never shuffled. Node
     * ids must fit below 2^33 for the packed (degree, id) order key. */
   def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
-    val und = und0.select(col(u).as("a"), col(v).as("b")).cache()
+    // localCheckpoint, not cache(): cache() survives in the CacheManager
+    // keyed by canonicalized plan, so a later identical invocation (e.g.
+    // a second bench pass) silently reuses it
+    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     def ord(dc: Column, idc: Column): Column = dc * lit(1L << 33) + idc
@@ -322,12 +332,20 @@ object GraftOps {
       explode(array_distinct(graft.functions.TextFns.shingles("toks", w))).as("sh"))
     val benchSh = sh.filter(col("__bench")).select("sh").distinct()
     val cand = sh.filter(!col("__bench"))
-    val tot = cand.groupBy(id).agg(count(lit(1)).as("n_shingles"))
+    val shCounts = cand.groupBy(id).agg(count(lit(1)).as("n_shingles"))
     val hits = cand.join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy(id).agg(count(lit(1)).as("n_hits"))
-    tot.join(hits, Seq(id), "left")
+    // anchor on ALL candidate docs: one shorter than w tokens has no
+    // shingles, but absence from the report would be indistinguishable
+    // from the doc not existing — it must appear with n_shingles = 0
+    base.filter(!col("__bench")).select(col(id))
+      .join(shCounts, Seq(id), "left")
+      .join(hits, Seq(id), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("ratio", round(col("n_hits") / col("n_shingles"), 6))
+      .withColumn("ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hits") / col("n_shingles"), 6)))
       .select(col(id), col("n_shingles"), col("n_hits"), col("ratio"),
         (col("ratio") >= threshold).as("flagged"))
   }
@@ -351,14 +369,26 @@ object GraftOps {
       .select(col(domain), col(id))
   }
 
-  /** Upsert (merge, latest-wins): rows of `updates` replace base rows
-    * with the same key; unmatched base rows survive, new keys insert.
-    * Anti-join + union — no global window, both sides shuffle once on
-    * the key (and zero times if base/updates are bucketed on it). This
-    * is the batch MERGE INTO primitive for incremental 100 TB tables. */
-  def upsertByKey(base: DataFrame, updates: DataFrame, key: String): DataFrame =
-    updates.unionByName(
-      base.join(updates.select(col(key)), Seq(key), "left_anti"))
+  /** Upsert (merge): rows of `updates` replace base rows with the same
+    * key; unmatched base rows survive, new keys insert. `updates` must
+    * be key-unique — pass `versionCol` to resolve duplicate keys
+    * latest-wins (max version, deterministic) before merging.
+    * Anti-join + union — no global window over the base, both sides
+    * shuffle once on the key (and zero times if base/updates are
+    * bucketed on it). This is the batch MERGE INTO primitive for
+    * incremental 100 TB tables. */
+  def upsertByKey(base: DataFrame, updates: DataFrame, key: String,
+                  versionCol: Option[String] = None): DataFrame = {
+    val latest = versionCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(col(key)).orderBy(col(v).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => updates
+    }
+    latest.unionByName(
+      base.join(latest.select(col(key)), Seq(key), "left_anti"))
+  }
 
   /** Snapshot diff (the SCD change-detection primitive): full outer
     * join of two keyed snapshots, each key classified added / removed /

@@ -34,8 +34,8 @@ object Curation {
   def splitHash(df: DataFrame, key: String): DataFrame =
     df.withColumn("bucket", TextFns.hash32(col(key).cast("string")) % 100)
       .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
           .otherwise("test"))
       .drop("bucket")
 
@@ -62,15 +62,20 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
-  private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+  // split thresholds + the DuckDB mirror of TextFns.hash32 — public:
+  // composed oracles (cur_pipeline) must reference the SAME definitions
+  // or a retune here silently breaks their parity
+  val TrainUpper = 80L
+  val ValUpper = 90L
+  val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_sample_hash", sampleDocs, Some(
       s"""SELECT doc_id, n_chars FROM documents
           WHERE $hashSql % 100 < $SamplePct ORDER BY doc_id""")),
     QueryDef("cur_split_hash", splitDocs, Some(
-      s"""SELECT CASE WHEN $hashSql % 100 < 80 THEN 'train'
-                      WHEN $hashSql % 100 < 90 THEN 'val'
+      s"""SELECT CASE WHEN $hashSql % 100 < $TrainUpper THEN 'train'
+                      WHEN $hashSql % 100 < $ValUpper THEN 'val'
                       ELSE 'test' END AS split, count(*) AS n_docs
           FROM documents GROUP BY 1 ORDER BY split""")),
     QueryDef("cur_pack_sequences", packSequences, Some(

@@ -159,14 +159,15 @@ object CurationQuality {
           kept AS (SELECT d.doc_id, d.text FROM qdocs d
                    LEFT JOIN l${Dedup.ClusterIters} l ON d.doc_id = l.v
                    WHERE d.doc_id = coalesce(l.comp, d.doc_id))
-        SELECT CASE WHEN $hashSql % 100 < 80 THEN 'train'
-                    WHEN $hashSql % 100 < 90 THEN 'val'
+        SELECT CASE WHEN $hashSql % 100 < ${Curation.TrainUpper} THEN 'train'
+                    WHEN $hashSql % 100 < ${Curation.ValUpper} THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM kept GROUP BY 1 ORDER BY split"""
 
-  private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+  // single source of truth for the doc_id hash mirror (parity-critical)
+  private def hashSql = Curation.hashSql
   private val shingleSql =
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
       "for i in generate_series(1, len(toks) - 2)])"
@@ -197,12 +198,18 @@ object CurationQuality {
            bench AS (SELECT DISTINCT sh FROM sh WHERE is_bench),
            tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh WHERE NOT is_bench GROUP BY 1),
            hit AS (SELECT s.doc_id, count(*) AS n_hits
-                   FROM sh s JOIN bench USING (sh) WHERE NOT s.is_bench GROUP BY 1)
-          SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
-                 round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS ratio,
-                 round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) >= $ContamThreshold AS flagged
-          FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
-          ORDER BY t.doc_id""")),
+                   FROM sh s JOIN bench USING (sh) WHERE NOT s.is_bench GROUP BY 1),
+           cand AS (SELECT doc_id FROM b WHERE NOT is_bench)
+          SELECT c.doc_id, coalesce(t.n_shingles, 0) AS n_shingles,
+                 coalesce(h.n_hits, 0) AS n_hits,
+                 CASE WHEN coalesce(t.n_shingles, 0) = 0 THEN 0.0
+                      ELSE round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) END AS ratio,
+                 CASE WHEN coalesce(t.n_shingles, 0) = 0 THEN 0.0
+                      ELSE round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) END
+                   >= $ContamThreshold AS flagged
+          FROM cand c LEFT JOIN tot t ON c.doc_id = t.doc_id
+                      LEFT JOIN hit h ON c.doc_id = h.doc_id
+          ORDER BY c.doc_id""")),
     QueryDef("cur_pii", piiScan, Some(
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,

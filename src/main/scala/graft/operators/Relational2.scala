@@ -311,9 +311,9 @@ object Relational2 {
                 round(min(second), 2) AS second_price, count(*) AS cnt
          FROM f GROUP BY 1 ORDER BY priority""")),
     QueryDef("q31_gap_fill", q31GapFill, Some(
-      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_items,
+      s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_items,
                                round(sum(l_extendedprice), 2) AS revenue
-                        FROM lineitem WHERE l_discount > 0.09 GROUP BY 1),
+                        FROM lineitem WHERE l_discount > $GapFillDiscount GROUP BY 1),
            bounds AS (SELECT min(CAST(l_shipdate AS DATE)) AS lo,
                              max(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
            spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds)

@@ -119,13 +119,17 @@ class ApiSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // benchmark
       (2L, "alpha beta gamma delta unrelated tail here"), // copies a prefix
-      (3L, "totally fresh words nothing shared at all")
+      (3L, "totally fresh words nothing shared at all"),
+      (4L, "too short") // < w tokens: zero shingles, must still report
     ).toDF("id", "body")
-    val res = docs.contaminationScan("id", "body", isBench = col("id") === 1L,
+    val rows = docs.contaminationScan("id", "body", isBench = col("id") === 1L,
         w = 3, threshold = 0.1).collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("flagged")).toMap
+    val res = rows.map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("flagged")).toMap
     assert(res(2L) && !res(3L))
     assert(!res.contains(1L)) // benchmark rows are not candidates
+    // short doc appears with an explicit zero-shingle row, not silence
+    val short = rows.find(_.getAs[Long]("id") == 4L).get
+    assert(short.getAs[Long]("n_shingles") === 0L && !short.getAs[Boolean]("flagged"))
   }
 
   test("upsertByKey: updates win, unmatched base survives, new keys insert") {

@@ -61,10 +61,21 @@ class Round2Spec extends SparkSpec {
     assert(counts.filter(col("count") > 5).count() === 0L)
   }
 
-  test("text_bm25: scores positive, shorter doc scores higher at equal tf") {
+  test("text_bm25: scores positive; shorter doc outranks longer at equal tf") {
     val res = TextRank.textBm25(spark, sf).collect()
     assert(res.nonEmpty)
     assert(res.forall(_.getDouble(res.head.fieldIndex("bm25")) > 0.0))
+    // length normalization direction: same single query-term occurrence,
+    // different doc lengths → the shorter doc must score strictly higher
+    import SparkSpec.spark.implicits._
+    val toy = Seq(
+      (1L, "needle plus just a few other words"),
+      (2L, "needle " + Seq.fill(60)("filler").mkString(" "))
+    ).toDF("id", "body")
+    val scores = graft.api.GraftOps.bm25Rank(toy, "id", "body", Seq("needle"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    assert(scores(1L) > scores(2L),
+      s"shorter doc must outrank longer at equal tf: $scores")
   }
 
   test("dedup_cluster: paired docs share a cluster; keeper is the cluster min") {
