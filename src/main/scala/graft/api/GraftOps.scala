@@ -460,8 +460,9 @@ object GraftOps {
         GraftOps.contaminationScan(df, id, text, isBench, w, threshold)
       def domainMixSample(id: String, domain: String, weight: Column): DataFrame =
         GraftOps.domainMixSample(df, id, domain, weight)
-      def upsertByKey(updates: DataFrame, key: String): DataFrame =
-        GraftOps.upsertByKey(df, updates, key)
+      def upsertByKey(updates: DataFrame, key: String,
+                      versionCol: Option[String] = None): DataFrame =
+        GraftOps.upsertByKey(df, updates, key, versionCol)
       def snapshotDiff(cur: DataFrame, key: String, compareCols: Seq[String]): DataFrame =
         GraftOps.snapshotDiff(df, cur, key, compareCols)
     }

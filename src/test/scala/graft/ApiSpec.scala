@@ -140,6 +140,15 @@ class ApiSpec extends SparkSpec {
     assert(merged === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
+  test("upsertByKey with versionCol resolves duplicate-key deltas latest-wins") {
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
+    val dupDelta = Seq((1L, "old", 5L), (1L, "new", 9L), (2L, "x", 1L))
+      .toDF("k", "v", "ver")
+    val merged = base.upsertByKey(dupDelta, "k", versionCol = Some("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "new", 2L -> "x")) // one row per key, max version
+  }
+
   test("upsertByKey is idempotent; snapshotDiff(x, x) is all-unchanged") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val delta = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
