@@ -47,7 +47,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // console capture can truncate long lines mid-JSON; the file copy is
+    // the durable artifact
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -173,15 +173,41 @@ object GraftOps {
   }
 
   /** Data-profiling: per-column null count, distinct count, min/max
-    * (stringified for type uniformity) in ONE aggregation pass over the
-    * table + an in-row `stack` unpivot — schema-driven, works on any
-    * DataFrame, the standard first look at an unfamiliar 100 TB table. */
+    * (stringified for type uniformity) — schema-driven, works on any
+    * DataFrame, the standard first look at an unfamiliar 100 TB table.
+    *
+    * One single-distinct aggregation pass PER COLUMN, unioned. Packing
+    * every countDistinct into one agg would trigger Spark's
+    * multi-distinct `Expand` (×2·ncols row blowup over the full table);
+    * per-column passes each read exactly one column (columnar pruning
+    * keeps total I/O the same as one full-width scan) and run as plain
+    * two-stage hash aggregations with map-side partials. For quick
+    * looks where ±2% is fine, `profileApprox` does it in one pass. */
   def profile(df: DataFrame): DataFrame = {
+    val passes = df.schema.fields.map { sf =>
+      val f = sf.name
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(f).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(f)).as("n_distinct"),
+          min(col(f)).cast("string").as("min_val"),
+          max(col(f)).cast("string").as("max_val"))
+        .select(lit(f).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }
+    passes.reduce(_ unionAll _)
+  }
+
+  /** Single-pass profile with HLL++ `approx_count_distinct` (default
+    * rsd 2.3%) for n_distinct — no Expand, no per-column passes: ONE
+    * full scan of the table total. The at-scale default when distinct
+    * counts only need to be ballpark. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.023): DataFrame = {
     val fields = df.schema.fields.map(_.name)
     val aggs = fields.flatMap { f =>
       Seq(
         sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"${f}__nulls"),
-        countDistinct(col(f)).as(s"${f}__distinct"),
+        approx_count_distinct(col(f), rsd).as(s"${f}__distinct"),
         min(col(f)).cast("string").as(s"${f}__min"),
         max(col(f)).cast("string").as(s"${f}__max"))
     } :+ count(lit(1)).as("__n")
@@ -286,10 +312,16 @@ object GraftOps {
 
   /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
     * via degree-ordered orientation: wedges fan out from each edge's
-    * lower-(degree, id) endpoint (bounded ~√|E|), and both the wedge
-    * build and the closing-edge semi-join run against the broadcast
-    * oriented edge set — wedge intermediates are never shuffled. Node
-    * ids must fit below 2^33 for the packed (degree, id) order key. */
+    * lower-(degree, id) endpoint (bounded ~√|E|). The (degree, id)
+    * order key is compared as a STRUCT (lexicographic), so neither
+    * degree nor id is range-limited — no packed-long overflow.
+    *
+    * NO broadcast hints: the oriented edge set scales with the data, so
+    * a forced broadcast dies long before 100 TB. AQE broadcasts it at
+    * runtime while it fits; beyond that the wedge build and closing
+    * semi-join run as shuffle joins partitioned on src/(u,w), where only
+    * |E|-sized tables move — the wedge intermediates themselves are
+    * never shuffled (they flow straight into the partial count). */
   def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
     // localCheckpoint, not cache(): cache() survives in the CacheManager
     // keyed by canonicalized plan, so a later identical invocation (e.g.
@@ -297,22 +329,24 @@ object GraftOps {
     val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    def ord(dc: Column, idc: Column): Column = dc * lit(1L << 33) + idc
+    // identical field names on both sides: CASE branches must agree on
+    // the struct type, and the comparison is lexicographic (degree, id)
+    val ordA = struct(col("da").as("d"), col("a").as("i"))
+    val ordB = struct(col("db").as("d"), col("b").as("i"))
     val or = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
-        when(ord(col("da"), col("a")) < ord(col("db"), col("b")), ord(col("db"), col("b")))
-          .otherwise(ord(col("da"), col("a"))).as("odst"))
+        when(ordA < ordB, col("a")).otherwise(col("b")).as("src"),
+        when(ordA < ordB, col("b")).otherwise(col("a")).as("dst"),
+        when(ordA < ordB, ordB).otherwise(ordA).as("odst"))
       .localCheckpoint() // consumed 3x (both wedge sides + closing edges)
     val wedges = or.as("e1")
-      .join(broadcast(or).as("e2"),
+      .join(or.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
       .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
     wedges
-      .join(broadcast(or.select(col("src").as("u"), col("dst").as("w"))), Seq("u", "w"), "left_semi")
+      .join(or.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .select(col("n_triangles"), col("n_edges"))
@@ -381,7 +415,13 @@ object GraftOps {
                   versionCol: Option[String] = None): DataFrame = {
     val latest = versionCol match {
       case Some(v) =>
-        val w = Window.partitionBy(col(key)).orderBy(col(v).desc)
+        // secondary sort on a content hash of the full row: ties on
+        // (key, version) still resolve to ONE deterministic row (hash-
+        // identical duplicates are interchangeable, so any pick is the
+        // same row). Callers with a unique (key, version) pay one
+        // cheap extra sort key.
+        val w = Window.partitionBy(col(key))
+          .orderBy(col(v).desc, xxhash64(updates.columns.map(col): _*))
         updates.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None => updates

@@ -47,13 +47,15 @@ object Graph {
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cache the deduped pair set once; both edge directions derive from
-    // it as narrow maps (an explicit repartition(src) would add a full
-    // shuffle that AQE's runtime planning makes unnecessary here)
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct().cache()
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
     val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
+    // repartition on src BEFORE caching: the cached scan then reports
+    // hash-partitioning on src, so every iteration's edge⋈rank join
+    // reuses the layout and shuffles ONLY the |V|-sized rank table —
+    // the |E| edge shuffle is paid exactly once, here
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
 
     val srcDf = Sources.toDF("v")
@@ -68,19 +70,21 @@ object Graph {
       .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0"))
       .cache()
     var ranks = base.select(col("v"), col("jump0").as("r"))
-    // rank-with-degree is |V|-sized; broadcasting it turns the per-
-    // iteration edge join into a map-side pass over the cached edge
-    // partitions (one shuffle per iteration: the contrib groupBy).
-    // NOTE at |V| beyond broadcast size, drop the hints and AQE picks a
-    // shuffle join on the co-partitioned (src) layout instead.
+    // NO broadcast hints on the |V|-sized rank/contrib tables: a hint
+    // bypasses Spark's size threshold and would force a billion-vertex
+    // rank table into driver/executor memory at 100× scale. AQE
+    // broadcasts them at runtime while they fit and keeps the
+    // co-partitioned shuffle join beyond that (one |V| shuffle per
+    // iteration either way — PageRankSpec asserts the iteration stays
+    // correct with autoBroadcastJoinThreshold = -1).
     for (_ <- 1 to Iters) {
       val rd = ranks.join(deg, ranks("v") === deg("src"))
         .select(col("v").as("rv"), (col("r") / col("d")).as("rd"))
-      val contrib = edges.join(broadcast(rd), edges("src") === col("rv"))
+      val contrib = edges.join(rd, edges("src") === col("rv"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("rd")).as("c"))
       ranks = base
-        .join(broadcast(contrib), Seq("v"), "left")
+        .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(1 - Alpha) * coalesce(col("c"), lit(0.0)) +
            lit(Alpha) * col("jump0")).as("r"))
@@ -181,12 +185,12 @@ object Graph {
     * skew can't explode the wedge count); the count is orientation-
     * invariant, so the oracle keeps the simple id-ordered SQL.
     *
-    * The wedge build AND the closing-edge semi-join run against the
-    * BROADCAST oriented edge set — the ~40M intermediate wedges flow
-    * through map-side hash joins and partial count without ever being
-    * shuffled. At edge sets beyond broadcast size, drop the hints: the
-    * same plan runs as shuffle joins partitioned on src/(u,w), and only
-    * |E|-sized tables move, never the wedges. */
+    * The wedge build and the closing-edge semi-join carry NO broadcast
+    * hints: AQE broadcasts the oriented edge set at runtime while it
+    * fits (the intermediate wedges then flow through map-side hash
+    * joins + partial count without being shuffled), and beyond
+    * broadcast size the same plan runs as shuffle joins partitioned on
+    * src/(u,w) where only |E|-sized tables move — never the wedges. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()

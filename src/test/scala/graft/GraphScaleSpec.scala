@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** The graph iterations must not DEPEND on broadcast joins: at 100×
+  * scale the |V|-sized rank table and the |E|-sized oriented edge set
+  * exceed any broadcast threshold, so the same plans have to produce
+  * identical results as pure shuffle joins. These tests disable
+  * broadcasting entirely (autoBroadcastJoinThreshold = -1 also disables
+  * AQE's runtime broadcast fallback) and compare against the
+  * default-conf results. */
+class GraphScaleSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def withBroadcastDisabled[A](body: => A): A = {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("pagerank iteration is broadcast-independent (shuffle-join path identical)") {
+    Graph.reset()
+    val default = rows(Graph.pagerank(spark, sf))
+    Graph.reset()
+    val noBcast = withBroadcastDisabled { rows(Graph.pagerank(spark, sf)) }
+    Graph.reset()
+    assert(default.nonEmpty && default == noBcast)
+  }
+
+  test("triangle count is broadcast-independent") {
+    val default = rows(Graph.graphTriangles(spark, sf))
+    val noBcast = withBroadcastDisabled { rows(Graph.graphTriangles(spark, sf)) }
+    assert(default == noBcast)
+  }
+
+  test("connected components are broadcast-independent") {
+    val default = rows(Graph.graphComponents(spark, sf))
+    val noBcast = withBroadcastDisabled { rows(Graph.graphComponents(spark, sf)) }
+    assert(default.nonEmpty && default == noBcast)
+  }
+
+  test("pagerank plan carries no forced broadcast hint") {
+    // a ResolvedHint in the analyzed plan = a hard-coded broadcast() call
+    // that would bypass the size threshold at any scale
+    Graph.reset()
+    val analyzed = Graph.pagerank(spark, sf).queryExecution.analyzed.toString
+    Graph.reset()
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("ResolvedHint"),
+      s"forced hint in pagerank plan:\n${analyzed.take(1500)}")
+  }
+
+  test("triangleCount order key survives ids and degrees beyond 2^33") {
+    // the old packed-long key (degree * 2^33 + id) overflowed here; the
+    // struct comparison has no range limit
+    val big = 1L << 40
+    val tri = Seq((big, big + 1), (big, big + 2), (big + 1, big + 2),
+      (big + 2, big + 3)).toDF("a", "b")
+    val r = graft.api.GraftOps.triangleCount(tri, "a", "b").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+  }
+
+  test("versioned upsert resolves duplicate (key, version) rows deterministically") {
+    val base = Seq((1L, 10L, "old")).toDF("k", "ver", "val")
+    val updates = Seq((1L, 20L, "x"), (1L, 20L, "y"), (2L, 5L, "z"))
+      .toDF("k", "ver", "val")
+    def run() = graft.api.GraftOps.upsertByKey(base, updates, "k", Some("ver"))
+      .collect().map(_.toString).sorted.toSeq
+    val first = run()
+    assert(first == run()) // hash tie-break: stable across runs
+    assert(first.length == 2)
+  }
+}
