@@ -131,6 +131,41 @@ object GraftOps {
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Embedding near-dup pairs at/above a cosine threshold, LSH-bucketed:
+    * each vector lands in `tables` sign-bit buckets (native `lsh_bucket`,
+    * one md5-derived hyperplane set per table), candidate pairs collide
+    * in at least one table, and the exact cosine filter runs only within
+    * buckets. Shuffle volume ∝ tables×|docs| plus the (small) candidate
+    * set — never the |docs|² cross product. Recall is tunable:
+    * 1-(1-p^bits)^tables with p the per-plane agreement probability;
+    * raise `bits` as the corpus grows to keep buckets small, raise
+    * `tables` to recover recall. The brute-force ground truth
+    * (EmbeddingDedupSpec measures recall against it) is the same filter
+    * over an `a < b` cross join. */
+  def embeddingNearDupPairs(df: DataFrame, id: String, vec: String,
+                            threshold: Double, tables: Int = 16,
+                            bits: Int = 4, dims: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val e = df.select(col(id),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+    val buckets = (0 until tables).map(t =>
+      expr(s"lsh_bucket(v, $bits, $dims, $t)").as(s"b$t"))
+    val banded = e.select(col(id) +: buckets: _*)
+    val cand = (0 until tables).map(t =>
+      banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
+      .reduce(_ unionAll _)
+    val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))
+      .join(cand.select(col(id).as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(e.select(col(id).as("a"), col("v").as("va")), "a")
+      .join(e.select(col(id).as("b"), col("v").as("vb")), "b")
+      .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** Exact cosine top-k of each query vector against the corpus (query
     * side broadcast; native codegen'd cosine_sim; per-query window). */
   def cosineTopK(df: DataFrame, id: String, vec: String,
@@ -310,6 +345,53 @@ object GraftOps {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round hangs every node off the minimum
+    * of its neighborhood, halving tree heights — converges in O(log n)
+    * rounds regardless of graph DIAMETER, where min-label propagation
+    * needs diameter-many rounds. This is the 100 TB path for
+    * long-chain graphs (web graphs, link chains); labels are identical
+    * to `connectedComponents` at convergence (CcLogNSpec asserts it).
+    *
+    * Each star round is a both-direction neighbor expand + min-groupBy
+    * + one join — the same shuffle shape as a propagation round, on an
+    * edge set that only shrinks. Convergence is checked by set
+    * equality (two cheap actions per round on the contracted set). */
+  def connectedComponentsLogN(und: DataFrame, u: String, v: String,
+                              maxRounds: Int = 25): DataFrame = {
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val nbr = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = nbr.join(m, "u")
+      val hung = (if (large) joined.filter(col("v") > col("u"))
+                  else joined.filter(col("v") <= col("u")))
+        .select(col("v").as("u"), col("m").as("v"))
+      val withSelf = if (large) hung
+                     else hung.unionAll(m.select(col("u"), col("m").as("v")))
+      withSelf.filter(col("u") =!= col("v")).distinct()
+    }
+    val init = und.select(col(u).as("u"), col(v).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var cur = init
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint: every non-min node points at its component min
+    val nodes = init.select(col("u").as("n"))
+      .unionAll(init.select(col("v").as("n"))).distinct()
+    nodes.join(cur, nodes("n") === cur("u"), "left")
+      .select(col("n").as("v"), coalesce(cur("v"), col("n")).as("comp"))
+  }
+
   /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
     * via degree-ordered orientation: wedges fan out from each edge's
     * lower-(degree, id) endpoint (bounded ~√|E|). The (degree, id)
@@ -477,6 +559,10 @@ object GraftOps {
         GraftOps.minhashCandidates(df, id, text, n)
       def simhashCandidates(id: String, text: String, maxHamming: Int = 3): DataFrame =
         GraftOps.simhashCandidates(df, id, text, maxHamming)
+      def embeddingNearDupPairs(id: String, vec: String, threshold: Double,
+                                tables: Int = 16, bits: Int = 4,
+                                dims: Int = 64): DataFrame =
+        GraftOps.embeddingNearDupPairs(df, id, vec, threshold, tables, bits, dims)
       def cosineTopK(id: String, vec: String, queries: DataFrame, k: Int = 5): DataFrame =
         GraftOps.cosineTopK(df, id, vec, queries, k)
       def sessionize(key: String, tsUs: String, gapUs: Long,
@@ -493,6 +579,8 @@ object GraftOps {
         GraftOps.bm25Rank(df, id, text, terms, k)
       def connectedComponents(u: String, v: String, iters: Int): DataFrame =
         GraftOps.connectedComponents(df, u, v, iters)
+      def connectedComponentsLogN(u: String, v: String, maxRounds: Int = 25): DataFrame =
+        GraftOps.connectedComponentsLogN(df, u, v, maxRounds)
       def triangleCount(u: String, v: String): DataFrame =
         GraftOps.triangleCount(df, u, v)
       def contaminationScan(id: String, text: String, isBench: Column,

@@ -54,13 +54,30 @@ object Dedup {
     graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
       .orderBy("a", "b")
 
-  /** Embedding-cosine near-dup pairs: all (a < b) vector pairs at/above
-    * the similarity threshold, exact brute force (the testdata has no
-    * planted embedding dups; max observed cos ≈ 0.51, so 0.45 exercises
-    * the tail). The at-scale path reuses the `lsh_bucket` prefilter from
-    * Similarity — candidates within a bucket only. */
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (the registered
+    * production path): candidates collide in ≥1 of EmbTables sign-bit
+    * buckets, exact cosine only within buckets — shuffle ∝ tables×docs,
+    * never docs². 16 tables × 4 bits puts recall ≈ 0.95 at the
+    * cos ≈ 0.45–0.51 neighbors this corpus actually has (testdata has
+    * no planted dups; the threshold exercises the tail); at a real
+    * corpus raise bits with log(N) and tables with the recall target.
+    * The DuckDB oracle reproduces the md5-derived hyperplanes as
+    * literal vectors, so the bucket collisions — not just the cosine
+    * math — are verified bit-for-bit. */
   val EmbThreshold = 0.45
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  val EmbTables = 16
+  val EmbBits = 4
+  val EmbDims = 64
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)
+      .orderBy("a", "b")
+
+  /** Brute-force ground truth: ALL (a < b) pairs at/above the threshold
+    * via an O(N²) cross join. Oracle-exact at test SFs and the recall
+    * baseline for the bucketed path (EmbeddingDedupSpec) — not the
+    * at-scale entry. */
+  def dedupEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -70,6 +87,33 @@ object Dedup {
       .filter(col("cos") >= EmbThreshold)
       .select("a", "b", "cos")
       .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of the LSH bucket assignment: the md5-derived ±1
+    * hyperplanes (graft.functions.LshBucket.planes) inlined as literal
+    * DOUBLE[] rows, one per (table, plane). */
+  private lazy val embLshOracle: String = {
+    val planeRows = (0 until EmbTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(EmbBits, EmbDims, t)
+      (0 until EmbBits).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          pairs AS (SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+                    FROM buck ba JOIN buck bb ON ba.t = bb.t AND ba.bv = bb.bv
+                    WHERE ba.vec_id < bb.vec_id),
+          scored AS (SELECT p.a, p.b,
+                            round(list_dot_product(ea.v, eb.v) /
+                              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+                     FROM pairs p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id)
+        SELECT a, b, cos FROM scored WHERE cos >= $EmbThreshold ORDER BY a, b"""
   }
 
   /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →
@@ -191,7 +235,8 @@ object Dedup {
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
-    QueryDef("dedup_embedding", dedupEmbedding, Some(
+    QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),
+    QueryDef("dedup_embedding_exact", dedupEmbeddingExact, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             p AS (SELECT a.vec_id AS a, b.vec_id AS b,
                          round(list_dot_product(a.v, b.v) /

@@ -145,17 +145,27 @@ object Graph {
     *
     * Scale: each round is one join against the cached edge table + one
     * min-groupBy — the same co-partitioned layout as PageRank (shuffle
-    * ∝ |V| per round, not |E|). At 100 TB diameters, switch to the
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce"), which converges in O(log n) rounds with
-    * the same join+min building blocks; localCheckpoint every 3 rounds
-    * truncates the growing lineage either way. */
+    * ∝ |V| per round, not |E|). At 100 TB diameters, use
+    * `graph_components_logn` below — large-star/small-star contraction,
+    * O(log n) rounds regardless of diameter; localCheckpoint every 3
+    * rounds truncates the growing lineage either way. */
   val CcIters = 6 // all test SFs converge in 3 rounds (measured); 2× margin
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
     val und = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_partkey")).distinct()
       .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
     graft.api.GraftOps.connectedComponents(und, "s", "p", CcIters).orderBy("v")
+  }
+
+  /** Same components via large-star/small-star contraction
+    * (GraftOps.connectedComponentsLogN) — the diameter-independent
+    * 100 TB path. Labels are the component minimum, so the SAME oracle
+    * as `graph_components` verifies it. */
+  def graphComponentsLogN(spark: SparkSession, dir: String): DataFrame = {
+    val und = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.connectedComponentsLogN(und, "s", "p").orderBy("v")
   }
 
   /** Unrolled min-label-propagation CTEs (l1..lK over CTEs `edges` +
@@ -210,6 +220,7 @@ object Graph {
            deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
+    QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_triangles", graphTriangles, Some(
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
