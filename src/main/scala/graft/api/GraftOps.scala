@@ -345,6 +345,54 @@ object GraftOps {
     labels
   }
 
+  /** Personalized PageRank over an ARBITRARY directed edge list, with
+    * dangling-mass redistribution (reference semantics:
+    * a4/RunPersonalizedPageRankBasic.java — α jump mass returns only to
+    * the source nodes, split evenly; mass lost at dangling nodes — no
+    * out-edges — is redistributed the same way, so Σr = 1 holds exactly
+    * every round; PageRankDanglingSpec asserts it on a graph where
+    * every non-source node is dangling).
+    *
+    *   r₀(v)   = p(v)                         p = 1/|sources| on sources
+    *   rₖ₊₁(v) = α·p(v) + (1-α)·(Σ_{u→v} rₖ(u)/d(u) + mₖ·p(v))
+    *   mₖ      = Σ_{dangling u} rₖ(u)
+    *
+    * Scale: edges are repartitioned on src ONCE and cached, so each
+    * iteration shuffles only the |V|-sized rank table plus one scalar
+    * (the dangling mass — an agg, broadcast as a 1-row cross join). No
+    * forced broadcasts of |V|/|E| tables; AQE decides. */
+  def personalizedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+                           sources: Seq[Long], alpha: Double = 0.15,
+                           iters: Int = 5): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .unionAll(srcDf.select(col("v"))).distinct()
+    val base = nodes.join(srcDf, Seq("v"), "left")
+      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
+    var ranks = base.select(col("v"), col("jump0").as("r"))
+    for (i <- 1 to iters) {
+      val rd = ranks.join(deg, ranks("v") === deg("src"))
+        .select(col("v").as("rv"), (col("r") / col("d")).as("rd"))
+      val contrib = edges.join(rd, edges("src") === col("rv"))
+        .groupBy(col("dst").as("v")).agg(sum(col("rd")).as("c"))
+      val dangling = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
+      ranks = base.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"),
+          (lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) + col("m") * col("jump0")) +
+           lit(alpha) * col("jump0")).as("r"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14): each round hangs every node off the minimum

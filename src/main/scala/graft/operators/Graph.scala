@@ -75,7 +75,7 @@ object Graph {
     // rank table into driver/executor memory at 100× scale. AQE
     // broadcasts them at runtime while they fit and keeps the
     // co-partitioned shuffle join beyond that (one |V| shuffle per
-    // iteration either way — PageRankSpec asserts the iteration stays
+    // iteration either way — GraphScaleSpec asserts the iteration stays
     // correct with autoBroadcastJoinThreshold = -1).
     for (_ <- 1 to Iters) {
       val rd = ranks.join(deg, ranks("v") === deg("src"))
@@ -109,6 +109,50 @@ object Graph {
           edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
           deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
           nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+                    UNION ALL SELECT * FROM (VALUES (${Sources.mkString("), (")})) s(v))),
+          r0 AS MATERIALIZED (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
+                 FROM nodes n),
+          $iterCtes
+        SELECT v, round(r, 8) AS rank FROM r$Iters ORDER BY v"""
+  }
+
+  /** Personalized PageRank on the DIRECTED supplier→part graph: every
+    * part is a dangling node (no out-edges), so ~half the total mass is
+    * dangling each round — the hard case for the reference's dangling-
+    * mass redistribution (a4/RunPersonalizedPageRankBasic.java), which
+    * the bipartite mirror above sidesteps. Runs on the generalized
+    * `GraftOps.personalizedPageRank` core. */
+  def pagerankDirected(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst"))
+    graft.api.GraftOps.personalizedPageRank(edges, "src", "dst", Sources, Alpha, Iters)
+      .select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
+  }
+
+  /** Unrolled directed-graph oracle: per round, the contrib CTE plus a
+    * dangling-mass scalar (sum of rank over nodes with no out-edge)
+    * folded back through the personalization vector — the exact same
+    * float expression order as the Spark side. */
+  private val directedOracle: String = {
+    val srcList = Sources.mkString(", ")
+    val jump = s"CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END"
+    val iterCtes = (1 to Iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS v, sum(r.r / d.d) AS c
+                  FROM r${k - 1} r JOIN edges e ON r.v = e.src JOIN deg d ON r.v = d.src
+                  GROUP BY 1),
+          m$k AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS m
+                  FROM r${k - 1} r LEFT JOIN deg d ON r.v = d.src WHERE d.src IS NULL),
+          r$k AS MATERIALIZED (SELECT n.v,
+                    ${1 - Alpha} * (coalesce(c.c, 0) + m.m * $jump) + $Alpha * $jump AS r
+                  FROM nodes n LEFT JOIN c$k c ON n.v = c.v CROSS JOIN m$k m)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li),
+          deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+          nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+                    UNION ALL SELECT dst FROM edges
                     UNION ALL SELECT * FROM (VALUES (${Sources.mkString("), (")})) s(v))),
           r0 AS MATERIALIZED (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
                  FROM nodes n),
@@ -214,6 +258,7 @@ object Graph {
     QueryDef("pagerank_topk", pagerankTopk, Some(
       s"""WITH pr AS ($oracle)
           SELECT v, rank FROM pr ORDER BY rank DESC, v LIMIT 20""")),
+    QueryDef("pagerank_directed", pagerankDirected, Some(directedOracle)),
     QueryDef("graph_degree", graphDegree, Some(
       s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
            edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
