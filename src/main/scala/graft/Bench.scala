@@ -1,6 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Measured skew-join comparison: one key holds 90% of a 5M-row fact
+    * side, the 100k-row dim side is too big to broadcast (threshold
+    * forced to -1), and the AQE skew thresholds are lowered so the hot
+    * partition actually splits at bench scale. Three timed plans over
+    * the identical logical query:
+    *   - smj_skewed:    sort-merge join, AQE skew split OFF — the hot
+    *     partition lands on one task (the anti-pattern's real cost)
+    *   - smj_aqe_split: AQE skew split ON — runtime re-plan carves the
+    *     hot partition into advisory-sized slices
+    *   - salted:        GraftOps.saltedJoin(salt=32) — the explicit fix
+    *     for engines/configs without AQE
+    * All three must return the same checksum (asserted) — this measures
+    * plans, not different answers. */
+  def skewSection(spark: SparkSession): Map[String, Double] = {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    def time(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val checksum = df.collect().head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, checksum)
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+      val fact = spark.range(5000000L).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100000).as("k"),
+        (col("id") % 97).as("v"))
+      val dim = spark.range(100000L).select(col("id").as("k"), (col("id") * 3).as("dv"))
+      def agg(j: DataFrame): DataFrame =
+        j.agg(sum(col("v") * col("dv")).as("checksum"))
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (tSkew, c1) = time(agg(fact.join(dim, "k")))
+      val (tSalt, c3) = time(agg(
+        graft.api.GraftOps.saltedJoin(fact, dim, "k", salt = 32)))
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (tAqe, c2) = time(agg(fact.join(dim, "k")))
+      assert(c1 == c2 && c2 == c3, s"checksum mismatch: $c1 $c2 $c3")
+      Map("smj_skewed" -> tSkew, "smj_aqe_split" -> tAqe, "salted" -> tSalt)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,7 +100,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // measured hot-key comparison (plain SMJ vs AQE skew split vs
+    // salted) — runs once, after the query passes, under its own confs
+    val skew = try skewSection(spark) catch { case e: Throwable =>
+      System.err.println(s"[bench] skew section failed: ${e.getMessage}")
+      Map.empty[String, Double] }
+    val skewJson = skew.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skewJson,"sf":"$sfDir"}"""
     println(json)
     // console capture can truncate long lines mid-JSON; the file copy is
     // the durable artifact

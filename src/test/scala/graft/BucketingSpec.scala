@@ -7,6 +7,25 @@ import graft.sources.Tables
   * subsequent equi-joins on the bucket key plan with NO Exchange. */
 class BucketingSpec extends SparkSpec {
 
+  test("q32_bucketed_join's join subtree plans with zero Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = graft.operators.ScaleOps.bucketedJoin(spark, sf)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the registered query agrees with the plain-parquet join
+      val viaBuckets = graft.operators.ScaleOps.q32BucketedJoin(spark, sf)
+        .collect().map(_.toString).toSeq
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("priority").collect().map(_.toString).toSeq
+      assert(viaBuckets == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
     // (managed tables land in ./spark-warehouse — gitignored)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
