@@ -147,6 +147,14 @@ object VectorExpressions {
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
       if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0)
 
+  private[graft] def vintPackBuilder(exprs: Seq[Expression]): Expression = {
+    val arr = exprs.head.dataType match {
+      case ArrayType(LongType, _) => exprs.head
+      case _ => Cast(exprs.head, ArrayType(LongType))
+    }
+    VIntPack(arr)
+  }
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     val ord = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
     val payload = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
@@ -162,5 +170,9 @@ object VectorExpressions {
       "lsh_bucket", lshBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vint_pack", vintPackBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vint_unpack", exprs => VIntUnpack(exprs.head), "built-in")
   }
 }

@@ -106,38 +106,45 @@ object Classify {
   }
 
   /** Ensemble (reference a5/ApplyEnsembleSpamClassifier.scala:83-107):
-    * three models trained on disjoint shards, combined by score-average
-    * AND by ±1 vote. Shard key (doc_id div 3) % 3 mixes labels across
-    * shards (doc_id % 3 would put every spam doc in one shard). */
-  def ensemble(spark: SparkSession, dir: String): DataFrame = {
+    * N models trained on disjoint shards, combined by score-average AND
+    * by ±1 vote — the reference loads an arbitrary model directory, so
+    * the shard count is a parameter, not a constant. Shard key
+    * (doc_id div n) % n mixes labels across shards (doc_id % n would
+    * put every spam doc in one shard for n = 3). */
+  def ensembleN(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    require(n >= 1, s"ensemble needs at least one shard, got $n")
     import spark.implicits._
     val inst = instances(spark, dir)
-    val models = (0 until 3).map { s =>
-      inst.filter(expr(s"(doc_id div 3) % 3 = $s"))
+    val models = (0 until n).map { s =>
+      inst.filter(expr(s"(doc_id div $n) % $n = $s"))
         .as[(Long, Boolean, Seq[Int])]
         .repartition(1).sortWithinPartitions("doc_id")
         .mapPartitions(rows => sgd(rows).iterator)
-        .toDF("feature", s"w$s")
+        .toDF("feature", "w")
+        // models store 6dp-rounded weights, same as the serial train()
+        .select(col("feature"), round(col("w"), 6).as(s"w$s"))
     }
     val feat = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("feature"))
-    val scored = models.zipWithIndex.foldLeft(feat) { case (d, (m, i)) =>
+    val scored = models.foldLeft(feat) { case (d, m) =>
       d.join(broadcast(m), Seq("feature"), "left")
     }
+    val shardSums = (0 until n).map(s => sum(coalesce(col(s"w$s"), lit(0.0))).as(s"s$s"))
+    val avg = (0 until n).map(s => col(s"s$s")).reduce(_ + _) / n
+    val votes = (0 until n).map(s => when(col(s"s$s") > 0, 1).otherwise(-1)).reduce(_ + _)
     scored
       .groupBy("doc_id", "is_spam")
-      .agg(
-        sum(coalesce(col("w0"), lit(0.0))).as("s0"),
-        sum(coalesce(col("w1"), lit(0.0))).as("s1"),
-        sum(coalesce(col("w2"), lit(0.0))).as("s2"))
+      .agg(shardSums.head, shardSums.tail: _*)
       .select(col("doc_id"), col("is_spam"),
-        round((col("s0") + col("s1") + col("s2")) / 3, 6).as("score_avg"),
-        (when(col("s0") > 0, 1).otherwise(-1) +
-         when(col("s1") > 0, 1).otherwise(-1) +
-         when(col("s2") > 0, 1).otherwise(-1)).cast("long").as("votes"))
+        round(avg, 6).as("score_avg"),
+        votes.cast("long").as("votes"))
       .withColumn("predicted_avg", col("score_avg") > 0)
       .withColumn("predicted_vote", col("votes") > 0)
       .orderBy("doc_id")
   }
+
+  /** The registered 3-shard instance of [[ensembleN]]. */
+  def ensemble(spark: SparkSession, dir: String): DataFrame =
+    ensembleN(spark, dir, 3)
 
   /** Multinomial Naive Bayes with add-one smoothing — the classical
     * counting classifier, and (unlike sequential SGD) fully expressible

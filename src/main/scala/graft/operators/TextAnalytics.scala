@@ -95,6 +95,31 @@ object TextAnalytics {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .orderBy("term", "doc_id")
 
+  /** a3/BuildInvertedIndexCompressed.java: gap + VInt-encoded postings,
+    * here as a per-term BINARY column built by the native `vint_pack`
+    * expression (first doc id absolute, then varint gaps). The output
+    * row carries the encoded byte count — which the DuckDB oracle
+    * recomputes from the gap widths independently, so the ENCODING SIZE
+    * itself is cross-engine verified — plus content invariants
+    * (df, id checksum, first/last) and an in-plan `vint_unpack`
+    * round-trip flag. */
+  def invertedIndexCompressed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .withColumn("enc", expr("vint_pack(ids)"))
+      .select(col("term"),
+        size(col("ids")).cast("long").as("df"),
+        length(col("enc")).cast("long").as("n_bytes"),
+        expr("aggregate(ids, 0L, (a, x) -> a + x)").as("checksum"),
+        element_at(col("ids"), 1).as("first_doc"),
+        element_at(col("ids"), -1).as("last_doc"),
+        (expr("vint_unpack(enc)") === col("ids")).as("roundtrip_ok"))
+      .orderBy("term")
+  }
+
   /** a0/PerfectX.java:52-77: occurrences of one keyword across the
     * corpus (total hits + number of containing docs). */
   val Keyword = "spark"
@@ -187,6 +212,23 @@ object TextAnalytics {
                      WHERE w <> '' GROUP BY 1, 2)
          SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
          FROM tf ORDER BY term, doc_id""")),
+    QueryDef("inverted_index_compressed", invertedIndexCompressed, Some(
+      """WITH post AS (SELECT DISTINCT u.t AS term, doc_id
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                       WHERE u.t <> ''),
+           ids AS (SELECT term, list_sort(list(doc_id)) AS ids FROM post GROUP BY 1),
+           g AS (SELECT term, ids,
+                        [CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i-1] END
+                         FOR i IN generate_series(1, len(ids))] AS gaps
+                 FROM ids)
+         SELECT term, CAST(len(ids) AS BIGINT) AS df,
+                CAST(list_sum([CASE WHEN gv < 128 THEN 1 WHEN gv < 16384 THEN 2
+                                    WHEN gv < 2097152 THEN 3 ELSE 4 END
+                               FOR gv IN gaps]) AS BIGINT) AS n_bytes,
+                CAST(list_sum(ids) AS BIGINT) AS checksum,
+                ids[1] AS first_doc, ids[len(ids)] AS last_doc,
+                TRUE AS roundtrip_ok
+         FROM g ORDER BY term""")),
     QueryDef("boolean_retrieval_postfix", (s, d) => postfixRetrieval(s, d, PostfixQuery), Some(
       """SELECT doc_id FROM (
            SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

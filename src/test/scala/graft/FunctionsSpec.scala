@@ -56,6 +56,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("vint_pack/vint_unpack: exact round-trip, 1-byte small gaps, multi-byte boundaries") {
+    register()
+    val cases = Seq(
+      Seq[Long](),
+      Seq(0L),
+      Seq(5L, 6L, 7L, 200L),
+      Seq(0L, 127L, 128L, 16383L, 16384L, 2097151L, 2097152L),
+      (0L until 1000L by 7L).toSeq,
+      Seq(1234567890123L, 1234567890124L)) // large absolute, tiny gap
+    val df = cases.zipWithIndex.map { case (c, i) => (i, c) }.toDF("i", "ids")
+    val got = df.selectExpr("i", "vint_unpack(vint_pack(ids)) AS back",
+        "length(vint_pack(ids)) AS nb")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getInt(2))).toSeq
+      .sortBy(_._1)
+    got.zip(cases).foreach { case ((_, back, _), orig) => assert(back == orig) }
+    // ascending dense ids ⇒ ~1 byte per gap; 143 ids starting at 0:
+    // first byte + 142 single-byte gaps
+    assert(got(4)._3 == 143)
+    // 2097152 needs 4 LEB128 bytes as a raw first value... but here it
+    // arrives as a gap of 1 after 2097151: boundary values split as
+    // 1 + 1 + 1 + 2 + 1 + 3 + 1 = absolute(0)=1, then gaps
+    // 127(1) 1(1) 16255(2) 1(1) 2080767(3) 1(1) = 10 bytes total
+    assert(got(3)._3 == 10)
+    // unsorted input must fail loudly, not encode garbage
+    val ex = intercept[Exception] {
+      Seq(Seq(5L, 3L)).toDF("ids").selectExpr("vint_pack(ids)").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("hash32 equals the documented md5-prefix derivation") {
     val got = Seq("hello").toDF("s")
       .select(graft.functions.TextFns.hash32(col("s"))).head.getLong(0)

@@ -131,6 +131,23 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
   }
 
+  test("ensemble generalizes to any shard count; 1-shard case reduces to the serial model") {
+    // n = 1: one shard holds every doc, so score_avg must equal the
+    // plain serial apply score exactly
+    val one = Classify.ensembleN(spark, sf, 1)
+      .select("doc_id", "score_avg").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val serial = Classify.apply_(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == serial)
+    // n = 5: runs, covers every doc, votes stay in the ±5 envelope
+    val five = Classify.ensembleN(spark, sf, 5)
+      .select("doc_id", "votes").collect()
+    assert(five.length == serial.size)
+    assert(five.forall(r => math.abs(r.getLong(1)) <= 5))
+  }
+
   test("sketch aggregates stay within their error bounds of exact answers") {
     val approx = operators.Relational.q13ApproxSketch(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
