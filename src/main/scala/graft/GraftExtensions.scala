@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "top_k_pairs"),
       graft.functions.VectorExpressions.topKBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("vint_pack"),
+      new ExpressionInfo(classOf[graft.functions.VIntPack].getName, "vint_pack"),
+      graft.functions.VectorExpressions.vintPackBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("vint_unpack"),
+      new ExpressionInfo(classOf[graft.functions.VIntUnpack].getName, "vint_unpack"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VIntUnpack(exprs.head)))
   }
 }

@@ -66,17 +66,26 @@ object GraftOps {
   }
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard.
-    * Shuffle volume is bands×|docs| — the at-scale dedup path. */
-  def minhashCandidates(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+    * Shuffle volume is bands×|docs| — the at-scale dedup path.
+    *
+    * `bands`×`rowsPerBand` tunes the s-curve: candidate probability at
+    * Jaccard s is 1-(1-s^rows)^bands, knee ≈ (1/bands)^(1/rows). More
+    * bands / fewer rows ⇒ higher recall and more candidates (LshSweepSpec
+    * measures the trade-off across configs against the exact ground
+    * truth); the defaults are the oracle-verified production scheme. */
+  def minhashCandidates(df: DataFrame, id: String, text: String, n: Int = 3,
+                        bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= NumHashes,
+      s"bands×rows must fit the $NumHashes computed permutations")
     // one row per doc, consumed 3× (banding + both pair-join sides):
     // materialize once rather than recompute the shingle pass each time
     val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
-    val bandCols = (0 until Bands).map { j =>
-      val parts = (0 until RowsPerBand).map(r => s"mh${j * RowsPerBand + r}").mkString(", ")
+    val bandCols = (0 until bands).map { j =>
+      val parts = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(", ")
       s"concat_ws('_', $parts) AS band$j"
     }
     val banded = sigs.selectExpr(Seq(id) ++ bandCols: _*)
-    val cand = (0 until Bands).map { j =>
+    val cand = (0 until bands).map { j =>
       banded.select(col(id), lit(j).as("bj"), col(s"band$j").as("bv"))
     }.reduce(_ unionAll _)
     val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))

@@ -99,6 +99,27 @@ class ApiSpec extends SparkSpec {
     assert(ranked.forall(_.getAs[Double]("bm25") > 0.0))
   }
 
+  test("profileApprox: HLL distinct counts within rsd bounds of the exact profile") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val exact = orders.profile().collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = graft.api.GraftOps.profileApprox(orders).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact.keySet == approx.keySet)
+    // HLL++ at default rsd 2.3%: allow 4 sigma (and ±2 absolute for
+    // tiny cardinalities where the sketch is exact-ish)
+    exact.foreach { case (c, n) =>
+      val tol = math.max(2.0, 4 * 0.023 * n)
+      assert(math.abs(approx(c) - n) <= tol,
+        s"$c: approx ${approx(c)} vs exact $n (tol $tol)")
+    }
+    // non-distinct stats must be identical, not approximate
+    val exactRest = orders.profile().drop("n_distinct").collect().map(_.toString).sorted.toSeq
+    val approxRest = graft.api.GraftOps.profileApprox(orders).drop("n_distinct")
+      .collect().map(_.toString).sorted.toSeq
+    assert(exactRest == approxRest)
+  }
+
   test("connectedComponents: two islands get two labels, converged") {
     // path 1-2-3 and island 10-11
     val und = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")

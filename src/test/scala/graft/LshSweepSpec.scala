@@ -1,0 +1,35 @@
+package graft
+
+import graft.api.GraftOps
+import graft.sources.Tables
+
+/** Band/row sweep for the MinHash LSH dedup: recall against the exact
+  * n-gram-Jaccard ground truth must follow the s-curve theory — more
+  * bands (fewer rows each) ⇒ higher recall at the cost of more
+  * candidates — and the production config must catch every planted
+  * near-dup at the 0.5 threshold. */
+class LshSweepSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("recall rises with band count; production 8×2 reaches full recall") {
+    val docs = Tables.documents(spark, dir)
+    val exact = GraftOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val sweep = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (bands, rows) =>
+      val cand = GraftOps.minhashCandidates(docs, "doc_id", "text", 3, bands, rows)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (cand & exact).size.toDouble / exact.size
+      info(f"bands=$bands%2d rows=$rows: ${cand.size}%4d candidates, recall $recall%.2f")
+      (bands, rows, cand.size, recall)
+    }
+    val recalls = sweep.map(_._4)
+    // monotone non-increasing as rows per band grow (knee moves right)
+    assert(recalls == recalls.sorted.reverse, s"recall not monotone: $sweep")
+    // candidate volume shrinks the same direction
+    val candCounts = sweep.map(_._3)
+    assert(candCounts == candCounts.sorted.reverse, s"candidates not monotone: $sweep")
+    // the production scheme (8×2, knee ≈ 0.35) must not miss a 0.5-dup
+    assert(sweep.find(s => s._1 == 8 && s._2 == 2).get._4 == 1.0)
+  }
+}
