@@ -402,6 +402,82 @@ object GraftOps {
     ranks
   }
 
+  /** Log-space variant of [[personalizedPageRank]] (reference:
+    * a4/RunPersonalizedPageRankBasic.java sums mass in log space).
+    * Ranks are carried as ln r throughout; every per-node combination
+    * is a log-sum-exp, so masses far below double range (deep
+    * iteration chains, tiny personalized sources, float32 ports)
+    * neither underflow to 0 nor lose relative precision. Returns
+    * (v, lr) with lr = ln r; PageRankDanglingSpec asserts
+    * exp(lr) matches the linear-space ranks to 1e-12.
+    *
+    * Cost: the per-dst log-sum-exp needs a max before the sum, so each
+    * iteration pays TWO shuffles on the rank table instead of one —
+    * the price of the numeric guard; use the linear core until rank
+    * magnitudes actually approach the underflow regime. */
+  def personalizedPageRankLog(edges0: DataFrame, srcCol: String, dstCol: String,
+                              sources: Seq[Long], alpha: Double = 0.15,
+                              iters: Int = 5): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val NegInf = Double.NegativeInfinity
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val srcDf = sources.toDF("v")
+      .withColumn("lnp", lit(math.log(1.0 / sources.length)))
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .unionAll(srcDf.select(col("v"))).distinct()
+    val base = nodes.join(srcDf, Seq("v"), "left")
+      .select(col("v"), coalesce(col("lnp"), lit(NegInf)).as("lnp")).cache()
+    var lranks = base.select(col("v"), col("lnp").as("lr"))
+    for (i <- 1 to iters) {
+      // per-edge contribution in log space: lr(u) − ln d(u)
+      val lrd = lranks.join(deg, lranks("v") === deg("src"))
+        .select(col("v").as("rv"), (col("lr") - log(col("d"))).as("lc"))
+      // ln 0 = -inf carries no mass: drop it here, or a dst whose
+      // in-neighbors ALL hold zero mass would compute exp(-inf − -inf)
+      // = NaN inside its log-sum-exp
+      val flowing = edges.join(lrd, edges("src") === col("rv"))
+        .select(col("dst").as("v"), col("lc"))
+        .filter(col("lc") > NegInf)
+      // per-dst log-sum-exp: max first, then ln Σ exp(lc − max) + max
+      val mx = flowing.groupBy("v").agg(max(col("lc")).as("mx"))
+      val contrib = flowing.join(mx, "v")
+        .groupBy("v")
+        .agg((first(col("mx")) + log(sum(exp(col("lc") - col("mx"))))).as("lse_c"))
+      // dangling mass, also as a log-sum-exp scalar
+      val dang = lranks.join(deg, lranks("v") === deg("src"), "left_anti")
+        .filter(col("lr") > NegInf)
+      val dmx = dang.agg(coalesce(max(col("lr")), lit(NegInf)).as("dmx"))
+      // a global agg over an empty dangling set still yields one row
+      // (null aggregates), so the coalesce pins mdl to -inf there
+      val dangLse = dang.crossJoin(broadcast(dmx))
+        .agg(coalesce(first(col("dmx")) + log(sum(exp(col("lr") - col("dmx")))),
+          lit(NegInf)).as("mdl"))
+      val lnA = math.log(alpha); val ln1A = math.log(1 - alpha)
+      lranks = base.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dangLse))
+        .select(col("v"),
+          coalesce(col("lse_c"), lit(NegInf)).as("t1c"),
+          col("mdl"), col("lnp"))
+        .select(col("v"),
+          (lit(ln1A) + col("t1c")).as("t1"),
+          (lit(ln1A) + col("mdl") + col("lnp")).as("t2"),
+          (lit(lnA) + col("lnp")).as("t3"))
+        .select(col("v"), greatest(col("t1"), col("t2"), col("t3")).as("mx"),
+          col("t1"), col("t2"), col("t3"))
+        .select(col("v"),
+          when(col("mx") === NegInf, lit(NegInf))
+            .otherwise(col("mx") + log(
+              exp(col("t1") - col("mx")) + exp(col("t2") - col("mx")) +
+                exp(col("t3") - col("mx")))).as("lr"))
+      if (i % 3 == 0) lranks = lranks.localCheckpoint()
+    }
+    lranks
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14): each round hangs every node off the minimum
@@ -638,6 +714,12 @@ object GraftOps {
         GraftOps.connectedComponents(df, u, v, iters)
       def connectedComponentsLogN(u: String, v: String, maxRounds: Int = 25): DataFrame =
         GraftOps.connectedComponentsLogN(df, u, v, maxRounds)
+      def personalizedPageRank(src: String, dst: String, sources: Seq[Long],
+                               alpha: Double = 0.15, iters: Int = 5): DataFrame =
+        GraftOps.personalizedPageRank(df, src, dst, sources, alpha, iters)
+      def personalizedPageRankLog(src: String, dst: String, sources: Seq[Long],
+                                  alpha: Double = 0.15, iters: Int = 5): DataFrame =
+        GraftOps.personalizedPageRankLog(df, src, dst, sources, alpha, iters)
       def triangleCount(u: String, v: String): DataFrame =
         GraftOps.triangleCount(df, u, v)
       def contaminationScan(id: String, text: String, isBench: Column,

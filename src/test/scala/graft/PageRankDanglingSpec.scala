@@ -36,6 +36,20 @@ class PageRankDanglingSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("log-space variant matches the linear core to 1e-12 (dangling graph)") {
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 4L)) ++
+      (10L until 40L).map(i => (3L, i))).toDF("s", "d")
+    val linear = GraftOps.personalizedPageRank(edges, "s", "d", Seq(1L), 0.15, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val logged = GraftOps.personalizedPageRankLog(edges, "s", "d", Seq(1L), 0.15, iters = 4)
+      .collect().map(x => x.getLong(0) -> math.exp(x.getDouble(1))).toMap
+    assert(linear.keySet == logged.keySet)
+    linear.foreach { case (v, r) =>
+      assert(math.abs(logged(v) - r) < 1e-12, s"node $v: log-space ${logged(v)} vs $r")
+    }
+    assert(math.abs(logged.values.sum - 1.0) < 1e-9)
+  }
+
   test("mirrored-graph special case agrees with the flagship pagerank query") {
     // on the bipartite mirror there are no dangling nodes, so the
     // generalized core must reproduce Graph.pagerank exactly
