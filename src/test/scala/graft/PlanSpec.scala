@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan assertions: the properties that make these plans
+  * survive a 100× scale-up must hold STRUCTURALLY, not by eyeball.
+  * Pushdown and pruning are checked on the scan nodes themselves
+  * (plan strings truncate ReadSchema); join strategy on the plan tree. */
+class PlanSpec extends SparkSpec {
+
+  private def sparkPlan(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    sparkPlan(name).collect { case f: FileSourceScanExec => f }
+
+  test("q1: the shipdate predicate is pushed into the parquet scan") {
+    val s = scans("q1_filter_count")
+    assert(s.nonEmpty)
+    val pushed = s.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_shipdate"), s"no pushed shipdate filter: $pushed")
+    assert(pushed.contains("IsNotNull") || pushed.contains("EqualTo"))
+  }
+
+  test("q6: scan reads exactly the four needed lineitem columns") {
+    val s = scans("q6_revenue")
+    assert(s.nonEmpty)
+    val read = s.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"),
+      s"over-read: $read")
+  }
+
+  test("q3: both dim joins plan as broadcast hash joins (no shuffle)") {
+    val p = sparkPlan("q3_broadcast_join").toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffles:\n${p.take(1200)}")
+  }
+
+  test("text wordcount scan prunes documents to the text column") {
+    val s = scans("wordcount")
+    assert(s.nonEmpty && s.head.requiredSchema.fieldNames.toSet == Set("text"))
+  }
+
+  test("dedup_exact scan prunes documents to (doc_id, text)") {
+    val s = scans("dedup_exact")
+    assert(s.nonEmpty && s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // run the query first: under AQE, codegen stages appear in the
+    // executed plan only once stages have materialized
+    for (q <- Seq("q1_filter_count", "q6_revenue", "text_tokens", "sim_radius")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // codegen stages render as "*(n) Operator" in the simple plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q has no codegen span:\n${p.take(800)}")
+    }
+  }
+}
