@@ -645,6 +645,26 @@ object GraftOps {
       base.join(latest.select(col(key)), Seq(key), "left_anti"))
   }
 
+  /** Incremental aggregate maintenance: merge a DELTA batch into a
+    * maintained additive aggregate state without rescanning the base.
+    * Both inputs carry `keys` plus the same additive measure columns
+    * (counts, sums — avg/variance derive from them); retractions are
+    * rows with negated measures. One union + groupBy: map-side partial
+    * aggregation means the shuffle moves ≈ |groups in the delta|, so
+    * keeping a 100 TB rollup fresh costs the delta, not the base.
+    * Groups whose count reaches 0 are dropped (fully retracted). */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    countCol: String = "cnt"): DataFrame = {
+    val measures = state.columns.filterNot(keys.contains)
+    require(measures.contains(countCol),
+      s"state must carry the count column '$countCol'")
+    val aggs = measures.map(m => sum(col(m)).as(m))
+    state.unionByName(delta.select(state.columns.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col(countCol) =!= 0)
+  }
+
   /** Snapshot diff (the SCD change-detection primitive): full outer
     * join of two keyed snapshots, each key classified added / removed /
     * changed / unchanged (null-safe column compare). One shuffle per
@@ -732,6 +752,9 @@ object GraftOps {
         GraftOps.upsertByKey(df, updates, key, versionCol)
       def snapshotDiff(cur: DataFrame, key: String, compareCols: Seq[String]): DataFrame =
         GraftOps.snapshotDiff(df, cur, key, compareCols)
+      def mergeAggState(delta: DataFrame, keys: Seq[String],
+                        countCol: String = "cnt"): DataFrame =
+        GraftOps.mergeAggState(df, delta, keys, countCol)
     }
   }
 }

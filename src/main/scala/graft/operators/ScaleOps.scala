@@ -61,11 +61,34 @@ object ScaleOps {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy("priority")
 
+  /** Incremental view maintenance: a 90% "base" aggregate state plus a
+    * 10% delta batch merged via GraftOps.mergeAggState — the oracle
+    * recomputes the full aggregate from scratch, proving merge(state,
+    * delta) ≡ recompute. Money is carried as integer cents so the
+    * merged partial sums are EXACTLY order-independent (double partial
+    * sums could differ in the last ulp from a full-scan sum). */
+  def q33IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("priority")
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("total_cents"))
+    val state = aggOf(o.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = aggOf(o.filter(col("o_orderkey") % 10 === 0))
+    graft.api.GraftOps.mergeAggState(state, delta, Seq("priority"))
+      .orderBy("priority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_bucketed_join", q32BucketedJoin, Some(
       """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q33_incremental_agg", q33IncrementalAgg, Some(
+      """SELECT o_orderpriority AS priority, count(*) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""")),
   )
 }

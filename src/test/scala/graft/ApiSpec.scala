@@ -99,6 +99,16 @@ class ApiSpec extends SparkSpec {
     assert(ranked.forall(_.getAs[Double]("bm25") > 0.0))
   }
 
+  test("mergeAggState: delta merge, retraction, and full-retraction group drop") {
+    val state = Seq(("a", 3L, 30L), ("b", 2L, 20L)).toDF("k", "cnt", "total")
+    val delta = Seq(("a", 1L, 5L), ("b", -2L, -20L), ("c", 4L, 7L))
+      .toDF("k", "cnt", "total")
+    val got = graft.api.GraftOps.mergeAggState(state, delta, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // b fully retracted and dropped; a incremented; c inserted
+    assert(got == Set(("a", 4L, 35L), ("c", 4L, 7L)))
+  }
+
   test("profileApprox: HLL distinct counts within rsd bounds of the exact profile") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val exact = orders.profile().collect()
