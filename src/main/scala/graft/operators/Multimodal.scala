@@ -73,6 +73,77 @@ object Multimodal {
           .as("frame_key"))
       .orderBy("doc_id", "frame_no")
 
+  /** Feature-extractor contract: init() once per partition (model
+    * load), extract() per payload — the mapPartitions batch shape that
+    * amortizes setup at 100 TB. The stub derives a deterministic
+    * 8-dim vector from md5 so the oracle reproduces it exactly. */
+  trait FeatureExtractor extends Serializable {
+    def init(): Unit
+    def extract(bytes: Array[Byte]): Array[Double]
+  }
+
+  val FeatureDims = 8
+
+  /** STUB: feature j = round(int(md5(md5(payload) ++ "_j")[0:8]) / 2^32, 6).
+    * Replace with a real (e.g. image-embedding) kernel; everything
+    * around it — batching, schema, explode shape — stays. */
+  object StubFeatureExtractor extends FeatureExtractor {
+    def init(): Unit = ()
+    private def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    def extract(bytes: Array[Byte]): Array[Double] = {
+      val h = md5hex(bytes)
+      Array.tabulate(FeatureDims) { j =>
+        val hj = md5hex(s"${h}_$j".getBytes("UTF-8")).substring(0, 8)
+        val v = java.lang.Long.parseLong(hj, 16) / 4294967296.0
+        // HALF_UP on the exact decimal expansion == DuckDB round()
+        // (half away from zero for positives); rint would be half-even
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
+  private val featSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("feat_no", IntegerType),
+    StructField("value", DoubleType)))
+
+  /** Batched feature extraction over the binary column, exploded to
+    * (doc_id, feat_no, value) scalar rows. */
+  def features(spark: SparkSession, dir: String,
+               fx: FeatureExtractor = StubFeatureExtractor): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featSchema)
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    bin.mapPartitions { rows =>
+      fx.init()
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val fs = fx.extract(r.getAs[Array[Byte]](1))
+        fs.iterator.zipWithIndex.map { case (v, j) => Row(id, j, v) }
+      }
+    }(enc).orderBy("doc_id", "feat_no")
+  }
+
+  /** Resize planning: fit each (width, height) into a target square
+    * box, aspect ratio preserved, INTEGER arithmetic only (identical
+    * on any engine — no float rounding drift). est_bytes is the RGB
+    * buffer the resized payload would occupy — the number a pipeline
+    * uses to budget shuffle/memory before running the real kernel. */
+  val ResizeTarget = 224
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    metadata(spark, dir)
+      .filter(col("width") > 0 && col("height") > 0)
+      .withColumn("out_w",
+        expr(s"CAST(width * $ResizeTarget div greatest(width, height) AS INT)"))
+      .withColumn("out_h",
+        expr(s"CAST(height * $ResizeTarget div greatest(width, height) AS INT)"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        (col("out_w").cast("long") * col("out_h") * 3L).as("est_bytes"))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     // Oracle covers the deterministic stub arithmetic; the decode seam
     // itself is the part a real codec would replace.
@@ -89,5 +160,22 @@ object Multimodal {
          FROM (SELECT doc_id, octet_length(text::BLOB) % 16 AS nf FROM documents),
               unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS u(f)
          ORDER BY doc_id, frame_no""")),
+    QueryDef("mm_features", (s, d) => features(s, d), Some(
+      s"""SELECT doc_id, CAST(j AS INT) AS feat_no,
+                 round(('0x' || substr(md5(md5(text) || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0, 6) AS value
+          FROM documents, unnest(generate_series(0, ${FeatureDims - 1})) AS u(j)
+          ORDER BY doc_id, feat_no""")),
+    QueryDef("mm_resize", (s, d) => resizePlan(s, d), Some(
+      s"""WITH m AS (SELECT doc_id,
+                            CAST(octet_length(text::BLOB) % 640 AS INT) AS width,
+                            CAST(octet_length(text::BLOB) % 480 AS INT) AS height
+                     FROM documents)
+          SELECT doc_id, width, height,
+                 CAST(width * $ResizeTarget // greatest(width, height) AS INT) AS out_w,
+                 CAST(height * $ResizeTarget // greatest(width, height) AS INT) AS out_h,
+                 CAST(CAST(width * $ResizeTarget // greatest(width, height) AS BIGINT) *
+                      CAST(height * $ResizeTarget // greatest(width, height) AS BIGINT) * 3 AS BIGINT) AS est_bytes
+          FROM m WHERE width > 0 AND height > 0 ORDER BY doc_id""")),
   )
 }

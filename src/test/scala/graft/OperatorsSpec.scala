@@ -218,6 +218,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("multimodal resize preserves aspect ratio; features are 8 per doc in [0,1)") {
+    val rs = operators.Multimodal.resizePlan(spark, sf).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      // the longer side lands exactly on the target; the shorter side
+      // scales by the same factor (floor) — exact values are the
+      // oracle's job, this is the structural invariant
+      assert(math.max(ow, oh) == operators.Multimodal.ResizeTarget)
+      assert(ow <= operators.Multimodal.ResizeTarget && oh <= operators.Multimodal.ResizeTarget)
+      assert((w >= h) == (ow >= oh))
+    }
+    val fs = operators.Multimodal.features(spark, sf).collect()
+    val perDoc = fs.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perDoc == Set(operators.Multimodal.FeatureDims))
+    assert(fs.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val bad = Multimodal.metadata(spark, sf)
       .join(sources.Tables.documents(spark, sf), "doc_id")
