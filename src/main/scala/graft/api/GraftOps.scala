@@ -567,6 +567,29 @@ object GraftOps {
       .select(col("n_triangles"), col("n_edges"))
   }
 
+  /** Approximate triangle count by deterministic edge sampling
+    * (Tsourakakis et al., DOULION, KDD'09): keep each edge iff an
+    * md5-derived hash of the pair falls under p, exact-count the
+    * sampled subgraph, scale by 1/p³. Wedge work drops ~p², which is
+    * the practical mitigation when exact counting's Ω(Σ deg²) is too
+    * hot on hub-heavy graphs. Hash sampling (not rand) keeps the
+    * estimate reproducible on any cluster size AND lets a SQL oracle
+    * replay the identical sample. Returns (n_triangles_est, n_exact_in
+    * _sample, n_sampled_edges). */
+  def triangleCountApprox(und0: DataFrame, u: String, v: String,
+                          p: Double = 0.25): DataFrame = {
+    require(p > 0 && p <= 1, s"sampling rate must be in (0, 1], got $p")
+    val cut = (p * 10000).toInt
+    val sampled = und0.select(col(u).as("a"), col(v).as("b"))
+      .filter(graft.functions.TextFns.hash32(
+        concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 10000 < cut)
+    triangleCount(sampled, "a", "b")
+      .select(
+        round(col("n_triangles") / lit(p * p * p)).cast("long").as("n_triangles_est"),
+        col("n_triangles").as("n_in_sample"),
+        col("n_edges").as("n_sampled_edges"))
+  }
+
   /** Benchmark-contamination scan: fraction of each candidate doc's
     * distinct w-gram shingles present in the benchmark subset (rows
     * where `isBench` is true). The benchmark shingle set broadcasts;
@@ -742,6 +765,8 @@ object GraftOps {
         GraftOps.personalizedPageRankLog(df, src, dst, sources, alpha, iters)
       def triangleCount(u: String, v: String): DataFrame =
         GraftOps.triangleCount(df, u, v)
+      def triangleCountApprox(u: String, v: String, p: Double = 0.25): DataFrame =
+        GraftOps.triangleCountApprox(df, u, v, p)
       def contaminationScan(id: String, text: String, isBench: Column,
                             w: Int = 3, threshold: Double = 0.1): DataFrame =
         GraftOps.contaminationScan(df, id, text, isBench, w, threshold)

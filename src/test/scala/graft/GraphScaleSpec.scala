@@ -54,6 +54,21 @@ class GraphScaleSpec extends SparkSpec {
       s"forced hint in pagerank plan:\n${analyzed.take(1500)}")
   }
 
+  test("DOULION-sampled triangle estimate lands within 10% of exact (sf0.01)") {
+    // the md5 edge sample is deterministic, so the measured error is
+    // stable across runs (0.5% at p = 1/4 on this graph)
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.operators.Graph.graphTriangles(spark, dir)
+      .collect().head.getLong(0)
+    val row = graft.operators.Graph.graphTrianglesApprox(spark, dir).collect().head
+    val est = row.getLong(0)
+    assert(exact > 0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1, s"est $est vs exact $exact")
+    // and the sample really is ~p of the edges
+    val sampledEdges = row.getLong(2)
+    assert(sampledEdges > 0 && sampledEdges < 40000)
+  }
+
   test("triangleCount order key survives ids and degrees beyond 2^33") {
     // the old packed-long key (degree * 2^33 + id) overflowed here; the
     // struct comparison has no range limit
