@@ -54,6 +54,28 @@ object Bench {
       case (k, None)    => conf.unset(k)
     }
   }
+  /** Sustained streaming throughput: a high-rate source driving the
+    * watermarked windowed aggregation for ~8 s through the noop sink;
+    * reports the processed-rows/sec the engine actually sustained
+    * (measurement, not a pass/fail deadline — CI load shifts the
+    * number, never breaks the bench). */
+  def streamSection(spark: SparkSession): Map[String, Double] = {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500000).option("numPartitions", 8).load()
+      .withWatermark("timestamp", "2 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+    val q = stream.writeStream.outputMode("update").format("noop").start()
+    try {
+      Thread.sleep(8000)
+      val progress = q.recentProgress
+      val rows = progress.map(_.numInputRows).sum
+      val secs = progress.map(_.batchDuration).sum / 1000.0
+      if (rows == 0 || secs == 0) Map.empty
+      else Map("windowed_agg_rows_per_sec" -> rows / secs)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,7 +129,12 @@ object Bench {
       Map.empty[String, Double] }
     val skewJson = skew.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skewJson,"sf":"$sfDir"}"""
+    val stream = try streamSection(spark) catch { case e: Throwable =>
+      System.err.println(s"[bench] stream section failed: ${e.getMessage}")
+      Map.empty[String, Double] }
+    val streamJson = stream.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
     println(json)
     // console capture can truncate long lines mid-JSON; the file copy is
     // the durable artifact
