@@ -33,10 +33,34 @@ object Graph {
   // converged rank table memoized per (session, dir): topk and any other
   // consumer reuse one cached computation instead of re-iterating
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  // shared graph inputs, built once per (session, dir): five queries
+  // derive from the supplier↔part pair table and two from the
+  // co-purchase edge set — the first consumer pays the build
+  private val inputMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** Drop memoized results (benchmarks call this so a timed pass pays
     * the real computation cost). */
-  def reset(): Unit = memo.clear()
+  def reset(): Unit = { memo.clear(); inputMemo.clear() }
+
+  /** Distinct (supplier, part) pairs — the base of the bipartite graph
+    * queries. Checkpointed so each consumer starts from materialized
+    * pairs instead of re-running the scan + distinct. */
+  private def liPairs(spark: SparkSession, dir: String): DataFrame =
+    inputMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":li:" + dir,
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .localCheckpoint())
+
+  /** Distinct co-purchase part pairs (a < b, same order) — shared by
+    * the exact and sampled triangle counts. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    inputMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":cp:" + dir, {
+      val op = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .localCheckpoint()
+    })
 
   // localCheckpoint (not cache): materializes through the normal AQE
   // execution path and truncates the 5-iteration lineage; cache() would
@@ -47,8 +71,7 @@ object Graph {
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val li = liPairs(spark, dir)
     val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
     // repartition on src BEFORE caching: the cached scan then reports
     // hash-partitioning on src, so every iteration's edge⋈rank join
@@ -123,8 +146,7 @@ object Graph {
     * the bipartite mirror above sidesteps. Runs on the generalized
     * `GraftOps.personalizedPageRank` core. */
   def pagerankDirected(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val li = liPairs(spark, dir)
     val edges = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst"))
     graft.api.GraftOps.personalizedPageRank(edges, "src", "dst", Sources, Alpha, Iters)
@@ -172,8 +194,7 @@ object Graph {
     * each degree. Scan + two groupBys (map-side partial both times);
     * shuffle volume ∝ |V| then ∝ distinct degrees. */
   def graphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val li = liPairs(spark, dir)
     val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
     fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy("src").agg(count(lit(1)).as("degree"))
@@ -195,8 +216,7 @@ object Graph {
     * rounds truncates the growing lineage either way. */
   val CcIters = 6 // all test SFs converge in 3 rounds (measured); 2× margin
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val und = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val und = liPairs(spark, dir)
       .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
     graft.api.GraftOps.connectedComponents(und, "s", "p", CcIters).orderBy("v")
   }
@@ -206,8 +226,7 @@ object Graph {
     * 100 TB path. Labels are the component minimum, so the SAME oracle
     * as `graph_components` verifies it. */
   def graphComponentsLogN(spark: SparkSession, dir: String): DataFrame = {
-    val und = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val und = liPairs(spark, dir)
       .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
     graft.api.GraftOps.connectedComponentsLogN(und, "s", "p").orderBy("v")
   }
@@ -245,26 +264,16 @@ object Graph {
     * joins + partial count without being shuffled), and beyond
     * broadcast size the same plan runs as shuffle joins partitioned on
     * src/(u,w) where only |E|-sized tables move — never the wedges. */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val und = op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-    graft.api.GraftOps.triangleCount(und, "a", "b")
-  }
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.triangleCount(coPurchaseEdges(spark, dir), "a", "b")
 
   /** DOULION-sampled triangle estimate on the same co-purchase graph
     * (p = 1/4 ⇒ ~16× less wedge work). The md5 edge sampling is
     * deterministic, so the oracle replays the IDENTICAL sample and the
     * whole estimator — not just the exact sub-count — verifies. */
   val TriSampleP = 0.25
-  def graphTrianglesApprox(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val und = op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-    graft.api.GraftOps.triangleCountApprox(und, "a", "b", TriSampleP)
-  }
+  def graphTrianglesApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.triangleCountApprox(coPurchaseEdges(spark, dir), "a", "b", TriSampleP)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(oracle)),
