@@ -36,7 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("vint_unpack"),
       new ExpressionInfo(classOf[graft.functions.VIntUnpack].getName, "vint_unpack"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VIntUnpack(exprs.head)))
+      graft.functions.VectorExpressions.vintUnpackBuilder _))
   }
 }

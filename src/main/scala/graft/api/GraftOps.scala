@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.EmbLsh
 import graft.functions.HashingScheme._
 
 /** Column-parameterized operator cores: the user-facing library surface.
@@ -152,14 +153,20 @@ object GraftOps {
     * (EmbeddingDedupSpec measures recall against it) is the same filter
     * over an `a < b` cross join. */
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String,
-                            threshold: Double, tables: Int = 16,
-                            bits: Int = 4, dims: Int = 64): DataFrame = {
+                            threshold: Double,
+                            tables: Int = EmbLsh.Tables,
+                            bits: Int = EmbLsh.Bits,
+                            dims: Int = EmbLsh.Dims): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
+    // e feeds the banding plus BOTH vector-join sides, and banded feeds
+    // the tables-leg candidate union twice: materialize each once or
+    // every leg re-runs the source scan + cast + bucket projection
     val e = df.select(col(id),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
     val buckets = (0 until tables).map(t =>
       expr(s"lsh_bucket(v, $bits, $dims, $t)").as(s"b$t"))
-    val banded = e.select(col(id) +: buckets: _*)
+    val banded = e.select(col(id) +: buckets: _*).localCheckpoint()
     val cand = (0 until tables).map(t =>
       banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
       .reduce(_ unionAll _)
@@ -506,6 +513,11 @@ object GraftOps {
                      else hung.unionAll(m.select(col("u"), col("m").as("v")))
       withSelf.filter(col("u") =!= col("v")).distinct()
     }
+    // node universe from the RAW input: a vertex appearing only in
+    // self-loop edges must still receive a label (self-loops are
+    // filtered from the contraction, not from the graph)
+    val allNodes = und.select(col(u).as("n"))
+      .unionAll(und.select(col(v).as("n"))).distinct().localCheckpoint()
     val init = und.select(col(u).as("u"), col(v).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var cur = init
@@ -519,9 +531,7 @@ object GraftOps {
     }
     require(converged, s"star contraction did not converge in $maxRounds rounds")
     // fixpoint: every non-min node points at its component min
-    val nodes = init.select(col("u").as("n"))
-      .unionAll(init.select(col("v").as("n"))).distinct()
-    nodes.join(cur, nodes("n") === cur("u"), "left")
+    allNodes.join(cur, allNodes("n") === cur("u"), "left")
       .select(col("n").as("v"), coalesce(cur("v"), col("n")).as("comp"))
   }
 
@@ -579,7 +589,13 @@ object GraftOps {
   def triangleCountApprox(und0: DataFrame, u: String, v: String,
                           p: Double = 0.25): DataFrame = {
     require(p > 0 && p <= 1, s"sampling rate must be in (0, 1], got $p")
-    val cut = (p * 10000).toInt
+    // round, don't truncate: (0.0003 * 10000).toInt is 2, silently
+    // biasing the estimate. The effective rate IS cut/10000, so any p
+    // the bucket grid can't represent would bias the 1/p³ scaling —
+    // reject it rather than estimate with the wrong constant.
+    val cut = math.round(p * 10000).toInt
+    require(cut > 0 && math.abs(cut / 10000.0 - p) < 1e-9,
+      s"sampling rate $p must be a positive multiple of 1e-4 (hash-bucket resolution)")
     val sampled = und0.select(col(u).as("a"), col(v).as("b"))
       .filter(graft.functions.TextFns.hash32(
         concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 10000 < cut)
@@ -653,13 +669,25 @@ object GraftOps {
                   versionCol: Option[String] = None): DataFrame = {
     val latest = versionCol match {
       case Some(v) =>
-        // secondary sort on a content hash of the full row: ties on
-        // (key, version) still resolve to ONE deterministic row (hash-
-        // identical duplicates are interchangeable, so any pick is the
-        // same row). Callers with a unique (key, version) pay one
-        // cheap extra sort key.
+        // secondary sort on a content hash: ties on (key, version)
+        // still resolve to ONE deterministic row (hash-identical
+        // duplicates are interchangeable, so any pick is the same
+        // row). Map-typed columns are not hashable in Spark — exclude
+        // them from the tie-break rather than fail analysis.
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case _: MapType        => false
+            case ArrayType(e, _)   => hashable(e)
+            case StructType(fs)    => fs.forall(f => hashable(f.dataType))
+            case _                 => true
+          }
+        }
+        val hashCols = updates.schema.fields
+          .filter(f => hashable(f.dataType)).map(f => col(f.name))
+        val tieBreak = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
         val w = Window.partitionBy(col(key))
-          .orderBy(col(v).desc, xxhash64(updates.columns.map(col): _*))
+          .orderBy(col(v).desc, tieBreak)
         updates.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None => updates
@@ -736,8 +764,8 @@ object GraftOps {
       def simhashCandidates(id: String, text: String, maxHamming: Int = 3): DataFrame =
         GraftOps.simhashCandidates(df, id, text, maxHamming)
       def embeddingNearDupPairs(id: String, vec: String, threshold: Double,
-                                tables: Int = 16, bits: Int = 4,
-                                dims: Int = 64): DataFrame =
+                                tables: Int = EmbLsh.Tables, bits: Int = EmbLsh.Bits,
+                                dims: Int = EmbLsh.Dims): DataFrame =
         GraftOps.embeddingNearDupPairs(df, id, vec, threshold, tables, bits, dims)
       def cosineTopK(id: String, vec: String, queries: DataFrame, k: Int = 5): DataFrame =
         GraftOps.cosineTopK(df, id, vec, queries, k)

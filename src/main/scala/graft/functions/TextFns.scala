@@ -35,6 +35,16 @@ object TextFns {
   * generated DuckDB oracle SQL. Universal hashing h_i(x) = (a_i·x + b_i)
   * mod p over the Mersenne prime 2^31−1: with x < 2^31 and a_i < 2^31
   * the product stays < 2^62 — no int64 overflow on either engine. */
+/** Embedding-LSH production parameters — ONE definition shared by the
+  * GraftOps core defaults, the implicit syntax, and the Dedup operator
+  * whose DuckDB oracle inlines the corresponding hyperplanes. Retune
+  * here and every caller (and the generated oracle) moves together. */
+object EmbLsh {
+  val Tables = 16
+  val Bits = 4
+  val Dims = 64
+}
+
 object HashingScheme {
   val P: Long = 2147483647L // 2^31 - 1
   val NumHashes = 16

@@ -28,6 +28,10 @@ object VIntCodec extends Serializable {
     var prev = 0L
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently unboxes to 0 — that would
+      // corrupt the encoding with no error, so reject nulls loudly
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"vint_pack: null element at index $i")
       val v = a.getLong(i)
       var g = if (i == 0) v else v - prev
       if (g < 0) throw new IllegalArgumentException(
@@ -50,6 +54,8 @@ object VIntCodec extends Serializable {
       var g = 0L
       var more = true
       while (more) {
+        if (i >= b.length) throw new IllegalArgumentException(
+          "vint_unpack: truncated varint (continuation bit set at end of input)")
         val x = b(i); i += 1
         g |= (x & 0x7FL) << shift
         shift += 7

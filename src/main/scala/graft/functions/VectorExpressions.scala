@@ -155,6 +155,16 @@ object VectorExpressions {
     VIntPack(arr)
   }
 
+  private[graft] def vintUnpackBuilder(exprs: Seq[Expression]): Expression = {
+    // coerce at the builder so a non-binary argument either casts
+    // cleanly or fails analysis — never a codegen ClassCastException
+    val bin = exprs.head.dataType match {
+      case BinaryType => exprs.head
+      case _ => Cast(exprs.head, BinaryType)
+    }
+    VIntUnpack(bin)
+  }
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     val ord = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
     val payload = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
@@ -173,6 +183,6 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vint_pack", vintPackBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vint_unpack", exprs => VIntUnpack(exprs.head), "built-in")
+      "vint_unpack", vintUnpackBuilder, "built-in")
   }
 }

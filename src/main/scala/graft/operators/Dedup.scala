@@ -65,9 +65,11 @@ object Dedup {
     * literal vectors, so the bucket collisions — not just the cosine
     * math — are verified bit-for-bit. */
   val EmbThreshold = 0.45
-  val EmbTables = 16
-  val EmbBits = 4
-  val EmbDims = 64
+  // single source of truth (functions.EmbLsh): the GraftOps defaults,
+  // the implicit syntax, and the oracle's inlined planes all follow it
+  val EmbTables: Int = graft.functions.EmbLsh.Tables
+  val EmbBits: Int = graft.functions.EmbLsh.Bits
+  val EmbDims: Int = graft.functions.EmbLsh.Dims
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.embeddingNearDupPairs(Tables.embeddings(spark, dir),
         "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)

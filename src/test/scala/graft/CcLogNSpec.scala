@@ -34,6 +34,14 @@ class CcLogNSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("self-loop-only vertices keep their label (parity with propagation)") {
+    val g = Seq((1L, 2L), (5L, 5L)).toDF("a", "b")
+    val logn = labels(GraftOps.connectedComponentsLogN(g, "a", "b"))
+    val prop = labels(GraftOps.connectedComponents(g, "a", "b", 3))
+    assert(logn == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(logn == prop)
+  }
+
   test("star contraction is broadcast-independent") {
     val conf = spark.conf
     val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")

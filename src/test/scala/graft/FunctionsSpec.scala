@@ -84,6 +84,16 @@ class FunctionsSpec extends SparkSpec {
       Seq(Seq(5L, 3L)).toDF("ids").selectExpr("vint_pack(ids)").collect()
     }
     assert(ex.getMessage != null)
+    // null elements would silently read as 0 via getLong — reject them
+    val exNull = intercept[Exception] {
+      spark.sql("SELECT vint_pack(array(0L, CAST(NULL AS BIGINT)))").collect()
+    }
+    assert(exNull.getMessage != null)
+    // truncated varint (dangling continuation bit) fails cleanly
+    val exTrunc = intercept[Exception] {
+      Seq(Array(0x80.toByte)).toDF("b").selectExpr("vint_unpack(b)").collect()
+    }
+    assert(exTrunc.getMessage != null)
   }
 
   test("hash32 equals the documented md5-prefix derivation") {

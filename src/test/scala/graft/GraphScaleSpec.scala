@@ -79,6 +79,23 @@ class GraphScaleSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
   }
 
+  test("triangle sampling rejects sub-resolution p and rounds the cutoff") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.triangleCountApprox(tri, "a", "b", p = 0.00005)
+    }
+    // 0.0003 * 10000 = 2.9999999999999996 — must round to 3, not floor to 2
+    graft.api.GraftOps.triangleCountApprox(tri, "a", "b", p = 0.0003).collect()
+  }
+
+  test("versioned upsert tolerates map-typed columns (excluded from tie-break)") {
+    val base = Seq((1L, 10L, Map("a" -> "x"))).toDF("k", "ver", "m")
+    val updates = Seq((1L, 20L, Map("b" -> "y")), (2L, 5L, Map.empty[String, String]))
+      .toDF("k", "ver", "m")
+    val got = graft.api.GraftOps.upsertByKey(base, updates, "k", Some("ver"))
+    assert(got.count() == 2)
+  }
+
   test("versioned upsert resolves duplicate (key, version) rows deterministically") {
     val base = Seq((1L, 10L, "old")).toDF("k", "ver", "val")
     val updates = Seq((1L, 20L, "x"), (1L, 20L, "y"), (2L, 5L, "z"))
