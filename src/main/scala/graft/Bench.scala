@@ -66,14 +66,36 @@ object Bench {
       .groupBy(org.apache.spark.sql.functions.window(col("timestamp"), "1 second"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
     val q = stream.writeStream.outputMode("update").format("noop").start()
-    try {
+    val agg = try {
       Thread.sleep(8000)
       val progress = q.recentProgress
       val rows = progress.map(_.numInputRows).sum
       val secs = progress.map(_.batchDuration).sum / 1000.0
-      if (rows == 0 || secs == 0) Map.empty
+      if (rows == 0 || secs == 0) Map.empty[String, Double]
       else Map("windowed_agg_rows_per_sec" -> rows / secs)
     } finally q.stop()
+    // stream-stream interval join: two watermarked rate sources joined
+    // on key within ±1 s — the stateful two-input path
+    val a = spark.readStream.format("rate")
+      .option("rowsPerSecond", 100000).option("numPartitions", 4).load()
+      .withWatermark("timestamp", "2 seconds")
+      .select(col("value").as("ka"), col("timestamp").as("ta"))
+    val b = spark.readStream.format("rate")
+      .option("rowsPerSecond", 100000).option("numPartitions", 4).load()
+      .withWatermark("timestamp", "2 seconds")
+      .select(col("value").as("kb"), col("timestamp").as("tb"))
+    val j = a.join(b, expr(
+      "ka = kb AND tb BETWEEN ta - INTERVAL 1 SECOND AND ta + INTERVAL 1 SECOND"))
+    val qj = j.writeStream.outputMode("append").format("noop").start()
+    val join = try {
+      Thread.sleep(8000)
+      val progress = qj.recentProgress
+      val rows = progress.map(_.numInputRows).sum
+      val secs = progress.map(_.batchDuration).sum / 1000.0
+      if (rows == 0 || secs == 0) Map.empty[String, Double]
+      else Map("interval_join_rows_per_sec" -> rows / secs)
+    } finally qj.stop()
+    agg ++ join
   }
 
   def main(args: Array[String]): Unit = {
