@@ -380,6 +380,7 @@ object GraftOps {
   def personalizedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                            sources: Seq[Long], alpha: Double = 0.15,
                            iters: Int = 5): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source node")
     val spark = edges0.sparkSession
     import spark.implicits._
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -425,6 +426,7 @@ object GraftOps {
   def personalizedPageRankLog(edges0: DataFrame, srcCol: String, dstCol: String,
                               sources: Seq[Long], alpha: Double = 0.15,
                               iters: Int = 5): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source node")
     val spark = edges0.sparkSession
     import spark.implicits._
     val NegInf = Double.NegativeInfinity

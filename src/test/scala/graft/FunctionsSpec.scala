@@ -96,6 +96,19 @@ class FunctionsSpec extends SparkSpec {
     assert(exTrunc.getMessage != null)
   }
 
+  test("vint codec round-trips 500 seeded-random sorted arrays (property sweep)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val n = rnd.nextInt(60)
+      val xs = Array.fill(n)(math.abs(rnd.nextLong()) / 2).sorted
+      val back = graft.functions.VIntCodec
+        .unpack(graft.functions.VIntCodec.pack(new GenericArrayData(xs)))
+        .toLongArray
+      assert(back.sameElements(xs))
+    }
+  }
+
   test("hash32 equals the documented md5-prefix derivation") {
     val got = Seq("hello").toDF("s")
       .select(graft.functions.TextFns.hash32(col("s"))).head.getLong(0)
