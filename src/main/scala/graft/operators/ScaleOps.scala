@@ -61,6 +61,40 @@ object ScaleOps {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy("priority")
 
+  /** Day-partitioned copy of `events`, written once per (session, dir)
+    * — the directory layout (day=N/...) every time-series table should
+    * carry at 100 TB, because a day-bounded query then opens one
+    * directory instead of scanning the year. */
+  private val partitioned = scala.collection.concurrent.TrieMap[String, String]()
+  def partitionedEventsPath(spark: SparkSession, dir: String): String =
+    partitioned.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_events_byday${dir.hashCode & Int.MaxValue}").toString
+      Tables.events(spark, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    })
+
+  /** One-day slice over the partitioned layout: the literal day filter
+    * becomes a PARTITION filter (directory pruning — zero data files
+    * from other days are even opened), which PartitionPruningSpec
+    * asserts on the scan node. Result parity with a full-scan filter
+    * over the raw table is the oracle's job. */
+  def q34PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = partitionedEventsPath(spark, dir)
+    val ev = spark.read.parquet(path)
+    // a data-derived literal keeps the query meaningful at every SF:
+    // min(day) + 3 is always populated in the driver's testdata.
+    // (cast: partition-directory inference may type `day` as int)
+    val day = ev.agg(min(col("day")).cast("long")).head().getLong(0) + 3
+    ev.filter(col("day") === day)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Incremental view maintenance: a 90% "base" aggregate state plus a
     * 10% delta batch merged via GraftOps.mergeAggState — the oracle
     * recomputes the full aggregate from scratch, proving merge(state,
@@ -90,5 +124,10 @@ object ScaleOps {
       """SELECT o_orderpriority AS priority, count(*) AS cnt,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q34_partition_pruning", q34PartitionPruning, Some(
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) // 86400000000 AS day FROM events)
+         SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM ev WHERE day = (SELECT min(day) + 3 FROM ev)
+         GROUP BY 1 ORDER BY 1""")),
   )
 }

@@ -46,6 +46,19 @@ class PlanSpec extends SparkSpec {
     assert(s.nonEmpty && s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
   }
 
+  test("q34: the day filter prunes to exactly one partition directory") {
+    import org.apache.spark.sql.functions._
+    val path = graft.operators.ScaleOps.partitionedEventsPath(spark, sf)
+    val ev = spark.read.parquet(path)
+    val day = ev.agg(min(col("day")).cast("long")).head().getLong(0) + 3
+    val sliced = ev.filter(col("day") === day)
+    val scan = sliced.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty, "day filter did not become a partition filter")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).length == 1,
+      "more than one partition directory survives the filter")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
