@@ -43,6 +43,16 @@ object EmbLsh {
   val Tables = 16
   val Bits = 4
   val Dims = 64
+
+  /** Bits to use at a given corpus size: expected per-table candidate
+    * pairs ≈ N²/2^bits (uniform buckets), so holding candidate volume
+    * ≈ 256·N per table means bits ≈ log₂N − 8, floored at the
+    * oracle-verified default. Recall lost to narrower buckets is
+    * recovered by raising `Tables` (1-(1-p^bits)^tables). */
+  def suggestedBits(corpusSize: Long): Int = {
+    require(corpusSize > 0, s"corpus size must be positive, got $corpusSize")
+    math.max(Bits, (math.log(corpusSize.toDouble) / math.log(2)).ceil.toInt - 8)
+  }
 }
 
 object HashingScheme {

@@ -117,6 +117,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got == java.lang.Long.parseLong(hex, 16))
   }
 
+  test("EmbLsh.suggestedBits scales with log(corpus) and floors at the verified default") {
+    import graft.functions.EmbLsh
+    assert(EmbLsh.suggestedBits(1) == EmbLsh.Bits)
+    assert(EmbLsh.suggestedBits(500) == EmbLsh.Bits)       // test corpus → default
+    assert(EmbLsh.suggestedBits(1000000) == 12)            // 1M docs → 2^12 buckets
+    assert(EmbLsh.suggestedBits(1000000000L) == 22)        // 1B docs → 2^22 buckets
+    val sizes = Seq(1L, 1000L, 1000000L, 1000000000L)
+    val bits = sizes.map(EmbLsh.suggestedBits)
+    assert(bits == bits.sorted)
+  }
+
   test("minhash permutation constants stay within the no-overflow envelope") {
     (0 until HashingScheme.NumHashes).foreach { i =>
       assert(HashingScheme.a(i) > 0 && HashingScheme.a(i) < HashingScheme.P)

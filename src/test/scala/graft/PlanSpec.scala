@@ -59,6 +59,34 @@ class PlanSpec extends SparkSpec {
       "more than one partition directory survives the filter")
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join against the partitioned layout") {
+    import org.apache.spark.sql.functions._
+    import SparkSpec.spark.implicits._
+    val path = graft.operators.ScaleOps.partitionedEventsPath(spark, sf)
+    val ev = spark.read.parquet(path)
+    val d0 = ev.agg(min(col("day")).cast("long")).head().getLong(0)
+    // dim key must match the inferred partition-column type EXACTLY (a
+    // cast on the partition side defeats the rule), and the dim must be
+    // a FILE source: a local relation's filter is constant-folded away
+    // before the pruning rule can see a selective predicate
+    val dayType = ev.schema("day").dataType.simpleString
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Seq((d0, "keep"), (d0 + 1, "drop"), (d0 + 2, "drop"))
+      .toDF("day0", "tag")
+      .select(col("day0").cast(dayType).as("day"), col("tag"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val j = ev.join(dim, ev("day") === dim("day"))
+      val plan = j.queryExecution.sparkPlan.toString.toLowerCase
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n${plan.take(1200)}")
+    } finally conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
