@@ -60,6 +60,19 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("window_ms", "region")
 
+  /** Exactly-once dedup of a replayed feed: the batch mirror unions the
+    * event stream with itself (an at-least-once redelivery) and
+    * dropDuplicates on event_id collapses it back — per-type counts
+    * equal the original distinct counts. StreamingSpec drives the same
+    * dropDuplicates through readStream with a replayed memory source. */
+  def dedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("event_type"))
+    ev.unionAll(ev)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   /** a7 TrendingArrivals: 10 min windows per event_type whose count is
     * ≥ TrendMin and ≥ 2× the count of the PRECEDING window (a missing
     * preceding window counts as 0, like the reference's initial state). */
@@ -239,6 +252,10 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_dedup", dedupBatch, Some(
+      """SELECT event_type, count(*) AS cnt
+         FROM (SELECT DISTINCT event_id, event_type FROM events)
+         GROUP BY 1 ORDER BY 1""")),
     QueryDef("stream_event_count", eventCountBatch, Some(
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms, count(*) AS cnt
           FROM events GROUP BY 1 ORDER BY window_ms""")),
