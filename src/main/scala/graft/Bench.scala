@@ -65,15 +65,22 @@ object Bench {
       .withWatermark("timestamp", "2 seconds")
       .groupBy(org.apache.spark.sql.functions.window(col("timestamp"), "1 second"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
-    val q = stream.writeStream.outputMode("update").format("noop").start()
-    val agg = try {
-      Thread.sleep(8000)
+    // wait for at least 2 completed batches (up to 20 s) so a slow
+    // first batch under CI load can't leave the measurement empty
+    def measure(q: org.apache.spark.sql.streaming.StreamingQuery,
+                label: String): Map[String, Double] = try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (q.recentProgress.length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
       val progress = q.recentProgress
       val rows = progress.map(_.numInputRows).sum
       val secs = progress.map(_.batchDuration).sum / 1000.0
       if (rows == 0 || secs == 0) Map.empty[String, Double]
-      else Map("windowed_agg_rows_per_sec" -> rows / secs)
+      else Map(label -> rows / secs)
     } finally q.stop()
+    val agg = measure(
+      stream.writeStream.outputMode("update").format("noop").start(),
+      "windowed_agg_rows_per_sec")
     // stream-stream interval join: two watermarked rate sources joined
     // on key within ±1 s — the stateful two-input path
     val a = spark.readStream.format("rate")
@@ -86,15 +93,9 @@ object Bench {
       .select(col("value").as("kb"), col("timestamp").as("tb"))
     val j = a.join(b, expr(
       "ka = kb AND tb BETWEEN ta - INTERVAL 1 SECOND AND ta + INTERVAL 1 SECOND"))
-    val qj = j.writeStream.outputMode("append").format("noop").start()
-    val join = try {
-      Thread.sleep(8000)
-      val progress = qj.recentProgress
-      val rows = progress.map(_.numInputRows).sum
-      val secs = progress.map(_.batchDuration).sum / 1000.0
-      if (rows == 0 || secs == 0) Map.empty[String, Double]
-      else Map("interval_join_rows_per_sec" -> rows / secs)
-    } finally qj.stop()
+    val join = measure(
+      j.writeStream.outputMode("append").format("noop").start(),
+      "interval_join_rows_per_sec")
     agg ++ join
   }
 
