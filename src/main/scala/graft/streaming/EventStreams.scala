@@ -60,6 +60,24 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("window_ms", "region")
 
+  /** Sliding-window counts: 10-minute windows advancing every
+    * 5 minutes, so each event lands in exactly TWO windows — the
+    * standard smoothing window Spark expresses as
+    * `window(ts, "10 minutes", "5 minutes")`. The batch mirror expands
+    * each event to its two covering window starts in-row (explode of a
+    * 2-element array — no shuffle beyond the final count). */
+  def slidingCountBatch(spark: SparkSession, dir: String): DataFrame = {
+    val slideUs = TenMinUs / 2
+    events(spark, dir)
+      // floor to the SLIDE: the covering starts are that and one slide
+      // earlier (each ≤ ts and within window length 2·slide)
+      .withColumn("s1", expr(s"(ts_us div $slideUs) * $slideUs div 1000"))
+      .withColumn("start_ms", explode(array(col("s1"), expr(s"s1 - ${slideUs / 1000}"))))
+      .groupBy("start_ms")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("start_ms")
+  }
+
   /** Exactly-once dedup of a replayed feed: the batch mirror unions the
     * event stream with itself (an at-least-once redelivery) and
     * dropDuplicates on event_id collapses it back — per-type counts
@@ -192,6 +210,16 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("window_ms"), col("cnt"))
 
+  /** Streaming sliding-window counts (window length 10 min, slide
+    * 5 min) — Spark's native sliding `window()`, converging to
+    * `slidingCountBatch`'s in-row two-window expansion. */
+  def slidingCountStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("cnt"))
+
   /** Streaming a7 RegionEventCount. */
   def regionCountStream(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, dir)
@@ -252,6 +280,13 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_sliding_count", slidingCountBatch, Some {
+      val slideUs = 5L * 60 * 1000000
+      s"""WITH s AS (SELECT (epoch_us(ts) // $slideUs) * $slideUs // 1000 AS s1 FROM events),
+            e AS (SELECT s1 AS start_ms FROM s
+                  UNION ALL SELECT s1 - ${slideUs / 1000} FROM s)
+          SELECT start_ms, count(*) AS cnt FROM e GROUP BY 1 ORDER BY 1"""
+    }),
     QueryDef("stream_dedup", dedupBatch, Some(
       """SELECT event_type, count(*) AS cnt
          FROM (SELECT DISTINCT event_id, event_type FROM events)

@@ -26,6 +26,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows converge to the batch two-window expansion") {
+    runToMemory(EventStreams.slidingCountStream(spark, sf), "slw")
+    val streamed = spark.table("slw").collect()
+      .map(r => r.getAs[Long]("start_ms") -> r.getAs[Long]("cnt")).toMap
+    val batch = EventStreams.slidingCountBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("start_ms") -> r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming region count converges to the batch mirror") {
     runToMemory(EventStreams.regionCountStream(spark, sf), "src")
     val streamed = spark.table("src").collect()
