@@ -30,6 +30,21 @@ object Curation {
   def sampleHash(df: DataFrame, key: String, pct: Long): DataFrame =
     df.filter(TextFns.hash32(col(key).cast("string")) % 100 < pct)
 
+  /** Deterministic STRATIFIED sample: per-stratum keep-percentages
+    * realized through the same md5 hash ladder as `sampleHash`, so each
+    * stratum is downsampled (or kept) at its own rate — the shape of
+    * real corpus mixing, where web crawl is cut hard and curated
+    * sources survive. Strata absent from the map fall back to
+    * `defaultPct`. Reproducible on any cluster size. */
+  def sampleStratified(df: DataFrame, key: String, stratum: String,
+                       pcts: Map[String, Long],
+                       defaultPct: Long = 0L): DataFrame = {
+    val pctCol = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(stratum) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(TextFns.hash32(col(key).cast("string")) % 100 < pctCol)
+  }
+
   /** Deterministic train/val/test split (80/10/10) by key hash. */
   def splitHash(df: DataFrame, key: String): DataFrame =
     df.withColumn("bucket", TextFns.hash32(col(key).cast("string")) % 100)
@@ -69,10 +84,28 @@ object Curation {
   val ValUpper = 90L
   val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
+  /** Curated-mix rates: a couple of "high-value" sources kept at high
+    * rates, the long tail cut to the default — the corpus-mixing shape. */
+  val StratPcts: Map[String, Long] = Map("src0" -> 80L, "src1" -> 50L, "src2" -> 20L)
+  val StratDefaultPct = 10L
+
+  def sampleStratifiedDocs(spark: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables.documents(spark, dir), "doc_id", "source",
+        StratPcts, StratDefaultPct)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_sample_hash", sampleDocs, Some(
       s"""SELECT doc_id, n_chars FROM documents
           WHERE $hashSql % 100 < $SamplePct ORDER BY doc_id""")),
+    QueryDef("cur_sample_stratified", sampleStratifiedDocs, Some {
+      val ladder = StratPcts.toSeq.sortBy(_._1)
+        .map { case (s, p) => s"WHEN source = '$s' THEN $p" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+          WHERE $hashSql % 100 < (CASE $ladder ELSE $StratDefaultPct END)
+          ORDER BY doc_id"""
+    }),
     QueryDef("cur_split_hash", splitDocs, Some(
       s"""SELECT CASE WHEN $hashSql % 100 < $TrainUpper THEN 'train'
                       WHEN $hashSql % 100 < $ValUpper THEN 'val'
