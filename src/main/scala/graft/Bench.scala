@@ -65,12 +65,17 @@ object Bench {
       .withWatermark("timestamp", "2 seconds")
       .groupBy(org.apache.spark.sql.functions.window(col("timestamp"), "1 second"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
-    // wait for at least 2 completed batches (up to 20 s) so a slow
-    // first batch under CI load can't leave the measurement empty
+    // sustained = at least 8 s of wall clock AND 2 completed batches
+    // (up to 20 s): the time floor keeps the measurement out of the
+    // warmup batches, the batch floor keeps it from being empty when a
+    // slow first batch eats the window under CI load
     def measure(q: org.apache.spark.sql.streaming.StreamingQuery,
                 label: String): Map[String, Double] = try {
-      val deadline = System.currentTimeMillis() + 20000
-      while (q.recentProgress.length < 2 && System.currentTimeMillis() < deadline)
+      val start = System.currentTimeMillis()
+      val deadline = start + 20000
+      def sustained = q.recentProgress.length >= 2 &&
+        System.currentTimeMillis() - start >= 8000
+      while (!sustained && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       val progress = q.recentProgress
       val rows = progress.map(_.numInputRows).sum

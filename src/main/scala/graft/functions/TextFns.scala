@@ -51,7 +51,13 @@ object EmbLsh {
     * recovered by raising `Tables` (1-(1-p^bits)^tables). */
   def suggestedBits(corpusSize: Long): Int = {
     require(corpusSize > 0, s"corpus size must be positive, got $corpusSize")
-    math.max(Bits, (math.log(corpusSize.toDouble) / math.log(2)).ceil.toInt - 8)
+    // exact ceil-log2: the float log ratio lands above the integer at
+    // powers of two (log2(2^29) evaluates to 29.000000000000004) and
+    // ceil would then charge an extra bit, halving per-table recall
+    val ceilLog2 =
+      if (corpusSize <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1)
+    math.max(Bits, ceilLog2 - 8)
   }
 }
 

@@ -65,17 +65,23 @@ object ScaleOps {
     * — the directory layout (day=N/...) every time-series table should
     * carry at 100 TB, because a day-bounded query then opens one
     * directory instead of scanning the year. */
-  private val partitioned = scala.collection.concurrent.TrieMap[String, String]()
-  def partitionedEventsPath(spark: SparkSession, dir: String): String =
+  // path AND min day cached together: deriving the slice literal later
+  // would full-scan every partition of the layout whose whole point is
+  // opening one directory
+  private val partitioned = scala.collection.concurrent.TrieMap[String, (String, Long)]()
+  def partitionedEvents(spark: SparkSession, dir: String): (String, Long) =
     partitioned.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
       val path = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
         s"graft_events_byday${dir.hashCode & Int.MaxValue}").toString
-      Tables.events(spark, dir)
+      val byDay = Tables.events(spark, dir)
         .withColumn("day", expr("ts_us div 86400000000"))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-      path
+      byDay.write.mode("overwrite").partitionBy("day").parquet(path)
+      val minDay = byDay.agg(min(col("day"))).head().getLong(0)
+      (path, minDay)
     })
+  def partitionedEventsPath(spark: SparkSession, dir: String): String =
+    partitionedEvents(spark, dir)._1
 
   /** One-day slice over the partitioned layout: the literal day filter
     * becomes a PARTITION filter (directory pruning — zero data files
@@ -83,12 +89,12 @@ object ScaleOps {
     * asserts on the scan node. Result parity with a full-scan filter
     * over the raw table is the oracle's job. */
   def q34PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val path = partitionedEventsPath(spark, dir)
+    // min(day) + 3 is always populated in the driver's testdata; the
+    // min comes from the cached layout metadata, so the query itself
+    // touches ONE partition directory and nothing else
+    val (path, minDay) = partitionedEvents(spark, dir)
     val ev = spark.read.parquet(path)
-    // a data-derived literal keeps the query meaningful at every SF:
-    // min(day) + 3 is always populated in the driver's testdata.
-    // (cast: partition-directory inference may type `day` as int)
-    val day = ev.agg(min(col("day")).cast("long")).head().getLong(0) + 3
+    val day = minDay + 3
     ev.filter(col("day") === day)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))

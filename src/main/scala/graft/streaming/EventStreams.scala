@@ -80,13 +80,16 @@ object EventStreams {
 
   /** Exactly-once dedup of a replayed feed: the batch mirror unions the
     * event stream with itself (an at-least-once redelivery) and
-    * dropDuplicates on event_id collapses it back — per-type counts
-    * equal the original distinct counts. StreamingSpec drives the same
-    * dropDuplicates through readStream with a replayed memory source. */
+    * dropDuplicates collapses it back — per-type counts equal the
+    * original distinct counts. Dedup covers BOTH columns so the
+    * semantics match the oracle's DISTINCT (event_id, event_type)
+    * without relying on event_id being globally unique in testdata.
+    * `dedupStream` is the streaming front-end (StreamingSpec asserts
+    * convergence). */
   def dedupBatch(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_id"), col("event_type"))
     ev.unionAll(ev)
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "event_type")
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }
@@ -210,6 +213,17 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("window_ms"), col("cnt"))
 
+  /** Streaming exactly-once dedup: the same feed replayed (union of two
+    * readEvents passes is not expressible on one file stream, so the
+    * redelivery is simulated by the file source itself re-listing under
+    * `maxFilesPerTrigger` replays in tests) — operationally,
+    * dropDuplicates holds the seen-key set in state. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .dropDuplicates("event_id", "event_type")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+
   /** Streaming sliding-window counts (window length 10 min, slide
     * 5 min) — Spark's native sliding `window()`, converging to
     * `slidingCountBatch`'s in-row two-window expansion. */
@@ -281,7 +295,7 @@ object EventStreams {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_sliding_count", slidingCountBatch, Some {
-      val slideUs = 5L * 60 * 1000000
+      val slideUs = TenMinUs / 2 // SAME derivation as slidingCountBatch
       s"""WITH s AS (SELECT (epoch_us(ts) // $slideUs) * $slideUs // 1000 AS s1 FROM events),
             e AS (SELECT s1 AS start_ms FROM s
                   UNION ALL SELECT s1 - ${slideUs / 1000} FROM s)

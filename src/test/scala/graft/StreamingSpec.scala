@@ -26,6 +26,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming stateful dedup converges to the batch replay-collapse") {
+    runToMemory(EventStreams.dedupStream(spark, sf), "sdd")
+    val streamed = spark.table("sdd").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt")).toMap
+    val batch = EventStreams.dedupBatch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sliding windows converge to the batch two-window expansion") {
     runToMemory(EventStreams.slidingCountStream(spark, sf), "slw")
     val streamed = spark.table("slw").collect()
