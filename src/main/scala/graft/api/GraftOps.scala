@@ -182,19 +182,23 @@ object GraftOps {
       .select("a", "b", "cos")
   }
 
-  /** Exact cosine top-k of each query vector against the corpus (query
-    * side broadcast; native codegen'd cosine_sim; per-query window). */
+  /** Exact cosine top-k of each query vector against the corpus — the
+    * at-scale form: query side broadcast, native codegen'd cosine_sim,
+    * ranking through the `top_k_pairs` bounded-heap aggregate. Map-side
+    * partials shuffle ≤ k rows per query per partition, so the scored
+    * N×|Q| stream never leaves its scan tasks (a `row_number() OVER
+    * (PARTITION BY qid)` form would shuffle ALL of it onto |Q| tasks
+    * and fully sort each — a 10-task full sort at a 100 TB corpus).
+    * Ordering matches the heap's contract: cos desc, id asc on ties. */
   def cosineTopK(df: DataFrame, id: String, vec: String,
                  queries: DataFrame, k: Int = 5): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val e = df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
     val q = queries.select(col(id).as("qid"),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(id))
-    e.join(broadcast(q), col(id) =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(w).cast("long")) // bigint: DuckDB parity
-      .filter(col("rnk") <= k)
+    val scored = e.join(broadcast(q), col(id) =!= col("qid"))
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col(id))
+    topKPerGroupAgg(scored, part = "qid", ordCol = "cos", payloadCol = id, k = k)
       .select(col("qid"), col("rnk"), col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -12,11 +11,12 @@ import graft.sources.Tables
   *   product is a codegen'd `aggregate(zip_with(...))` fold (no UDF);
   *   query vectors are broadcast so the big side streams with zero
   *   shuffle until the per-query top-k.
-  * - `sim_ann_lsh`: random-hyperplane LSH (signs of 8 deterministic
-  *   pseudo-random hyperplanes → 8-bit bucket). Candidates only within
-  *   the query's bucket — the 100 TB path: bucket join instead of a
-  *   full cross product. Verified rows-only; the spec measures recall
-  *   against the exact baseline.
+  * - `sim_ann_lsh`: random-hyperplane LSH (signs of deterministic
+  *   pseudo-random hyperplanes → sign-bit bucket, L tables). Candidates
+  *   only within the query's buckets — the 100 TB path: bucket join
+  *   instead of a full cross product. Oracle-exact (DuckDB replays the
+  *   inlined hyperplanes); ApiSpec additionally measures recall against
+  *   the exact baseline.
   */
 object Similarity {
   val NumQueries = 10
@@ -62,51 +62,58 @@ object Similarity {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"))
     }.reduce(_ unionAll _).distinct()
-    val cand = ids
+    // final ranking through the bounded-heap aggregate: ≤ k rows per
+    // query leave each scan task (row_number-over-qid would sort the
+    // whole candidate set on |Q| tasks)
+    val scored = ids
       .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
       .join(e0, Seq("vec_id"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= TopK)
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col("vec_id"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "cos", payloadCol = "vec_id", k = TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rnk")
   }
 
   /** ANN via IVF (inverted-file index, training-free): every 50th vector
-    * is a "centroid"; vectors are assigned to their nearest centroid
-    * (one broadcast pass), and each query probes only its own NProbe
-    * nearest centroid cells. At scale the assignment is a map-side pass
-    * and the search shuffles only the probed cells — candidate count ∝
-    * corpus/|centroids| · NProbe, not the corpus. */
+    * is a "centroid"; vectors are assigned to their nearest centroid,
+    * and each query probes only its own NProbe nearest centroid cells.
+    *
+    * Scale shape: the centroid table is collected into ONE array column
+    * and broadcast, so cell assignment is a per-row `array_max(
+    * transform(...))` over that array — zero shuffle, zero row
+    * expansion; the corpus never leaves its scan tasks until the
+    * (tiny) probed-cell candidate ranking. Candidate count ∝
+    * corpus/|centroids| · NProbe, not the corpus; the final top-k runs
+    * through the bounded-heap `top_k_pairs` aggregate. */
   val CentroidEvery = 50
   val NProbe = 2
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // cell assignment: nearest centroid per vector (broadcast argmax)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", expr("cosine_sim(v, cv)"))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    // queries probe their NProbe nearest cells
-    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    // one row holding all (cid, cv) centroids — |centroids| ≈ N/50 at
+    // test SF (√N at a real deployment); order-insensitive because every
+    // consumer reduces it with a deterministic struct comparator
+    val centArr = e.filter(col("vec_id") % CentroidEvery === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
+    // cell assignment: per-row argmax over the broadcast centroid array;
+    // max of struct(csim, -cid) = highest similarity, ties → lowest cid
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+    // queries probe their NProbe nearest cells: sort the same broadcast
+    // array by (-csim, cid) and keep the first NProbe entries
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("csim", expr("cosine_sim(qv, cv)"))
-      .withColumn("crnk", row_number().over(qw))
-      .filter(col("crnk") <= NProbe)
-      .select(col("qid"), col("qv"), col("cid"))
-    val rw = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
+      .crossJoin(broadcast(centArr))
+      .select(col("qid"), col("qv"), explode(expr(
+        s"slice(array_sort(transform(cs, c -> struct(-cosine_sim(qv, c.cv) AS negsim, c.cid AS cid))), 1, $NProbe)")).as("p"))
+      .select(col("qid"), col("qv"), col("p.cid").as("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(rw).cast("long"))
-      .filter(col("rnk") <= TopK)
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col("vec_id"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "cos", payloadCol = "vec_id", k = TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rnk")
   }
@@ -127,6 +134,70 @@ object Similarity {
       .filter(col("cos") >= Radius)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cos"))
       .orderBy("qid", "neighbor")
+  }
+
+  /** DuckDB mirror of annLsh: the md5-derived ±1 hyperplanes (one seed
+    * per table) inlined as literal DOUBLE[] rows — the bucket collisions,
+    * candidate union and final ranking are verified bit-for-bit, same
+    * technique as Dedup.embLshOracle. */
+  private lazy val annLshOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id
+                   FROM buck bq JOIN buck bc ON bq.t = bc.t AND bq.bv = bc.bv
+                   WHERE bq.vec_id < $NumQueries AND bc.vec_id <> bq.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            list_dot_product(eq.v, ec.v) /
+                              (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+  }
+
+  /** DuckDB mirror of annIvf: same every-Nth centroid rule, nearest-cell
+    * assignment, NProbe query probes and final ranking — the window form
+    * is fine HERE (oracle runs at test SF only; the Spark side is the
+    * at-scale shape). */
+  private lazy val annIvfOracle: String = {
+    val cosSql = (a: String, b: String) =>
+      s"""list_dot_product($a, $b) /
+             (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+          asg AS (SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                    FROM e, cents c) WHERE rn = 1),
+          probes AS (SELECT qid, cid FROM (
+                    SELECT q.vec_id AS qid, c.cid,
+                           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                             ${cosSql("q.v", "c.cv")} DESC, c.cid) AS rn
+                    FROM e q, cents c WHERE q.vec_id < $NumQueries) WHERE rn <= $NProbe),
+          scored AS (SELECT p.qid, a.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM probes p JOIN asg a ON p.cid = a.cid
+                     JOIN e eq ON p.qid = eq.vec_id JOIN e ec ON a.vec_id = ec.vec_id
+                     WHERE a.vec_id <> p.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -151,7 +222,7 @@ object Similarity {
                   FROM c)
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
-    QueryDef("sim_ann_lsh", annLsh, None),
-    QueryDef("sim_ann_ivf", annIvf, None),
+    QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
+    QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
   )
 }

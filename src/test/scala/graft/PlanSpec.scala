@@ -87,6 +87,29 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
   }
 
+  test("similarity tier ranks through the heap aggregate, not a per-query window") {
+    // a Window.partitionBy(qid) would collapse the scored 100 TB stream
+    // onto |Q| tasks and fully sort each; the top_k_pairs form shuffles
+    // ≤ k rows per query per partition (VERDICT r3 #1/#2)
+    for (q <- Seq("sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf")) {
+      val p = sparkPlan(q).toString
+      assert(!p.contains("Window"), s"$q still plans a Window:\n${p.take(1200)}")
+      assert(p.contains("top_k_pairs"), s"$q does not rank via top_k_pairs")
+    }
+  }
+
+  test("sim_ann_ivf assigns cells map-side: no shuffle before the probe join") {
+    // cell assignment is array_max(transform(...)) over one broadcast
+    // centroid array — the N×|centroids| expansion of the old window
+    // argmax must not reappear as an Exchange under the corpus scan
+    val p = sparkPlan("sim_ann_ivf")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // allowed shuffles: the final top_k_pairs group-by (and nothing per-row)
+    assert(exchanges.size <= 2,
+      s"unexpected shuffles (${exchanges.size}):\n${p.toString.take(1500)}")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
