@@ -503,7 +503,10 @@ object GraftOps {
     * Each star round is a both-direction neighbor expand + min-groupBy
     * + one join — the same shuffle shape as a propagation round, on an
     * edge set that only shrinks. Convergence is checked by set
-    * equality (two cheap actions per round on the contracted set). */
+    * equality in ONE action per round: both sides are distinct sets, so
+    * tagging each side with a bit and counting pairs whose tag-sum says
+    * "present in both" against the distinct-union total decides equality
+    * in a single aggregation job. */
   def connectedComponentsLogN(und: DataFrame, u: String, v: String,
                               maxRounds: Int = 25): DataFrame = {
     def star(edges: DataFrame, large: Boolean): DataFrame = {
@@ -531,7 +534,15 @@ object GraftOps {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = star(star(cur, large = true), large = false).localCheckpoint()
-      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      // single-action set equality: next/cur are distinct, so per-pair
+      // tag-sum 3 ⟺ in both; sets equal ⟺ every union pair is in both
+      val eq = next.select(col("u"), col("v"), lit(1).as("side"))
+        .unionAll(cur.select(col("u"), col("v"), lit(2).as("side")))
+        .groupBy("u", "v").agg(sum(col("side")).as("s"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("s") === 3, lit(1))).as("both"))
+        .head()
+      converged = eq.getLong(0) == eq.getLong(1)
       cur = next
       round += 1
     }
@@ -540,6 +551,55 @@ object GraftOps {
     allNodes.join(cur, allNodes("n") === cur("u"), "left")
       .select(col("n").as("v"), coalesce(cur("v"), col("n")).as("comp"))
   }
+
+  /** Shallow-graph probe for [[connectedComponentsAuto]]: BFS from a
+    * few deterministically-sampled seeds (hash-min vertices), capped at
+    * `probeRounds` frontier expansions. Returns true iff every seed's
+    * component was exhausted within the cap — i.e. seed eccentricity ≤
+    * probeRounds, so (for the probed components) diameter ≤
+    * 2·probeRounds. Cost is bounded: at most probeRounds rounds of the
+    * SAME join shape as one propagation round, and on deep graphs the
+    * frontier stays small (a chain's frontier is ≤ 2·seeds rows).
+    * Sampling caveat: components containing no seed are unprobed — a
+    * giant shallow component plus an unlucky unseeded long chain can
+    * misroute; raise `numSeeds` when component counts are high. */
+  def ccProbeShallow(und: DataFrame, u: String, v: String,
+                     numSeeds: Int = 3, probeRounds: Int = 6): Boolean = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val seeds = edges.select(col("src").as("n")).distinct()
+      .orderBy(xxhash64(col("n")), col("n")).limit(numSeeds).localCheckpoint()
+    var visited = seeds
+    var frontier = seeds
+    var exhausted = false
+    var r = 0
+    while (r < probeRounds && !exhausted) {
+      frontier = edges.join(frontier, edges("src") === frontier("n"))
+        .select(col("dst").as("n")).distinct()
+        .join(visited, Seq("n"), "left_anti").localCheckpoint()
+      exhausted = frontier.isEmpty
+      visited = visited.unionAll(frontier).localCheckpoint() // disjoint by the anti-join
+      r += 1
+    }
+    exhausted
+  }
+
+  /** Cost-based connected-components dispatch: probe the graph's depth
+    * with [[ccProbeShallow]], then route —
+    *   shallow (seed BFS exhausted within the cap) → min-label
+    *     propagation with 2·probeRounds iterations (≥ the implied
+    *     diameter bound): one |V| shuffle per round, cheapest per round;
+    *   deep (cap hit with a live frontier) → large-star/small-star
+    *     contraction: O(log n) rounds regardless of diameter.
+    * Labels are identical either way (CcAutoSpec asserts both routes
+    * against both cores). */
+  def connectedComponentsAuto(und: DataFrame, u: String, v: String,
+                              numSeeds: Int = 3, probeRounds: Int = 6): DataFrame =
+    if (ccProbeShallow(und, u, v, numSeeds, probeRounds))
+      connectedComponents(und, u, v, iters = 2 * probeRounds)
+    else
+      connectedComponentsLogN(und, u, v)
 
   /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
     * via degree-ordered orientation: wedges fan out from each edge's

@@ -231,6 +231,16 @@ object Graph {
     graft.api.GraftOps.connectedComponentsLogN(und, "s", "p").orderBy("v")
   }
 
+  /** Cost-based dispatch (GraftOps.connectedComponentsAuto): a capped
+    * seed-BFS depth probe routes shallow graphs to min-label
+    * propagation and deep ones to star contraction. Labels are the
+    * component minimum either way — SAME oracle again. */
+  def graphComponentsAuto(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.connectedComponentsAuto(und, "s", "p").orderBy("v")
+  }
+
   /** Unrolled min-label-propagation CTEs (l1..lK over CTEs `edges` +
     * `l0`), shared by every CC-based oracle. Each lK is referenced twice
     * (by mK+1 and lK+1): DuckDB inlines CTEs by default, which would
@@ -288,6 +298,7 @@ object Graph {
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
+    QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),
     QueryDef("graph_triangles", graphTriangles, Some(
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
