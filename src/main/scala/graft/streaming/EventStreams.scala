@@ -250,18 +250,23 @@ object EventStreams {
     * is ≥ TrendMin and ≥ 2× the preceding window's. */
   def trendingStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trendingCore(readEvents(spark, dir)
-      .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"))
-      .as[(String, Long)])
+    // 0 s delay: deterministic replay semantics (close as soon as the
+    // max seen event time passes a window's end); a live pipeline would
+    // set the delay to its out-of-orderness bound
+    trendingCoreWatermark(readEvents(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)])
   }
 
   /** Core of the trending detector over a (key, window-id) stream.
     * State = (open window counts, last completed win, its count). A
     * window's events may SPAN micro-batches, so counts accumulate in
     * state and a window is only evaluated once a later window appears
-    * (event-time completion; a production job would close on watermark
-    * timers instead). The per-key final window therefore stays open at
-    * stream end — the specs account for that. */
+    * (event-time completion). The per-key final window therefore stays
+    * open at stream end — the specs account for that.
+    * [[trendingCoreWatermark]] is the production variant: it closes on
+    * watermark timers, so final/idle-key windows emit too. */
   def trendingCore(wins: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
     import wins.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
@@ -288,6 +293,51 @@ object EventStreams {
             }
           }
           state.update((open, lastWin, lastCnt))
+          out.iterator
+      }
+      .toDF("window_ms", "event_type", "cnt", "prev")
+  }
+
+  /** Watermark-timer variant of [[trendingCore]] — the production close
+    * semantics: input rows are (key, win, ts) with a watermark already
+    * declared on ts. A window closes when the event-time WATERMARK
+    * passes its end, driven by `GroupStateTimeout.EventTimeTimeout`
+    * timers (each key re-arms its timer to its earliest open window's
+    * end), so every key's final window emits once the watermark moves
+    * past it — no successor window needed, and an idle key still
+    * closes via the timer callback. Closing processes windows in
+    * ascending order per key, so the prev-window chain is identical to
+    * [[trendingCore]]'s and to the batch lag() mirror. */
+  def trendingCoreWatermark(
+      wins: org.apache.spark.sql.Dataset[(String, Long, java.sql.Timestamp)]): DataFrame = {
+    import wins.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    wins
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[Long, Long], Long, Long), (Long, String, Long, Long)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: String,
+         rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[(Map[Long, Long], Long, Long)]) =>
+          var (open, lastWin, lastCnt) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], Long.MinValue, 0L))
+          rows.foreach { case (_, w, _) => open = open.updated(w, open.getOrElse(w, 0L) + 1) }
+          // on a timer callback `rows` is empty and hasTimedOut is set;
+          // the same close pass below handles both invocation kinds
+          val wmMs = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+          open.toSeq.sortBy(_._1).foreach { case (w, c) =>
+            if ((w + 1) * 600000 <= wmMs) { // window end has been passed
+              val prev = if (w == lastWin + 1) lastCnt else 0L
+              if (c >= TrendMin && c >= 2 * prev) out += ((w * 600000, key, c, prev))
+              lastWin = w; lastCnt = c
+              open = open - w
+            }
+          }
+          state.update((open, lastWin, lastCnt))
+          // every still-open window ends strictly after the watermark
+          // (the close pass drained the rest), so the timer is legal
+          if (open.nonEmpty) state.setTimeoutTimestamp(open.keys.min * 600000 + 600000)
           out.iterator
       }
       .toDF("window_ms", "event_type", "cnt", "prev")

@@ -66,20 +66,23 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful trending stream (flatMapGroupsWithState) matches batch lag()") {
-    runToMemory(EventStreams.trendingStream(spark, sf), "trend", OutputMode.Append())
+    // sf0.01, not the default smoke sf: the smoke events produce ZERO
+    // trending alerts, which would make this assertion vacuous
+    val sf01 = "/root/testdata/sf0.01"
+    runToMemory(EventStreams.trendingStream(spark, sf01), "trend", OutputMode.Append())
     val alerts = spark.table("trend")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-    // the stream can only evaluate COMPLETED windows; each key's final
-    // window is still open at stream end, so drop it from the batch side
-    val batchRows = EventStreams.trendingBatch(spark, sf)
+    // watermark-timer close: at stream end every window whose END the
+    // final watermark (max event time, 0 s delay) has passed is closed —
+    // regardless of key activity; only the very last window stays open
+    val batchRows = EventStreams.trendingBatch(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val trueLast = graft.sources.Tables.events(spark, sf)
-      .groupBy("event_type")
-      .agg(org.apache.spark.sql.functions.expr(
-        s"max(ts_us div ${EventStreams.TenMinUs}) * 600000").as("m"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = batchRows.filter { case (w, k, _, _) => w < trueLast(k) }.toSet
+    val wmMs = graft.sources.Tables.events(spark, sf01)
+      .agg(org.apache.spark.sql.functions.expr("max(ts_us div 1000)").as("m"))
+      .head().getLong(0)
+    val batch = batchRows.filter { case (w, _, _, _) => w + 600000 <= wmMs }.toSet
     assert(alerts == batch)
+    assert(alerts.nonEmpty)
   }
 
   test("stream-stream interval join emits exactly the batch pair set") {
@@ -190,5 +193,38 @@ class StreamingSpec extends SparkSpec {
       }
     }.toSet
     assert(streamed == expected)
+  }
+
+  test("watermark timer closes a key's FINAL window once the watermark passes it") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.types._
+    // batch 1: key "a" gets 4 events in window 100 and never appears
+    // again — under event-time completion that window would stay open
+    // forever. batch 2: a lone far-future sentinel on another key pushes
+    // the WATERMARK past window 100's end, so the timer must close and
+    // emit it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    def ts(win: Long): java.sql.Timestamp = new java.sql.Timestamp(win * 600000 + 1000)
+    val b1 = Seq.fill(4)(("a", 100L, ts(100)))
+    val b2 = Seq(("zz", 200L, ts(200)))
+    Seq(b1 -> "p1", b2 -> "p2").foreach { case (rows, name) =>
+      rows.toDF("event_type", "win", "ts").coalesce(1).write.parquet(s"$dir/$name")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("win", LongType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Long, java.sql.Timestamp)]
+    val q = EventStreams.trendingCoreWatermark(stream)
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("wmclose").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wmclose")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == Set((100L * 600000, "a", 4L, 0L)),
+      s"final window did not close on the watermark timer: $streamed")
   }
 }
