@@ -202,6 +202,50 @@ object GraftOps {
       .select(col("qid"), col("rnk"), col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Spherical (cosine) k-means over an embedding column — Lloyd's
+    * iterations with every choice deterministic so a SQL oracle can
+    * replay the exact float path:
+    *   - seeds: the k vectors with the smallest md5(id) (hash-ordered
+    *     TakeOrdered — a bounded heap, no RNG, no driver loop);
+    *   - assignment: per-row argmax of struct(cos, -cid) over ONE
+    *     broadcast centroid array — zero shuffle, zero row expansion
+    *     (the sim_ann_ivf cell-assignment shape);
+    *   - update: native `vec_sum` partial aggregation — one length-d
+    *     array per cluster per partition crosses the wire, keeping the
+    *     iteration scan-bound at 100 TB;
+    *   - centroid components rounded to 9 dp each round, pinning both
+    *     engines to the same values despite summation-order ulps;
+    *   - empty clusters keep their previous centroid.
+    * Cosine is scale-invariant, so the un-normalized mean is a valid
+    * spherical centroid. Returns (cid = seed id, cv array<double>). */
+  def kmeansCosine(df: DataFrame, id: String, vec: String,
+                   k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val e = df.select(col(id).as("__kid"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+    var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
+      .limit(k)
+      .select(col("__kid").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("best",
+          expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
+        .select(col("__kid"), col("v"), (-col("best.ncid")).as("cid"))
+      val updated = assigned.groupBy("cid")
+        .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          expr("transform(sv, x -> round(x / CAST(n AS DOUBLE), 9))").as("cv"))
+      // checkpoint per round: k rows, and it flattens the iter lineage
+      cents = cents.select(col("cid"), col("cv").as("__old"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("__old")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Per-key sessionization on an epoch-micros column: split on gaps. */
   def sessionize(df: DataFrame, key: String, tsUs: String, gapUs: Long,
                  valueCol: Option[String] = None): DataFrame = {
@@ -588,18 +632,47 @@ object GraftOps {
   /** Cost-based connected-components dispatch: probe the graph's depth
     * with [[ccProbeShallow]], then route —
     *   shallow (seed BFS exhausted within the cap) → min-label
-    *     propagation with 2·probeRounds iterations (≥ the implied
-    *     diameter bound): one |V| shuffle per round, cheapest per round;
-    *   deep (cap hit with a live frontier) → large-star/small-star
-    *     contraction: O(log n) rounds regardless of diameter.
-    * Labels are identical either way (CcAutoSpec asserts both routes
-    * against both cores). */
+    *     propagation run to FIXPOINT: comp labels only ever decrease,
+    *     so the label sum is strictly monotone until convergence and
+    *     ONE tiny agg action per round decides it (no fixed round
+    *     count to guess; the multi-seed BFS bound does NOT soundly
+    *     bound the diameter, so fixed rounds would be a correctness
+    *     gamble). Cheapest per round: one |V| shuffle.
+    *   deep (probe cap hit, or propagation still live at maxRounds —
+    *     a misrouting seed sample) → large-star/small-star contraction:
+    *     O(log n) rounds regardless of diameter.
+    * Labels are the component minimum either way (CcAutoSpec asserts
+    * both routes against both cores). */
   def connectedComponentsAuto(und: DataFrame, u: String, v: String,
-                              numSeeds: Int = 3, probeRounds: Int = 6): DataFrame =
-    if (ccProbeShallow(und, u, v, numSeeds, probeRounds))
-      connectedComponents(und, u, v, iters = 2 * probeRounds)
-    else
-      connectedComponentsLogN(und, u, v)
+                              numSeeds: Int = 3, probeRounds: Int = 6,
+                              maxRounds: Int = 25): DataFrame = {
+    if (!ccProbeShallow(und, u, v, numSeeds, probeRounds))
+      return connectedComponentsLogN(und, u, v)
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
+      // checkpoint every round: the convergence agg materializes the
+      // round anyway, and it keeps the dynamic-length lineage flat
+      labels = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // monotone convergence witness: equal sum ⟺ no label changed
+      // (decimal(38,0): immune to long overflow on huge id sums)
+      val s = labels.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
+      round += 1
+    }
+    if (converged) labels else connectedComponentsLogN(und, u, v)
+  }
 
   /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
     * via degree-ordered orientation: wedges fan out from each edge's

@@ -165,6 +165,9 @@ object VectorExpressions {
     VIntUnpack(bin)
   }
 
+  private[graft] def vecSumBuilder(exprs: Seq[Expression]): Expression =
+    VecSum(asDoubleArray(exprs.head))
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     val ord = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
     val payload = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
@@ -180,6 +183,8 @@ object VectorExpressions {
       "lsh_bucket", lshBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sum", vecSumBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vint_pack", vintPackBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

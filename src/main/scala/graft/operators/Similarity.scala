@@ -95,6 +95,13 @@ object Similarity {
     // consumer reduces it with a deterministic struct comparator
     val centArr = e.filter(col("vec_id") % CentroidEvery === 0)
       .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
+    ivfSearch(e, centArr)
+  }
+
+  /** The IVF probe/search shared by the every-Nth-centroid and the
+    * k-means-trained variants: map-side cell assignment over the
+    * broadcast centroid array, NProbe query probes, heap-ranked top-k. */
+  private def ivfSearch(e: DataFrame, centArr: DataFrame): DataFrame = {
     // cell assignment: per-row argmax over the broadcast centroid array;
     // max of struct(csim, -cid) = highest similarity, ties → lowest cid
     val assigned = e.crossJoin(broadcast(centArr))
@@ -116,6 +123,40 @@ object Similarity {
         ordCol = "cos", payloadCol = "vec_id", k = TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Spherical k-means over the embeddings (GraftOps.kmeansCosine:
+    * deterministic hash seeds, broadcast-argmax assignment, native
+    * vec_sum centroid update). Output: per-cluster membership count and
+    * the first centroid component — enough to pin every iteration's
+    * float path against the unrolled DuckDB oracle. */
+  val KmK = 8
+  val KmIters = 3
+  def mlKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = graft.api.GraftOps.kmeansCosine(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("__n"))
+    cents.join(counts, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("__n"), lit(0L)).as("n_members"),
+        round(element_at(col("cv"), 1), 6).as("c0"))
+      .orderBy("cid")
+  }
+
+  /** IVF search over the k-means-trained cells (same probe/search as
+    * `sim_ann_ivf`; the centroids now come from Lloyd iterations, so
+    * cells follow the data distribution instead of the every-Nth
+    * seeding rule). */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = graft.api.GraftOps.kmeansCosine(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    ivfSearch(e, cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs")))
   }
 
   /** Radius (range) search: every corpus vector within cosine ≥ Radius
@@ -200,6 +241,70 @@ object Similarity {
         FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
   }
 
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+           (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+
+  /** Unrolled Lloyd iterations c0..c{KmIters} as DuckDB CTE text —
+    * shared prefix of the ml_kmeans and sim_ann_ivf_kmeans oracles.
+    * Every stage is MATERIALIZED (each c{t} is referenced twice; DuckDB
+    * default CTE inlining would re-evaluate exponentially). The 9 dp
+    * per-round centroid rounding matches kmeansCosine exactly, pinning
+    * both engines to the same float path. */
+  private lazy val kmeansCtes: String = {
+    val iterCtes = (1 to KmIters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e, c${t - 1} c) WHERE rn = 1),
+          m$t AS MATERIALIZED (SELECT cid, pos, round(sum(val) / count(*), 9) AS mn
+                FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a$t)
+                GROUP BY cid, pos),
+          n$t AS MATERIALIZED (SELECT cid, list(mn ORDER BY pos) AS cv FROM m$t GROUP BY cid),
+          c$t AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+                FROM c${t - 1} p LEFT JOIN n$t n USING (cid))"""
+    }.mkString(",\n          ")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmK),
+          $iterCtes"""
+  }
+
+  private lazy val mlKmeansOracle: String =
+    s"""WITH $kmeansCtes,
+          af AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e, c$KmIters c) WHERE rn = 1)
+        SELECT c.cid, count(a.vec_id) AS n_members, round(c.cv[1], 6) AS c0
+        FROM c$KmIters c LEFT JOIN af a USING (cid)
+        GROUP BY c.cid, c.cv ORDER BY cid"""
+
+  private lazy val annIvfKmeansOracle: String =
+    s"""WITH $kmeansCtes,
+          asg AS (SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                    FROM e, c$KmIters c) WHERE rn = 1),
+          probes AS (SELECT qid, cid FROM (
+                    SELECT q.vec_id AS qid, c.cid,
+                           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                             ${cosSql("q.v", "c.cv")} DESC, c.cid) AS rn
+                    FROM e q, c$KmIters c WHERE q.vec_id < $NumQueries) WHERE rn <= $NProbe),
+          scored AS (SELECT p.qid, a.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM probes p JOIN asg a ON p.cid = a.cid
+                     JOIN e eq ON p.qid = eq.vec_id JOIN e ec ON a.vec_id = ec.vec_id
+                     WHERE a.vec_id <> p.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_radius", cosineRadius, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -224,5 +329,7 @@ object Similarity {
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
+    QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
+    QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
   )
 }
