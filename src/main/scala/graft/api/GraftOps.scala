@@ -779,21 +779,53 @@ object GraftOps {
 
   /** Deterministic domain-mix sampling: per-domain quotas realizing the
     * target weights exactly (T = min n_d / p_d, quota_d = ⌊p_d · T⌋),
-    * docs picked by hash rank — reproducible on any cluster size. */
+    * docs picked by hash rank — reproducible on any cluster size.
+    *
+    * Distributed selection (two-phase hash-histogram threshold, not a
+    * per-domain rank window — that form collapses each domain onto ONE
+    * task and sorts it, a full-corpus sort at 100 TB):
+    *   1. histogram the 32-bit id-hash into 4096 order-preserving
+    *      buckets per domain (one tiny ≤ |domains|·4096-row shuffle,
+    *      map-side combined) and find each domain's cut bucket — the
+    *      first whose cumulative count reaches the quota;
+    *   2. rows BELOW the cut bucket pass a map-side broadcast filter
+    *      untouched; only the cut bucket's own rows (≈ n_d/4096) are
+    *      rank-windowed for the remaining slots.
+    * The keep set — the quota_d smallest (hash, id) per domain — is
+    * bit-identical to the naive global rank, so the same oracle
+    * verifies both; only the plan changes. */
   def domainMixSample(df: DataFrame, id: String, domain: String,
                       weight: Column): DataFrame = {
+    // bucket = high 12 bits of the hash: all of bucket b sorts strictly
+    // before all of bucket b+1, so per-bucket counts ARE the rank CDF
     val base = df.select(col(domain), col(id),
       graft.functions.TextFns.hash32(col(id).cast("string")).as("__h"))
-    val counts = base.groupBy(domain).agg(count(lit(1)).as("__n"))
+      .withColumn("__b", expr(s"__h div ${1L << 20}"))
+    val hist = base.groupBy(col(domain), col("__b")).agg(count(lit(1)).as("__c"))
+    val counts = hist.groupBy(domain).agg(sum(col("__c")).as("__n"))
       .withColumn("__p", weight)
     val t = counts.agg(min(col("__n") / col("__p")).as("__t"))
     val quotas = counts.crossJoin(broadcast(t))
       .select(col(domain), floor(col("__p") * col("__t")).as("__quota"))
-    val w = Window.partitionBy(col(domain)).orderBy(col("__h"), col(id))
-    base.withColumn("__rn", row_number().over(w).cast("long"))
-      .join(broadcast(quotas), domain)
-      .filter(col("__rn") <= col("__quota"))
+    // per-domain CDF over the tiny histogram; the unique cut bucket is
+    // where the quota lands (quota_d ≤ n_d by construction of T, and a
+    // zero quota yields no cut row → the inner join drops the domain)
+    val wb = Window.partitionBy(col(domain)).orderBy(col("__b"))
+    val cut = hist.join(broadcast(quotas), Seq(domain))
+      .withColumn("__below", sum(col("__c")).over(wb) - col("__c"))
+      .filter(col("__below") < col("__quota") &&
+        col("__below") + col("__c") >= col("__quota"))
+      .select(col(domain), col("__b").as("__cutb"),
+        (col("__quota") - col("__below")).as("__need"))
+    val joined = base.join(broadcast(cut), Seq(domain))
+    val keepAll = joined.filter(col("__b") < col("__cutb"))
       .select(col(domain), col(id))
+    val wB = Window.partitionBy(col(domain)).orderBy(col("__h"), col(id))
+    val boundary = joined.filter(col("__b") === col("__cutb"))
+      .withColumn("__rn", row_number().over(wB).cast("long"))
+      .filter(col("__rn") <= col("__need"))
+      .select(col(domain), col(id))
+    keepAll.unionAll(boundary)
   }
 
   /** Upsert (merge): rows of `updates` replace base rows with the same

@@ -209,4 +209,34 @@ class ApiSpec extends SparkSpec {
     // T = min(30/.75, 10/.25) = 40 → quotas 30 and 10
     assert(kept("big") == 30L && kept("small") == 10L)
   }
+
+  test("domainMixSample histogram selection ≡ naive per-domain hash rank") {
+    // 3 domains: two partial keeps exercising different cut buckets,
+    // and a zero-quota domain (floor(p·T) = 0 → no cut row → the inner
+    // join drops the domain entirely)
+    val df = (1 to 300).map { i =>
+      val dom = if (i <= 200) "web" else if (i <= 290) "code" else "rare"
+      (s"doc$i", dom)
+    }.toDF("id", "dom")
+    val w = when(col("dom") === "web", 0.69)
+      .when(col("dom") === "code", 0.309).otherwise(0.001)
+    val kept = df.domainMixSample("id", "dom", w)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // naive form the histogram path must reproduce bit-for-bit
+    val base = df.select(col("dom"), col("id"),
+      graft.functions.TextFns.hash32(col("id")).as("h"))
+    val counts = base.groupBy("dom").agg(count(lit(1)).as("n")).withColumn("p", w)
+    val t = counts.agg(min(col("n") / col("p")).as("t"))
+    val naive = base
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dom"))
+          .orderBy(col("h"), col("id"))).cast("long"))
+      .join(counts.crossJoin(t).select(col("dom"),
+        floor(col("p") * col("t")).as("q")), "dom")
+      .filter(col("rn") <= col("q"))
+      .select("dom", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == naive)
+    assert(kept.nonEmpty && !kept.exists(_._1 == "rare")) // zero quota → dropped
+  }
 }
