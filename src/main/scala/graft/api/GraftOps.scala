@@ -745,6 +745,69 @@ object GraftOps {
         col("n_edges").as("n_sampled_edges"))
   }
 
+  /** Multi-source BFS hop distance over an UNDIRECTED edge list:
+    * dist(v) = min #hops from any source, relaxed a FIXED `rounds`
+    * times (a fixed count keeps a SQL oracle exact; rounds ≥ eccentric-
+    * ity of the source set ⇒ the true distances — the spec asserts the
+    * fixpoint at test scale). Nodes unreached within `rounds` are
+    * absent from the output.
+    *
+    * Scale: the same co-partitioned layout as connectedComponents —
+    * each round is one join against the checkpointed mirrored edge set
+    * plus a min-groupBy, shuffling only the |reached|-sized frontier
+    * table, never |E|. */
+  def bfsHops(und: DataFrame, u: String, v: String, sources: Seq[Long],
+              rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var dist = sources.toDF("v").withColumn("dist", lit(0L))
+    for (i <- 1 to rounds) {
+      val relax = edges.join(dist, edges("src") === dist("v"))
+        .groupBy(edges("dst").as("v")).agg((min(col("dist")) + 1L).as("nd"))
+      // full outer: newly reached nodes enter, settled nodes keep their
+      // (monotonically final) minimum
+      dist = dist.join(relax, Seq("v"), "full")
+        .select(col("v"), least(coalesce(col("dist"), col("nd")),
+          coalesce(col("nd"), col("dist"))).as("dist"))
+      if (i % 3 == 0) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
+  /** k-core peeling of an UNDIRECTED edge list: `rounds` synchronized
+    * rounds of "drop every vertex with degree < k (and its edges)",
+    * then report each surviving vertex with its residual in-core
+    * degree. A fixed round count keeps the SQL oracle exact on any
+    * input; once peeling reaches its fixpoint the survivors ARE the
+    * k-core (the spec asserts rounds and rounds+1 agree at test scale).
+    *
+    * Scale: each round is a degree groupBy (map-side partial) plus two
+    * semi-joins of the shrinking edge set against the alive set —
+    * shuffle ∝ current |E|, monotonically decreasing; the alive set is
+    * checkpointed per round because both semi-joins consume it. */
+  def kCore(und: DataFrame, u: String, v: String, k: Int,
+            rounds: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    var edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = edges.groupBy("src").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("__av"))
+        .localCheckpoint()
+      // checkpoint the (shrinking) edge set every round: the next
+      // round's degree groupBy and both semi-joins all consume it
+      edges = edges
+        .join(alive, col("src") === col("__av"), "left_semi")
+        .join(alive.select(col("__av").as("__av2")),
+          col("dst") === col("__av2"), "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Benchmark-contamination scan: fraction of each candidate doc's
     * distinct w-gram shingles present in the benchmark subset (rows
     * where `isBench` is true). The benchmark shingle set broadcasts;

@@ -277,6 +277,57 @@ object Graph {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.triangleCount(coPurchaseEdges(spark, dir), "a", "b")
 
+  /** Multi-source BFS hop distance from the PageRank source suppliers
+    * over the supplier↔part graph (GraftOps.bfsHops — fixed-round
+    * relaxation, same co-partitioned per-round layout as CC). BfsRounds
+    * covers the graph's eccentricity at every test SF with margin;
+    * GraphSpec asserts the fixpoint. */
+  val BfsRounds = 8
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.bfsHops(und, "s", "p", Sources, BfsRounds).orderBy("v")
+  }
+
+  /** 28-core of the supplier↔part graph (GraftOps.kCore — synchronized
+    * peeling rounds, shrinking checkpointed edge set). k = 28 actually
+    * bites on this dense bipartite graph (peels ~2/3 of vertices at
+    * sf0.01, ~1/3 at sf0.1; min degree is 11-13 so small k is a no-op).
+    * KCoreRounds is a fixed unroll both engines execute identically;
+    * Graph4Spec asserts peeling reached its fixpoint at test scale
+    * (measured: 2 rounds), so the survivors are the true k-core. */
+  val KCoreK = 28
+  val KCoreRounds = 8
+  def graphKCore(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.kCore(und, "s", "p", KCoreK, KCoreRounds).orderBy("v")
+  }
+
+  /** Neighborhood-Jaccard link prediction over the bipartite graph:
+    * for supplier pairs sharing ≥1 part, |N(a)∩N(b)| / |N(a)∪N(b)|,
+    * top 50 by (rounded) similarity. The co-occurrence self-join on
+    * part shuffles ∝ Σ deg(part)² wedge pairs with map-side partial
+    * counting; the final top-50 is a TakeOrdered bounded heap, not a
+    * global sort. (Hub-part mitigation at 100 TB: cap or sample
+    * per-part neighbor lists — the DOULION idea — before the join.) */
+  val JaccardTopN = 50
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sp = liPairs(spark, dir)
+    val deg = sp.groupBy(col("l_suppkey").as("n")).agg(count(lit(1)).as("d"))
+    sp.as("x").join(sp.as("y"),
+        col("x.l_partkey") === col("y.l_partkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(JaccardTopN)
+  }
+
   /** DOULION-sampled triangle estimate on the same co-purchase graph
     * (p = 1/4 ⇒ ~16× less wedge work). The md5 edge sampling is
     * deterministic, so the oracle replays the IDENTICAL sample and the
@@ -284,6 +335,50 @@ object Graph {
   val TriSampleP = 0.25
   def graphTrianglesApprox(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.triangleCountApprox(coPurchaseEdges(spark, dir), "a", "b", TriSampleP)
+
+  /** Unrolled BFS relaxation rounds (house oracle style: every level
+    * referenced twice → MATERIALIZED, or DuckDB's default CTE inlining
+    * re-evaluates 2^K times). */
+  private lazy val bfsOracle: String = {
+    val seed = Sources.map(s => s"($s::BIGINT, 0::BIGINT)").mkString(", ")
+    val iterCtes = (1 to BfsRounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT e.dst AS v, min(d.dist) + 1 AS nd
+                FROM d${t - 1} d JOIN edges e ON d.v = e.src GROUP BY 1),
+          d$t AS MATERIALIZED (SELECT coalesce(d.v, r.v) AS v,
+                least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
+                FROM d${t - 1} d FULL JOIN r$t r ON d.v = r.v)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          d0 AS MATERIALIZED (SELECT * FROM (VALUES $seed) t(v, dist)),
+          $iterCtes
+        SELECT v, dist FROM d$BfsRounds ORDER BY v"""
+  }
+
+  /** Unrolled k-core peeling rounds — same MATERIALIZED discipline. */
+  private lazy val kcoreOracle: String = {
+    val iterCtes = (1 to KCoreRounds).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT src AS av FROM (
+                SELECT src, count(*) AS c FROM e${t - 1} GROUP BY 1) WHERE c >= $KCoreK),
+          e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${t - 1} e
+                JOIN a$t x ON e.src = x.av JOIN a$t y ON e.dst = y.av)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          e0 AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          $iterCtes
+        SELECT src AS v, count(*) AS core_degree FROM e$KCoreRounds GROUP BY 1 ORDER BY v"""
+  }
+
+  private lazy val jaccardOracle: String =
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+          deg AS MATERIALIZED (SELECT s, count(*) AS d FROM li GROUP BY 1),
+          pairs AS (SELECT x.s AS a, y.s AS b, count(*) AS common
+                    FROM li x JOIN li y ON x.p = y.p AND x.s < y.s GROUP BY 1, 2),
+          j AS (SELECT a, b, common,
+                       round(common / (da.d + db.d - common), 6) AS jaccard
+                FROM pairs JOIN deg da ON pairs.a = da.s JOIN deg db ON pairs.b = db.s)
+        SELECT a, b, common, jaccard FROM j
+        ORDER BY jaccard DESC, a, b LIMIT $JaccardTopN"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(oracle)),
@@ -296,6 +391,9 @@ object Graph {
            edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
            deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
+    QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
+    QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
+    QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),

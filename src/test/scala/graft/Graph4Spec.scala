@@ -1,0 +1,95 @@
+package graft
+
+import graft.api.GraftOps
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Round-4 graph additions: multi-source BFS hop distance, k-core
+  * peeling, neighborhood Jaccard. The registered queries run fixed
+  * unrolls (oracle-exact by construction); these specs pin the
+  * SEMANTICS — hand-checked small graphs, and fixpoint assertions
+  * proving the fixed round counts exceed convergence at test scale. */
+class Graph4Spec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // path 0-1-2-3-4 plus an isolated edge (10, 11)
+  private def path = ((0L to 3L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
+    .toDF("a", "b")
+
+  test("bfsHops: exact hop distances on a path; unreached nodes absent") {
+    val d = GraftOps.bfsHops(path, "a", "b", Seq(0L), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("bfsHops: multi-source takes the minimum over sources") {
+    val d = GraftOps.bfsHops(path, "a", "b", Seq(0L, 4L), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("bfsHops: capped rounds reach only the frontier within the cap") {
+    val d = GraftOps.bfsHops(path, "a", "b", Seq(0L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("graph_bfs round count is past the fixpoint at test scale") {
+    val und = graft.sources.Tables.lineitem(SparkSpec.spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .select(col("l_suppkey").as("s"),
+        (col("l_partkey") + Graph.PartOffset).as("p"))
+    def run(r: Int) = GraftOps.bfsHops(und, "s", "p", Graph.Sources, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(Graph.BfsRounds) == run(Graph.BfsRounds + 1))
+  }
+
+  // triangle (1,2,3) with a pendant vertex 4 hanging off 3: the 2-core
+  // is exactly the triangle, found after peeling 4 (then nothing more)
+  private def tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+
+  test("kCore: 2-core of triangle+pendant is the triangle") {
+    val core = GraftOps.kCore(tri, "a", "b", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    assert(GraftOps.kCore(tri, "a", "b", k = 5, rounds = 3).isEmpty)
+  }
+
+  test("graph_kcore peeling reaches its fixpoint within the unroll") {
+    val und = graft.sources.Tables.lineitem(SparkSpec.spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .select(col("l_suppkey").as("s"),
+        (col("l_partkey") + Graph.PartOffset).as("p"))
+    def run(r: Int) = GraftOps.kCore(und, "s", "p", Graph.KCoreK, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val atCap = run(Graph.KCoreRounds)
+    assert(atCap == run(Graph.KCoreRounds + 1))
+    // survivors of a converged peel all meet the core degree bound
+    assert(atCap.values.forall(_ >= Graph.KCoreK))
+  }
+
+  test("graphJaccard: hand-checked neighborhood similarity") {
+    // suppliers {1,2} share part 10 of their two parts each:
+    // common=1, |N(1)|=|N(2)|=2 → J=1/3; supplier 3 shares nothing
+    val sp = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))
+      .toDF("l_suppkey", "l_partkey")
+    val deg = sp.groupBy(col("l_suppkey").as("n")).agg(count(lit(1)).as("d"))
+    val j = sp.as("x").join(sp.as("y"),
+        col("x.l_partkey") === col("y.l_partkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 6).as("jaccard"))
+      .collect()
+    assert(j.length == 1)
+    val r = j.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 1L && math.abs(r.getDouble(3) - 0.333333) < 1e-9)
+  }
+}
