@@ -246,6 +246,43 @@ object GraftOps {
     cents
   }
 
+  /** Euclidean (L2) k-means — the [[kmeansCosine]] sibling used by
+    * product quantization, where subspace codebooks minimize squared
+    * distance. Identical deterministic scaffolding (hash-ordered seeds,
+    * broadcast-argmax assignment with zero shuffle/expansion, native
+    * vec_sum update, 9 dp per-round centroid rounding); the assignment
+    * criterion maximizes 2·(x·c) − (c·c), which is argmin ‖x−c‖² with
+    * the per-row-constant x·x term dropped — the exact formula a SQL
+    * oracle replays with list_dot_product. */
+  def kmeansL2(df: DataFrame, id: String, vec: String,
+               k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val e = df.select(col(id).as("__kid"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+    var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
+      .limit(k)
+      .select(col("__kid").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          "array_max(transform(cs, c -> struct(" +
+            "2 * dot_product(v, c.cv) - dot_product(c.cv, c.cv) AS s, " +
+            "-c.cid AS ncid)))"))
+        .select(col("__kid"), col("v"), (-col("best.ncid")).as("cid"))
+      val updated = assigned.groupBy("cid")
+        .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          expr("transform(sv, x -> round(x / CAST(n AS DOUBLE), 9))").as("cv"))
+      cents = cents.select(col("cid"), col("cv").as("__old"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("__old")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Per-key sessionization on an epoch-micros column: split on gaps. */
   def sessionize(df: DataFrame, key: String, tsUs: String, gapUs: Long,
                  valueCol: Option[String] = None): DataFrame = {

@@ -62,6 +62,45 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native dot product over array<double> — CosineSim minus the
+  * normalization. The L2 k-means / product-quantization primitives rank
+  * by 2·(x·c) − (c·c) (argmin squared distance with the x·x term
+  * dropped — it is constant per row), so a raw fused-loop dot is the
+  * kernel. Accumulation order is element-sequential, identical to
+  * DuckDB's list_dot_product, keeping oracle doubles bit-identical. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket of an array<double> vector: bit j of the
   * result is the sign of the dot product with deterministic pseudo-random
   * hyperplane j. The plane matrix is md5-derived (±1 components), baked
@@ -142,6 +181,9 @@ object VectorExpressions {
   private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression =
     CosineSim(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
 
+  private[graft] def dotBuilder(exprs: Seq[Expression]): Expression =
+    DotProduct(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
+
   private[graft] def lshBuilder(exprs: Seq[Expression]): Expression =
     LshBucket(asDoubleArray(exprs.head),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
@@ -179,6 +221,8 @@ object VectorExpressions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", lshBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -159,6 +159,82 @@ object Similarity {
     ivfSearch(e, cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs")))
   }
 
+  /** Product-quantization ANN (asymmetric distance computation) — the
+    * memory-compression scale path: each 64-dim vector is stored as
+    * PqM=4 codes (its nearest L2 codebook centroid per 16-dim subspace,
+    * codebooks from deterministic [[graft.api.GraftOps.kmeansL2]]), so
+    * a 100 TB float corpus shrinks to ~N×4 bytes of codes + 4 tiny
+    * broadcast codebooks. Query scoring never touches the original
+    * vectors: per-query lookup tables (10×8 rows per subspace) joined
+    * broadcast onto the code table, summed in fixed subspace order, and
+    * ranked through the map-side `top_k_pairs` heap. Ranking key is
+    * Σ_m [2·(q_m·c) − (c·c)] — argmin Σ‖q_m−c‖² with the per-query
+    * constant Σ q_m·q_m dropped; higher = nearer.
+    *
+    * Production two-stage shape: the ADC scores build a top-PqShortlist
+    * candidate set per query (quantization error makes raw ADC ranks
+    * coarse), then ONLY those R·|Q| rows join their true vectors back
+    * for an exact re-rank to TopK — the re-rank cost is independent of
+    * corpus size. PqSpec measures shortlist recall vs brute force. */
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 16
+  val PqIters = 2
+  val PqShortlist = 50
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(spark, dir, PqShortlist)
+
+  def annPq(spark: SparkSession, dir: String, shortlistK: Int): DataFrame = {
+    val e = emb(spark, dir)
+    // per-subspace codebooks; checkpointed — each feeds encode AND luts
+    val books = (0 until PqM).map { m =>
+      val sub = Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr(s"slice(embedding, ${m * PqSub + 1}, $PqSub)").as("x"))
+      graft.api.GraftOps.kmeansL2(sub, "vec_id", "x", PqK, PqIters)
+        .localCheckpoint()
+    }
+    // encode: per-row argmax over each broadcast codebook — zero
+    // shuffle, zero expansion (the kmeans assignment shape, ×PqM)
+    var enc = e
+    for (m <- 0 until PqM) {
+      val ca = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
+      enc = enc.crossJoin(broadcast(ca))
+        .withColumn(s"k$m", -expr(
+          s"array_max(transform(cs$m, c -> struct(" +
+            s"2 * dot_product(slice(v, ${m * PqSub + 1}, $PqSub), c.cv) " +
+            s"- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid))).ncid"))
+        .drop(s"cs$m")
+    }
+    val codes = enc.select(col("vec_id") +: (0 until PqM).map(m => col(s"k$m")): _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+    val luts = (0 until PqM).map { m =>
+      q.crossJoin(broadcast(books(m)))
+        .select(col("vec_id").as("qid"), col("cid").as(s"k$m"),
+          expr(s"2 * dot_product(slice(v, ${m * PqSub + 1}, $PqSub), cv) " +
+            "- dot_product(cv, cv)").as(s"t$m"))
+    }
+    var scored = codes.join(broadcast(luts(0)), Seq("k0"))
+    for (m <- 1 until PqM)
+      scored = scored.join(broadcast(luts(m)), Seq("qid", s"k$m"))
+    val s = scored.filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqM).map(m => col(s"t$m")).reduce(_ + _).as("score"))
+    val shortlist = graft.api.GraftOps
+      .topKPerGroupAgg(s, "qid", "score", "vec_id", shortlistK)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank of the shortlist only: R·|Q| narrow joins back to
+    // the true vectors, same surrogate key (2·q·x − x·x ≡ argmin L2)
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, v) - dot_product(v, v)").as("score"))
+    graft.api.GraftOps.topKPerGroupAgg(exact, "qid", "score", "vec_id", TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Radius (range) search: every corpus vector within cosine ≥ Radius
     * of each query — the fixed-threshold complement of top-k (recall
     * jobs want "all sufficiently-similar", not "best k"). Same broadcast
@@ -305,6 +381,73 @@ object Similarity {
         SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
         FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
 
+  private def subSql(v: String, m: Int): String =
+    s"list_slice($v, ${m * PqSub + 1}, ${m * PqSub + PqSub})"
+  private def l2ScoreSql(x: String, c: String): String =
+    s"2 * list_dot_product($x, $c) - list_dot_product($c, $c)"
+
+  /** Per-subspace unrolled L2 Lloyd + encode + query LUTs as DuckDB CTE
+    * text (same MATERIALIZED discipline and 9 dp per-round rounding as
+    * kmeansCtes — every level referenced twice). */
+  private lazy val pqCtes: String = {
+    val blocks = (0 until PqM).map { m =>
+      val head =
+        s"""e$m AS MATERIALIZED (SELECT vec_id, ${subSql("v", m)} AS x FROM e),
+          c${m}_0 AS MATERIALIZED (SELECT vec_id AS cid, x AS cv FROM e$m
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)"""
+      val iters = (1 to PqIters).map { t =>
+        s"""a${m}_$t AS MATERIALIZED (SELECT vec_id, x, cid FROM (
+                SELECT e.vec_id, e.x, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM e$m e, c${m}_${t - 1} c) WHERE rn = 1),
+          m${m}_$t AS MATERIALIZED (SELECT cid, pos, round(sum(val) / count(*), 9) AS mn
+                FROM (SELECT cid, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM a${m}_$t)
+                GROUP BY cid, pos),
+          n${m}_$t AS MATERIALIZED (SELECT cid, list(mn ORDER BY pos) AS cv FROM m${m}_$t GROUP BY cid),
+          c${m}_$t AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+                FROM c${m}_${t - 1} p LEFT JOIN n${m}_$t n USING (cid))"""
+      }.mkString(",\n          ")
+      val enc =
+        s"""code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM e$m e, c${m}_$PqIters c) WHERE rn = 1),
+          lut$m AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid,
+                ${l2ScoreSql("q.x", "c.cv")} AS t
+                FROM e$m q, c${m}_$PqIters c WHERE q.vec_id < $NumQueries)"""
+      s"$head,\n          $iters,\n          $enc"
+    }.mkString(",\n          ")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          $blocks"""
+  }
+
+  private lazy val annPqOracle: String =
+    s"""WITH $pqCtes,
+          scored AS (SELECT l0.qid, c0.vec_id, l0.t + l1.t + l2.t + l3.t AS score
+                     FROM code0 c0
+                     JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
+                     JOIN code3 c3 USING (vec_id)
+                     JOIN lut0 l0 ON l0.cid = c0.cid
+                     JOIN lut1 l1 ON l1.qid = l0.qid AND l1.cid = c1.cid
+                     JOIN lut2 l2 ON l2.qid = l0.qid AND l2.cid = c2.cid
+                     JOIN lut3 l3 ON l3.qid = l0.qid AND l3.cid = c3.cid
+                     WHERE c0.vec_id <> l0.qid),
+          short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                        2 * list_dot_product(eq.v, ec.v) - list_dot_product(ec.v, ec.v) AS score
+                 FROM short s JOIN e eq ON s.qid = eq.vec_id
+                 JOIN e ec ON s.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, score,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM ex)
+        SELECT qid, rnk, vec_id AS neighbor, round(score, 6) AS score
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_radius", cosineRadius, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -331,5 +474,6 @@ object Similarity {
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
+    QueryDef("sim_ann_pq", annPq, Some(annPqOracle)),
   )
 }

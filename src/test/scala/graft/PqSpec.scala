@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN: quality bounds the oracle can't express
+  * (the oracle proves both engines compute the SAME answer; these prove
+  * the answer is a GOOD one). */
+class PqSpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("neighbor")))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+
+  /** Exact L2 top-k by the same surrogate score (2·q·x − x·x). */
+  private def exactL2(dir: String): Map[Long, Seq[Long]] = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, v) - dot_product(v, v)").as("score"))
+    topk(graft.api.GraftOps
+      .topKPerGroupAgg(scored, "qid", "score", "vec_id", Similarity.TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor")))
+  }
+
+  test("PQ degenerates to the exact answer when the shortlist covers the corpus") {
+    // shortlist ≥ |corpus|: the ADC stage can drop nothing, so the
+    // exact re-rank must return the true top-k
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    assert(topk(Similarity.annPq(spark, sf, shortlistK = n + 1)) == exactL2(sf))
+  }
+
+  test("PQ shortlist recall@5 clears the floor at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    val pq = topk(Similarity.annPq(spark, dir))
+    val recall = exact.map { case (q, ids) =>
+      ids.toSet.intersect(pq.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    // measured 0.58 (K=16, R=50, N=500); floor leaves variance margin
+    assert(recall >= 0.4, s"recall@5 $recall below 0.4")
+  }
+
+  test("PQ is deterministic across runs") {
+    assert(topk(Similarity.annPq(spark, sf)) == topk(Similarity.annPq(spark, sf)))
+  }
+}
