@@ -15,7 +15,10 @@ class OperatorsSpec extends SparkSpec {
       // Sparse-by-construction ops may legitimately be empty at sf0.001:
       val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "dedup_embedding", // no embedding pair need clear the cosine threshold
-        "stream_trending") // event density at sf0.001 can't reach the trend minimum
+        "stream_trending", // event density at sf0.001 can't reach the trend minimum
+        "graph_kcore") // the 28-core of the sf0.001 graph is truly empty
+        // (Graph4Spec peels it non-trivially with a smaller k; the
+        // oracle proves 769/13790 survivors at sf0.01/0.1)
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
