@@ -75,6 +75,23 @@ object Dedup {
         "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)
       .orderBy("a", "b")
 
+  /** Auto-tuned variant: bits chosen from the corpus size at plan time
+    * (EmbLsh.suggestedBits = max(4, ⌈log₂N⌉ − 8)) — §5's "raise bits
+    * with log N" knob exercised end-to-end, holding per-table candidate
+    * volume ≈ 256·N as the corpus grows. The count() is a one-time
+    * plan-construction decision (the ccProbeShallow pattern), not a
+    * per-row collect. The oracle derives the SAME bit count from
+    * length(bin(n−1)) and regenerates the md5 hyperplanes dynamically
+    * for whatever bits that yields, so one static SQL text stays exact
+    * at EVERY SF (sf0.01 → 4 bits, sf0.1 → 5 bits). */
+  def dedupEmbeddingAuto(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.embeddings(spark, dir)
+    val bits = graft.functions.EmbLsh.suggestedBits(df.count())
+    graft.api.GraftOps.embeddingNearDupPairs(df, "vec_id", "embedding",
+        EmbThreshold, EmbTables, bits, EmbDims)
+      .orderBy("a", "b")
+  }
+
   /** Brute-force ground truth: ALL (a < b) pairs at/above the threshold
     * via an O(N²) cross join. Oracle-exact at test SFs and the recall
     * baseline for the bucketed path (EmbeddingDedupSpec) — not the
@@ -220,6 +237,38 @@ object Dedup {
         ORDER BY a, b"""
   }
 
+  /** Dynamic-bits mirror of embLshOracle: instead of inlining plane
+    * literals for a FIXED bit count, the SQL derives bits from the
+    * corpus size (length(bin(n−1)) − 8, floored at 4 — exactly
+    * EmbLsh.suggestedBits' integer ceil-log2) and regenerates the
+    * md5-derived ±1 hyperplanes for that count, so the same text
+    * verifies every SF. Plane component (t, j, d) =
+    * sign(md5("plane_t_j_d")[:4] mod 2) on both engines. */
+  private lazy val embLshAutoOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bb AS (SELECT greatest(4, length(bin((count(*) - 1)::BIGINT)) - 8) AS bits FROM e),
+          planes AS MATERIALIZED (
+            SELECT t.t, j.j,
+                   list(CASE WHEN ('0x' || substr(md5('plane_' || t.t::VARCHAR || '_' ||
+                          j.j::VARCHAR || '_' || d.d::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d.d) AS w
+            FROM range($EmbTables) t(t),
+                 (SELECT j FROM range(64) r(j), bb WHERE j < bits) j,
+                 range($EmbDims) d(d)
+            GROUP BY 1, 2),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          pairs AS (SELECT DISTINCT ba.vec_id AS a, bb2.vec_id AS b
+                    FROM buck ba JOIN buck bb2 ON ba.t = bb2.t AND ba.bv = bb2.bv
+                    WHERE ba.vec_id < bb2.vec_id),
+          scored AS (SELECT p.a, p.b,
+                            round(list_dot_product(ea.v, eb.v) /
+                              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+                     FROM pairs p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id)
+        SELECT a, b, cos FROM scored WHERE cos >= $EmbThreshold ORDER BY a, b"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -238,6 +287,7 @@ object Dedup {
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),
+    QueryDef("dedup_embedding_auto", dedupEmbeddingAuto, Some(embLshAutoOracle)),
     QueryDef("dedup_embedding_exact", dedupEmbeddingExact, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             p AS (SELECT a.vec_id AS a, b.vec_id AS b,
