@@ -343,7 +343,78 @@ object EventStreams {
       .toDF("window_ms", "event_type", "cnt", "prev")
   }
 
+  /** Per-window top-k event types — batch mirror. The rank window runs
+    * over the AGGREGATED (window, type) counts, so its group size is
+    * |event types| (a small constant), not a corpus-sized sort. */
+  val TopKPerWindow = 3
+  def topkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("window_ms"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .groupBy("window_ms", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopKPerWindow)
+      .select("window_ms", "rnk", "event_type", "cnt")
+      .orderBy("window_ms", "rnk")
+  }
+
+  /** Streaming per-window top-k (same 1 h windows over readStream):
+    * keyed state per window accumulates per-type counts across
+    * micro-batches; the ranking emits ONCE, when the event-time
+    * watermark passes the window's end (EventTimeTimeout timer — the
+    * trendingCoreWatermark machinery), then the state drops. State size
+    * = |open windows| × |types|, bounded by the watermark. */
+  def topkStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    topkCoreWatermark(readEvents(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(expr(s"ts_us div $HourUs").as("win"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)])
+  }
+
+  def topkCoreWatermark(
+      evs: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    evs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (Long, Long, String, Long)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (win: Long,
+         rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, t, _) =>
+            counts = counts.updated(t, counts.getOrElse(t, 0L) + 1)
+          }
+          val winEndMs = (win + 1) * 3600000
+          if (winEndMs <= state.getCurrentWatermarkMs()) {
+            // window closed (data pass or timer callback): rank + drop
+            state.remove()
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }
+              .take(TopKPerWindow).iterator.zipWithIndex
+              .map { case ((t, c), i) => (win * 3600000, i + 1L, t, c) }
+          } else {
+            state.update(counts)
+            state.setTimeoutTimestamp(winEndMs)
+            Iterator.empty
+          }
+      }
+      .toDF("window_ms", "rnk", "event_type", "cnt")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_topk", topkBatch, Some(
+      s"""WITH w AS (SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
+                            event_type, count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+            r AS (SELECT window_ms, event_type, cnt,
+                         row_number() OVER (PARTITION BY window_ms
+                           ORDER BY cnt DESC, event_type) AS rnk
+                  FROM w)
+          SELECT window_ms, rnk, event_type, cnt FROM r
+          WHERE rnk <= $TopKPerWindow ORDER BY window_ms, rnk""")),
     QueryDef("stream_sliding_count", slidingCountBatch, Some {
       val slideUs = TenMinUs / 2 // SAME derivation as slidingCountBatch
       s"""WITH s AS (SELECT (epoch_us(ts) // $slideUs) * $slideUs // 1000 AS s1 FROM events),

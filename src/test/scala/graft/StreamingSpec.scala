@@ -195,6 +195,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming per-window top-k emits closed windows and converges to batch") {
+    runToMemory(EventStreams.topkStream(spark, sf), "stk", OutputMode.Append())
+    val streamed = spark.table("stk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // the stream can only emit windows whose END the final watermark
+    // passed (the last window stays open — its timer never fires after
+    // the final batch); batch restricted to those must match exactly
+    val wmMs = graft.sources.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr("max(ts_us div 1000)").as("m"))
+      .head().getLong(0)
+    val batch = EventStreams.topkBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .filter { case (w, _, _, _) => w + 3600000 <= wmMs }.toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark timer closes a key's FINAL window once the watermark passes it") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.types._
