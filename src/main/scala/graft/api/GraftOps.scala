@@ -782,6 +782,78 @@ object GraftOps {
         col("n_edges").as("n_sampled_edges"))
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg):
+    * h(u) = Σ_{u→v} a(v), a(v) = Σ_{u→v} h(u), L1-normalized after
+    * each half-step (authorities update against the CURRENT round's
+    * hubs — the classic alternating schedule), fixed `iters` rounds so
+    * a SQL oracle can unroll them. Final scores rounded 8 dp (the
+    * PageRank discipline: no intermediate rounding; the final round
+    * absorbs partial-aggregation ulps).
+    *
+    * Scale: per half-step one co-partitioned |E|⋈|V| join + a |V|
+    * groupBy-sum (map-side partial); the L1 norm is a 1-row broadcast
+    * scalar, never a driver collect. Same iteration layout as
+    * personalizedPageRank — shuffle ∝ |V| per half-step. */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth = nodes.withColumn("a", lit(1.0))
+    for (i <- 1 to iters) {
+      val h0 = nodes.join(
+        edges.join(auth, edges("dst") === auth("v"))
+          .groupBy(edges("src").as("v")).agg(sum(col("a")).as("h")),
+        Seq("v"), "left")
+        .select(col("v"), coalesce(col("h"), lit(0.0)).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("__s"))))
+        .select(col("v"), (col("h") / col("__s")).as("h"))
+      val a0 = nodes.join(
+        edges.join(hub, edges("src") === hub("v"))
+          .groupBy(edges("dst").as("v")).agg(sum(col("h")).as("a")),
+        Seq("v"), "left")
+        .select(col("v"), coalesce(col("a"), lit(0.0)).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(sum(col("a")).as("__s"))))
+        .select(col("v"), (col("a") / col("__s")).as("a"))
+      if (i % 2 == 0) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
+    }
+    hub.join(auth, Seq("v"))
+      .select(col("v"), round(col("h"), 8).as("hub"), round(col("a"), 8).as("auth"))
+  }
+
+  /** Synchronized label-propagation communities over an UNDIRECTED edge
+    * list (Raghavan et al.): labels start as node ids; each round every
+    * node adopts the most frequent label among its neighbors PLUS
+    * itself (the self-vote damps the two-coloring oscillation sync LPA
+    * exhibits on bipartite structure), ties → smallest label. A FIXED
+    * round count keeps the SQL oracle exact; communities are the label
+    * groups after `rounds`.
+    *
+    * Scale: one mirrored-edge join + a (v, label) groupBy-count + a
+    * per-v max_by aggregation per round — all map-side partial shapes;
+    * no window ever sees the full vertex set unsorted. */
+  def labelPropagation(und: DataFrame, u: String, v: String,
+                       rounds: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (i <- 1 to rounds) {
+      val votes = edges.join(labels, edges("src") === labels("v"))
+        .select(edges("dst").as("v"), col("lbl"))
+        .unionAll(labels.select(col("v"), col("lbl")))
+      labels = votes.groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+      if (i % 2 == 0) labels = labels.localCheckpoint()
+    }
+    labels.select(col("v"), col("lbl").as("comm"))
+  }
+
   /** Multi-source BFS hop distance over an UNDIRECTED edge list:
     * dist(v) = min #hops from any source, relaxed a FIXED `rounds`
     * times (a fixed count keeps a SQL oracle exact; rounds ≥ eccentric-

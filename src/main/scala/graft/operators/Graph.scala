@@ -304,6 +304,33 @@ object Graph {
     graft.api.GraftOps.kCore(und, "s", "p", KCoreK, KCoreRounds).orderBy("v")
   }
 
+  /** Label-propagation communities (GraftOps.labelPropagation) on the
+    * supplier↔part graph, LpaRounds synchronized rounds with self-vote
+    * and smallest-label tie-break — deterministic, oracle-unrolled.
+    * Output: each vertex with its community label plus the community
+    * size (a second groupBy over the |V| label table). */
+  val LpaRounds = 4
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    val lbl = graft.api.GraftOps.labelPropagation(und, "s", "p", LpaRounds)
+    lbl.join(lbl.groupBy(col("comm")).agg(count(lit(1)).as("comm_size")), "comm")
+      .select(col("v"), col("comm"), col("comm_size"))
+      .orderBy("v")
+  }
+
+  /** HITS hubs & authorities (GraftOps.hits) on the DIRECTED
+    * supplier→part graph: suppliers score as hubs (they point at
+    * parts), parts as authorities — the natural bipartite reading.
+    * Fixed HitsIters alternating half-steps, L1-normalized; oracle
+    * unrolls them. */
+  val HitsIters = 5
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = liPairs(spark, dir).select(col("l_suppkey").as("s"),
+      (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.hits(edges, "s", "p", HitsIters).orderBy("v")
+  }
+
   /** Neighborhood-Jaccard link prediction over the bipartite graph:
     * for supplier pairs sharing ≥1 part, |N(a)∩N(b)| / |N(a)∪N(b)|,
     * top 50 by (rounded) similarity. The co-occurrence self-join on
@@ -369,6 +396,50 @@ object Graph {
         SELECT src AS v, count(*) AS core_degree FROM e$KCoreRounds GROUP BY 1 ORDER BY v"""
   }
 
+  /** Unrolled LPA rounds: votes (neighbor labels + self) → per-(v,lbl)
+    * counts → per-v argmax with (count DESC, label ASC) tie-break. */
+  private lazy val lpaOracle: String = {
+    val iterCtes = (1 to LpaRounds).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT e.dst AS v, l.lbl FROM l${k - 1} l
+                JOIN edges e ON l.v = e.src
+              UNION ALL SELECT v, lbl FROM l${k - 1}),
+          c$k AS MATERIALIZED (SELECT v, lbl, count(*) AS c FROM v$k GROUP BY 1, 2),
+          l$k AS MATERIALIZED (SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+                FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+          $iterCtes,
+          sz AS (SELECT lbl AS comm, count(*) AS comm_size FROM l$LpaRounds GROUP BY 1)
+        SELECT l.v, l.lbl AS comm, sz.comm_size
+        FROM l$LpaRounds l JOIN sz ON l.lbl = sz.comm ORDER BY l.v"""
+  }
+
+  /** Unrolled HITS half-steps; every level referenced twice →
+    * MATERIALIZED. Scalar L1 norms as subqueries (DuckDB evaluates the
+    * scalar once per materialized level). */
+  private lazy val hitsOracle: String = {
+    val iterCtes = (1 to HitsIters).map { k =>
+      s"""h${k}0 AS MATERIALIZED (SELECT n.v, coalesce(x.h, 0) AS h FROM nodes n
+                LEFT JOIN (SELECT e.src AS v, sum(a.a) AS h
+                           FROM a${k - 1} a JOIN edges e ON a.v = e.dst GROUP BY 1) x USING (v)),
+          h$k AS MATERIALIZED (SELECT v, h / (SELECT sum(h) FROM h${k}0) AS h FROM h${k}0),
+          a${k}0 AS MATERIALIZED (SELECT n.v, coalesce(x.a, 0) AS a FROM nodes n
+                LEFT JOIN (SELECT e.dst AS v, sum(h.h) AS a
+                           FROM h$k h JOIN edges e ON h.v = e.src GROUP BY 1) x USING (v)),
+          a$k AS MATERIALIZED (SELECT v, a / (SELECT sum(a) FROM a${k}0) AS a FROM a${k}0)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li),
+          nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+          a0 AS MATERIALIZED (SELECT v, 1.0 AS a FROM nodes),
+          $iterCtes
+        SELECT h.v, round(h.h, 8) AS hub, round(a.a, 8) AS auth
+        FROM h$HitsIters h JOIN a$HitsIters a USING (v) ORDER BY v"""
+  }
+
   private lazy val jaccardOracle: String =
     s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
           deg AS MATERIALIZED (SELECT s, count(*) AS d FROM li GROUP BY 1),
@@ -391,6 +462,8 @@ object Graph {
            edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
            deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
+    QueryDef("graph_hits", graphHits, Some(hitsOracle)),
+    QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),

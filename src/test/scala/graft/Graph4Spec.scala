@@ -76,6 +76,29 @@ class Graph4Spec extends SparkSpec {
     assert(atCap.values.forall(_ >= 10))
   }
 
+  test("hits: stronger hubs and authorities rank above weaker ones") {
+    // 1 points at both parts, 2 at one; 10 is cited twice, 11 once
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
+    val r = GraftOps.hits(edges, "s", "d", iters = 5)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 > r(2L)._1, "hub(1) should beat hub(2)")
+    assert(r(10L)._2 > r(11L)._2, "auth(10) should beat auth(11)")
+    assert(r(10L)._1 == 0.0 && r(1L)._2 == 0.0, "sinks have no hub, sources no auth")
+    // L1 normalization: hubs and auths each sum to ~1
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("labelPropagation: two cliques with one bridge form two communities") {
+    val clique1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val clique2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val g = (clique1 ++ clique2 ++ Seq((3L, 4L))).toDF("a", "b")
+    val comm = GraftOps.labelPropagation(g, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(comm) == Set(1L))
+    assert(Set(4L, 5L, 6L).map(comm) == Set(4L))
+  }
+
   test("graphJaccard: hand-checked neighborhood similarity") {
     // suppliers {1,2} share part 10 of their two parts each:
     // common=1, |N(1)|=|N(2)|=2 → J=1/3; supplier 3 shares nothing
