@@ -110,6 +110,43 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffles (${exchanges.size}):\n${p.toString.take(1500)}")
   }
 
+  test("sim_ann_pq ranks both stages through heap aggregates, not windows") {
+    // ADC shortlist AND exact re-rank go through top_k_pairs; a Window
+    // would collapse the corpus-sized scored stream onto |Q| tasks
+    val p = sparkPlan("sim_ann_pq").toString
+    assert(!p.contains("Window"), s"PQ plans a Window:\n${p.take(1200)}")
+    assert(p.contains("top_k_pairs"))
+  }
+
+  test("ml_kmeans assignment expands nothing: no per-row centroid join") {
+    // assignment is array_max(transform(cs, ...)) over ONE broadcast
+    // 1-row centroid array — the N×k row expansion a join would cause
+    // must not appear; generated code references the transform
+    val p = sparkPlan("ml_kmeans").toString
+    assert(!p.contains("Window"), "kmeans plans a Window")
+    assert(p.contains("array_max") || p.contains("transform"),
+      s"no in-row argmax found:\n${p.take(1200)}")
+  }
+
+  test("domain-mix selection sorts only the cut bucket, not the corpus") {
+    // the Window in the histogram path may only consume the boundary
+    // bucket's rows: its input subtree must carry the __b = __cutb
+    // filter; the keep-all branch must be window-free
+    val p = sparkPlan("cur_domain_mix")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // one tiny CDF window over the histogram + one boundary-bucket
+    // ranking window — and the ranking window's input is filtered
+    assert(windows.nonEmpty, "expected the histogram CDF window")
+    val rankWin = windows.filter(_.toString().contains("row_number"))
+    assert(rankWin.nonEmpty, "boundary ranking window missing")
+    rankWin.foreach { w =>
+      val sub = w.child.toString()
+      assert(sub.contains("__cutb"),
+        s"ranking window input not restricted to the cut bucket:\n${sub.take(800)}")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
