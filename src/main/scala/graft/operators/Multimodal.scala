@@ -144,7 +144,89 @@ object Multimodal {
         (col("out_w").cast("long") * col("out_h") * 3L).as("est_bytes"))
       .orderBy("doc_id")
 
+  /** COMPOSED multimodal near-dup pipeline — the mm analog of
+    * cur_pipeline: binary payloads → per-partition batched feature
+    * extraction (the StubFeatureExtractor seam, as vectors) →
+    * LSH-bucketed cosine near-dup pairs over the 8-dim feature space
+    * (GraftOps.embeddingNearDupPairs — 8 tables × 4 sign bits, exact
+    * cosine only within buckets) → connected components on the pair
+    * graph → min-id keeper per cluster. ONE oracle replays the whole
+    * chain: stub features, plane projections, bucket collisions,
+    * cosine filter, CC rounds, keepers. */
+  val MmThreshold = 0.97
+  val MmTables = 8
+  val MmBits = 4
+  val MmCcIters = 6
+
+  private val vecSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fv", ArrayType(DoubleType, containsNull = false))))
+
+  /** Feature vectors per payload (the array form of `features`). */
+  def featureVectors(spark: SparkSession, dir: String,
+                     fx: FeatureExtractor = StubFeatureExtractor): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(vecSchema)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { rows =>
+        fx.init() // once per partition: model load amortized
+        rows.map(r => Row(r.getLong(0), fx.extract(r.getAs[Array[Byte]](1))))
+      }(enc)
+  }
+
+  def mmPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = featureVectors(spark, dir)
+    val pairs = graft.api.GraftOps.embeddingNearDupPairs(
+        vecs, "doc_id", "fv", MmThreshold, MmTables, MmBits, FeatureDims)
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", MmCcIters)
+    vecs.select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keeper"))
+      .withColumn("is_keep", col("doc_id") === col("keeper"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val mmPipelineOracle: String = {
+    val planeRows = (0 until MmTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(MmBits, FeatureDims, t)
+      (0 until MmBits).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH f AS MATERIALIZED (
+            SELECT doc_id, CAST(j AS INT) AS feat_no,
+                   round(('0x' || substr(md5(md5(text) || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 6) AS v
+            FROM documents, unnest(generate_series(0, ${FeatureDims - 1})) AS u(j)),
+          vec AS MATERIALIZED (SELECT doc_id, list(v ORDER BY feat_no) AS fv FROM f GROUP BY 1),
+          planes(t, j, w) AS (VALUES
+            $planeRows),
+          proj AS (SELECT vec.doc_id, p.t,
+                          CASE WHEN list_dot_product(vec.fv, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM vec, planes p),
+          buck AS (SELECT doc_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+                   FROM buck ba JOIN buck bb ON ba.t = bb.t AND ba.bv = bb.bv
+                   WHERE ba.doc_id < bb.doc_id),
+          pairs AS MATERIALIZED (
+            SELECT c.a, c.b FROM cand c
+            JOIN vec va ON c.a = va.doc_id JOIN vec vb ON c.b = vb.doc_id
+            WHERE round(list_dot_product(va.fv, vb.fv) /
+                    (sqrt(list_dot_product(va.fv, va.fv)) * sqrt(list_dot_product(vb.fv, vb.fv))), 6)
+                  >= $MmThreshold),
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(MmCcIters)}
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS keeper,
+               (d.doc_id = coalesce(l.comp, d.doc_id)) AS is_keep
+        FROM documents d LEFT JOIN l$MmCcIters l ON d.doc_id = l.v
+        ORDER BY d.doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineOracle)),
     // Oracle covers the deterministic stub arithmetic; the decode seam
     // itself is the part a real codec would replace.
     QueryDef("mm_metadata", (s, d) => metadata(s, d), Some(
