@@ -802,12 +802,17 @@ object GraftOps {
       .unionAll(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
     var hub = nodes.withColumn("h", lit(1.0))
     var auth = nodes.withColumn("a", lit(1.0))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // checkpoint each half-step's raw scores: the L1-norm scalar AND
+      // the normalized table both consume them — unmaterialized, every
+      // half-step would compute its join twice (and the iteration
+      // lineage would compound); |V| rows per checkpoint
       val h0 = nodes.join(
         edges.join(auth, edges("dst") === auth("v"))
           .groupBy(edges("src").as("v")).agg(sum(col("a")).as("h")),
         Seq("v"), "left")
         .select(col("v"), coalesce(col("h"), lit(0.0)).as("h"))
+        .localCheckpoint()
       hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("__s"))))
         .select(col("v"), (col("h") / col("__s")).as("h"))
       val a0 = nodes.join(
@@ -815,9 +820,9 @@ object GraftOps {
           .groupBy(edges("dst").as("v")).agg(sum(col("h")).as("a")),
         Seq("v"), "left")
         .select(col("v"), coalesce(col("a"), lit(0.0)).as("a"))
+        .localCheckpoint()
       auth = a0.crossJoin(broadcast(a0.agg(sum(col("a")).as("__s"))))
         .select(col("v"), (col("a") / col("__s")).as("a"))
-      if (i % 2 == 0) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
     }
     hub.join(auth, Seq("v"))
       .select(col("v"), round(col("h"), 8).as("hub"), round(col("a"), 8).as("auth"))

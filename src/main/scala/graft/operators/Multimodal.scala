@@ -155,7 +155,10 @@ object Multimodal {
     * cosine filter, CC rounds, keepers. */
   val MmThreshold = 0.97
   val MmTables = 8
-  val MmBits = 4
+  // 6 bits: at the 0.97 cosine threshold the per-plane agreement is
+  // ≈0.92, so recall ≈ 1-(1-0.92^6)^8 ≈ 0.9995 while 64 buckets/table
+  // cut candidate pairs 4× vs 4 bits (the dominant pipeline cost)
+  val MmBits = 6
   val MmCcIters = 6
 
   private val vecSchema: StructType = StructType(Seq(
@@ -175,7 +178,10 @@ object Multimodal {
   }
 
   def mmPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = featureVectors(spark, dir)
+    // checkpoint: the extracted vectors feed the LSH banding AND the
+    // final keeper join — without this the mapPartitions extraction
+    // re-runs for every consumer
+    val vecs = featureVectors(spark, dir).localCheckpoint()
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         vecs, "doc_id", "fv", MmThreshold, MmTables, MmBits, FeatureDims)
       .select(col("a"), col("b"))
