@@ -198,8 +198,19 @@ object GraftOps {
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("qv"))
     val scored = e.join(broadcast(q), col(id) =!= col("qid"))
       .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col(id))
-    topKPerGroupAgg(scored, part = "qid", ordCol = "cos", payloadCol = id, k = k)
-      .select(col("qid"), col("rnk"), col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
+    // the heap aggregate carries its payload as BIGINT — routing a
+    // string id through it would CAST to NULL; non-numeric ids take the
+    // window form (correct, but sorts each query group in full)
+    val ranked = df.schema(id).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        topKPerGroupAgg(scored, part = "qid", ordCol = "cos", payloadCol = id, k = k)
+      case _ =>
+        // same (cos DESC, id ASC) tie-break the heap applies
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(id))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    }
+    ranked.select(col("qid"), col("rnk").cast("long").as("rnk"),
+      col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
   }
 
   /** Spherical (cosine) k-means over an embedding column — Lloyd's
@@ -219,7 +230,15 @@ object GraftOps {
     * Cosine is scale-invariant, so the un-normalized mean is a valid
     * spherical centroid. Returns (cid = seed id, cv array<double>). */
   def kmeansCosine(df: DataFrame, id: String, vec: String,
-                   k: Int = 8, iters: Int = 3): DataFrame = {
+                   k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansLoop(df, id, vec, k, iters, "cosine_sim(v, c.cv)")
+
+  /** Shared Lloyd scaffolding for both metrics — only the per-row
+    * assignment score differs (argmax over the broadcast centroid
+    * array; ties → lowest cid). Seeds, vec_sum update, 9 dp rounding
+    * and empty-cluster carryover are metric-independent. */
+  private def kmeansLoop(df: DataFrame, id: String, vec: String,
+                         k: Int, iters: Int, scoreSql: String): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val e = df.select(col(id).as("__kid"),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
@@ -231,7 +250,7 @@ object GraftOps {
       val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
       val assigned = e.crossJoin(broadcast(centArr))
         .withColumn("best",
-          expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
+          expr(s"array_max(transform(cs, c -> struct($scoreSql AS s, -c.cid AS ncid)))"))
         .select(col("__kid"), col("v"), (-col("best.ncid")).as("cid"))
       val updated = assigned.groupBy("cid")
         .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
@@ -255,33 +274,9 @@ object GraftOps {
     * the per-row-constant x·x term dropped — the exact formula a SQL
     * oracle replays with list_dot_product. */
   def kmeansL2(df: DataFrame, id: String, vec: String,
-               k: Int = 8, iters: Int = 3): DataFrame = {
-    graft.functions.VectorExpressions.register(df.sparkSession)
-    val e = df.select(col(id).as("__kid"),
-      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
-    var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
-      .limit(k)
-      .select(col("__kid").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
-      val assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          "array_max(transform(cs, c -> struct(" +
-            "2 * dot_product(v, c.cv) - dot_product(c.cv, c.cv) AS s, " +
-            "-c.cid AS ncid)))"))
-        .select(col("__kid"), col("v"), (-col("best.ncid")).as("cid"))
-      val updated = assigned.groupBy("cid")
-        .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
-        .select(col("cid"),
-          expr("transform(sv, x -> round(x / CAST(n AS DOUBLE), 9))").as("cv"))
-      cents = cents.select(col("cid"), col("cv").as("__old"))
-        .join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cv"), col("__old")).as("cv"))
-        .localCheckpoint()
-    }
-    cents
-  }
+               k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansLoop(df, id, vec, k, iters,
+      "2 * dot_product(v, c.cv) - dot_product(c.cv, c.cv)")
 
   /** Per-key sessionization on an epoch-micros column: split on gaps. */
   def sessionize(df: DataFrame, key: String, tsUs: String, gapUs: Long,
@@ -702,10 +697,11 @@ object GraftOps {
         .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         .localCheckpoint()
       // monotone convergence witness: equal sum ⟺ no label changed
-      // (decimal(38,0): immune to long overflow on huge id sums)
+      // (decimal(38,0): immune to long overflow on huge id sums;
+      // null sum = empty graph = trivially converged)
       val s = labels.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
-      converged = prevSum.exists(_.compareTo(s) == 0)
-      prevSum = Some(s)
+      converged = (s == null) || prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Option(s)
       round += 1
     }
     if (converged) labels else connectedComponentsLogN(und, u, v)
@@ -974,10 +970,15 @@ object GraftOps {
   def domainMixSample(df: DataFrame, id: String, domain: String,
                       weight: Column): DataFrame = {
     // bucket = high 12 bits of the hash: all of bucket b sorts strictly
-    // before all of bucket b+1, so per-bucket counts ARE the rank CDF
+    // before all of bucket b+1, so per-bucket counts ARE the rank CDF.
+    // Checkpointed: three consumers (histogram, keep-all filter,
+    // boundary ranking) would otherwise each re-scan the source; the
+    // materialized form is the NARROW (domain, id, hash, bucket)
+    // projection — tiny next to the source rows it replaces re-reading.
     val base = df.select(col(domain), col(id),
       graft.functions.TextFns.hash32(col(id).cast("string")).as("__h"))
       .withColumn("__b", expr(s"__h div ${1L << 20}"))
+      .localCheckpoint()
     val hist = base.groupBy(col(domain), col("__b")).agg(count(lit(1)).as("__c"))
     val counts = hist.groupBy(domain).agg(sum(col("__c")).as("__n"))
       .withColumn("__p", weight)

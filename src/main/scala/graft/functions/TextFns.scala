@@ -46,10 +46,12 @@ object EmbLsh {
 
   /** Bits to use at a given corpus size: expected per-table candidate
     * pairs ≈ N²/2^bits (uniform buckets), so holding candidate volume
-    * ≈ 256·N per table means bits ≈ log₂N − 8, floored at the
-    * oracle-verified default. Recall lost to narrower buckets is
-    * recovered by raising `Tables` (1-(1-p^bits)^tables). */
-  def suggestedBits(corpusSize: Long): Int = {
+    * ≈ 2^budgetLog2 · N per table means bits ≈ log₂N − budgetLog2,
+    * floored at the oracle-verified default. budgetLog2 = 8 (256
+    * candidates/doc/table) suits recall-first sweeps; 6 is the tighter
+    * near-dup setting (high thresholds tolerate narrower buckets, and
+    * recall is recovered by raising `Tables`: 1-(1-p^bits)^tables). */
+  def suggestedBits(corpusSize: Long, budgetLog2: Int = 8): Int = {
     require(corpusSize > 0, s"corpus size must be positive, got $corpusSize")
     // exact ceil-log2: the float log ratio lands above the integer at
     // powers of two (log2(2^29) evaluates to 29.000000000000004) and
@@ -57,7 +59,7 @@ object EmbLsh {
     val ceilLog2 =
       if (corpusSize <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1)
-    math.max(Bits, ceilLog2 - 8)
+    math.max(Bits, ceilLog2 - budgetLog2)
   }
 }
 

@@ -76,17 +76,21 @@ object Dedup {
       .orderBy("a", "b")
 
   /** Auto-tuned variant: bits chosen from the corpus size at plan time
-    * (EmbLsh.suggestedBits = max(4, ⌈log₂N⌉ − 8)) — §5's "raise bits
-    * with log N" knob exercised end-to-end, holding per-table candidate
-    * volume ≈ 256·N as the corpus grows. The count() is a one-time
-    * plan-construction decision (the ccProbeShallow pattern), not a
-    * per-row collect. The oracle derives the SAME bit count from
+    * (EmbLsh.suggestedBits with the near-dup candidate budget
+    * AutoBudgetLog2 = 6: bits = max(4, ⌈log₂N⌉ − 6)) — §5's "raise
+    * bits with log N" knob exercised end-to-end, holding per-table
+    * candidate volume ≈ 64·N as the corpus grows. The count() is a
+    * one-time plan-construction decision (the ccProbeShallow pattern),
+    * not a per-row collect. The oracle derives the SAME bit count from
     * length(bin(n−1)) and regenerates the md5 hyperplanes dynamically
     * for whatever bits that yields, so one static SQL text stays exact
-    * at EVERY SF (sf0.01 → 4 bits, sf0.1 → 5 bits). */
+    * at EVERY SF — and the two test SFs actually take DIFFERENT arms:
+    * sf0.01 (N=500) → 4 bits (identical to dedup_embedding's fixed
+    * config), sf0.1 (N=2000) → 5 bits (the dynamic-plane branch). */
+  val AutoBudgetLog2 = 6
   def dedupEmbeddingAuto(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.embeddings(spark, dir)
-    val bits = graft.functions.EmbLsh.suggestedBits(df.count())
+    val bits = graft.functions.EmbLsh.suggestedBits(df.count(), AutoBudgetLog2)
     graft.api.GraftOps.embeddingNearDupPairs(df, "vec_id", "embedding",
         EmbThreshold, EmbTables, bits, EmbDims)
       .orderBy("a", "b")
@@ -239,14 +243,14 @@ object Dedup {
 
   /** Dynamic-bits mirror of embLshOracle: instead of inlining plane
     * literals for a FIXED bit count, the SQL derives bits from the
-    * corpus size (length(bin(n−1)) − 8, floored at 4 — exactly
-    * EmbLsh.suggestedBits' integer ceil-log2) and regenerates the
-    * md5-derived ±1 hyperplanes for that count, so the same text
+    * corpus size (length(bin(n−1)) − AutoBudgetLog2, floored at 4 —
+    * exactly EmbLsh.suggestedBits' integer ceil-log2) and regenerates
+    * the md5-derived ±1 hyperplanes for that count, so the same text
     * verifies every SF. Plane component (t, j, d) =
     * sign(md5("plane_t_j_d")[:4] mod 2) on both engines. */
   private lazy val embLshAutoOracle: String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          bb AS (SELECT greatest(4, length(bin((count(*) - 1)::BIGINT)) - 8) AS bits FROM e),
+          bb AS (SELECT greatest(4, length(bin((count(*) - 1)::BIGINT)) - $AutoBudgetLog2) AS bits FROM e),
           planes AS MATERIALIZED (
             SELECT t.t, j.j,
                    list(CASE WHEN ('0x' || substr(md5('plane_' || t.t::VARCHAR || '_' ||

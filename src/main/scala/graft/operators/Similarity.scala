@@ -21,6 +21,17 @@ import graft.sources.Tables
 object Similarity {
   val NumQueries = 10
   val TopK = 5
+
+  // trained spherical k-means centroids memoized per (session, dir):
+  // ml_kmeans and sim_ann_ivf_kmeans share one Lloyd training instead
+  // of re-running it (the Graph.pagerank memo pattern; Bench resets)
+  private val kmMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def reset(): Unit = kmMemo.clear()
+  private def trainedCents(spark: SparkSession, dir: String): DataFrame =
+    kmMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
+      graft.api.GraftOps.kmeansCosine(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+        .localCheckpoint())
   // multi-table LSH: L tables of b sign-bits each; a candidate needs to
   // collide in ANY table, so top-1 recall ≈ 1-(1-p^b)^L with p the
   // per-plane agreement probability — 8×6 puts useful recall at the
@@ -134,8 +145,7 @@ object Similarity {
   val KmIters = 3
   def mlKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = graft.api.GraftOps.kmeansCosine(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    val cents = trainedCents(spark, dir)
     val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val assigned = e.crossJoin(broadcast(centArr))
       .withColumn("best",
@@ -154,9 +164,8 @@ object Similarity {
     * seeding rule). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = graft.api.GraftOps.kmeansCosine(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
-    ivfSearch(e, cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs")))
+    ivfSearch(e, trainedCents(spark, dir)
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cs")))
   }
 
   /** Product-quantization ANN (asymmetric distance computation) — the

@@ -32,6 +32,11 @@ import graft.QueryDef
 object EventStreams {
   val HourUs: Long = 3600L * 1000 * 1000
   val TenMinUs: Long = 600L * 1000 * 1000
+  // ms mirrors of the window sizes — the stateful cores compute window
+  // ends in WATERMARK milliseconds; deriving them here keeps a retune
+  // of the *Us constants from silently desynchronizing the state logic
+  val HourMs: Long = HourUs / 1000
+  val TenMinMs: Long = TenMinUs / 1000
   val TrendMin = 3L
 
   /** Value-range "regions" standing in for the reference's geo boxes. */
@@ -109,7 +114,7 @@ object EventStreams {
         when(col("prev_win").isNotNull && col("prev_win") === col("win") - 1, col("prev_cnt"))
           .otherwise(lit(0L)))
       .filter(col("cnt") >= TrendMin && col("cnt") >= lit(2) * col("prev"))
-      .select((col("win") * 600000).as("window_ms"), col("event_type"), col("cnt"), col("prev"))
+      .select((col("win") * TenMinMs).as("window_ms"), col("event_type"), col("cnt"), col("prev"))
       .orderBy("window_ms", "event_type")
   }
 
@@ -286,7 +291,7 @@ object EventStreams {
             open.toSeq.sortBy(_._1).foreach { case (w, c) =>
               if (w < maxWin) { // complete: a later window has started
                 val prev = if (w == lastWin + 1) lastCnt else 0L
-                if (c >= TrendMin && c >= 2 * prev) out += ((w * 600000, key, c, prev))
+                if (c >= TrendMin && c >= 2 * prev) out += ((w * TenMinMs, key, c, prev))
                 lastWin = w; lastCnt = c
                 open = open - w
               }
@@ -327,9 +332,9 @@ object EventStreams {
           val wmMs = state.getCurrentWatermarkMs()
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
           open.toSeq.sortBy(_._1).foreach { case (w, c) =>
-            if ((w + 1) * 600000 <= wmMs) { // window end has been passed
+            if ((w + 1) * TenMinMs <= wmMs) { // window end has been passed
               val prev = if (w == lastWin + 1) lastCnt else 0L
-              if (c >= TrendMin && c >= 2 * prev) out += ((w * 600000, key, c, prev))
+              if (c >= TrendMin && c >= 2 * prev) out += ((w * TenMinMs, key, c, prev))
               lastWin = w; lastCnt = c
               open = open - w
             }
@@ -337,7 +342,7 @@ object EventStreams {
           state.update((open, lastWin, lastCnt))
           // every still-open window ends strictly after the watermark
           // (the close pass drained the rest), so the timer is legal
-          if (open.nonEmpty) state.setTimeoutTimestamp(open.keys.min * 600000 + 600000)
+          if (open.nonEmpty) state.setTimeoutTimestamp(open.keys.min * TenMinMs + TenMinMs)
           out.iterator
       }
       .toDF("window_ms", "event_type", "cnt", "prev")
@@ -388,13 +393,13 @@ object EventStreams {
           rows.foreach { case (_, t, _) =>
             counts = counts.updated(t, counts.getOrElse(t, 0L) + 1)
           }
-          val winEndMs = (win + 1) * 3600000
+          val winEndMs = (win + 1) * HourMs
           if (winEndMs <= state.getCurrentWatermarkMs()) {
             // window closed (data pass or timer callback): rank + drop
             state.remove()
             counts.toSeq.sortBy { case (t, c) => (-c, t) }
               .take(TopKPerWindow).iterator.zipWithIndex
-              .map { case ((t, c), i) => (win * 3600000, i + 1L, t, c) }
+              .map { case ((t, c), i) => (win * HourMs, i + 1L, t, c) }
           } else {
             state.update(counts)
             state.setTimeoutTimestamp(winEndMs)

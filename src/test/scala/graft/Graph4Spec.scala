@@ -99,6 +99,28 @@ class Graph4Spec extends SparkSpec {
     assert(Set(4L, 5L, 6L).map(comm) == Set(4L))
   }
 
+  test("connectedComponentsAuto returns empty on an empty edge list") {
+    // regression: the label-sum convergence witness is NULL on an empty
+    // graph — must read as converged, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraftOps.connectedComponentsAuto(empty, "a", "b").isEmpty)
+  }
+
+  test("cosineTopK supports non-numeric id columns (window fallback)") {
+    // regression: the heap aggregate CASTs its payload to BIGINT, which
+    // nulls string ids; string-id corpora must take the window form
+    // with the identical (cos DESC, id ASC) tie-break
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)), ("b", Array(1.0f, 0.1f)),
+      ("c", Array(0.0f, 1.0f)), ("q", Array(1.0f, 0.05f))
+    ).toDF("doc_id", "emb")
+    val r = GraftOps.cosineTopK(df, "doc_id", "emb",
+        queries = df.filter(col("doc_id") === "q"), k = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+    assert(r.map(_._3).toSeq == Seq("b", "a"),
+      s"expected neighbors (b, a), got ${r.toSeq}")
+  }
+
   test("graphJaccard: hand-checked neighborhood similarity") {
     // suppliers {1,2} share part 10 of their two parts each:
     // common=1, |N(1)|=|N(2)|=2 → J=1/3; supplier 3 shares nothing
