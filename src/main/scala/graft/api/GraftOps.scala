@@ -490,6 +490,48 @@ object GraftOps {
     ranks
   }
 
+  /** Weighted variant of [[personalizedPageRank]]: each edge carries a
+    * weight column; a node's rank flows out PROPORTIONALLY to edge
+    * weight (r·w/s with s = out-strength Σw) instead of uniformly
+    * (r/d). Dangling = no out-edges, exactly as unweighted; Σr = 1
+    * holds by the same argument (weights normalize per node). Same
+    * iteration layout: cached src-partitioned edges, one |V| shuffle +
+    * one scalar per round. */
+  def personalizedPageRankWeighted(edges0: DataFrame, srcCol: String,
+                                   dstCol: String, wCol: String,
+                                   sources: Seq[Long], alpha: Double = 0.15,
+                                   iters: Int = 5): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source node")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .repartition(col("src")).cache()
+    val str = edges.groupBy("src").agg(sum(col("w")).as("s")).cache()
+    val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .unionAll(srcDf.select(col("v"))).distinct()
+    val base = nodes.join(srcDf, Seq("v"), "left")
+      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
+    var ranks = base.select(col("v"), col("jump0").as("r"))
+    for (i <- 1 to iters) {
+      val rs = ranks.join(str, ranks("v") === str("src"))
+        .select(col("v").as("rv"), (col("r") / col("s")).as("rs"))
+      val contrib = edges.join(rs, edges("src") === col("rv"))
+        .groupBy(col("dst").as("v")).agg(sum(col("rs") * col("w")).as("c"))
+      val dangling = ranks.join(str, ranks("v") === str("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
+      ranks = base.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"),
+          (lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) + col("m") * col("jump0")) +
+           lit(alpha) * col("jump0")).as("r"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Log-space variant of [[personalizedPageRank]] (reference:
     * a4/RunPersonalizedPageRankBasic.java sums mass in log space).
     * Ranks are carried as ln r throughout; every per-node combination

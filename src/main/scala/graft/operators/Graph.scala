@@ -190,6 +190,51 @@ object Graph {
       .orderBy(col("rank").desc, col("v"))
       .limit(20)
 
+  /** Weighted personalized PageRank (GraftOps.personalizedPageRank
+    * Weighted) on the directed supplier→part graph with edge weight =
+    * number of DISTINCT orders connecting the pair — rank flows out
+    * proportionally to order volume (r·w/Σw), not uniformly. Every
+    * part node dangles, exercising the dangling path under weights. */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey").as("src"),
+        (col("l_partkey") + PartOffset).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.api.GraftOps
+      .personalizedPageRankWeighted(edges, "src", "dst", "w", Sources, Alpha, Iters)
+      .select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
+  }
+
+  /** Unrolled weighted-directed oracle: strength instead of degree,
+    * Σ r·w/s contributions, same dangling scalar and float order. */
+  private val weightedOracle: String = {
+    val srcList = Sources.mkString(", ")
+    val jump = s"CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END"
+    val iterCtes = (1 to Iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS v, sum(r.r / s.s * e.w) AS c
+                  FROM r${k - 1} r JOIN edges e ON r.v = e.src JOIN str s ON r.v = s.src
+                  GROUP BY 1),
+          m$k AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS m
+                  FROM r${k - 1} r LEFT JOIN str s ON r.v = s.src WHERE s.src IS NULL),
+          r$k AS MATERIALIZED (SELECT n.v,
+                    ${1 - Alpha} * (coalesce(c.c, 0) + m.m * $jump) + $Alpha * $jump AS r
+                  FROM nodes n LEFT JOIN c$k c ON n.v = c.v CROSS JOIN m$k m)"""
+    }.mkString(",\n          ")
+    s"""WITH ow AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey, l_partkey FROM lineitem),
+          edges AS MATERIALIZED (SELECT l_suppkey AS src, l_partkey + $PartOffset AS dst,
+                    CAST(count(*) AS DOUBLE) AS w
+                  FROM ow GROUP BY 1, 2),
+          str AS MATERIALIZED (SELECT src, sum(w) AS s FROM edges GROUP BY 1),
+          nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+                    UNION ALL SELECT dst FROM edges
+                    UNION ALL SELECT * FROM (VALUES (${Sources.mkString("), (")})) s(v))),
+          r0 AS MATERIALIZED (SELECT n.v, CASE WHEN n.v IN ($srcList) THEN 1.0 / ${Sources.length} ELSE 0 END AS r
+                 FROM nodes n),
+          $iterCtes
+        SELECT v, round(r, 8) AS rank FROM r$Iters ORDER BY v"""
+  }
+
   /** Degree distribution of the supplier↔part graph: how many nodes have
     * each degree. Scan + two groupBys (map-side partial both times);
     * shuffle volume ∝ |V| then ∝ distinct degrees. */
@@ -457,6 +502,7 @@ object Graph {
       s"""WITH pr AS ($oracle)
           SELECT v, rank FROM pr ORDER BY rank DESC, v LIMIT 20""")),
     QueryDef("pagerank_directed", pagerankDirected, Some(directedOracle)),
+    QueryDef("pagerank_weighted", pagerankWeighted, Some(weightedOracle)),
     QueryDef("graph_degree", graphDegree, Some(
       s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
            edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),

@@ -99,6 +99,27 @@ class Graph4Spec extends SparkSpec {
     assert(Set(4L, 5L, 6L).map(comm) == Set(4L))
   }
 
+  test("weighted PageRank with uniform weights equals the unweighted core") {
+    val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 12L), (10L, 0L))
+      .toDF("s", "d")
+    val uw = GraftOps.personalizedPageRank(edges, "s", "d", Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = GraftOps.personalizedPageRankWeighted(
+        edges.withColumn("wt", lit(7.5)), "s", "d", "wt", Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uw.keySet == w.keySet)
+    uw.foreach { case (v, r) => assert(math.abs(r - w(v)) < 1e-12, s"node $v") }
+    assert(math.abs(w.values.sum - 1.0) < 1e-9, "mass not conserved")
+  }
+
+  test("weighted PageRank shifts rank toward the heavy edge") {
+    // source 0 points at 10 (w=9) and 11 (w=1): 10 must outrank 11
+    val e = Seq((0L, 10L, 9.0), (0L, 11L, 1.0)).toDF("s", "d", "wt")
+    val r = GraftOps.personalizedPageRankWeighted(e, "s", "d", "wt", Seq(0L))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) > r(11L))
+  }
+
   test("connectedComponentsAuto returns empty on an empty edge list") {
     // regression: the label-sum convergence witness is NULL on an empty
     // graph — must read as converged, not NPE
