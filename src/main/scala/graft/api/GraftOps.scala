@@ -761,25 +761,33 @@ object GraftOps {
     * semi-join run as shuffle joins partitioned on src/(u,w), where only
     * |E|-sized tables move — the wedge intermediates themselves are
     * never shuffled (they flow straight into the partial count). */
-  def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
-    // localCheckpoint, not cache(): cache() survives in the CacheManager
-    // keyed by canonicalized plan, so a later identical invocation (e.g.
-    // a second bench pass) silently reuses it
-    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+  /** Degree-ordered orientation shared by the exact count and the
+    * wedge-sampling estimator: src = lower (degree, id) endpoint, odst
+    * = the higher endpoint's (degree, id) struct (the wedge-join order
+    * key). Checkpointed — every consumer reads it ≥ 3 times. */
+  private def orientEdges(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // identical field names on both sides: CASE branches must agree on
     // the struct type, and the comparison is lexicographic (degree, id)
     val ordA = struct(col("da").as("d"), col("a").as("i"))
     val ordB = struct(col("db").as("d"), col("b").as("i"))
-    val or = und
+    und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
         when(ordA < ordB, col("a")).otherwise(col("b")).as("src"),
         when(ordA < ordB, col("b")).otherwise(col("a")).as("dst"),
         when(ordA < ordB, ordB).otherwise(ordA).as("odst"))
-      .localCheckpoint() // consumed 3x (both wedge sides + closing edges)
+      .localCheckpoint()
+  }
+
+  def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
+    // localCheckpoint, not cache(): cache() survives in the CacheManager
+    // keyed by canonicalized plan, so a later identical invocation (e.g.
+    // a second bench pass) silently reuses it
+    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val or = orientEdges(und)
     val wedges = or.as("e1")
       .join(or.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
@@ -789,6 +797,47 @@ object GraftOps {
       .agg(count(lit(1)).as("n_triangles"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .select(col("n_triangles"), col("n_edges"))
+  }
+
+  /** Wedge-sampling triangle estimate (Seshadhri et al., SDM'13): the
+    * DOULION complement. All wedges are still ENUMERATED (the same
+    * wedge join streams, never materialized), but only an md5-sampled
+    * fraction p pays the closing semi-join; estimate = closed/p. The
+    * closed-fraction standard error ≈ √(q(1−q)/(p·W)) with q = T/W —
+    * independent of degree skew, where DOULION's 1/p³ scaling inflates
+    * hub-heavy variance. The total wedge count comes from out-degrees
+    * (Σ d·(d−1)/2 — an agg, not a wedge materialization).
+    * Deterministic hash sampling: the SQL oracle replays the identical
+    * sample. Returns (n_triangles_est, n_closed_in_sample,
+    * n_sampled_wedges, n_wedges). */
+  def triangleCountWedge(und0: DataFrame, u: String, v: String,
+                         p: Double = 0.01): DataFrame = {
+    require(p > 0 && p <= 1, s"sampling rate must be in (0, 1], got $p")
+    val cut = math.round(p * 10000).toInt
+    require(cut > 0 && math.abs(cut / 10000.0 - p) < 1e-9,
+      s"sampling rate $p must be a positive multiple of 1e-4 (hash-bucket resolution)")
+    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val or = orientEdges(und)
+    val totalWedges = or.groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    val sampled = or.as("e1")
+      .join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
+      .select(col("e1.src").as("c"), col("e1.dst").as("u"), col("e2.dst").as("w"))
+      .filter(graft.functions.TextFns.hash32(
+        concat(col("c").cast("string"), lit("_"), col("u").cast("string"),
+          lit("_"), col("w").cast("string"))) % 10000 < cut)
+      .localCheckpoint() // consumed by the sample count AND the closure
+    val closed = sampled
+      .join(or.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    closed
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled_wedges")))
+      .crossJoin(broadcast(totalWedges))
+      .select(
+        round(col("n_closed") / lit(p)).cast("long").as("n_triangles_est"),
+        col("n_closed").as("n_closed_in_sample"),
+        col("n_sampled_wedges"), col("n_wedges"))
   }
 
   /** Approximate triangle count by deterministic edge sampling

@@ -496,6 +496,46 @@ object Graph {
         SELECT a, b, common, jaccard FROM j
         ORDER BY jaccard DESC, a, b LIMIT $JaccardTopN"""
 
+  /** Wedge-sampled triangle estimate on the co-purchase graph
+    * (GraftOps.triangleCountWedge, p = 1%): the DOULION complement —
+    * unbiased over WEDGES, so hub skew doesn't inflate variance. */
+  val WedgeSampleP = 0.01
+  def graphTrianglesWedge(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.triangleCountWedge(coPurchaseEdges(spark, dir), "a", "b", WedgeSampleP)
+
+  /** Oracle mirrors the DEGREE-ORDERED orientation exactly (row-value
+    * (d, id) comparison — the sample is orientation-dependent, unlike
+    * the exact count), then replays the md5 wedge sample. */
+  private lazy val wedgeOracle: String = {
+    val cut = (WedgeSampleP * 10000).toInt
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+                    FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+          deg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+          orx AS MATERIALIZED (
+            SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+                   CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst,
+                   CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dd
+            FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+          tot AS (SELECT coalesce(sum(od * (od - 1) // 2), 0)::BIGINT AS n_wedges FROM (
+                    SELECT src, count(*) AS od FROM orx GROUP BY 1)),
+          samp AS MATERIALIZED (
+            SELECT e1.src AS c, e1.dst AS u, e2.dst AS w
+            FROM orx e1 JOIN orx e2 ON e1.src = e2.src
+              AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+            WHERE ('0x' || substr(md5(CAST(e1.src AS VARCHAR) || '_' ||
+                     CAST(e1.dst AS VARCHAR) || '_' || CAST(e2.dst AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < $cut),
+          closed AS (SELECT count(*) AS n_closed FROM samp
+                     WHERE EXISTS (SELECT 1 FROM orx o WHERE o.src = samp.u AND o.dst = samp.w)),
+          ns AS (SELECT count(*) AS n_sampled_wedges FROM samp)
+        SELECT round(closed.n_closed / $WedgeSampleP)::BIGINT AS n_triangles_est,
+               closed.n_closed AS n_closed_in_sample,
+               ns.n_sampled_wedges, tot.n_wedges
+        FROM closed, ns, tot"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(oracle)),
     QueryDef("pagerank_topk", pagerankTopk, Some(
@@ -524,6 +564,7 @@ object Graph {
                    FROM edges e1 JOIN edges e2 ON e1.b = e2.a
                    WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b))
           SELECT tri.n_triangles, (SELECT count(*) FROM edges) AS n_edges FROM tri""")),
+    QueryDef("graph_triangles_wedge", graphTrianglesWedge, Some(wedgeOracle)),
     QueryDef("graph_triangles_approx", graphTrianglesApprox, Some {
       val cut = (TriSampleP * 10000).toInt
       val p3 = TriSampleP * TriSampleP * TriSampleP

@@ -99,6 +99,22 @@ class Graph4Spec extends SparkSpec {
     assert(Set(4L, 5L, 6L).map(comm) == Set(4L))
   }
 
+  test("wedge sampling at p=1 reproduces the exact triangle count") {
+    // every wedge sampled ⇒ closed == T and the estimate is exact;
+    // proves the orientation + closure logic matches triangleCount
+    val und = graft.sources.Tables.lineitem(SparkSpec.spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = und.as("x").join(und.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    val exact = GraftOps.triangleCount(edges, "a", "b")
+      .head().getLong(0)
+    val w = GraftOps.triangleCountWedge(edges, "a", "b", p = 1.0).head()
+    assert(w.getLong(0) == exact, "p=1 estimate must equal the exact count")
+    assert(w.getLong(1) == exact)
+    assert(w.getLong(2) == w.getLong(3), "p=1 must sample every wedge")
+  }
+
   test("weighted PageRank with uniform weights equals the unweighted core") {
     val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 12L), (10L, 0L))
       .toDF("s", "d")
