@@ -182,6 +182,58 @@ object GraftOps {
       .select("a", "b", "cos")
   }
 
+  /** Winnowing document fingerprints (the MOSS sketch — Schleimer,
+    * Wilkerson, Aiken, SIGMOD'03): hash every k-token shingle, slide a
+    * w-window over the hash sequence, keep each window's minimum.
+    * Guarantee: any token run of length ≥ w+k−1 shared by two docs
+    * contributes at least one IDENTICAL selected hash to both sketches,
+    * so exact common substrings are detectable from a sketch ~2/(w+1)
+    * the size of the shingle set. The whole selection is in-row
+    * (codegen'd transform/slice/array_min over the token array) — zero
+    * shuffle until the per-doc fingerprint explode. Ties inside a
+    * window break to the leftmost position by packing (hash, pos) into
+    * one long (hash·2²⁰ + pos); docs must be < 2²⁰ tokens (~100× the
+    * longest doc a training pipeline keeps). Returns distinct (id, fp). */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val C = 1L << 20
+    df.select(col(id), split(col(text), " ").as("__t"))
+      .select(col(id), expr(
+        s"""CASE WHEN size(__t) >= $k THEN
+              transform(sequence(1, size(__t) - ${k - 1}),
+                i -> CAST(conv(substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 8), 16, 10) AS BIGINT) * ${C}L + i)
+            ELSE array() END""").as("__ks"))
+      .select(col(id), explode(expr(
+        s"""CASE WHEN size(__ks) >= $w THEN
+              array_distinct(transform(sequence(1, size(__ks) - ${w - 1}),
+                i -> array_min(slice(__ks, i, $w)) div ${C}L))
+            ELSE array() END""")).as("fp"))
+  }
+
+  /** Exact common-substring candidate pairs from winnowing sketches —
+    * the contamination/substring complement of set-based near-dup: two
+    * docs pair when they share ≥ minShared selected fingerprints, i.e.
+    * (with the winnowing guarantee) when they share enough literal
+    * (w+k−1)-token runs. Hot fingerprints appearing in > maxDf docs
+    * (boilerplate/viral phrases) are dropped BEFORE the self-join, so
+    * one common phrase can't turn the join quadratic — the same df-cap
+    * discipline an inverted index applies to stopwords. Shuffle volume
+    * ∝ sketch size (≈ 2·shingles/(w+1)), never docs². */
+  def winnowPairs(df: DataFrame, id: String, text: String,
+                  k: Int = 4, w: Int = 4,
+                  minShared: Long = 2, maxDf: Long = 100): DataFrame = {
+    // the sketch feeds the df-cap count AND both join sides
+    val fps = winnowFingerprints(df, id, text, k, w).localCheckpoint()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.select(col("fp"), col(id).as("a"))
+      .join(kept.select(col("fp"), col(id).as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact cosine top-k of each query vector against the corpus — the
     * at-scale form: query side broadcast, native codegen'd cosine_sim,
     * ranking through the `top_k_pairs` bounded-heap aggregate. Map-side

@@ -171,6 +171,46 @@ object Dedup {
         FROM documents d LEFT JOIN l$ClusterIters l ON d.doc_id = l.v
         ORDER BY d.doc_id"""
 
+  /** Winnowing common-substring candidate pairs (GraftOps.winnowPairs):
+    * docs sharing ≥ WinnowMinShared selected k-gram fingerprints under a
+    * w-window winnowing scheme — detects literal copied runs of
+    * ≥ w+k−1 = 7 tokens that set-based Jaccard dilutes away on long
+    * docs. Hot fingerprints (> WinnowMaxDf docs) dropped pre-join. */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowMinShared = 2L
+  val WinnowMaxDf = 100L
+  def dedupSubstringWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.winnowPairs(docs(spark, dir), "doc_id", "text",
+        k = WinnowK, w = WinnowW, minShared = WinnowMinShared, maxDf = WinnowMaxDf)
+      .orderBy("a", "b")
+
+  /** DuckDB mirror of the winnowing selection: same md5-derived shingle
+    * hashes, same (hash·2²⁰ + pos) packed tie-break, window minima via
+    * a ROWS frame, identical df cap and shared-count threshold. */
+  private val winnowOracle: String = {
+    val C = 1L << 20
+    val shingle = (0 until WinnowK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          sh AS (SELECT doc_id, i AS pos,
+                        ('0x' || substr(md5($shingle), 1, 8))::BIGINT * $C + i AS key
+                 FROM toks, unnest(generate_series(1, greatest(len(t) - ${WinnowK - 1}, 0))) AS u(i)),
+          wm AS (SELECT doc_id, pos,
+                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS m,
+                        count(*) OVER (PARTITION BY doc_id) AS nsh
+                 FROM sh),
+          fps AS MATERIALIZED (SELECT DISTINCT doc_id, m // $C AS fp
+                 FROM wm WHERE pos <= nsh - ${WinnowW - 1}),
+          rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+          kept AS MATERIALIZED (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)),
+          pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+                    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+        SELECT a, b, n_shared FROM pairs WHERE n_shared >= $WinnowMinShared
+        ORDER BY a, b"""
+  }
+
   /** SimHash banded Hamming near-dup pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.simhashCandidates(docs(spark, dir), "doc_id", "text",
@@ -300,5 +340,6 @@ object Dedup {
                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
           SELECT a, b, cos FROM p WHERE cos >= $EmbThreshold ORDER BY a, b""")),
     QueryDef("dedup_simhash", dedupSimhash, Some(simhashOracle)),
+    QueryDef("dedup_substring_winnow", dedupSubstringWinnow, Some(winnowOracle)),
   )
 }
