@@ -317,6 +317,66 @@ object GraftOps {
     cents
   }
 
+  /** One mini-batch k-means update step: assign the batch's rows to
+    * their nearest (cosine) centroid over ONE broadcast centroid array
+    * (zero shuffle, zero expansion), then fold the per-cluster batch
+    * sums into the running (centroid, count) state:
+    *   cv ← round((cv·cnt + Σ_batch v) / (cnt + n_batch), 9dp)
+    * — the running mean over everything seen so far (Bottou/Sculley
+    * mini-batch k-means with per-cluster counts as the learning rate).
+    * Clusters absent from the batch carry state unchanged. `cents`
+    * must have columns (cid, cv array<double>, cnt long). The SAME step
+    * drives the registered batch operator and the Structured Streaming
+    * foreachBatch front-end (StreamKMeansSpec proves they agree). */
+  def miniBatchStep(cents: DataFrame, batch: DataFrame,
+                    id: String, vec: String): DataFrame = {
+    graft.functions.VectorExpressions.register(cents.sparkSession)
+    val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val assigned = batch
+      .select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best",
+        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS s, -c.cid AS ncid)))"))
+      .select(col("v"), (-col("best.ncid")).as("cid"))
+    val upd = assigned.groupBy("cid")
+      .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
+    cents.join(upd, Seq("cid"), "left")
+      .select(col("cid"),
+        when(col("n").isNull, col("cv")).otherwise(expr(
+          "zip_with(cv, sv, (c, s) -> round((c * cnt + s) / CAST(cnt + n AS DOUBLE), 9))"))
+          .as("cv"),
+        (col("cnt") + coalesce(col("n"), lit(0L))).as("cnt"))
+  }
+
+  /** Mini-batch (streaming) spherical k-means: the corpus is split into
+    * `batches` deterministic hash batches (md5 of the id — reproducible
+    * on any cluster layout), seeds are the k hash-smallest vectors of
+    * the FULL corpus (the kmeansCosine rule), and each batch applies one
+    * [[miniBatchStep]] in batch order. One pass over the data total —
+    * the online path when a 100 TB corpus can't afford full Lloyd
+    * sweeps, and the exact semantics of the foreachBatch streaming
+    * front-end (each micro-batch = one step). Returns
+    * (cid, n_seen = rows absorbed, c0 = first centroid component). */
+  def kmeansMiniBatch(df: DataFrame, id: String, vec: String,
+                      k: Int = 8, batches: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val e = df.select(col(id).as("__kid"),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"),
+        (graft.functions.TextFns.hash32(col(id).cast("string")) % batches).as("__b"))
+      .localCheckpoint() // consumed once per batch round
+    var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
+      .limit(k)
+      .select(col("__kid").as("cid"), col("v").as("cv"), lit(0L).as("cnt"))
+      .localCheckpoint()
+    for (b <- 0 until batches) {
+      cents = miniBatchStep(cents, e.filter(col("__b") === b), "__kid", "v")
+        .localCheckpoint() // k rows; flattens the per-batch lineage
+    }
+    cents.select(col("cid"), col("cnt").as("n_seen"),
+        round(element_at(col("cv"), 1), 6).as("c0"))
+      .orderBy("cid")
+  }
+
   /** Euclidean (L2) k-means — the [[kmeansCosine]] sibling used by
     * product quantization, where subspace codebooks minimize squared
     * distance. Identical deterministic scaffolding (hash-ordered seeds,

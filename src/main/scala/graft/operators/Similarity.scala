@@ -158,6 +158,51 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Mini-batch (streaming) spherical k-means over the embeddings
+    * (GraftOps.kmeansMiniBatch): 4 deterministic hash batches folded
+    * into running (centroid, count) state in ONE pass over the corpus —
+    * the online sibling of ml_kmeans for feeds that can't afford full
+    * Lloyd sweeps. The identical per-batch step drives the Structured
+    * Streaming foreachBatch front-end; StreamKMeansSpec proves the
+    * streamed centroids equal this batch mirror bit-for-bit. */
+  val KmbBatches = 4
+  def mlKmeansMiniBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.kmeansMiniBatch(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmbBatches)
+
+  /** Unrolled mini-batch rounds as DuckDB CTEs: same hash batches, same
+    * running-mean fold with 9 dp per-round rounding, seeds from the full
+    * corpus by the kmeansCosine hash rule. */
+  private lazy val kmbOracle: String = {
+    val rounds = (1 to KmbBatches).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM (SELECT * FROM e WHERE b = ${t - 1}) e, c${t - 1} c) WHERE rn = 1),
+          m$t AS MATERIALIZED (SELECT cid, pos, sum(val) AS sv, count(*) AS n
+                FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a$t)
+                GROUP BY cid, pos),
+          c$t AS MATERIALIZED (
+                SELECT u.cid,
+                       list(CASE WHEN m.n IS NULL THEN u.val
+                            ELSE round((u.val * u.cnt + m.sv) / (u.cnt + m.n), 9) END
+                            ORDER BY u.pos) AS cv,
+                       u.cnt + coalesce(max(m.n), 0) AS cnt
+                FROM (SELECT cid, cnt, unnest(cv) AS val, generate_subscripts(cv, 1) AS pos
+                      FROM c${t - 1}) u
+                LEFT JOIN m$t m ON u.cid = m.cid AND u.pos = m.pos
+                GROUP BY u.cid, u.cnt)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % $KmbBatches AS b
+              FROM embeddings),
+          c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, 0::BIGINT AS cnt FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmK),
+          $rounds
+        SELECT cid, cnt AS n_seen, round(cv[1], 6) AS c0 FROM c$KmbBatches ORDER BY cid"""
+  }
+
   /** IVF search over the k-means-trained cells (same probe/search as
     * `sim_ann_ivf`; the centroids now come from Lloyd iterations, so
     * cells follow the data distribution instead of the every-Nth
@@ -482,6 +527,7 @@ object Similarity {
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
+    QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("sim_ann_pq", annPq, Some(annPqOracle)),
   )
