@@ -289,6 +289,99 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ with residual quantization (the IVFADC structure of Jégou
+    * et al., TPAMI'11) — the full composed ANN: a coarse L2 quantizer
+    * (kmeansL2, IvfPqCoarseK cells) partitions the corpus; each vector
+    * stores only its cell id + PqM one-byte codes of its RESIDUAL
+    * (v − cell centroid) against shared per-subspace codebooks trained
+    * on the residuals (residuals are far more isotropic than raw
+    * vectors — the same code budget quantizes them with much less
+    * error). Queries probe NProbe cells; scoring is asymmetric-distance
+    * over the residual LUTs PLUS the per-(query, cell) −‖q−c‖² term, so
+    * ADC scores from DIFFERENT probed cells are comparable:
+    *   −‖q−(c+r̂)‖² = (2·q·c − c·c − q·q) + Σ_m [2·(q−c)_m·cb_m − cb_m·cb_m].
+    * Top-PqShortlist ADC candidates re-rank exactly against their true
+    * vectors (R·|Q| rows, corpus-independent). Every stage is the
+    * proven deterministic scaffolding: hash seeds, broadcast argmax
+    * encode (zero shuffle/expansion), heap-aggregate ranking. */
+  val IvfPqCoarseK = 4
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val coarse = graft.api.GraftOps.kmeansL2(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", IvfPqCoarseK, PqIters)
+      .localCheckpoint()
+    val ca = coarse.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val asg = e.crossJoin(broadcast(ca))
+      .withColumn("best", expr(
+        "array_max(transform(cs, c -> struct(2 * dot_product(v, c.cv) " +
+          "- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid)))"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+    // residuals: one broadcast join + in-row subtract; feeds codebook
+    // training AND the encode passes
+    val resid = asg.join(broadcast(coarse), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+      .localCheckpoint()
+    val books = (0 until PqM).map { m =>
+      graft.api.GraftOps.kmeansL2(
+          resid.select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
+          "vec_id", "x", PqK, PqIters)
+        .localCheckpoint()
+    }
+    var enc = resid
+    for (m <- 0 until PqM) {
+      val cb = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
+      enc = enc.crossJoin(broadcast(cb))
+        .withColumn(s"k$m", -expr(
+          s"array_max(transform(cs$m, c -> struct(" +
+            s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
+            s"- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid))).ncid"))
+        .drop(s"cs$m")
+    }
+    val codes = enc.select(col("vec_id") +: col("cid") +:
+      (0 until PqM).map(m => col(s"k$m")): _*)
+    // probes carry the cross-cell comparability term and the residual
+    // query vector; consumed by PqM LUT builds + the candidate join
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(ca))
+      .select(col("qid"), col("qv"), explode(expr(
+        s"slice(array_sort(transform(cs, c -> struct(" +
+          s"-(2 * dot_product(qv, c.cv) - dot_product(c.cv, c.cv)) AS negs, " +
+          s"c.cid AS cid, c.cv AS cv))), 1, $NProbe)")).as("p"))
+      .select(col("qid"), col("p.cid").as("cid"),
+        expr("2 * dot_product(qv, p.cv) - dot_product(p.cv, p.cv) " +
+          "- dot_product(qv, qv)").as("qcterm"),
+        expr("zip_with(qv, p.cv, (a, b) -> a - b)").as("rq"))
+      .localCheckpoint()
+    val luts = (0 until PqM).map { m =>
+      probes.crossJoin(broadcast(books(m)
+          .select(col("cid").as(s"k$m"), col("cv").as("bcv"))))
+        .select(col("qid"), col("cid"), col(s"k$m"),
+          expr(s"2 * dot_product(slice(rq, ${m * PqSub + 1}, $PqSub), bcv) " +
+            "- dot_product(bcv, bcv)").as(s"t$m"))
+    }
+    var scored = codes
+      .join(broadcast(probes.select(col("qid"), col("cid"), col("qcterm"))), Seq("cid"))
+    for (m <- 0 until PqM)
+      scored = scored.join(broadcast(luts(m)), Seq("qid", "cid", s"k$m"))
+    val s = scored.filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qcterm") +: (0 until PqM).map(m => col(s"t$m"))).reduce(_ + _).as("score"))
+    val shortlist = graft.api.GraftOps
+      .topKPerGroupAgg(s, "qid", "score", "vec_id", PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, v) - dot_product(v, v)").as("score"))
+    graft.api.GraftOps.topKPerGroupAgg(exact, "qid", "score", "vec_id", TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Radius (range) search: every corpus vector within cosine ≥ Radius
     * of each query — the fixed-threshold complement of top-k (recall
     * jobs want "all sufficiently-similar", not "best k"). Same broadcast
@@ -477,6 +570,105 @@ object Similarity {
           $blocks"""
   }
 
+  /** Unrolled L2 Lloyd CTE chain over a (vec_id, x DOUBLE[]) CTE `src`:
+    * emits ${p}c0..${p}c$iters with exactly the kmeansL2 semantics
+    * (hash-ordered seeds, argmax of 2x·c − c·c, 9 dp per-round means,
+    * empty-cluster carryover). Same MATERIALIZED discipline as
+    * kmeansCtes — every level is referenced at least twice. */
+  private def l2LloydCtes(p: String, src: String, k: Int, iters: Int): String = {
+    val head =
+      s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, x AS cv FROM $src
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)"""
+    val its = (1 to iters).map { t =>
+      s"""${p}a$t AS MATERIALIZED (SELECT vec_id, x, cid FROM (
+                SELECT e.vec_id, e.x, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM $src e, ${p}c${t - 1} c) WHERE rn = 1),
+          ${p}m$t AS MATERIALIZED (SELECT cid, pos, round(sum(val) / count(*), 9) AS mn
+                FROM (SELECT cid, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM ${p}a$t)
+                GROUP BY cid, pos),
+          ${p}n$t AS MATERIALIZED (SELECT cid, list(mn ORDER BY pos) AS cv FROM ${p}m$t GROUP BY cid),
+          ${p}c$t AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+                FROM ${p}c${t - 1} p LEFT JOIN ${p}n$t n USING (cid))"""
+    }.mkString(",\n          ")
+    s"$head,\n          $its"
+  }
+
+  /** DuckDB mirror of annIvfPq: coarse Lloyd, residual build, residual
+    * codebook Lloyds, encode, probes with the −‖q−c‖² cross-cell term,
+    * residual LUTs, ADC shortlist, exact re-rank — every float in the
+    * same order as the Spark plan. */
+  private lazy val annIvfPqOracle: String = {
+    val cFin = s"qzc$PqIters"
+    val residBlocks = (0 until PqM).map { m =>
+      s"""rs$m AS MATERIALIZED (SELECT vec_id, ${subSql("rv", m)} AS x FROM res),
+          ${l2LloydCtes(s"b$m", s"rs$m", PqK, PqIters)},
+          code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM rs$m e, b${m}c$PqIters c) WHERE rn = 1),
+          lut$m AS MATERIALIZED (SELECT r.qid, r.cid, c.cid AS code,
+                2 * list_dot_product(${subSql("r.rv", m)}, c.cv)
+                  - list_dot_product(c.cv, c.cv) AS t
+                FROM rq r, b${m}c$PqIters c)"""
+    }.mkString(",\n          ")
+    s"""WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ec AS MATERIALIZED (SELECT vec_id, v AS x FROM e0),
+          ${l2LloydCtes("qz", "ec", IvfPqCoarseK, PqIters)},
+          asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e0 e, $cFin c) WHERE rn = 1),
+          res AS MATERIALIZED (SELECT x.vec_id, x.cid, list(x.val - y.mn ORDER BY x.pos) AS rv
+                FROM (SELECT a.vec_id, a.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+                      FROM asg a JOIN e0 e ON a.vec_id = e.vec_id) x
+                JOIN (SELECT cid, unnest(cv) AS mn, generate_subscripts(cv, 1) AS pos FROM $cFin) y
+                  ON x.cid = y.cid AND x.pos = y.pos
+                GROUP BY x.vec_id, x.cid),
+          probes AS MATERIALIZED (SELECT qid, cid, qcterm FROM (
+                SELECT q.vec_id AS qid, c.cid,
+                       ${l2ScoreSql("q.v", "c.cv")} - list_dot_product(q.v, q.v) AS qcterm,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         ${l2ScoreSql("q.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e0 q, $cFin c WHERE q.vec_id < $NumQueries) WHERE rn <= $NProbe),
+          rq AS MATERIALIZED (SELECT p.qid, p.cid, list(x.val - y.mn ORDER BY x.pos) AS rv
+                FROM probes p
+                JOIN (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e0) x
+                  ON x.vec_id = p.qid
+                JOIN (SELECT cid, unnest(cv) AS mn, generate_subscripts(cv, 1) AS pos FROM $cFin) y
+                  ON y.cid = p.cid AND y.pos = x.pos
+                GROUP BY p.qid, p.cid),
+          $residBlocks,
+          scored AS (SELECT p.qid, r.vec_id,
+                            p.qcterm + l0.t + l1.t + l2.t + l3.t AS score
+                     FROM res r JOIN probes p ON r.cid = p.cid
+                     JOIN code0 c0 ON c0.vec_id = r.vec_id
+                     JOIN code1 c1 ON c1.vec_id = r.vec_id
+                     JOIN code2 c2 ON c2.vec_id = r.vec_id
+                     JOIN code3 c3 ON c3.vec_id = r.vec_id
+                     JOIN lut0 l0 ON l0.qid = p.qid AND l0.cid = p.cid AND l0.code = c0.cid
+                     JOIN lut1 l1 ON l1.qid = p.qid AND l1.cid = p.cid AND l1.code = c1.cid
+                     JOIN lut2 l2 ON l2.qid = p.qid AND l2.cid = p.cid AND l2.code = c2.cid
+                     JOIN lut3 l3 ON l3.qid = p.qid AND l3.cid = p.cid AND l3.code = c3.cid
+                     WHERE r.vec_id <> p.qid),
+          short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                        2 * list_dot_product(eq.v, ex2.v) - list_dot_product(ex2.v, ex2.v) AS score
+                 FROM short s JOIN e0 eq ON s.qid = eq.vec_id
+                 JOIN e0 ex2 ON s.vec_id = ex2.vec_id),
+          r AS (SELECT qid, vec_id, score,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM ex)
+        SELECT qid, rnk, vec_id AS neighbor, round(score, 6) AS score
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+  }
+
   private lazy val annPqOracle: String =
     s"""WITH $pqCtes,
           scored AS (SELECT l0.qid, c0.vec_id, l0.t + l1.t + l2.t + l3.t AS score
@@ -530,5 +722,6 @@ object Similarity {
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("sim_ann_pq", annPq, Some(annPqOracle)),
+    QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
   )
 }

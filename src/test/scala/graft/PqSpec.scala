@@ -51,4 +51,20 @@ class PqSpec extends SparkSpec {
   test("PQ is deterministic across runs") {
     assert(topk(Similarity.annPq(spark, sf)) == topk(Similarity.annPq(spark, sf)))
   }
+
+  test("IVF-PQ residual shortlist recall@5 clears the floor at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    val ivfpq = topk(Similarity.annIvfPq(spark, dir))
+    val recall = exact.map { case (q, ids) =>
+      ids.toSet.intersect(ivfpq.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    // NProbe=2 of 4 cells caps attainable recall; the residual codes
+    // must still find a solid share of the true neighbors
+    assert(recall >= 0.4, s"IVF-PQ recall@5 $recall below 0.4")
+  }
+
+  test("IVF-PQ is deterministic across runs") {
+    assert(topk(Similarity.annIvfPq(spark, sf)) == topk(Similarity.annIvfPq(spark, sf)))
+  }
 }
