@@ -348,6 +348,91 @@ object EventStreams {
       .toDF("window_ms", "event_type", "cnt", "prev")
   }
 
+  /** Trailing-window anomaly detection — batch mirror. Per user, each
+    * event's value is compared against the mean/σ of its previous
+    * AnomalyWindow values (ROWS frame ending 1 PRECEDING — the current
+    * value never contaminates its own baseline); an alert fires when
+    * |v − mean| > AnomalyZ·σ with at least AnomalyMinPrior history.
+    * σ from the avg-of-squares identity (not stddev_samp) so both
+    * engines walk the identical float path; mean/σ rounded to 6 dp
+    * BEFORE the threshold compare, pinning the alert set cross-engine.
+    * Scale: the window partitions by user_id — millions of independent
+    * small frames, map-side after one shuffle on user. */
+  val AnomalyWindow = 20
+  val AnomalyMinPrior = 5
+  val AnomalyZ = 3.0
+  def anomalyBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"), col("value"))
+      .rowsBetween(-AnomalyWindow, -1)
+    events(spark, dir)
+      .withColumn("n_prior", count(col("value")).over(w))
+      .withColumn("mean_raw", avg(col("value")).over(w))
+      .withColumn("m2_raw", avg(col("value") * col("value")).over(w))
+      .filter(col("n_prior") >= AnomalyMinPrior)
+      .withColumn("mean", round(col("mean_raw"), 6))
+      .withColumn("std", round(sqrt(greatest(
+        col("m2_raw") - col("mean_raw") * col("mean_raw"), lit(0.0))), 6))
+      .filter(abs(col("value") - col("mean")) > lit(AnomalyZ) * col("std"))
+      .select(col("event_id"), col("user_id"), expr("ts_us div 1000").as("ts_ms"),
+        round(col("value"), 2).as("value"), col("mean"), col("std"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** Streaming front-end: per-user keyed state holding the last
+    * AnomalyWindow values in event-time order; each arriving event is
+    * tested against the CURRENT state baseline, then pushed into it —
+    * exactly the batch mirror's trailing frame when events arrive in
+    * order per key (the spec feeds time-ordered batches; a live
+    * pipeline would buffer on the watermark before folding). */
+  def anomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    anomalyCore(readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Long, Double)])
+  }
+
+  /** Core of the anomaly detector: state = the last AnomalyWindow values
+    * per user. Rows within an invocation are folded in (ts, event_id,
+    * value) order so a micro-batch's unordered iterator can't reorder
+    * the baseline. Emits the same (event_id, user_id, ts_ms, value,
+    * mean, std) rows as [[anomalyBatch]]. */
+  def anomalyCore(
+      evs: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    evs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Vector[Double], (Long, Long, Long, Double, Double, Double)](
+        OM.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[Vector[Double]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double, Double, Double)]
+          rows.toSeq.sortBy { case (eid, _, ts, v) => (ts, eid, v) }
+            .foreach { case (eid, _, ts, v) =>
+              if (buf.size >= AnomalyMinPrior) {
+                val meanRaw = buf.sum / buf.size
+                val m2Raw = buf.map(x => x * x).sum / buf.size
+                val mean = BigDecimal(meanRaw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val std = BigDecimal(math.sqrt(math.max(m2Raw - meanRaw * meanRaw, 0.0)))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(v - mean) > AnomalyZ * std)
+                  out += ((eid, user, ts / 1000,
+                    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                    mean, std))
+              }
+              buf = (buf :+ v).takeRight(AnomalyWindow)
+            }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_ms", "value", "mean", "std")
+  }
+
   /** Per-window top-k event types — batch mirror. The rank window runs
     * over the AGGREGATED (window, type) counts, so its group size is
     * |event types| (a small constant), not a corpus-sized sort. */
@@ -456,6 +541,23 @@ object EventStreams {
           SELECT user_id, min(ts_us) // 1000 AS start_ms, count(*) AS n_events,
                  round(sum(value), 2) AS sum_value
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, start_ms""")),
+    QueryDef("stream_anomaly", anomalyBatch, Some(
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+            s AS (SELECT *,
+                         count(value) OVER w AS n_prior,
+                         avg(value) OVER w AS mean_raw,
+                         avg(value * value) OVER w AS m2_raw
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                    ORDER BY ts_us, event_id, value
+                    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)),
+            f AS (SELECT event_id, user_id, ts_us, value,
+                         round(mean_raw, 6) AS mean,
+                         round(sqrt(greatest(m2_raw - mean_raw * mean_raw, 0)), 6) AS std
+                  FROM s WHERE n_prior >= $AnomalyMinPrior)
+          SELECT event_id, user_id, ts_us // 1000 AS ts_ms, round(value, 2) AS value,
+                 mean, std
+          FROM f WHERE abs(value - mean) > $AnomalyZ * std
+          ORDER BY user_id, ts_ms, event_id""")),
     QueryDef("stream_trending", trendingBatch, Some(
       s"""WITH w AS (SELECT event_type, epoch_us(ts) // $TenMinUs AS win, count(*) AS cnt
                      FROM events GROUP BY 1, 2),

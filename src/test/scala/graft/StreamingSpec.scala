@@ -85,6 +85,17 @@ class StreamingSpec extends SparkSpec {
     assert(alerts.nonEmpty)
   }
 
+  test("stateful anomaly stream matches the batch trailing-window z-score") {
+    runToMemory(EventStreams.anomalyStream(spark, sf), "anom", OutputMode.Append())
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("ts_ms")) ->
+        (r.getAs[Double]("value"), r.getAs[Double]("mean"), r.getAs[Double]("std"))
+    val streamed = spark.table("anom").collect().map(key).toMap
+    val batch = EventStreams.anomalyBatch(spark, sf).collect().map(key).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
