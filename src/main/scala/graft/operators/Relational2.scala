@@ -247,6 +247,64 @@ object Relational2 {
       .map(i => s"(${i}, CAST(${i * BucketWidth} AS DOUBLE), CAST(${(i + 1) * BucketWidth} AS DOUBLE), 'bucket_$i')")
       .mkString("(VALUES ", ", ", ") d(bucket_id, lo, hi, label)")
 
+  /** Equi-width histogram of l_extendedprice per return flag: global
+    * [min, max] bounds in one tiny agg (a 1-row broadcast scalar — no
+    * driver round-trip), then bucket ids computed arithmetically per
+    * row. Two scan-speed passes, one small shuffle on (flag, bucket) —
+    * the standard first-look distribution profile at 100 TB. The top
+    * value is clamped into the last bucket (least), matching every SQL
+    * width_bucket convention for the right edge. */
+  val HistBuckets = 10
+  def q35Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(HistBuckets - 1),
+        floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")) * HistBuckets))
+        .cast("long"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("l_extendedprice")), 2).as("lo_val"),
+        round(max(col("l_extendedprice")), 2).as("hi_val"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price (lower better) and size (higher better). Distributed
+    * two-phase plan: phase 1 computes each hash partition's local
+    * skyline with a per-partition sorted window (sort by price asc,
+    * size desc — a point is dominated iff the running max size over
+    * strictly-preceding points reaches its own); the local pass can
+    * only discard globally-dominated points, so phase 2 re-runs the
+    * same rule globally on the (tiny) surviving candidate set. The
+    * global window sorts ONLY candidates — the full table never sees a
+    * single-task sort. Ids join back on the skyline points at the end. */
+  val SkylinePartitions = 32
+  def q36Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val pts = part.select(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .distinct()
+    val lw = Window.partitionBy(col("pid"))
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("pid", pmod(xxhash64(col("price"), col("size")), lit(SkylinePartitions)))
+      .withColumn("runmax", max(col("size")).over(lw))
+      .filter(col("runmax").isNull || col("runmax") < col("size"))
+      .select("price", "size")
+    val gw = Window.orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = local
+      .withColumn("runmax", max(col("size")).over(gw))
+      .filter(col("runmax").isNull || col("runmax") < col("size"))
+      .select("price", "size")
+    part.join(sky,
+        part("p_retailprice") === sky("price") && part("p_size") === sky("size"))
+      .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"), col("p_size").as("size"))
+      .orderBy("p_partkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_pivot", q19Pivot, Some(
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
@@ -360,6 +418,24 @@ object Relational2 {
                              ELSE 'unchanged' END AS change_type
                  FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey)
          SELECT change_type, count(*) AS cnt FROM d GROUP BY 1 ORDER BY change_type""")),
+    QueryDef("q35_histogram", q35Histogram, Some(
+      s"""WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+          SELECT l_returnflag,
+                 least(${HistBuckets - 1},
+                   floor((l_extendedprice - b.lo) / (b.hi - b.lo) * $HistBuckets))::BIGINT AS bucket,
+                 count(*) AS cnt,
+                 round(min(l_extendedprice), 2) AS lo_val,
+                 round(max(l_extendedprice), 2) AS hi_val
+          FROM lineitem, b GROUP BY 1, 2 ORDER BY 1, 2""")),
+    QueryDef("q36_skyline", q36Skyline, Some(
+      """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+            sky AS (SELECT price, size FROM pts p WHERE NOT EXISTS (
+                      SELECT 1 FROM pts q
+                      WHERE q.price <= p.price AND q.size >= p.size
+                        AND (q.price < p.price OR q.size > p.size)))
+          SELECT p.p_partkey, round(p.p_retailprice, 2) AS price, p.p_size AS size
+          FROM part p JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.size
+          ORDER BY p_partkey""")),
     QueryDef("q23_unpivot", q23Unpivot, Some(
       """SELECT measure, count(*) AS cnt, round(sum(val), 2) AS sum_val,
                 round(avg(val), 6) AS avg_val
