@@ -57,6 +57,28 @@ object GraftOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Asymmetric shingle-containment pairs: containment(a→b) =
+    * |S_a ∩ S_b| / |S_a| — the overlap measure Jaccard dilutes away
+    * when a small doc is embedded inside a much larger one (quote
+    * pages, aggregator wrappers): their Jaccard is tiny but the small
+    * doc's containment is ~1. Directed output (a contained-in b), both
+    * directions evaluated. Same shared-shingle join shape as
+    * [[ngramJaccardPairs]] — the labeled exact ground truth; at scale
+    * the candidate set comes from the LSH tiers first. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleSet(df, id, text, n).localCheckpoint()
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    sh.select(col(id).as("a"), col("sh"))
+      .join(sh.select(col(id).as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(id).as("a"), col("sz").as("sza")), "a")
+      .withColumn("containment", round(col("inter") / col("sza"), 6))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+  }
+
   /** MinHash signature per id: NumHashes min-aggregated permutations of
     * the md5-derived shingle hashes, one groupBy pass. */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {

@@ -49,6 +49,15 @@ object Dedup {
         n = 3, threshold = JaccardThreshold)
       .orderBy("a", "b")
 
+  /** Asymmetric containment pairs (GraftOps.containmentPairs): directed
+    * (a contained-in b) where |S_a∩S_b|/|S_a| ≥ ContainmentThreshold —
+    * catches small-doc-inside-big-doc that symmetric Jaccard misses. */
+  val ContainmentThreshold = 0.8
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.containmentPairs(docs(spark, dir), "doc_id", "text",
+        n = 3, threshold = ContainmentThreshold)
+      .orderBy("a", "b")
+
   /** MinHash + LSH candidate pairs with estimated Jaccard. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
@@ -341,5 +350,16 @@ object Dedup {
           SELECT a, b, cos FROM p WHERE cos >= $EmbThreshold ORDER BY a, b""")),
     QueryDef("dedup_simhash", dedupSimhash, Some(simhashOracle)),
     QueryDef("dedup_substring_winnow", dedupSubstringWinnow, Some(winnowOracle)),
+    QueryDef("dedup_containment", dedupContainment, Some(
+      s"""WITH sh AS ($shingleSql),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                      GROUP BY 1, 2)
+          SELECT i.a AS a, i.b AS b,
+                 round(i.inter / sa.sz, 6) AS containment
+          FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+          WHERE round(i.inter / sa.sz, 6) >= $ContainmentThreshold
+          ORDER BY a, b""")),
   )
 }

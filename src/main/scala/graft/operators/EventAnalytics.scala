@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Product-analytics operators over the event log: ordered funnels and
+  * cohort retention — the two queries every event warehouse runs daily.
+  *
+  * Scale notes:
+  *  - Funnel: three conditional-min aggregations keyed on user_id.
+  *    Every stage is a map-side partial min; no windows, no per-user
+  *    event sorting — shuffle volume is |users| rows per stage, and AQE
+  *    reuses the user_id partitioning across the narrow stage joins.
+  *  - Retention: first-activity day per user (one agg) + a distinct
+  *    (cohort, offset, user) count. Shuffles are |users| and
+  *    |user-days| — never |events| beyond the initial map side.
+  */
+object EventAnalytics {
+  /** Ordered funnel stages (each must happen strictly AFTER the prior
+    * stage's first occurrence — re-orderings don't count). */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Funnel: users reaching stage k = users whose first 'view' precedes
+    * their first later 'click' precedes their first later 'purchase'.
+    * Conditional-min aggregation per stage; stage k's threshold joins
+    * back (shuffle on user_id each round, |users|-sized). */
+  def q37Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    // stage 1: first view per user
+    var reached = ev.filter(col("event_type") === FunnelStages.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      (FunnelStages.head, reached))
+    FunnelStages.tail.foreach { stage =>
+      reached = ev.filter(col("event_type") === stage)
+        .join(reached, "user_id")
+        .filter(col("ts_us") > col("t"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+      counts += ((stage, reached))
+    }
+    counts.zipWithIndex.map { case ((stage, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
+  private val funnelOracle: String = {
+    // s1 = first view; s2 = first click after s1; s3 = first purchase after s2
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+                 FROM e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts_us) AS t
+                 FROM e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        SELECT 1::BIGINT AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        ORDER BY stage"""
+  }
+
+  /** Cohort retention: users grouped by their first-activity day; for
+    * each cohort, how many distinct users were active again exactly
+    * 1, 3 and 7 days later. */
+  val RetentionOffsets: Seq[Int] = Seq(1, 3, 7)
+  def q38Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct() // (user, day) activity set
+    val ret = active.join(cohort, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset").isin(RetentionOffsets.map(_.toLong): _*))
+      .groupBy("cohort_day", "offset")
+      .agg(countDistinct(col("user_id")).as("n_retained"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    sizes.join(ret, Seq("cohort_day"), "left")
+      .filter(col("offset").isNotNull)
+      .select(col("cohort_day"), col("cohort_size"), col("offset"), col("n_retained"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val retentionOracle: String = {
+    val offsets = RetentionOffsets.mkString(", ")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+          cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+          active AS (SELECT DISTINCT user_id, day FROM e),
+          ret AS (SELECT c.cohort_day, a.day - c.cohort_day AS "offset",
+                         count(DISTINCT a.user_id) AS n_retained
+                  FROM active a JOIN cohort c ON a.user_id = c.user_id
+                  WHERE a.day - c.cohort_day IN ($offsets)
+                  GROUP BY 1, 2),
+          sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1)
+        SELECT s.cohort_day AS cohort_day, s.cohort_size, r."offset", r.n_retained
+        FROM sizes s JOIN ret r ON s.cohort_day = r.cohort_day
+        ORDER BY s.cohort_day, "offset""""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_funnel", q37Funnel, Some(funnelOracle)),
+    QueryDef("q38_retention", q38Retention, Some(retentionOracle)),
+  )
+}
