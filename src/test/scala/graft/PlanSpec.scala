@@ -147,6 +147,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprint extraction is in-row: no shuffle before the sketch explode") {
+    // shingle hashing + window-min selection happen in transform/slice/
+    // array_min over the token array — the per-doc sketch must leave the
+    // scan task fully formed (shuffles only from the df-cap + pair join)
+    val fps = graft.api.GraftOps.winnowFingerprints(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    val exchanges = fps.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"fingerprint extraction shuffles (${exchanges.size})")
+  }
+
+  test("sim_ann_ivfpq ranks through heap aggregates and encodes map-side") {
+    val p = sparkPlan("sim_ann_ivfpq").toString
+    assert(!p.contains("Window"), s"IVF-PQ plans a Window:\n${p.take(1200)}")
+    assert(p.contains("top_k_pairs"))
+  }
+
+  test("q36_skyline's global window consumes only local-skyline survivors") {
+    // phase 2's un-partitioned window would be a single-task sort of the
+    // corpus if fed the raw points; its input subtree must carry phase
+    // 1's partitioned runmax filter
+    val p = sparkPlan("q36_skyline")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size >= 2, "expected local + global skyline windows")
+    // the LAST window in execution order (first in top-down collect) is
+    // the global one; its child must contain the phase-1 filter on runmax
+    val global = windows.head
+    assert(global.child.toString().contains("runmax"),
+      s"global window input unfiltered:\n${global.child.toString().take(800)}")
+  }
+
+  test("q35_histogram bounds come from a broadcast, not a collect") {
+    val p = sparkPlan("q35_histogram").toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"histogram bounds not broadcast:\n${p.take(1200)}")
+  }
+
+  test("q37_funnel plans no windows: conditional-min aggs only") {
+    val p = sparkPlan("q37_funnel")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "funnel must not sort per-user event sequences")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
