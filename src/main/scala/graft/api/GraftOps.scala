@@ -1112,6 +1112,39 @@ object GraftOps {
     dist
   }
 
+  /** Multi-source shortest paths over a WEIGHTED directed edge list
+    * (Bellman-Ford relaxation): dist_{t+1}(v) = min(dist_t(v),
+    * min_{(u,v,w)} dist_t(u) + w), `rounds` synchronized rounds.
+    * INTEGER edge costs keep every distance exact on both engines — no
+    * float-sum drift anywhere. A fixed round count keeps the SQL oracle
+    * exact; rounds ≥ the hop count of the longest optimal path ⇒ true
+    * distances (the spec asserts the fixpoint at test scale — note a
+    * weighted optimum may use MORE hops than the BFS eccentricity when
+    * many cheap edges beat one expensive one). Unreached nodes within
+    * `rounds` are absent.
+    *
+    * Scale: bfsHops' co-partitioned layout — one join of the frontier
+    * table against the checkpointed edge set + a min-groupBy per round;
+    * shuffle ∝ |reached|, never |E|. */
+  def ssspWeighted(edges0: DataFrame, src: String, dst: String, cost: String,
+                   sources: Seq[Long], rounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col(src).as("src"), col(dst).as("dst"),
+        col(cost).cast("long").as("w"))
+      .localCheckpoint()
+    var dist = sources.toDF("v").withColumn("dist", lit(0L))
+    for (i <- 1 to rounds) {
+      val relax = edges.join(dist, edges("src") === dist("v"))
+        .groupBy(edges("dst").as("v")).agg(min(col("dist") + col("w")).as("nd"))
+      dist = dist.join(relax, Seq("v"), "full")
+        .select(col("v"), least(coalesce(col("dist"), col("nd")),
+          coalesce(col("nd"), col("dist"))).as("dist"))
+      if (i % 3 == 0) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   /** k-core peeling of an UNDIRECTED edge list: `rounds` synchronized
     * rounds of "drop every vertex with degree < k (and its edges)",
     * then report each surviving vertex with its residual in-core

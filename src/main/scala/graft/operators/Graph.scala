@@ -334,6 +334,50 @@ object Graph {
     graft.api.GraftOps.bfsHops(und, "s", "p", Sources, BfsRounds).orderBy("v")
   }
 
+  /** Multi-source WEIGHTED shortest paths (GraftOps.ssspWeighted,
+    * Bellman-Ford relaxation) over the supplier↔part graph with integer
+    * edge cost = 11 − min(10, distinct orders for the pair): heavily-
+    * traded pairs are cheap hops, rare pairs expensive — "how close is
+    * every node to the source suppliers through actively-traded links".
+    * Integer costs keep distances float-free on both engines. More
+    * rounds than BFS (SsspRounds = 12): a weighted optimum may chain
+    * many cheap edges where BFS takes one hop; Graph4Spec asserts the
+    * fixpoint at test scale. */
+  val SsspRounds = 12
+  val SsspMaxCost = 10L
+  def weightedPairCosts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      .agg((lit(SsspMaxCost + 1) - least(lit(SsspMaxCost), count(lit(1)))).as("w"))
+    pairs.select(col("s").as("src"), col("p").as("dst"), col("w"))
+      .unionAll(pairs.select(col("p").as("src"), col("s").as("dst"), col("w")))
+  }
+  def graphSssp(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.ssspWeighted(weightedPairCosts(spark, dir),
+        "src", "dst", "w", Sources, SsspRounds)
+      .orderBy("v")
+
+  private lazy val ssspOracle: String = {
+    val seed = Sources.map(s => s"($s::BIGINT, 0::BIGINT)").mkString(", ")
+    val iterCtes = (1 to SsspRounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT e.dst AS v, min(d.dist + e.w) AS nd
+                FROM d${t - 1} d JOIN we e ON d.v = e.src GROUP BY 1),
+          d$t AS MATERIALIZED (SELECT coalesce(d.v, r.v) AS v,
+                least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
+                FROM d${t - 1} d FULL JOIN r$t r ON d.v = r.v)"""
+    }.mkString(",\n          ")
+    s"""WITH ow AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey, l_partkey FROM lineitem),
+          pw AS MATERIALIZED (SELECT l_suppkey AS s, l_partkey + $PartOffset AS p,
+                ${SsspMaxCost + 1} - least($SsspMaxCost, count(*)) AS w
+                FROM ow GROUP BY 1, 2),
+          we AS MATERIALIZED (SELECT s AS src, p AS dst, w FROM pw
+                UNION ALL SELECT p, s, w FROM pw),
+          d0 AS MATERIALIZED (SELECT * FROM (VALUES $seed) t(v, dist)),
+          $iterCtes
+        SELECT v, dist FROM d$SsspRounds ORDER BY v"""
+  }
+
   /** 28-core of the supplier↔part graph (GraftOps.kCore — synchronized
     * peeling rounds, shrinking checkpointed edge set). k = 28 actually
     * bites on this dense bipartite graph (peels ~2/3 of vertices at
@@ -551,6 +595,7 @@ object Graph {
     QueryDef("graph_hits", graphHits, Some(hitsOracle)),
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
+    QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),

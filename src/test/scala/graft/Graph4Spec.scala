@@ -44,6 +44,28 @@ class Graph4Spec extends SparkSpec {
     assert(run(Graph.BfsRounds) == run(Graph.BfsRounds + 1))
   }
 
+  test("ssspWeighted: cheap long path beats the expensive direct edge") {
+    // 0→4 direct costs 10; 0→1→2→3→4 costs 4×2 = 8 — the weighted
+    // optimum takes MORE hops than BFS would
+    val we = ((0L to 3L).map(i => (i, i + 1, 2L)) :+ ((0L, 4L, 10L))
+      .asInstanceOf[(Long, Long, Long)]).toDF("s", "d", "w")
+    val dist = GraftOps.ssspWeighted(we, "s", "d", "w", Seq(0L), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Map(0L -> 0L, 1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L))
+    // with too few rounds the relaxation must still hold the best
+    // found so far (direct edge), not an incomplete chain
+    val capped = GraftOps.ssspWeighted(we, "s", "d", "w", Seq(0L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(4L) == 10L && capped(2L) == 4L)
+  }
+
+  test("graph_sssp round count is past the fixpoint at test scale") {
+    val we = Graph.weightedPairCosts(SparkSpec.spark, sf)
+    def run(r: Int) = GraftOps.ssspWeighted(we, "src", "dst", "w", Graph.Sources, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(Graph.SsspRounds) == run(Graph.SsspRounds + 1))
+  }
+
   // triangle (1,2,3) with a pendant vertex 4 hanging off 3: the 2-core
   // is exactly the triangle, found after peeling 4 (then nothing more)
   private def tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
