@@ -212,6 +212,7 @@ object Classify {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spam_train", train, None),
+    QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d), None),
     QueryDef("spam_apply", apply_, None),
     QueryDef("spam_ensemble", ensemble, None),
     QueryDef("spam_nb_train", nbTrain, Some(
