@@ -214,12 +214,16 @@ object GraftOps {
     * (codegen'd transform/slice/array_min over the token array) — zero
     * shuffle until the per-doc fingerprint explode. Ties inside a
     * window break to the leftmost position by packing (hash, pos) into
-    * one long (hash·2²⁰ + pos); docs must be < 2²⁰ tokens (~100× the
-    * longest doc a training pipeline keeps). Returns distinct (id, fp). */
+    * one long (hash·2²⁰ + pos); a doc at ≥ 2²⁰ tokens would bleed pos
+    * into the hash field and SILENTLY corrupt its fingerprints, so such
+    * docs (~100× the longest doc a training pipeline keeps — they're
+    * binary-as-text pathologies) are excluded from the sketch instead,
+    * identically on both engines. Returns distinct (id, fp). */
   def winnowFingerprints(df: DataFrame, id: String, text: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
     val C = 1L << 20
     df.select(col(id), split(col(text), " ").as("__t"))
+      .filter(size(col("__t")) < C)
       .select(col(id), expr(
         s"""CASE WHEN size(__t) >= $k THEN
               transform(sequence(1, size(__t) - ${k - 1}),
@@ -323,9 +327,7 @@ object GraftOps {
     for (_ <- 1 to iters) {
       val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
       val assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("best",
-          expr(s"array_max(transform(cs, c -> struct($scoreSql AS s, -c.cid AS ncid)))"))
-        .select(col("__kid"), col("v"), (-col("best.ncid")).as("cid"))
+        .select(col("__kid"), col("v"), nearestCid("cs", scoreSql).as("cid"))
       val updated = assigned.groupBy("cid")
         .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
         .select(col("cid"),
@@ -338,6 +340,15 @@ object GraftOps {
     }
     cents
   }
+
+  /** The broadcast-argmax centroid assignment shared by every k-means /
+    * IVF / PQ consumer: per-row argmax of `scoreSql` (which may
+    * reference the row's columns and `c.cv`) over the collected
+    * centroid-array column `csCol` (struct elements (cid, cv)), ties →
+    * lowest cid. ONE definition so the tie-break and struct shape can't
+    * drift between the five call sites. Zero shuffle, zero expansion. */
+  def nearestCid(csCol: String, scoreSql: String): Column =
+    -expr(s"array_max(transform($csCol, c -> struct($scoreSql AS s, -c.cid AS ncid))).ncid")
 
   /** One mini-batch k-means update step: assign the batch's rows to
     * their nearest (cosine) centroid over ONE broadcast centroid array
@@ -357,9 +368,7 @@ object GraftOps {
     val assigned = batch
       .select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
       .crossJoin(broadcast(centArr))
-      .withColumn("best",
-        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS s, -c.cid AS ncid)))"))
-      .select(col("v"), (-col("best.ncid")).as("cid"))
+      .select(col("v"), nearestCid("cs", "cosine_sim(v, c.cv)").as("cid"))
     val upd = assigned.groupBy("cid")
       .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
     cents.join(upd, Seq("cid"), "left")

@@ -83,7 +83,11 @@ object Classify {
     import spark.implicits._
     instances(spark, dir)
       .as[(Long, Boolean, Seq[Int])]
-      .repartitionByRange(partitions, col("doc_id"))
+      // hash repartition, NOT repartitionByRange: range bounds come from
+      // seed-varying reservoir sampling, which would shuffle boundary
+      // docs between shards across runs and make the averaged weights
+      // nondeterministic — hash(doc_id) % n is fixed on any cluster
+      .repartition(partitions, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .mapPartitions(rows => sgd(rows).iterator)
       .toDF("feature", "w")

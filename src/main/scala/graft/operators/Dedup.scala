@@ -200,7 +200,8 @@ object Dedup {
   private val winnowOracle: String = {
     val C = 1L << 20
     val shingle = (0 until WinnowK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                      WHERE len(string_split(text, ' ')) < $C),
           sh AS (SELECT doc_id, i AS pos,
                         ('0x' || substr(md5($shingle), 1, 8))::BIGINT * $C + i AS key
                  FROM toks, unnest(generate_series(1, greatest(len(t) - ${WinnowK - 1}, 0))) AS u(i)),

@@ -47,19 +47,26 @@ object EventAnalytics {
     }.reduce(_ unionAll _).orderBy("stage")
   }
 
+  /** Oracle CTEs generated from FunnelStages — the stage list and the
+    * SQL can't drift apart (s1 = first stage-1 event; s_{k} = first
+    * stage-k event strictly after s_{k-1}). */
   private val funnelOracle: String = {
-    // s1 = first view; s2 = first click after s1; s3 = first purchase after s2
+    val stageCtes = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+                 WHERE event_type = '$stage' GROUP BY 1)"""
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts_us) AS t
+                 FROM e JOIN s$i ON e.user_id = s$i.user_id
+                 WHERE e.event_type = '$stage' AND e.ts_us > s$i.t GROUP BY 1)"""
+    }.mkString(",\n          ")
+    val selects = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0) s"SELECT 1::BIGINT AS stage, '$stage' AS event_type, count(*) AS n_users FROM s1"
+      else s"UNION ALL SELECT ${i + 1}, '$stage', count(*) FROM s${i + 1}"
+    }.mkString("\n        ")
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-          s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
-          s2 AS (SELECT e.user_id, min(e.ts_us) AS t
-                 FROM e JOIN s1 ON e.user_id = s1.user_id
-                 WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
-          s3 AS (SELECT e.user_id, min(e.ts_us) AS t
-                 FROM e JOIN s2 ON e.user_id = s2.user_id
-                 WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
-        SELECT 1::BIGINT AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
-        UNION ALL SELECT 2, 'click', count(*) FROM s2
-        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+          $stageCtes
+        $selects
         ORDER BY stage"""
   }
 
@@ -79,8 +86,7 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_retained"))
     val sizes = cohort.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
-    sizes.join(ret, Seq("cohort_day"), "left")
-      .filter(col("offset").isNotNull)
+    sizes.join(ret, Seq("cohort_day"))
       .select(col("cohort_day"), col("cohort_size"), col("offset"), col("n_retained"))
       .orderBy("cohort_day", "offset")
   }

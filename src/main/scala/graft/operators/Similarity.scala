@@ -113,12 +113,11 @@ object Similarity {
     * k-means-trained variants: map-side cell assignment over the
     * broadcast centroid array, NProbe query probes, heap-ranked top-k. */
   private def ivfSearch(e: DataFrame, centArr: DataFrame): DataFrame = {
-    // cell assignment: per-row argmax over the broadcast centroid array;
-    // max of struct(csim, -cid) = highest similarity, ties → lowest cid
+    // cell assignment: per-row argmax over the broadcast centroid array
+    // (GraftOps.nearestCid — highest similarity, ties → lowest cid)
     val assigned = e.crossJoin(broadcast(centArr))
-      .withColumn("best",
-        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"), col("v"),
+        graft.api.GraftOps.nearestCid("cs", "cosine_sim(v, c.cv)").as("cid"))
     // queries probe their NProbe nearest cells: sort the same broadcast
     // array by (-csim, cid) and keep the first NProbe entries
     val probes = e.filter(col("vec_id") < NumQueries)
@@ -148,9 +147,8 @@ object Similarity {
     val cents = trainedCents(spark, dir)
     val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val assigned = e.crossJoin(broadcast(centArr))
-      .withColumn("best",
-        expr("array_max(transform(cs, c -> struct(cosine_sim(v, c.cv) AS csim, -c.cid AS ncid)))"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"),
+        graft.api.GraftOps.nearestCid("cs", "cosine_sim(v, c.cv)").as("cid"))
     val counts = assigned.groupBy("cid").agg(count(lit(1)).as("__n"))
     cents.join(counts, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("__n"), lit(0L)).as("n_members"),
@@ -253,10 +251,9 @@ object Similarity {
     for (m <- 0 until PqM) {
       val ca = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
       enc = enc.crossJoin(broadcast(ca))
-        .withColumn(s"k$m", -expr(
-          s"array_max(transform(cs$m, c -> struct(" +
-            s"2 * dot_product(slice(v, ${m * PqSub + 1}, $PqSub), c.cv) " +
-            s"- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid))).ncid"))
+        .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m",
+          s"2 * dot_product(slice(v, ${m * PqSub + 1}, $PqSub), c.cv) " +
+            "- dot_product(c.cv, c.cv)"))
         .drop(s"cs$m")
     }
     val codes = enc.select(col("vec_id") +: (0 until PqM).map(m => col(s"k$m")): _*)
@@ -312,10 +309,8 @@ object Similarity {
       .localCheckpoint()
     val ca = coarse.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val asg = e.crossJoin(broadcast(ca))
-      .withColumn("best", expr(
-        "array_max(transform(cs, c -> struct(2 * dot_product(v, c.cv) " +
-          "- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid)))"))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"), col("v"), graft.api.GraftOps.nearestCid("cs",
+        "2 * dot_product(v, c.cv) - dot_product(c.cv, c.cv)").as("cid"))
     // residuals: one broadcast join + in-row subtract; feeds codebook
     // training AND the encode passes
     val resid = asg.join(broadcast(coarse), Seq("cid"))
@@ -332,10 +327,9 @@ object Similarity {
     for (m <- 0 until PqM) {
       val cb = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
       enc = enc.crossJoin(broadcast(cb))
-        .withColumn(s"k$m", -expr(
-          s"array_max(transform(cs$m, c -> struct(" +
-            s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
-            s"- dot_product(c.cv, c.cv) AS s, -c.cid AS ncid))).ncid"))
+        .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m",
+          s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
+            "- dot_product(c.cv, c.cv)"))
         .drop(s"cs$m")
     }
     val codes = enc.select(col("vec_id") +: col("cid") +:
@@ -534,37 +528,23 @@ object Similarity {
     s"2 * list_dot_product($x, $c) - list_dot_product($c, $c)"
 
   /** Per-subspace unrolled L2 Lloyd + encode + query LUTs as DuckDB CTE
-    * text (same MATERIALIZED discipline and 9 dp per-round rounding as
-    * kmeansCtes — every level referenced twice). */
+    * text — the Lloyd chain itself comes from the SHARED l2LloydCtes
+    * generator (one definition of seeds/assign/9dp-means/carryover for
+    * both the PQ and IVF-PQ oracles), this wraps it with the subspace
+    * slice, the encode pass and the per-query LUT. */
   private lazy val pqCtes: String = {
     val blocks = (0 until PqM).map { m =>
-      val head =
-        s"""e$m AS MATERIALIZED (SELECT vec_id, ${subSql("v", m)} AS x FROM e),
-          c${m}_0 AS MATERIALIZED (SELECT vec_id AS cid, x AS cv FROM e$m
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)"""
-      val iters = (1 to PqIters).map { t =>
-        s"""a${m}_$t AS MATERIALIZED (SELECT vec_id, x, cid FROM (
-                SELECT e.vec_id, e.x, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
-                FROM e$m e, c${m}_${t - 1} c) WHERE rn = 1),
-          m${m}_$t AS MATERIALIZED (SELECT cid, pos, round(sum(val) / count(*), 9) AS mn
-                FROM (SELECT cid, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM a${m}_$t)
-                GROUP BY cid, pos),
-          n${m}_$t AS MATERIALIZED (SELECT cid, list(mn ORDER BY pos) AS cv FROM m${m}_$t GROUP BY cid),
-          c${m}_$t AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
-                FROM c${m}_${t - 1} p LEFT JOIN n${m}_$t n USING (cid))"""
-      }.mkString(",\n          ")
-      val enc =
-        s"""code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
+      val cFin = s"s${m}c$PqIters"
+      s"""e$m AS MATERIALIZED (SELECT vec_id, ${subSql("v", m)} AS x FROM e),
+          ${l2LloydCtes(s"s$m", s"e$m", PqK, PqIters)},
+          code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
                          ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
-                FROM e$m e, c${m}_$PqIters c) WHERE rn = 1),
+                FROM e$m e, $cFin c) WHERE rn = 1),
           lut$m AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid,
                 ${l2ScoreSql("q.x", "c.cv")} AS t
-                FROM e$m q, c${m}_$PqIters c WHERE q.vec_id < $NumQueries)"""
-      s"$head,\n          $iters,\n          $enc"
+                FROM e$m q, $cFin c WHERE q.vec_id < $NumQueries)"""
     }.mkString(",\n          ")
     s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           $blocks"""
