@@ -449,6 +449,51 @@ object Graph {
         SELECT v, dist FROM d$SsspRounds ORDER BY v"""
   }
 
+  /** Approximate diameter by DOUBLE SWEEP (Magnien/Latapy/Habib): BFS
+    * from a fixed seed finds a farthest node u; a second BFS from u
+    * reaches (on real-world graphs, usually attains) the diameter —
+    * max dist of sweep 2 is a certified LOWER bound at 2×BFS cost,
+    * against |V| BFS runs for the exact value. The u pick between
+    * sweeps is ONE driver action on a 1-row argmax (the ccProbe /
+    * dedupEmbeddingAuto plan-construction pattern — not a per-row
+    * collect); ties break (dist desc, v asc) so both engines choose
+    * the identical u. Output: one row (seed, far node, estimate). */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      .localCheckpoint() // consumed by both sweeps
+    val seed = Sources.head
+    val d1 = graft.api.GraftOps.bfsHops(und, "s", "p", Seq(seed), BfsRounds)
+    val u = d1.orderBy(col("dist").desc, col("v")).head().getLong(0)
+    val est = graft.api.GraftOps.bfsHops(und, "s", "p", Seq(u), BfsRounds)
+      .agg(max(col("dist")).as("diameter_lb"))
+    est.select(lit(seed).as("seed"), lit(u).as("far_node"), col("diameter_lb"))
+  }
+
+  private val diameterOracle: String = {
+    def sweep(tag: String, d0: String): String =
+      (1 to BfsRounds).map { t =>
+        val prev = if (t == 1) d0 else s"$tag${t - 1}"
+        s"""r$tag$t AS MATERIALIZED (SELECT e.dst AS v, min(d.dist) + 1 AS nd
+                FROM $prev d JOIN edges e ON d.v = e.src GROUP BY 1),
+          $tag$t AS MATERIALIZED (SELECT coalesce(d.v, r.v) AS v,
+                least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
+                FROM $prev d FULL JOIN r$tag$t r ON d.v = r.v)"""
+      }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          a0 AS MATERIALIZED (SELECT ${Sources.head}::BIGINT AS v, 0::BIGINT AS dist),
+          ${sweep("a", "a0")},
+          u AS MATERIALIZED (SELECT v FROM a$BfsRounds
+                ORDER BY dist DESC, v LIMIT 1),
+          b0 AS MATERIALIZED (SELECT v, 0::BIGINT AS dist FROM u),
+          ${sweep("b", "b0")}
+        SELECT ${Sources.head}::BIGINT AS seed, (SELECT v FROM u) AS far_node,
+               max(dist) AS diameter_lb
+        FROM b$BfsRounds"""
+  }
+
   /** 28-core of the supplier↔part graph (GraftOps.kCore — synchronized
     * peeling rounds, shrinking checkpointed edge set). k = 28 actually
     * bites on this dense bipartite graph (peels ~2/3 of vertices at
@@ -668,6 +713,7 @@ object Graph {
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
+    QueryDef("graph_diameter", graphDiameter, Some(diameterOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),

@@ -59,6 +59,19 @@ class Graph4Spec extends SparkSpec {
     assert(capped(4L) == 10L && capped(2L) == 4L)
   }
 
+  test("double sweep attains the exact diameter on a path graph") {
+    // sweep 1 from the MIDDLE of path 0-1-2-3-4 reaches an end (0 or 4,
+    // tie → 0); sweep 2 from that end walks the full path: estimate 4
+    val und = (0L to 3L).map(i => (i, i + 1)).toDF("a", "b")
+    val d1 = GraftOps.bfsHops(und, "a", "b", Seq(2L), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = d1.toSeq.sortBy { case (v, d) => (-d, v) }.head._1
+    assert(u == 0L, s"farthest-from-middle pick $u")
+    val d2 = GraftOps.bfsHops(und, "a", "b", Seq(u), rounds = 6)
+      .collect().map(_.getLong(1)).max
+    assert(d2 == 4L)
+  }
+
   test("graph_sssp round count is past the fixpoint at test scale") {
     val we = Graph.weightedPairCosts(SparkSpec.spark, sf)
     def run(r: Int) = GraftOps.ssspWeighted(we, "src", "dst", "w", Graph.Sources, r)
