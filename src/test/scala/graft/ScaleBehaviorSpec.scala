@@ -55,4 +55,27 @@ class ScaleBehaviorSpec extends SparkSpec {
     val sigs = weird.simhashCandidates("doc_id", "text")
     assert(sigs.count() >= 0) // no throw; empty-string doc contributes no tokens
   }
+
+  test("round-4-late operators return empty results (not errors) on empty input") {
+    import graft.api.GraftOps
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(GraftOps.winnowPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(GraftOps.containmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long, Long)].toDF("s", "d", "w")
+    // SSSP on an empty graph: only the sources themselves, at dist 0
+    val d = GraftOps.ssspWeighted(emptyEdges, "s", "d", "w", Seq(7L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(7L -> 0L))
+  }
+
+  test("mini-batch k-means with k larger than the corpus keeps all rows as seeds") {
+    import graft.api.GraftOps
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = GraftOps.kmeansMiniBatch(tiny, "vec_id", "embedding",
+        k = 5, batches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // both rows seed; every row is absorbed by exactly one centroid
+    assert(cents.length == 2 && cents.map(_._2).sum == 2)
+  }
 }
