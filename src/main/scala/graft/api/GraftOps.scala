@@ -584,6 +584,43 @@ object GraftOps {
     labels
   }
 
+  /** Incremental connected components over an edge DELTA: instead of
+    * re-running CC on the full graph, contract every base component to
+    * its label (the min vertex id), map the delta edges through the
+    * labels, and run CC only on that contracted graph — whose size is
+    * ∝ components TOUCHED by the delta, not the base graph. The final
+    * label of a vertex is its base label re-mapped through the
+    * contracted result; since every label is a min-id, the composition
+    * yields exactly the min vertex id of the merged component — i.e.
+    * IDENTICAL labels to a cold CC on base ∪ delta (CcIncrementalSpec
+    * asserts the exact equality). A daily edge delta costs one tiny CC
+    * plus two broadcast-sized label joins, never a full-graph pass.
+    * `baseLabels` is (v, comp) from any of the CC cores. */
+  def connectedComponentsIncremental(baseLabels: DataFrame, deltaUnd: DataFrame,
+                                     u: String, v: String, iters: Int): DataFrame = {
+    val lbl = baseLabels.select(col("v").as("__v"), col("comp").as("__c"))
+      .localCheckpoint() // consumed 3×: both endpoint maps + the new-vertex anti-join
+    val mapped = deltaUnd.select(col(u).as("a"), col(v).as("b"))
+      .join(lbl, col("a") === col("__v"), "left")
+      .select(coalesce(col("__c"), col("a")).as("ca"), col("b"))
+      .join(lbl, col("b") === col("__v"), "left")
+      .select(col("ca"), coalesce(col("__c"), col("b")).as("cb"))
+      .filter(col("ca") =!= col("cb")) // intra-component deltas are no-ops
+    val contracted = connectedComponents(mapped, "ca", "cb", iters)
+      .select(col("v").as("__cv"), col("comp").as("__cc"))
+    // base vertices keep their labels; delta-only vertices enter as
+    // their own singleton labels — then everything re-maps through the
+    // contracted components
+    val allV = baseLabels.select(col("v"), col("comp"))
+      .unionByName(
+        deltaUnd.select(col(u).as("v")).unionAll(deltaUnd.select(col(v).as("v")))
+          .distinct()
+          .join(lbl, col("v") === col("__v"), "left_anti")
+          .select(col("v"), col("v").as("comp")))
+    allV.join(contracted, col("comp") === col("__cv"), "left")
+      .select(col("v"), coalesce(col("__cc"), col("comp")).as("comp"))
+  }
+
   /** Personalized PageRank over an ARBITRARY directed edge list, with
     * dangling-mass redistribution (reference semantics:
     * a4/RunPersonalizedPageRankBasic.java — α jump mass returns only to

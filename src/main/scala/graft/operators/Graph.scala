@@ -362,11 +362,15 @@ object Graph {
     * (by mK+1 and lK+1): DuckDB inlines CTEs by default, which would
     * expand this 2^K times — MATERIALIZED pins each round to one
     * evaluation (Spark-side localCheckpoint is the same idea). */
-  def ccUnrolledCtes(iters: Int): String = (1 to iters).map { k =>
-    s"""m$k AS MATERIALIZED (SELECT e.dst AS v, min(l.comp) AS nc
-                FROM l${k - 1} l JOIN edges e ON l.v = e.src GROUP BY 1),
-        l$k AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.nc, l.comp)) AS comp
-                FROM l${k - 1} l LEFT JOIN m$k m ON l.v = m.v)"""
+  /** Unrolled min-label-propagation rounds from `${p}l0` over
+    * `${p}edges` — the optional prefix lets one SQL text run TWO CC
+    * instances (the incremental oracle: base graph + contracted
+    * delta graph) without CTE-name collisions. */
+  def ccUnrolledCtes(iters: Int, p: String = ""): String = (1 to iters).map { k =>
+    s"""${p}m$k AS MATERIALIZED (SELECT e.dst AS v, min(l.comp) AS nc
+                FROM ${p}l${k - 1} l JOIN ${p}edges e ON l.v = e.src GROUP BY 1),
+        ${p}l$k AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(m.nc, l.comp)) AS comp
+                FROM ${p}l${k - 1} l LEFT JOIN ${p}m$k m ON l.v = m.v)"""
   }.mkString(",\n          ")
 
   private val ccOracle: String =
@@ -375,6 +379,53 @@ object Graph {
           l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
           ${ccUnrolledCtes(CcIters)}
         SELECT v, comp FROM l$CcIters ORDER BY v"""
+
+  /** Incremental CC (GraftOps.connectedComponentsIncremental): base
+    * components from the 80% graph (l_orderkey % 10 < IncCut), the
+    * remaining pairs land as a delta, CC re-runs ONLY on the
+    * label-contracted delta graph. CcIncrementalSpec proves the labels
+    * equal a cold full-graph CC exactly. */
+  def graphComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+    def pairs(f: DataFrame => DataFrame) = f(li)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      .distinct()
+    val base = pairs(_.filter(col("l_orderkey") % 10 < IncCut))
+    val delta = pairs(_.filter(col("l_orderkey") % 10 >= IncCut))
+    val baseLabels = graft.api.GraftOps.connectedComponents(base, "s", "p", CcIters)
+    graft.api.GraftOps
+      .connectedComponentsIncremental(baseLabels, delta, "s", "p", CcIters)
+      .orderBy("v")
+  }
+
+  /** Two CC instances in one SQL text via the prefixed generator: the
+    * base graph ("b"), then the label-contracted delta graph ("c"),
+    * composed exactly as the Spark core does. */
+  private val ccIncrementalOracle: String =
+    s"""WITH lib AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p
+                FROM lineitem WHERE l_orderkey % 10 < $IncCut),
+          lid AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p
+                FROM lineitem WHERE l_orderkey % 10 >= $IncCut),
+          bedges AS MATERIALIZED (SELECT s AS src, p AS dst FROM lib UNION ALL SELECT p, s FROM lib),
+          bl0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM bedges),
+          ${ccUnrolledCtes(CcIters, "b")},
+          md AS MATERIALIZED (SELECT coalesce(la.comp, d.s) AS ca, coalesce(lb.comp, d.p) AS cb
+                FROM lid d
+                LEFT JOIN bl$CcIters la ON d.s = la.v
+                LEFT JOIN bl$CcIters lb ON d.p = lb.v
+                WHERE coalesce(la.comp, d.s) <> coalesce(lb.comp, d.p)),
+          cedges AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM md UNION ALL SELECT cb, ca FROM md),
+          cl0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM cedges),
+          ${ccUnrolledCtes(CcIters, "c")},
+          allv AS MATERIALIZED (SELECT v, comp FROM bl$CcIters
+                UNION ALL
+                SELECT d.v, d.v AS comp FROM (
+                  SELECT DISTINCT v FROM (SELECT s AS v FROM lid UNION ALL SELECT p FROM lid)) d
+                WHERE NOT EXISTS (SELECT 1 FROM bl$CcIters b WHERE b.v = d.v))
+        SELECT a.v, coalesce(c.comp, a.comp) AS comp
+        FROM allv a LEFT JOIN cl$CcIters c ON a.comp = c.v
+        ORDER BY a.v"""
 
   /** Triangle count on the co-purchase graph (parts co-occurring in an
     * order), via degree-ordered edge orientation: each undirected edge
@@ -714,6 +765,8 @@ object Graph {
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
     QueryDef("graph_diameter", graphDiameter, Some(diameterOracle)),
+    QueryDef("graph_components_incremental", graphComponentsIncremental,
+      Some(ccIncrementalOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
