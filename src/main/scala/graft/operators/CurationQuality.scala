@@ -137,6 +137,96 @@ object CurationQuality {
       .orderBy("split")
   }
 
+  /** The FULL composed corpus build — every curation stage in one
+    * verified chain: quality filter → decontamination (the held-out
+    * hash slice of the survivors is the benchmark; flagged candidates
+    * AND the bench docs themselves leave the training pool) → MinHash
+    * near-dup clustering with one keeper per cluster → deterministic
+    * domain-mix quotas → 80/10/10 split, reported as per-split
+    * doc/token counts. Extends `cur_pipeline` with the contamination
+    * and mix stages; the oracle replays all five stages in SQL.
+    * Scale: each stage is its registered operator's shape; stages chain
+    * through narrow doc_id joins, nothing recomputes. */
+  def pipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+      .select("doc_id", "text", "source").localCheckpoint()
+    val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
+      isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
+      w = ShingleW, threshold = ContamThreshold)
+    val clean = qdocs
+      .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
+      .localCheckpoint() // pair build + keeper join + mix all consume it
+    val pairs = graft.api.GraftOps.minhashCandidates(clean, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = clean
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("text"), col("source"))
+    val pExpr: Column = when(
+      expr("CAST(substring(source, 4) AS INT)") % 2 === 0, EvenWeight
+    ).otherwise(OddWeight)
+    val mixed = graft.api.GraftOps
+      .domainMixSample(kept, "doc_id", "source", weight = pExpr)
+      .select("doc_id")
+    Curation.splitHash(kept.join(mixed, "doc_id"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  private lazy val pipelineV2Oracle: String =
+    s"""WITH qdocs AS MATERIALIZED (
+            SELECT doc_id, text, source, toks
+            FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+            WHERE $qualityPassSql
+          ),
+          cb AS MATERIALIZED (SELECT doc_id, toks,
+                 $hashSql % 100 >= $BenchPctFloor AS is_bench FROM qdocs),
+          csh AS MATERIALIZED (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                 FROM (SELECT * FROM cb WHERE len(toks) >= $ShingleW)),
+          bench AS (SELECT DISTINCT sh FROM csh WHERE is_bench),
+          ctot AS (SELECT doc_id, count(*) AS n FROM csh WHERE NOT is_bench GROUP BY 1),
+          chit AS (SELECT s.doc_id, count(*) AS h FROM csh s JOIN bench USING (sh)
+                   WHERE NOT s.is_bench GROUP BY 1),
+          clean AS MATERIALIZED (
+            SELECT q.doc_id, q.text, q.source
+            FROM cb b JOIN qdocs q USING (doc_id)
+            LEFT JOIN ctot t USING (doc_id) LEFT JOIN chit h USING (doc_id)
+            WHERE NOT b.is_bench AND
+              (CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(h.h, 0) / CAST(t.n AS DOUBLE), 6) END)
+                < $ContamThreshold),
+          ${Dedup.minhashPairCtesFrom("clean")},
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
+          kept AS MATERIALIZED (SELECT c.doc_id, c.text, c.source FROM clean c
+                 LEFT JOIN l${Dedup.ClusterIters} l ON c.doc_id = l.v
+                 WHERE c.doc_id = coalesce(l.comp, c.doc_id)),
+          counts AS (SELECT source, count(*) AS n,
+                            CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                 THEN CAST($EvenWeight AS DOUBLE)
+                                 ELSE CAST($OddWeight AS DOUBLE) END AS p
+                     FROM kept GROUP BY 1),
+          t2 AS (SELECT min(n / p) AS t FROM counts),
+          quotas AS (SELECT source, floor(p * t2.t) AS quota FROM counts, t2),
+          ranked AS (SELECT doc_id, source, text,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY $hashSql, doc_id) AS rn
+                     FROM kept),
+          mixed AS (SELECT r.doc_id, r.text FROM ranked r
+                    JOIN quotas q USING (source) WHERE r.rn <= q.quota)
+        SELECT CASE WHEN $hashSql % 100 < ${Curation.TrainUpper} THEN 'train'
+                    WHEN $hashSql % 100 < ${Curation.ValUpper} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM mixed GROUP BY 1 ORDER BY split"""
+
   private val qualityPassSql: String =
     s"""NOT (CAST(len(toks) AS BIGINT) < $MinToks OR CAST(len(toks) AS BIGINT) > $MaxToks)
         AND round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) >= $MinDistinctRatio
@@ -221,6 +311,7 @@ object CurationQuality {
                      '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
           FROM documents ORDER BY doc_id""")),
     QueryDef("cur_pipeline", pipeline, Some(pipelineOracle)),
+    QueryDef("cur_pipeline_v2", pipelineV2, Some(pipelineV2Oracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
            counts AS (SELECT source, count(*) AS n,
