@@ -22,29 +22,75 @@ object EventAnalytics {
     * stage's first occurrence — re-orderings don't count). */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 
-  /** Funnel: users reaching stage k = users whose first 'view' precedes
-    * their first later 'click' precedes their first later 'purchase'.
-    * Conditional-min aggregation per stage; stage k's threshold joins
-    * back (shuffle on user_id each round, |users|-sized). */
-  def q37Funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-stage (user_id, t) tables: t = first time the user completed
+    * stage k, each stage strictly after the previous one's first
+    * completion. Conditional-min aggregation per stage; stage k's
+    * threshold joins back (shuffle on user_id each round, |users|-
+    * sized). Shared by the funnel counts and the per-user query. */
+  def funnelStageTimes(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
-    // stage 1: first view per user
     var reached = ev.filter(col("event_type") === FunnelStages.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-    val counts = scala.collection.mutable.ArrayBuffer(
-      (FunnelStages.head, reached))
+    val stages = scala.collection.mutable.ArrayBuffer(reached)
     FunnelStages.tail.foreach { stage =>
       reached = ev.filter(col("event_type") === stage)
         .join(reached, "user_id")
         .filter(col("ts_us") > col("t"))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-      counts += ((stage, reached))
+      stages += reached
     }
-    counts.zipWithIndex.map { case ((stage, df), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"), col("n_users"))
-    }.reduce(_ unionAll _).orderBy("stage")
+    stages.toSeq
+  }
+
+  /** Funnel: users reaching stage k = users whose first 'view' precedes
+    * their first later 'click' precedes their first later 'purchase'. */
+  def q37Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStageTimes(spark, dir).zip(FunnelStages).zipWithIndex
+      .map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"), col("n_users"))
+      }.reduce(_ unionAll _).orderBy("stage")
+
+  /** Per-user funnel state: each user's HIGHEST stage reached and when —
+    * the drill-down behind q37's counts, and the batch mirror of the
+    * stateful streaming funnel (FunnelStreamSpec: a per-user
+    * mapGroupsWithState front-end folding events in time order reaches
+    * the identical stage table). */
+  def q39FunnelUsers(spark: SparkSession, dir: String): DataFrame = {
+    val stages = funnelStageTimes(spark, dir)
+    // highest stage wins: stage k minus anyone who reached k+1
+    val rows = stages.zipWithIndex.map { case (df, i) =>
+      val higher = stages.drop(i + 1)
+        .foldLeft(df) { (d, h) => d.join(h.select("user_id"), Seq("user_id"), "left_anti") }
+      higher.select(col("user_id"), lit(i + 1L).as("stage_reached"),
+        expr("t div 1000").as("ts_ms"))
+    }
+    rows.reduce(_ unionAll _).orderBy("user_id")
+  }
+
+  private val funnelUsersOracle: String = {
+    val stageCtes = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"""s1 AS MATERIALIZED (SELECT user_id, min(ts_us) AS t FROM e
+                 WHERE event_type = '$stage' GROUP BY 1)"""
+      else
+        s"""s${i + 1} AS MATERIALIZED (SELECT e.user_id, min(e.ts_us) AS t
+                 FROM e JOIN s$i ON e.user_id = s$i.user_id
+                 WHERE e.event_type = '$stage' AND e.ts_us > s$i.t GROUP BY 1)"""
+    }.mkString(",\n          ")
+    val n = FunnelStages.length
+    val selects = (1 to n).map { k =>
+      val anti = (k + 1 to n)
+        .map(j => s"NOT EXISTS (SELECT 1 FROM s$j WHERE s$j.user_id = s$k.user_id)")
+      val where = if (anti.isEmpty) "" else "WHERE " + anti.mkString(" AND ")
+      val sel = s"SELECT user_id, $k::BIGINT AS stage_reached, t // 1000 AS ts_ms FROM s$k $where"
+      if (k == 1) sel else "UNION ALL " + sel
+    }.mkString("\n        ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          $stageCtes
+        $selects
+        ORDER BY user_id"""
   }
 
   /** Oracle CTEs generated from FunnelStages — the stage list and the
@@ -110,5 +156,6 @@ object EventAnalytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_funnel", q37Funnel, Some(funnelOracle)),
     QueryDef("q38_retention", q38Retention, Some(retentionOracle)),
+    QueryDef("q39_funnel_users", q39FunnelUsers, Some(funnelUsersOracle)),
   )
 }
