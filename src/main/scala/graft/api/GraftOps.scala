@@ -1254,6 +1254,46 @@ object GraftOps {
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Neighborhood-Jaccard link prediction over a bipartite
+    * (item, node) pair table: for node pairs sharing ≥1 item,
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, top `topN` by rounded similarity.
+    *
+    * The item-keyed self-join shuffles Σ deg(item)² wedge pairs, so a
+    * single hot item (one part bought by 10M suppliers) explodes the
+    * stage at scale. Mitigation: each item's node list is CAPPED at
+    * `itemCap` nodes BEFORE the join, picked by md5(item_node) rank —
+    * deterministic, so the oracle replays the identical cap. Wedge
+    * fan-out is then ≤ itemCap² per item regardless of skew. Node
+    * degrees are computed on the capped table, so the output is the
+    * exact Jaccard of the capped graph (≡ the full graph wherever no
+    * item exceeds the cap — true at the test SFs with the default cap).
+    * The row_number window shuffles by item, the same partitioning the
+    * wedge self-join needs — the cap adds a per-item local sort, not a
+    * new shuffle of its own.
+    */
+  def neighborhoodJaccard(pairs: DataFrame, itemCol: String, nodeCol: String,
+                          topN: Int, itemCap: Int): DataFrame = {
+    val it = col(itemCol)
+    val nd = col(nodeCol)
+    val w = Window.partitionBy(it)
+      .orderBy(md5(concat_ws("_", it, nd)), nd)
+    val capped = pairs.select(it, nd)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= itemCap).drop("__rk")
+    val deg = capped.groupBy(nd.as("n")).agg(count(lit(1)).as("d"))
+    capped.as("x").join(capped.as("y"),
+        col(s"x.$itemCol") === col(s"y.$itemCol") &&
+          col(s"x.$nodeCol") < col(s"y.$nodeCol"))
+      .groupBy(col(s"x.$nodeCol").as("a"), col(s"y.$nodeCol").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Benchmark-contamination scan: fraction of each candidate doc's
     * distinct w-gram shingles present in the benchmark subset (rows
     * where `isBench` is true). The benchmark shingle set broadcasts;

@@ -589,27 +589,19 @@ object Graph {
 
   /** Neighborhood-Jaccard link prediction over the bipartite graph:
     * for supplier pairs sharing ≥1 part, |N(a)∩N(b)| / |N(a)∪N(b)|,
-    * top 50 by (rounded) similarity. The co-occurrence self-join on
-    * part shuffles ∝ Σ deg(part)² wedge pairs with map-side partial
-    * counting; the final top-50 is a TakeOrdered bounded heap, not a
-    * global sort. (Hub-part mitigation at 100 TB: cap or sample
-    * per-part neighbor lists — the DOULION idea — before the join.) */
+    * top 50 by (rounded) similarity (GraftOps.neighborhoodJaccard).
+    * The co-occurrence self-join on part shuffles ∝ Σ deg(part)²
+    * wedge pairs; each part's supplier list is md5-capped at
+    * JaccardPartCap BEFORE the join, so one hot part can't explode the
+    * stage at 100× — and the cap exceeds every part degree at the test
+    * SFs (max 52 at sf0.1), so the output is bit-identical to the
+    * uncapped form there. The oracle replays the identical cap. The
+    * final top-50 is a TakeOrdered bounded heap, not a global sort. */
   val JaccardTopN = 50
-  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sp = liPairs(spark, dir)
-    val deg = sp.groupBy(col("l_suppkey").as("n")).agg(count(lit(1)).as("d"))
-    sp.as("x").join(sp.as("y"),
-        col("x.l_partkey") === col("y.l_partkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .agg(count(lit(1)).as("common"))
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      .select(col("a"), col("b"), col("common"),
-        round(col("common") / (col("da") + col("db") - col("common")), 6).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("a"), col("b"))
-      .limit(JaccardTopN)
-  }
+  val JaccardPartCap = 64
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.neighborhoodJaccard(
+      liPairs(spark, dir), "l_partkey", "l_suppkey", JaccardTopN, JaccardPartCap)
 
   /** DOULION-sampled triangle estimate on the same co-purchase graph
     * (p = 1/4 ⇒ ~16× less wedge work). The md5 edge sampling is
@@ -697,7 +689,11 @@ object Graph {
   }
 
   private lazy val jaccardOracle: String =
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    s"""WITH li0 AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+          li AS MATERIALIZED (SELECT s, p FROM (
+                SELECT s, p, row_number() OVER (PARTITION BY p
+                  ORDER BY md5(CAST(p AS VARCHAR) || '_' || CAST(s AS VARCHAR)), s) AS rk
+                FROM li0) WHERE rk <= $JaccardPartCap),
           deg AS MATERIALIZED (SELECT s, count(*) AS d FROM li GROUP BY 1),
           pairs AS (SELECT x.s AS a, y.s AS b, count(*) AS common
                     FROM li x JOIN li y ON x.p = y.p AND x.s < y.s GROUP BY 1, 2),

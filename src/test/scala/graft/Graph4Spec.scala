@@ -198,20 +198,42 @@ class Graph4Spec extends SparkSpec {
     // common=1, |N(1)|=|N(2)|=2 → J=1/3; supplier 3 shares nothing
     val sp = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))
       .toDF("l_suppkey", "l_partkey")
-    val deg = sp.groupBy(col("l_suppkey").as("n")).agg(count(lit(1)).as("d"))
-    val j = sp.as("x").join(sp.as("y"),
-        col("x.l_partkey") === col("y.l_partkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .agg(count(lit(1)).as("common"))
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      .select(col("a"), col("b"), col("common"),
-        round(col("common") / (col("da") + col("db") - col("common")), 6).as("jaccard"))
-      .collect()
+    val j = GraftOps.neighborhoodJaccard(sp, "l_partkey", "l_suppkey",
+      topN = 50, itemCap = 64).collect()
     assert(j.length == 1)
     val r = j.head
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
       r.getLong(2) == 1L && math.abs(r.getDouble(3) - 0.333333) < 1e-9)
+  }
+
+  test("neighborhoodJaccard: hot-item cap bounds the wedge fan-out") {
+    // one hot part (100) with 12 suppliers, plus a normal part (200)
+    // shared by suppliers {1, 2}. With itemCap = 4 the hot part
+    // contributes at most C(4,2) = 6 pairs instead of C(12,2) = 66.
+    val hot = (1L to 12L).map(s => (s, 100L))
+    val sp = (hot ++ Seq((1L, 200L), (2L, 200L)))
+      .toDF("l_suppkey", "l_partkey")
+    val capped = GraftOps.neighborhoodJaccard(sp, "l_partkey", "l_suppkey",
+      topN = 1000, itemCap = 4).collect()
+    // pairs from the hot part ≤ 6; the (1,2) pair may gain common=1
+    // from part 200 — total distinct pairs is bounded by 6 + 1
+    assert(capped.length <= 7, s"cap leaked: ${capped.length} pairs")
+    assert(capped.map(_.getLong(2)).forall(_ <= 2))
+    // uncapped control: all C(12,2) = 66 distinct pairs survive (the
+    // (1,2) pair folds part 200 into common=2, still one pair)
+    val full = GraftOps.neighborhoodJaccard(sp, "l_partkey", "l_suppkey",
+      topN = 1000, itemCap = 64).collect()
+    assert(full.length == 66,
+      s"uncapped should yield all C(12,2) hot pairs, got ${full.length}")
+  }
+
+  test("neighborhoodJaccard: cap above the max item degree is a no-op") {
+    val sp = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L),
+      (3L, 11L), (4L, 12L)).toDF("l_suppkey", "l_partkey")
+    def run(cap: Int) = GraftOps.neighborhoodJaccard(
+      sp, "l_partkey", "l_suppkey", topN = 100, itemCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run(3) == run(1000), "cap ≥ max deg must not change the output")
   }
 }

@@ -193,6 +193,29 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "funnel must not sort per-user event sequences")
   }
 
+  test("graph_jaccard: wedge self-join reuses the cap window's part partitioning") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = sparkPlan("graph_jaccard")
+    // at toy SF the capped side broadcasts (BHJ); at scale it's an SMJ
+    // on part — either way the cap must not add a shuffle of its own
+    val wedge = plan.collect { case j: BaseJoinExec
+      if j.leftKeys.exists(_.toString.contains("l_partkey")) => j }
+    assert(wedge.nonEmpty, s"wedge self-join not found:\n${plan.toString.take(1500)}")
+    // the hub cap must be free: the row_number window already
+    // hash-partitions by part, exactly what the wedge join needs —
+    // no Exchange may appear between the window and the join
+    def exchangesAboveWindow(p: SparkPlan): Int =
+      if (p.getClass.getSimpleName.startsWith("Window")) 0
+      else (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+        p.children.map(exchangesAboveWindow).sum
+    wedge.head.children.foreach { side =>
+      assert(exchangesAboveWindow(side) == 0,
+        s"extra shuffle between cap window and wedge join:\n${side.toString.take(1200)}")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
