@@ -961,6 +961,99 @@ object GraftOps {
     if (converged) labels else connectedComponentsLogN(und, u, v)
   }
 
+  /** Strongly-connected components of a DIRECTED edge list, by
+    * forward–backward reachability peeling (the FW-BW idea without the
+    * recursion): per outer round, propagate an extremal priority to
+    * fixpoint along edges (F = over ancestors) and along reversed edges
+    * (B = over descendants). F and B are constant across an SCC (all
+    * members share ancestor and descendant sets), and F(v) = B(v) = p
+    * means the priority-p vertex is both an ancestor and a descendant
+    * of v — i.e. in v's SCC — so the equality identifies whole SCCs,
+    * which are labeled (min member id) and peeled; repeat on the rest.
+    *
+    * Priorities are md5-derived (60-bit, deterministic, effectively
+    * random), so the condensation DAG peels its priority-local minima
+    * AND maxima each round — expected O(log #SCCs) outer rounds where
+    * sequential ids would peel an adversarial chain one SCC at a time.
+    * Both extremes ride the same sweep (one label table, min + max
+    * columns), so the double peel rate costs no extra jobs.
+    *
+    * Scale: every step is a |V|-row label table joined against the
+    * (shrinking, checkpointed) edge set — the CC discipline. Sweeps run
+    * to fixpoint with the monotone-sum witness (min sum only falls, max
+    * sum only rises; one tiny agg action per round). No broadcast
+    * hints; AQE decides.
+    */
+  def stronglyConnectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
+                                  maxOuter: Int = 20, maxSweep: Int = 40): DataFrame = {
+    val e0 = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val prio = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
+    var verts = e0.select(col("src").as("v")).unionAll(e0.select(col("dst").as("v")))
+      .distinct().withColumn("p", prio).localCheckpoint()
+    var edges = e0
+
+    // extremal-priority propagation to fixpoint: (v, m = min prio over
+    // ancestors∪self, x = max prio over ancestors∪self) along es
+    def sweep(vs: DataFrame, es: DataFrame): DataFrame = {
+      var lab = vs.select(col("v"), col("p").as("m"), col("p").as("x"))
+        .localCheckpoint()
+      var prev: Option[(java.math.BigDecimal, java.math.BigDecimal)] = None
+      var converged = false
+      var r = 0
+      while (!converged && r < maxSweep) {
+        val nbr = es.join(lab, es("src") === lab("v"))
+          .groupBy(es("dst").as("v"))
+          .agg(min(col("m")).as("nm"), max(col("x")).as("nx"))
+        lab = lab.join(nbr, Seq("v"), "left")
+          .select(col("v"),
+            least(col("m"), coalesce(col("nm"), col("m"))).as("m"),
+            greatest(col("x"), coalesce(col("nx"), col("x"))).as("x"))
+          .localCheckpoint()
+        val row = lab.agg(sum(col("m").cast("decimal(38,0)")).as("sm"),
+          sum(col("x").cast("decimal(38,0)")).as("sx")).head()
+        val cur = (row.getDecimal(0), row.getDecimal(1))
+        converged = cur._1 == null ||
+          prev.exists(p => p._1.compareTo(cur._1) == 0 && p._2.compareTo(cur._2) == 0)
+        prev = Some(cur)
+        r += 1
+      }
+      require(converged, s"SCC sweep did not converge in $maxSweep rounds")
+      lab
+    }
+
+    var out = verts.limit(0).select(col("v"), col("v").as("scc"))
+    var outer = 0
+    var done = false
+    while (!done && outer < maxOuter) {
+      if (verts.isEmpty) done = true
+      else {
+        val f = sweep(verts, edges)
+        val b = sweep(verts, edges.select(col("dst").as("src"), col("src").as("dst")))
+        // group key is a string tag + the matched priority: the matched
+        // vertex lies IN the SCC, so the key is unique per SCC, and the
+        // F/B columns are SCC-constant so members agree on the branch
+        val lab = f.join(b.select(col("v"), col("m").as("bm"), col("x").as("bx")), "v")
+          .filter(col("m") === col("bm") || col("x") === col("bx"))
+          .select(col("v"),
+            when(col("m") === col("bm"), concat(lit("n"), col("m")))
+              .otherwise(concat(lit("x"), col("x"))).as("g"))
+          .localCheckpoint()
+        out = out.unionAll(
+          lab.join(lab.groupBy("g").agg(min(col("v")).as("scc")), "g")
+            .select(col("v"), col("scc")))
+        verts = verts.join(lab, Seq("v"), "left_anti").localCheckpoint()
+        edges = edges
+          .join(verts.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+      }
+      outer += 1
+    }
+    require(done, s"SCC peeling did not exhaust the graph in $maxOuter rounds")
+    out
+  }
+
   /** Triangle count of an UNDIRECTED edge list (cols u < v, distinct),
     * via degree-ordered orientation: wedges fan out from each edge's
     * lower-(degree, id) endpoint (bounded ~√|E|). The (degree, id)

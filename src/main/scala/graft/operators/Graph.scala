@@ -611,6 +611,81 @@ object Graph {
   def graphTrianglesApprox(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.triangleCountApprox(coPurchaseEdges(spark, dir), "a", "b", TriSampleP)
 
+  /** Strongly-connected components (GraftOps.stronglyConnectedComponents,
+    * forward–backward priority peeling) on a deterministic DIRECTED
+    * cycle-bearing graph derived from orders: within each customer,
+    * orders sort by key and chain in runs of ≤ SccChainLen (next-order
+    * edges); each md5-picked order (SccBackPct %) adds a back-edge to
+    * its run's head. A run's SCC is then the prefix up to its last
+    * back-edge source, the rest singletons — thousands of small SCCs of
+    * mixed size, diameter bounded by the run length so the fixpoint
+    * sweeps stay shallow. Output: vertex, SCC label (min member id),
+    * SCC size. The oracle is INDEPENDENT: a recursive-CTE transitive
+    * closure → mutual-reachability pairs → min label, not a replay of
+    * the peeling. */
+  val SccChainLen = 8
+  val SccBackPct = 3000 // md5(k) % 10000 under this → back-edge (30%)
+  def sccEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val seq = o.withColumn("rn",
+        row_number().over(Window.partitionBy("c").orderBy("k")))
+      .withColumn("grp", ((col("rn") - 1) / SccChainLen).cast("long"))
+    val runW = Window.partitionBy("c", "grp")
+    val chain = seq
+      .withColumn("nxt", lead(col("k"), 1).over(runW.orderBy("k")))
+      .filter(col("nxt").isNotNull)
+      .select(col("k").as("src"), col("nxt").as("dst"))
+    val back = seq.withColumn("head", min(col("k")).over(runW))
+      .filter(col("k") =!= col("head") &&
+        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000 < SccBackPct)
+      .select(col("k").as("src"), col("head").as("dst"))
+    chain.unionAll(back)
+  }
+
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    val scc = graft.api.GraftOps.stronglyConnectedComponents(
+      sccEdges(spark, dir), "src", "dst")
+    scc.join(scc.groupBy("scc").agg(count(lit(1)).as("scc_size")), "scc")
+      .select(col("v"), col("scc"), col("scc_size"))
+      .orderBy("v")
+  }
+
+  private lazy val sccOracle: String =
+    s"""WITH RECURSIVE seq AS MATERIALIZED (
+            SELECT o_orderkey AS k, o_custkey AS c,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders),
+          g AS MATERIALIZED (SELECT k, c, rn, (rn - 1) // $SccChainLen AS grp FROM seq),
+          chain AS (SELECT k AS src,
+                           lead(k) OVER (PARTITION BY c, grp ORDER BY k) AS dst
+                    FROM g),
+          heads AS (SELECT k, min(k) OVER (PARTITION BY c, grp) AS head FROM g),
+          back AS (SELECT k AS src, head AS dst FROM heads
+                   WHERE k <> head
+                     AND ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000 < $SccBackPct),
+          edges AS MATERIALIZED (
+            SELECT src, dst FROM chain WHERE dst IS NOT NULL
+            UNION SELECT src, dst FROM back),
+          verts AS MATERIALIZED (SELECT DISTINCT v FROM
+            (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          mutual AS MATERIALIZED (
+            SELECT a.src AS v, a.dst AS w
+            FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+          lab AS MATERIALIZED (
+            SELECT verts.v, coalesce(least(verts.v, min(m.w)), verts.v) AS scc
+            FROM verts LEFT JOIN mutual m ON verts.v = m.v
+            GROUP BY verts.v),
+          sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY 1)
+        SELECT lab.v, lab.scc, sz.scc_size
+        FROM lab JOIN sz ON lab.scc = sz.scc ORDER BY lab.v"""
+
   /** Unrolled BFS relaxation rounds (house oracle style: every level
     * referenced twice → MATERIALIZED, or DuckDB's default CTE inlining
     * re-evaluates 2^K times). */
@@ -765,6 +840,7 @@ object Graph {
       Some(ccIncrementalOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
+    QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),

@@ -227,6 +227,34 @@ class Graph4Spec extends SparkSpec {
       s"uncapped should yield all C(12,2) hot pairs, got ${full.length}")
   }
 
+  test("scc: cycle with tail plus a separate 2-cycle") {
+    // SCCs: {1,2,3} (the cycle), {4} (the tail), {10,11} (the 2-cycle)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L), (11L, 10L))
+      .toDF("s", "d")
+    val r = GraftOps.stronglyConnectedComponents(e, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("scc: a pure chain is all singletons (adversarial peel order)") {
+    // condensation = a path of 10 singleton SCCs — the case where
+    // id-ordered peeling would need 10 outer rounds; md5 priorities
+    // must still exhaust it within the outer-round budget
+    val e = (1L to 9L).map(i => (i, i + 1)).toDF("s", "d")
+    val r = GraftOps.stronglyConnectedComponents(e, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (1L to 10L).map(v => v -> v).toMap)
+  }
+
+  test("scc: two cycles bridged by a one-way edge stay separate") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("s", "d")
+    val r = GraftOps.stronglyConnectedComponents(e, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("neighborhoodJaccard: cap above the max item degree is a no-op") {
     val sp = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L),
       (3L, 11L), (4L, 12L)).toDF("l_suppkey", "l_partkey")
