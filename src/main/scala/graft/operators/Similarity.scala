@@ -302,7 +302,22 @@ object Similarity {
     * proven deterministic scaffolding: hash seeds, broadcast argmax
     * encode (zero shuffle/expansion), heap-aggregate ranking. */
   val IvfPqCoarseK = 4
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqCore(spark, dir, perCell = false)
+
+  /** IVF-PQ with PER-CELL residual codebooks: every coarse cell trains
+    * its own PqM subspace codebooks on ITS residuals only (Jégou's
+    * IVFADC refinement over the shared-codebook shortcut — local
+    * codebooks fit each cell's residual geometry, buying accuracy for
+    * the same code budget). The cell ids (= coarse seed vec_ids) are
+    * read with one IvfPqCoarseK-row plan-construction action; the
+    * oracle addresses cells by cid RANK via scalar subqueries so its
+    * SQL stays static while the ids are data-dependent. */
+  def annIvfPqPerCell(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqCore(spark, dir, perCell = true)
+
+  private def annIvfPqCore(spark: SparkSession, dir: String,
+                           perCell: Boolean): DataFrame = {
     val e = emb(spark, dir)
     val coarse = graft.api.GraftOps.kmeansL2(
         Tables.embeddings(spark, dir), "vec_id", "embedding", IvfPqCoarseK, PqIters)
@@ -317,20 +332,50 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
       .localCheckpoint()
-    val books = (0 until PqM).map { m =>
-      graft.api.GraftOps.kmeansL2(
-          resid.select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
-          "vec_id", "x", PqK, PqIters)
-        .localCheckpoint()
-    }
+    val encScore = (m: Int) =>
+      s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
+        "- dot_product(c.cv, c.cv)"
     var enc = resid
+    // shared: one codebook per subspace; per-cell: one per (cell,
+    // subspace), tagged with its cell in a `ccell` column
+    val books: Seq[DataFrame] =
+      if (!perCell) (0 until PqM).map { m =>
+        graft.api.GraftOps.kmeansL2(
+            resid.select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
+            "vec_id", "x", PqK, PqIters)
+          .localCheckpoint()
+      }
+      else {
+        // cell ids are the coarse seeds' vec_ids — data-dependent, so
+        // the per-cell training loop reads them once (IvfPqCoarseK
+        // rows, a plan-construction action like graph_diameter's pick)
+        val cellIds = coarse.select("cid").collect().map(_.getLong(0)).sorted
+        (0 until PqM).map { m =>
+          cellIds.map { c =>
+            graft.api.GraftOps.kmeansL2(
+                resid.filter(col("cid") === c)
+                  .select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
+                "vec_id", "x", PqK, PqIters)
+              .withColumn("ccell", lit(c))
+          }.reduce(_ unionAll _).localCheckpoint()
+        }
+      }
     for (m <- 0 until PqM) {
-      val cb = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
-      enc = enc.crossJoin(broadcast(cb))
-        .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m",
-          s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
-            "- dot_product(c.cv, c.cv)"))
-        .drop(s"cs$m")
+      enc =
+        if (!perCell) {
+          val cb = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
+          enc.crossJoin(broadcast(cb))
+            .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m", encScore(m)))
+            .drop(s"cs$m")
+        } else {
+          // per-cell: rows meet only THEIR cell's codebook — a
+          // broadcast equi-join on the cell instead of a cross join
+          val cb = books(m).groupBy(col("ccell"))
+            .agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
+          enc.join(broadcast(cb), col("cid") === col("ccell"))
+            .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m", encScore(m)))
+            .drop("ccell", s"cs$m")
+        }
     }
     val codes = enc.select(col("vec_id") +: col("cid") +:
       (0 until PqM).map(m => col(s"k$m")): _*)
@@ -349,11 +394,15 @@ object Similarity {
         expr("zip_with(qv, p.cv, (a, b) -> a - b)").as("rq"))
       .localCheckpoint()
     val luts = (0 until PqM).map { m =>
-      probes.crossJoin(broadcast(books(m)
+      val withBook =
+        if (!perCell) probes.crossJoin(broadcast(books(m)
           .select(col("cid").as(s"k$m"), col("cv").as("bcv"))))
-        .select(col("qid"), col("cid"), col(s"k$m"),
-          expr(s"2 * dot_product(slice(rq, ${m * PqSub + 1}, $PqSub), bcv) " +
-            "- dot_product(bcv, bcv)").as(s"t$m"))
+        else probes.join(broadcast(books(m)
+            .select(col("ccell"), col("cid").as(s"k$m"), col("cv").as("bcv"))),
+          col("cid") === col("ccell")).drop("ccell")
+      withBook.select(col("qid"), col("cid"), col(s"k$m"),
+        expr(s"2 * dot_product(slice(rq, ${m * PqSub + 1}, $PqSub), bcv) " +
+          "- dot_product(bcv, bcv)").as(s"t$m"))
     }
     var scored = codes
       .join(broadcast(probes.select(col("qid"), col("cid"), col("qcterm"))), Seq("cid"))
@@ -575,26 +624,13 @@ object Similarity {
     s"$head,\n          $its"
   }
 
-  /** DuckDB mirror of annIvfPq: coarse Lloyd, residual build, residual
-    * codebook Lloyds, encode, probes with the −‖q−c‖² cross-cell term,
-    * residual LUTs, ADC shortlist, exact re-rank — every float in the
-    * same order as the Spark plan. */
-  private lazy val annIvfPqOracle: String = {
+  /** Shared head of both IVF-PQ oracles: coarse Lloyd, assignment,
+    * residual build, probes with the −‖q−c‖² cross-cell term, per-probe
+    * query residuals. Emits e0, ec, the qz Lloyd chain, asg, res,
+    * probes, rq. */
+  private lazy val ivfPqHeadCtes: String = {
     val cFin = s"qzc$PqIters"
-    val residBlocks = (0 until PqM).map { m =>
-      s"""rs$m AS MATERIALIZED (SELECT vec_id, ${subSql("rv", m)} AS x FROM res),
-          ${l2LloydCtes(s"b$m", s"rs$m", PqK, PqIters)},
-          code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
-                FROM rs$m e, b${m}c$PqIters c) WHERE rn = 1),
-          lut$m AS MATERIALIZED (SELECT r.qid, r.cid, c.cid AS code,
-                2 * list_dot_product(${subSql("r.rv", m)}, c.cv)
-                  - list_dot_product(c.cv, c.cv) AS t
-                FROM rq r, b${m}c$PqIters c)"""
-    }.mkString(",\n          ")
-    s"""WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           ec AS MATERIALIZED (SELECT vec_id, v AS x FROM e0),
           ${l2LloydCtes("qz", "ec", IvfPqCoarseK, PqIters)},
           asg AS MATERIALIZED (SELECT vec_id, cid FROM (
@@ -620,9 +656,13 @@ object Similarity {
                   ON x.vec_id = p.qid
                 JOIN (SELECT cid, unnest(cv) AS mn, generate_subscripts(cv, 1) AS pos FROM $cFin) y
                   ON y.cid = p.cid AND y.pos = x.pos
-                GROUP BY p.qid, p.cid),
-          $residBlocks,
-          scored AS (SELECT p.qid, r.vec_id,
+                GROUP BY p.qid, p.cid)"""
+  }
+
+  /** Shared tail: ADC scoring over code/lut CTEs (one pair per
+    * subspace, names fixed), shortlist, exact re-rank, final ranks. */
+  private lazy val ivfPqTailCtes: String =
+    s"""scored AS (SELECT p.qid, r.vec_id,
                             p.qcterm + l0.t + l1.t + l2.t + l3.t AS score
                      FROM res r JOIN probes p ON r.cid = p.cid
                      JOIN code0 c0 ON c0.vec_id = r.vec_id
@@ -647,6 +687,66 @@ object Similarity {
                 FROM ex)
         SELECT qid, rnk, vec_id AS neighbor, round(score, 6) AS score
         FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
+  /** DuckDB mirror of annIvfPq: coarse Lloyd, residual build, residual
+    * codebook Lloyds, encode, probes with the −‖q−c‖² cross-cell term,
+    * residual LUTs, ADC shortlist, exact re-rank — every float in the
+    * same order as the Spark plan. */
+  private lazy val annIvfPqOracle: String = {
+    val residBlocks = (0 until PqM).map { m =>
+      s"""rs$m AS MATERIALIZED (SELECT vec_id, ${subSql("rv", m)} AS x FROM res),
+          ${l2LloydCtes(s"b$m", s"rs$m", PqK, PqIters)},
+          code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM rs$m e, b${m}c$PqIters c) WHERE rn = 1),
+          lut$m AS MATERIALIZED (SELECT r.qid, r.cid, c.cid AS code,
+                2 * list_dot_product(${subSql("r.rv", m)}, c.cv)
+                  - list_dot_product(c.cv, c.cv) AS t
+                FROM rq r, b${m}c$PqIters c)"""
+    }.mkString(",\n          ")
+    s"""WITH $ivfPqHeadCtes,
+          $residBlocks,
+          $ivfPqTailCtes"""
+  }
+
+  /** DuckDB mirror of annIvfPqPerCell: same head and tail, but one
+    * Lloyd chain per (cell, subspace). Cells are addressed by cid RANK
+    * (`cellr`) via scalar subqueries, so the SQL text is static even
+    * though cell ids are data-dependent seed vec_ids; code/lut CTEs
+    * union the per-cell pieces back into the shared-tail names. */
+  private lazy val annIvfPqPerCellOracle: String = {
+    val cells = 1 to IvfPqCoarseK
+    val cellSel = (c: Int) => s"(SELECT cid FROM cellr WHERE cr = $c)"
+    val lloydBlocks = (for { c <- cells; m <- 0 until PqM } yield
+      s"""pc${c}s$m AS MATERIALIZED (SELECT vec_id, ${subSql("rv", m)} AS x FROM res
+                WHERE cid = ${cellSel(c)}),
+          ${l2LloydCtes(s"pc${c}b$m", s"pc${c}s$m", PqK, PqIters)}"""
+      ).mkString(",\n          ")
+    val codeLut = (0 until PqM).map { m =>
+      val codeUnion = cells.map { c =>
+        s"""SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM pc${c}s$m e, pc${c}b${m}c$PqIters c) WHERE rn = 1"""
+      }.mkString("\n                UNION ALL ")
+      val lutUnion = cells.map { c =>
+        s"""SELECT r.qid, r.cid, c.cid AS code,
+                2 * list_dot_product(${subSql("r.rv", m)}, c.cv)
+                  - list_dot_product(c.cv, c.cv) AS t
+                FROM rq r, pc${c}b${m}c$PqIters c WHERE r.cid = ${cellSel(c)}"""
+      }.mkString("\n                UNION ALL ")
+      s"""code$m AS MATERIALIZED ($codeUnion),
+          lut$m AS MATERIALIZED ($lutUnion)"""
+    }.mkString(",\n          ")
+    s"""WITH $ivfPqHeadCtes,
+          cellr AS MATERIALIZED (SELECT cid, row_number() OVER (ORDER BY cid) AS cr
+                FROM qzc$PqIters),
+          $lloydBlocks,
+          $codeLut,
+          $ivfPqTailCtes"""
   }
 
   private lazy val annPqOracle: String =
@@ -703,5 +803,6 @@ object Similarity {
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("sim_ann_pq", annPq, Some(annPqOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
+    QueryDef("sim_ann_ivfpq_percell", annIvfPqPerCell, Some(annIvfPqPerCellOracle)),
   )
 }

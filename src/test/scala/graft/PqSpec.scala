@@ -67,4 +67,19 @@ class PqSpec extends SparkSpec {
   test("IVF-PQ is deterministic across runs") {
     assert(topk(Similarity.annIvfPq(spark, sf)) == topk(Similarity.annIvfPq(spark, sf)))
   }
+
+  test("per-cell residual codebooks recall ≥ shared-codebook recall at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    def recall(r: Map[Long, Seq[Long]]): Double = exact.map { case (q, ids) =>
+      ids.toSet.intersect(r.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    val shared = recall(topk(Similarity.annIvfPq(spark, dir)))
+    val perCell = recall(topk(Similarity.annIvfPqPerCell(spark, dir)))
+    // local codebooks fit each cell's residual geometry — the whole
+    // point of the per-cell refinement is that this inequality holds
+    assert(perCell >= shared,
+      s"per-cell recall $perCell below shared-codebook recall $shared")
+    assert(perCell >= 0.4, s"per-cell recall $perCell below the 0.4 floor")
+  }
 }
