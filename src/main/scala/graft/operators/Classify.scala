@@ -77,6 +77,27 @@ object Classify {
       .orderBy("feature")
   }
 
+  /** Shuffled-order serial SGD — the reference's `--shuffle` option
+    * (a5/TrainSpamClassifier.scala:19,44-45: instances get a random
+    * sort key before the single sequential pass). The reference draws
+    * Random.nextInt; we key on md5(doc_id) so the "random" visit order
+    * is deterministic — reproducible weights, spec-bounded agreement
+    * with the doc_id-order model (SGD visit order shifts float values
+    * but rarely flips predictions). */
+  def trainShuffled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    instances(spark, dir)
+      .withColumn("__shuf", md5(col("doc_id").cast("string")))
+      .repartition(1)
+      .sortWithinPartitions("__shuf", "doc_id")
+      .select(col("doc_id"), col("is_spam"), col("features"))
+      .as[(Long, Boolean, Seq[Int])]
+      .mapPartitions(rows => sgd(rows).iterator)
+      .toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy("feature")
+  }
+
   /** Parameter-averaged SGD: each partition runs the serial pass on its
     * shard, weights averaged — the distributed path for large corpora. */
   def trainAveraged(spark: SparkSession, dir: String, partitions: Int = 8): DataFrame = {
@@ -216,6 +237,7 @@ object Classify {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spam_train", train, None),
+    QueryDef("spam_train_shuffled", trainShuffled, None),
     QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d), None),
     QueryDef("spam_apply", apply_, None),
     QueryDef("spam_ensemble", ensemble, None),

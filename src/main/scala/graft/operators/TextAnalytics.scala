@@ -132,15 +132,24 @@ object TextAnalytics {
         count(when(col("hits") > 0, 1)).as("n_docs"))
       .select(lit(Keyword).as("keyword"), col("total_hits"), col("n_docs"))
 
+  /** Retrieved doc ids → (doc_id, text): the reference prints the
+    * matching LINE for every hit (BooleanRetrievalCompressed.java:96-97,
+    * fetchLine at :185-191), so both retrieval queries join the (small)
+    * hit set back to `documents` — a narrow join on doc_id; at scale
+    * the hit side broadcasts and the corpus never shuffles. */
+  private def fetchText(spark: SparkSession, dir: String, hits: DataFrame): DataFrame =
+    hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .orderBy("doc_id")
+
   /** a3: conjunctive (AND) retrieval driven by the postings relation. */
   def booleanRetrieval(spark: SparkSession, dir: String): DataFrame =
-    tokenized(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(RetrievalTerms: _*))
-      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
-      .filter(col("nt") === RetrievalTerms.length)
-      .select("doc_id")
-      .orderBy("doc_id")
+    fetchText(spark, dir,
+      tokenized(spark, dir)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(RetrievalTerms: _*))
+        .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
+        .filter(col("nt") === RetrievalTerms.length)
+        .select("doc_id"))
 
   /** a3/BooleanRetrievalCompressed.java:runQuery — stack-based postfix
     * boolean query evaluation ("a b AND c OR"): each term resolves to
@@ -162,7 +171,7 @@ object TextAnalytics {
         stack = postings.filter(col("term") === term).select("doc_id").distinct() :: stack
     }
     require(stack.size == 1, s"malformed postfix query: $query")
-    stack.head.orderBy("doc_id")
+    fetchText(spark, dir, stack.head)
   }
 
   /** Mixed AND/OR query as a verified QueryDef: (spark AND join) OR vector. */
@@ -230,18 +239,20 @@ object TextAnalytics {
                 TRUE AS roundtrip_ok
          FROM g ORDER BY term""")),
     QueryDef("boolean_retrieval_postfix", (s, d) => postfixRetrieval(s, d, PostfixQuery), Some(
-      """SELECT doc_id FROM (
+      """WITH hits AS (SELECT doc_id FROM (
            SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE w IN ('spark', 'join') GROUP BY doc_id HAVING count(DISTINCT w) = 2
            UNION
            SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE w = 'vector')
+           WHERE w = 'vector'))
+         SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)
          ORDER BY doc_id""")),
     QueryDef("boolean_retrieval", booleanRetrieval, Some(
-      s"""SELECT doc_id
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-          WHERE w IN ($termList)
-          GROUP BY doc_id HAVING count(DISTINCT w) = ${RetrievalTerms.length}
+      s"""WITH hits AS (SELECT doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w IN ($termList)
+            GROUP BY doc_id HAVING count(DISTINCT w) = ${RetrievalTerms.length})
+          SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)
           ORDER BY doc_id""")),
   )
 }

@@ -63,8 +63,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("boolean retrieval docs all contain every query term") {
+    // the query now carries the matched text itself (reference
+    // fetchLine semantics) — no join back needed
     val docs = TextAnalytics.booleanRetrieval(spark, sf)
-      .join(sources.Tables.documents(spark, sf), "doc_id")
     val n = docs.count()
     val ok = TextAnalytics.RetrievalTerms.foldLeft(docs) { (d, t) =>
       d.filter(array_contains(split(col("text"), " "), t))
@@ -131,6 +132,33 @@ class OperatorsSpec extends SparkSpec {
       .select(col("doc_id"), (col("score") > 0).as("p")).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val agree = serial.count { case (d, p) => avg.get(d).contains(p) }
+    assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
+  }
+
+  test("spam classifier: shuffled-order training is deterministic and agrees with serial") {
+    val w1 = Classify.trainShuffled(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // md5-keyed visit order: reproducible across runs...
+    val w2 = Classify.trainShuffled(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w1 == w2)
+    // ...but genuinely a different order than doc_id — the float paths
+    // must diverge somewhere (else the shuffle option is a no-op)
+    val serialW = Classify.train(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w1 != serialW, "shuffled visit order did not change any weight")
+    // prediction agreement with the serial model stays high
+    val serial = Classify.apply_(spark, sf)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val feat = Classify.instances(spark, sf)
+      .select(col("doc_id"), explode(col("features")).as("feature"))
+    val w = Classify.trainShuffled(spark, sf)
+    val shuf = feat.join(broadcast(w), Seq("feature"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("weight"), lit(0.0))).as("score"))
+      .select(col("doc_id"), (col("score") > 0).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agree = serial.count { case (d, p) => shuf.get(d).contains(p) }
     assert(agree.toDouble / serial.size > 0.8, s"agreement $agree/${serial.size}")
   }
 
