@@ -595,9 +595,17 @@ object GraftOps {
     * IDENTICAL labels to a cold CC on base ∪ delta (CcIncrementalSpec
     * asserts the exact equality). A daily edge delta costs one tiny CC
     * plus two broadcast-sized label joins, never a full-graph pass.
-    * `baseLabels` is (v, comp) from any of the CC cores. */
+    * `baseLabels` is (v, comp) from any of the CC cores.
+    *
+    * The contracted CC runs TO FIXPOINT (connectedComponentsAuto), not
+    * a caller-guessed round count: label contraction can CHAIN many
+    * previously-separate components through one delta, so the
+    * contracted graph may need more min-label rounds than the base
+    * graph ever did — a fixed count would silently yield non-minimal
+    * labels exactly when the delta is most interesting. The contracted
+    * graph is small by construction, so the fixpoint run is cheap. */
   def connectedComponentsIncremental(baseLabels: DataFrame, deltaUnd: DataFrame,
-                                     u: String, v: String, iters: Int): DataFrame = {
+                                     u: String, v: String): DataFrame = {
     val lbl = baseLabels.select(col("v").as("__v"), col("comp").as("__c"))
       .localCheckpoint() // consumed 3×: both endpoint maps + the new-vertex anti-join
     val mapped = deltaUnd.select(col(u).as("a"), col(v).as("b"))
@@ -606,7 +614,7 @@ object GraftOps {
       .join(lbl, col("b") === col("__v"), "left")
       .select(col("ca"), coalesce(col("__c"), col("b")).as("cb"))
       .filter(col("ca") =!= col("cb")) // intra-component deltas are no-ops
-    val contracted = connectedComponents(mapped, "ca", "cb", iters)
+    val contracted = connectedComponentsAuto(mapped, "ca", "cb")
       .select(col("v").as("__cv"), col("comp").as("__cc"))
     // base vertices keep their labels; delta-only vertices enter as
     // their own singleton labels — then everything re-maps through the

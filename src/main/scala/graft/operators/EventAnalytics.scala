@@ -30,14 +30,21 @@ object EventAnalytics {
   def funnelStageTimes(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
+    // localCheckpoint every stage table (they are |users|-sized): stage
+    // k is consumed by its own aggregate, by stage k+1's threshold
+    // join, AND by the anti-joins of every lower stage in the per-user
+    // query — without materialization the event scan + join chain
+    // replays O(stages²) times
     var reached = ev.filter(col("event_type") === FunnelStages.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+      .localCheckpoint()
     val stages = scala.collection.mutable.ArrayBuffer(reached)
     FunnelStages.tail.foreach { stage =>
       reached = ev.filter(col("event_type") === stage)
         .join(reached, "user_id")
         .filter(col("ts_us") > col("t"))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+        .localCheckpoint()
       stages += reached
     }
     stages.toSeq

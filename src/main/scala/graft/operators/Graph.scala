@@ -395,7 +395,7 @@ object Graph {
     val delta = pairs(_.filter(col("l_orderkey") % 10 >= IncCut))
     val baseLabels = graft.api.GraftOps.connectedComponents(base, "s", "p", CcIters)
     graft.api.GraftOps
-      .connectedComponentsIncremental(baseLabels, delta, "s", "p", CcIters)
+      .connectedComponentsIncremental(baseLabels, delta, "s", "p")
       .orderBy("v")
   }
 

@@ -255,19 +255,27 @@ object Relational2 {
     * value is clamped into the last bucket (least), matching every SQL
     * width_bucket convention for the right edge. */
   val HistBuckets = 10
-  def q35Histogram(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
-      max(col("l_extendedprice")).as("hi"))
-    li.crossJoin(broadcast(bounds))
-      .withColumn("bucket", least(lit(HistBuckets - 1),
-        floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")) * HistBuckets))
+  def q35Histogram(spark: SparkSession, dir: String): DataFrame =
+    histogramOf(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+      HistBuckets)
+
+  /** The generic equi-width histogram behind q35 — exposed so the
+    * degenerate inputs the TPC-H data can't produce stay spec-covered. */
+  def histogramOf(df: DataFrame, flag: String, value: String,
+                  buckets: Int): DataFrame = {
+    val bounds = df.agg(min(col(value)).as("lo"), max(col(value)).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      // hi = lo (every value equal) would divide by zero and produce
+      // null buckets — a degenerate column must land in ONE bucket 0
+      .withColumn("bucket", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(lit(buckets - 1),
+          floor((col(value) - col("lo")) / (col("hi") - col("lo")) * buckets)))
         .cast("long"))
-      .groupBy("l_returnflag", "bucket")
+      .groupBy(col(flag), col("bucket"))
       .agg(count(lit(1)).as("cnt"),
-        round(min(col("l_extendedprice")), 2).as("lo_val"),
-        round(max(col("l_extendedprice")), 2).as("hi_val"))
-      .orderBy("l_returnflag", "bucket")
+        round(min(col(value)), 2).as("lo_val"),
+        round(max(col(value)), 2).as("hi_val"))
+      .orderBy(flag, "bucket")
   }
 
   /** 2-D skyline (Pareto frontier): the parts no other part beats on
@@ -421,8 +429,9 @@ object Relational2 {
     QueryDef("q35_histogram", q35Histogram, Some(
       s"""WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
           SELECT l_returnflag,
-                 least(${HistBuckets - 1},
-                   floor((l_extendedprice - b.lo) / (b.hi - b.lo) * $HistBuckets))::BIGINT AS bucket,
+                 CASE WHEN b.hi = b.lo THEN 0
+                      ELSE least(${HistBuckets - 1},
+                        floor((l_extendedprice - b.lo) / (b.hi - b.lo) * $HistBuckets)) END::BIGINT AS bucket,
                  count(*) AS cnt,
                  round(min(l_extendedprice), 2) AS lo_val,
                  round(max(l_extendedprice), 2) AS hi_val

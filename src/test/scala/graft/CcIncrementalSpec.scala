@@ -18,7 +18,7 @@ class CcIncrementalSpec extends SparkSpec {
     val base = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
     val delta = Seq((2L, 10L), (20L, 21L)).toDF("a", "b")
     val bl = GraftOps.connectedComponents(base, "a", "b", 4)
-    val inc = labels(GraftOps.connectedComponentsIncremental(bl, delta, "a", "b", 4))
+    val inc = labels(GraftOps.connectedComponentsIncremental(bl, delta, "a", "b"))
     val cold = labels(GraftOps.connectedComponents(base.unionAll(delta), "a", "b", 6))
     assert(inc == cold)
     assert(inc(11L) == 0L && inc(21L) == 20L)
@@ -35,7 +35,7 @@ class CcIncrementalSpec extends SparkSpec {
     val full = pairs(identity)
     val bl = GraftOps.connectedComponents(base, "s", "p", Graph.CcIters)
     val inc = labels(GraftOps
-      .connectedComponentsIncremental(bl, delta, "s", "p", Graph.CcIters))
+      .connectedComponentsIncremental(bl, delta, "s", "p"))
     val cold = labels(GraftOps.connectedComponents(full, "s", "p", Graph.CcIters))
     assert(inc == cold)
     assert(inc.nonEmpty)

@@ -179,6 +179,15 @@ class OperatorsSpec extends SparkSpec {
     assert(five.forall(r => math.abs(r.getLong(1)) <= 5))
   }
 
+  test("histogram collapses to bucket 0 when every value is equal") {
+    import SparkSpec.spark.implicits._
+    // hi = lo: the bucket expression must not divide by zero
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "x")
+    val h = Relational2.histogramOf(df, "g", "x", 10).collect()
+    assert(h.length == 2 && h.forall(_.getLong(1) == 0L))
+    assert(h.map(r => r.getString(0) -> r.getLong(2)).toMap == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("sketch aggregates stay within their error bounds of exact answers") {
     val approx = operators.Relational.q13ApproxSketch(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
