@@ -98,10 +98,55 @@ object GraftOps {
     * truth); the defaults are the oracle-verified production scheme. */
   def minhashCandidates(df: DataFrame, id: String, text: String, n: Int = 3,
                         bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val (sigs, cand) = bandedSignatures(df, id, text, n, bands, rowsPerBand)
+    val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))
+      .join(cand.select(col(id).as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    scoreMinhashPairs(sigs, pairs, id)
+  }
+
+  /** Skew-safe variant of the band self-join: a single hot bucket (the
+    * classic failure — thousands of boilerplate docs sharing a band
+    * signature) puts its ENTIRE quadratic pair enumeration on one
+    * reducer. Here buckets whose row count exceeds `hotThreshold` take
+    * the saltedJoin pattern — the probe side keyed by md5(id) % salt,
+    * the build side replicated `salt` ways — so a hot bucket's
+    * comparisons spread across `salt` reducers; buckets at or under the
+    * threshold take the plain join. The candidate SET is identical to
+    * [[minhashCandidates]] (each hot pair is found from its a-side
+    * salt, duplicates collapse in the existing distinct) —
+    * LshSweepSpec asserts the equality on a corpus with a planted hot
+    * bucket. The bucket-count pass is map-side combinable and rides
+    * the same (bj, bv) shuffle the join needs anyway. */
+  def minhashCandidatesSalted(df: DataFrame, id: String, text: String, n: Int = 3,
+                              bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+                              hotThreshold: Long = 10000, salt: Int = 8): DataFrame = {
+    val (sigs, cand) = bandedSignatures(df, id, text, n, bands, rowsPerBand)
+    val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
+    val tagged = cand.join(counts, Seq("bj", "bv")).localCheckpoint()
+    def half(d: DataFrame, as: String) = d.select(col(id).as(as), col("bj"), col("bv"))
+    val cold = tagged.filter(col("__n") <= hotThreshold)
+    val coldPairs = half(cold, "a").join(half(cold, "b"), Seq("bj", "bv"))
+      .filter(col("a") < col("b")).select("a", "b")
+    val hot = tagged.filter(col("__n") > hotThreshold)
+    val hotA = half(hot, "a").withColumn("__s",
+      (conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
+        .cast("long") % salt).cast("int"))
+    val hotB = half(hot, "b").withColumn("__s",
+      explode(array((0 until salt).map(lit): _*)))
+    val hotPairs = hotA.join(hotB, Seq("bj", "bv", "__s"))
+      .filter(col("a") < col("b")).select("a", "b")
+    scoreMinhashPairs(sigs, coldPairs.unionAll(hotPairs).distinct(), id)
+  }
+
+  /** Shared signature + banding front-end of the MinHash tiers: one
+    * checkpointed signature row per doc (consumed by banding and both
+    * pair-join sides), exploded to (id, band index, band value). */
+  private def bandedSignatures(df: DataFrame, id: String, text: String, n: Int,
+                               bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= NumHashes,
       s"bands×rows must fit the $NumHashes computed permutations")
-    // one row per doc, consumed 3× (banding + both pair-join sides):
-    // materialize once rather than recompute the shingle pass each time
     val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
     val bandCols = (0 until bands).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(", ")
@@ -111,10 +156,12 @@ object GraftOps {
     val cand = (0 until bands).map { j =>
       banded.select(col(id), lit(j).as("bj"), col(s"band$j").as("bv"))
     }.reduce(_ unionAll _)
-    val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))
-      .join(cand.select(col(id).as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    (sigs, cand)
+  }
+
+  /** Estimated Jaccard for candidate pairs from the full signatures. */
+  private def scoreMinhashPairs(sigs: DataFrame, pairs: DataFrame,
+                                id: String): DataFrame = {
     val matchSum = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")

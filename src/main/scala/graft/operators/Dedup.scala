@@ -63,6 +63,20 @@ object Dedup {
     graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
       .orderBy("a", "b")
 
+  /** The skew-safe salted band join (GraftOps.minhashCandidatesSalted):
+    * band buckets over SaltHotThreshold rows spread their pair
+    * enumeration across SaltWays reducers. The candidate set is
+    * IDENTICAL to dedup_minhash by construction, so this registration
+    * verifies through the SAME unsalted oracle — and the threshold is
+    * deliberately tiny (production default: 10000) so the salted path
+    * actually executes, not just plans, at the test SFs. */
+  val SaltHotThreshold = 2L
+  val SaltWays = 4
+  def dedupMinhashSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.minhashCandidatesSalted(docs(spark, dir), "doc_id", "text",
+        hotThreshold = SaltHotThreshold, salt = SaltWays)
+      .orderBy("a", "b")
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed (the registered
     * production path): candidates collide in ≥1 of EmbTables sign-bit
     * buckets, exact cosine only within buckets — shuffle ∝ tables×docs,
@@ -339,6 +353,7 @@ object Dedup {
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),
     QueryDef("dedup_embedding_auto", dedupEmbeddingAuto, Some(embLshAutoOracle)),

@@ -32,4 +32,28 @@ class LshSweepSpec extends SparkSpec {
     // the production scheme (8×2, knee ≈ 0.35) must not miss a 0.5-dup
     assert(sweep.find(s => s._1 == 8 && s._2 == 2).get._4 == 1.0)
   }
+
+  test("salted band join ≡ plain band join, with a planted hot bucket") {
+    import SparkSpec.spark.implicits._
+    // 30 copies of one boilerplate text share EVERY band bucket (the
+    // hot-bucket failure mode: C(30,2) pairs on one reducer), plus
+    // distinct docs and one normal near-dup pair
+    val boiler = (0L until 30L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val near = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val rest = (200L until 220L).map(i => (i, s"unique document number $i with its own content entirely"))
+    val docs = (boiler ++ near ++ rest).toDF("doc_id", "text")
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = pairs(GraftOps.minhashCandidates(docs, "doc_id", "text"))
+    val salted = pairs(GraftOps.minhashCandidatesSalted(docs, "doc_id", "text",
+      hotThreshold = 5, salt = 4))
+    assert(plain.nonEmpty && plain.exists(p => p._1 < 30 && p._2 < 30),
+      "planted hot bucket produced no pairs — the hot path was not exercised")
+    assert(salted == plain, "salting changed the candidate set")
+    // threshold above every bucket size ⇒ pure cold path, same answer
+    val allCold = pairs(GraftOps.minhashCandidatesSalted(docs, "doc_id", "text",
+      hotThreshold = 10000, salt = 4))
+    assert(allCold == plain)
+  }
 }
