@@ -1034,10 +1034,14 @@ object GraftOps {
     * columns), so the double peel rate costs no extra jobs.
     *
     * Scale: every step is a |V|-row label table joined against the
-    * (shrinking, checkpointed) edge set — the CC discipline. Sweeps run
-    * to fixpoint with the monotone-sum witness (min sum only falls, max
-    * sum only rises; one tiny agg action per round). No broadcast
-    * hints; AQE decides.
+    * (shrinking, checkpointed) edge set — the CC discipline. Sweeps are
+    * DELTA iterations: each round joins the edge set only against the
+    * FRONTIER (vertices whose labels changed last round — monotone
+    * extremal propagation means an unchanged neighbor has nothing new
+    * to contribute), so late rounds on long-converged regions cost a
+    * frontier-sized broadcast join instead of a full |V| pass, and an
+    * EMPTY frontier is the exact fixpoint witness — no separate
+    * convergence aggregation. No broadcast hints; AQE decides.
     */
   def stronglyConnectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
                                   maxOuter: Int = 20, maxSweep: Int = 40): DataFrame = {
@@ -1048,29 +1052,44 @@ object GraftOps {
       .distinct().withColumn("p", prio).localCheckpoint()
     var edges = e0
 
-    // extremal-priority propagation to fixpoint: (v, m = min prio over
-    // ancestors∪self, x = max prio over ancestors∪self) along es
-    def sweep(vs: DataFrame, es: DataFrame): DataFrame = {
-      var lab = vs.select(col("v"), col("p").as("m"), col("p").as("x"))
-        .localCheckpoint()
-      var prev: Option[(java.math.BigDecimal, java.math.BigDecimal)] = None
-      var converged = false
+    // BOTH extremal-priority propagations in one delta loop: per round,
+    // one pass along edges updates the ancestor channels (fm/fx =
+    // min/max prio over ancestors∪self) and one along reversed edges
+    // the descendant channels (bm/bx) — a single |V|-row label table
+    // and ONE checkpoint per round. Each round's edge joins read only
+    // the FRONTIER (rows changed last round): monotone propagation
+    // means an unchanged source contributes nothing new, so late rounds
+    // over converged regions shrink to frontier-sized joins (AQE
+    // broadcasts them once small). Empty frontier ⟺ fixpoint.
+    def sweepBoth(vs: DataFrame, es: DataFrame): DataFrame = {
+      var lab = vs.select(col("v"), col("p").as("fm"), col("p").as("fx"),
+        col("p").as("bm"), col("p").as("bx")).localCheckpoint()
+      var frontier = lab
       var r = 0
+      var converged = false
       while (!converged && r < maxSweep) {
-        val nbr = es.join(lab, es("src") === lab("v"))
+        val fn = es.join(frontier, es("src") === frontier("v"))
           .groupBy(es("dst").as("v"))
-          .agg(min(col("m")).as("nm"), max(col("x")).as("nx"))
-        lab = lab.join(nbr, Seq("v"), "left")
-          .select(col("v"),
-            least(col("m"), coalesce(col("nm"), col("m"))).as("m"),
-            greatest(col("x"), coalesce(col("nx"), col("x"))).as("x"))
+          .agg(min(col("fm")).as("nfm"), max(col("fx")).as("nfx"))
+        val bn = es.join(frontier, es("dst") === frontier("v"))
+          .groupBy(es("src").as("v"))
+          .agg(min(col("bm")).as("nbm"), max(col("bx")).as("nbx"))
+        val next = lab.join(fn, Seq("v"), "left").join(bn, Seq("v"), "left")
+          .select(col("v"), col("fm"), col("fx"), col("bm"), col("bx"),
+            least(col("fm"), coalesce(col("nfm"), col("fm"))).as("ufm"),
+            greatest(col("fx"), coalesce(col("nfx"), col("fx"))).as("ufx"),
+            least(col("bm"), coalesce(col("nbm"), col("bm"))).as("ubm"),
+            greatest(col("bx"), coalesce(col("nbx"), col("bx"))).as("ubx"))
+          .select(col("v"), col("ufm").as("fm2"), col("ufx").as("fx2"),
+            col("ubm").as("bm2"), col("ubx").as("bx2"),
+            (col("fm") =!= col("ufm") || col("fx") =!= col("ufx") ||
+              col("bm") =!= col("ubm") || col("bx") =!= col("ubx")).as("__chg"))
+          .withColumnsRenamed(Map("fm2" -> "fm", "fx2" -> "fx",
+            "bm2" -> "bm", "bx2" -> "bx"))
           .localCheckpoint()
-        val row = lab.agg(sum(col("m").cast("decimal(38,0)")).as("sm"),
-          sum(col("x").cast("decimal(38,0)")).as("sx")).head()
-        val cur = (row.getDecimal(0), row.getDecimal(1))
-        converged = cur._1 == null ||
-          prev.exists(p => p._1.compareTo(cur._1) == 0 && p._2.compareTo(cur._2) == 0)
-        prev = Some(cur)
+        frontier = next.filter(col("__chg")).drop("__chg")
+        lab = next.drop("__chg")
+        converged = frontier.isEmpty // cheap scan of the checkpoint
         r += 1
       }
       require(converged, s"SCC sweep did not converge in $maxSweep rounds")
@@ -1083,16 +1102,15 @@ object GraftOps {
     while (!done && outer < maxOuter) {
       if (verts.isEmpty) done = true
       else {
-        val f = sweep(verts, edges)
-        val b = sweep(verts, edges.select(col("dst").as("src"), col("src").as("dst")))
+        val fb = sweepBoth(verts, edges)
         // group key is a string tag + the matched priority: the matched
         // vertex lies IN the SCC, so the key is unique per SCC, and the
         // F/B columns are SCC-constant so members agree on the branch
-        val lab = f.join(b.select(col("v"), col("m").as("bm"), col("x").as("bx")), "v")
-          .filter(col("m") === col("bm") || col("x") === col("bx"))
+        val lab = fb
+          .filter(col("fm") === col("bm") || col("fx") === col("bx"))
           .select(col("v"),
-            when(col("m") === col("bm"), concat(lit("n"), col("m")))
-              .otherwise(concat(lit("x"), col("x"))).as("g"))
+            when(col("fm") === col("bm"), concat(lit("n"), col("fm")))
+              .otherwise(concat(lit("x"), col("fx"))).as("g"))
           .localCheckpoint()
         out = out.unionAll(
           lab.join(lab.groupBy("g").agg(min(col("v")).as("scc")), "g")
