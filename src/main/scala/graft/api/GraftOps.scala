@@ -615,20 +615,14 @@ object GraftOps {
     // without this each round re-runs the upstream edge derivation
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v"))
-    // NO broadcast hints on the |V|-sized label tables: a hint bypasses
-    // the size threshold and would OOM on billion-vertex graphs. AQE
-    // broadcasts them at runtime while they fit and keeps the
-    // co-partitioned shuffle join beyond that.
-    for (i <- 1 to iters) {
-      val nbrMin = edges.join(labels, edges("src") === labels("v"))
-        .groupBy(edges("dst").as("v")).agg(min(col("comp")).as("nc"))
-      labels = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      if (i % 3 == 0) labels = labels.localCheckpoint()
-    }
-    labels
+    val init = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("dist"))
+    // min-label propagation IS Bellman-Ford on zero-cost edges with
+    // init = own id: runs on the shared delta-iteration core (frontier
+    // joins + sound early exit; NO broadcast hints — AQE broadcasts the
+    // frontier once it shrinks, keeping billion-vertex graphs safe)
+    relaxRoundsFrom(edges.withColumn("w", lit(0L)), init, iters)
+      .select(col("v"), col("dist").as("comp"))
   }
 
   /** Incremental connected components over an edge DELTA: instead of
@@ -1337,23 +1331,10 @@ object GraftOps {
     * table, never |E|. */
   def bfsHops(und: DataFrame, u: String, v: String, sources: Seq[Long],
               rounds: Int): DataFrame = {
-    val spark = und.sparkSession
-    import spark.implicits._
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var dist = sources.toDF("v").withColumn("dist", lit(0L))
-    for (i <- 1 to rounds) {
-      val relax = edges.join(dist, edges("src") === dist("v"))
-        .groupBy(edges("dst").as("v")).agg((min(col("dist")) + 1L).as("nd"))
-      // full outer: newly reached nodes enter, settled nodes keep their
-      // (monotonically final) minimum
-      dist = dist.join(relax, Seq("v"), "full")
-        .select(col("v"), least(coalesce(col("dist"), col("nd")),
-          coalesce(col("nd"), col("dist"))).as("dist"))
-      if (i % 3 == 0) dist = dist.localCheckpoint()
-    }
-    dist
+    relaxRounds(edges.withColumn("w", lit(1L)), und.sparkSession, sources, rounds)
   }
 
   /** Multi-source shortest paths over a WEIGHTED directed edge list
@@ -1372,19 +1353,53 @@ object GraftOps {
     * shuffle ∝ |reached|, never |E|. */
   def ssspWeighted(edges0: DataFrame, src: String, dst: String, cost: String,
                    sources: Seq[Long], rounds: Int): DataFrame = {
-    val spark = edges0.sparkSession
-    import spark.implicits._
     val edges = edges0.select(col(src).as("src"), col(dst).as("dst"),
         col(cost).cast("long").as("w"))
       .localCheckpoint()
-    var dist = sources.toDF("v").withColumn("dist", lit(0L))
-    for (i <- 1 to rounds) {
-      val relax = edges.join(dist, edges("src") === dist("v"))
+    relaxRounds(edges, edges0.sparkSession, sources, rounds)
+  }
+
+  /** Shared Bellman-Ford relaxation core of bfsHops (unit weights) and
+    * ssspWeighted — `rounds` synchronized rounds as DELTA iterations:
+    * each round joins the edge set only against the FRONTIER (vertices
+    * whose distance was set or improved last round; an unchanged vertex
+    * already contributed its relaxations), so converged regions cost a
+    * broadcast-sized join, not a |reached| pass. An empty frontier
+    * means every remaining round is a no-op, so the loop exits early
+    * with output IDENTICAL to the full unroll — the fixed-round oracle
+    * contract is preserved exactly. */
+  private def relaxRounds(edges: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                          sources: Seq[Long], rounds: Int): DataFrame = {
+    import spark.implicits._
+    relaxRoundsFrom(edges,
+      sources.toDF("v").withColumn("dist", lit(0L)), rounds)
+  }
+
+  /** [[relaxRounds]] from an arbitrary initial (v, dist) table — also
+    * the engine behind fixed-round connectedComponents, where init =
+    * every vertex labeled with its own id and the edge weight is 0
+    * (min-label propagation IS Bellman-Ford on zero-cost edges). */
+  private def relaxRoundsFrom(edges: DataFrame, init: DataFrame,
+                              rounds: Int): DataFrame = {
+    var dist = init.localCheckpoint()
+    var frontier = dist
+    var i = 0
+    var settled = false
+    while (i < rounds && !settled) {
+      val relax = edges.join(frontier, edges("src") === frontier("v"))
         .groupBy(edges("dst").as("v")).agg(min(col("dist") + col("w")).as("nd"))
-      dist = dist.join(relax, Seq("v"), "full")
+      // full outer: newly reached nodes enter, settled nodes keep their
+      // (monotonically final) minimum; __chg marks new or improved rows
+      val joined = dist.join(relax, Seq("v"), "full")
         .select(col("v"), least(coalesce(col("dist"), col("nd")),
-          coalesce(col("nd"), col("dist"))).as("dist"))
-      if (i % 3 == 0) dist = dist.localCheckpoint()
+            coalesce(col("nd"), col("dist"))).as("d2"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("__chg"))
+        .localCheckpoint()
+      frontier = joined.filter(col("__chg")).select(col("v"), col("d2").as("dist"))
+      dist = joined.select(col("v"), col("d2").as("dist"))
+      settled = frontier.isEmpty // cheap scan of the checkpoint
+      i += 1
     }
     dist
   }
@@ -1405,7 +1420,16 @@ object GraftOps {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     var edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prevEdges = -1L
+    var r = 0
+    // peeling is deterministic in the current edge set, so an unchanged
+    // edge COUNT between rounds means the alive filter removed nothing
+    // — every remaining round is a no-op and the loop exits early with
+    // output identical to the full unroll (the count reads the
+    // round's checkpoint, one cheap action per round)
+    while (r < rounds && prevEdges != 0L && {
+        val n = edges.count(); val same = n == prevEdges; prevEdges = n; !same
+      }) {
       val alive = edges.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("src").as("__av"))
         .localCheckpoint()
@@ -1416,6 +1440,7 @@ object GraftOps {
         .join(alive.select(col("__av").as("__av2")),
           col("dst") === col("__av2"), "left_semi")
         .localCheckpoint()
+      r += 1
     }
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_degree"))
   }
