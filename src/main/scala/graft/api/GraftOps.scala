@@ -719,26 +719,31 @@ object GraftOps {
     val spark = edges0.sparkSession
     import spark.implicits._
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).cache()
+      .repartition(col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    // degree fused into the cached edge table at build time: each
+    // iteration then joins ranks ONCE against it — the former
+    // per-round ranks⋈deg stage is gone, and r/d per edge row uses the
+    // identical operands (r, d are per-src), so the float path is
+    // unchanged. Co-partitioned on src, same as before.
+    val edgesD = edges.join(deg, "src").cache()
     val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
-    val nodes = edges.select(col("src").as("v"))
-      .unionAll(edges.select(col("dst").as("v")))
+    val nodes = edgesD.select(col("src").as("v"))
+      .unionAll(edgesD.select(col("dst").as("v")))
       .unionAll(srcDf.select(col("v"))).distinct()
     val base = nodes.join(srcDf, Seq("v"), "left")
       .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
-    (edges, deg, base)
+    (edgesD, deg, base)
   }
 
-  /** The PageRank power iteration shared by cold and warm starts. */
+  /** The PageRank power iteration shared by cold and warm starts;
+    * `edges` carries the fused per-src out-degree column `d`. */
   private def prLoop(edges: DataFrame, deg: DataFrame, base: DataFrame,
                      init: DataFrame, alpha: Double, iters: Int): DataFrame = {
     var ranks = init
     for (i <- 1 to iters) {
-      val rd = ranks.join(deg, ranks("v") === deg("src"))
-        .select(col("v").as("rv"), (col("r") / col("d")).as("rd"))
-      val contrib = edges.join(rd, edges("src") === col("rv"))
-        .groupBy(col("dst").as("v")).agg(sum(col("rd")).as("c"))
+      val contrib = edges.join(ranks, edges("src") === ranks("v"))
+        .groupBy(col("dst").as("v")).agg(sum(col("r") / col("d")).as("c"))
       val dangling = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
       ranks = base.join(contrib, Seq("v"), "left")
@@ -767,20 +772,22 @@ object GraftOps {
     import spark.implicits._
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
-      .repartition(col("src")).cache()
+      .repartition(col("src"))
     val str = edges.groupBy("src").agg(sum(col("w")).as("s")).cache()
+    // out-strength fused at build, exactly like prGraph's degree fusion:
+    // one ranks join per iteration, (r/s)·w per edge row with the same
+    // per-src operands as the former two-stage form
+    val edgesS = edges.join(str, "src").cache()
     val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
-    val nodes = edges.select(col("src").as("v"))
-      .unionAll(edges.select(col("dst").as("v")))
+    val nodes = edgesS.select(col("src").as("v"))
+      .unionAll(edgesS.select(col("dst").as("v")))
       .unionAll(srcDf.select(col("v"))).distinct()
     val base = nodes.join(srcDf, Seq("v"), "left")
       .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
     var ranks = base.select(col("v"), col("jump0").as("r"))
     for (i <- 1 to iters) {
-      val rs = ranks.join(str, ranks("v") === str("src"))
-        .select(col("v").as("rv"), (col("r") / col("s")).as("rs"))
-      val contrib = edges.join(rs, edges("src") === col("rv"))
-        .groupBy(col("dst").as("v")).agg(sum(col("rs") * col("w")).as("c"))
+      val contrib = edgesS.join(ranks, edgesS("src") === ranks("v"))
+        .groupBy(col("dst").as("v")).agg(sum((col("r") / col("s")) * col("w")).as("c"))
       val dangling = ranks.join(str, ranks("v") === str("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
       ranks = base.join(contrib, Seq("v"), "left")

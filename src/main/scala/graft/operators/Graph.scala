@@ -78,14 +78,19 @@ object Graph {
     // reuses the layout and shuffles ONLY the |V|-sized rank table —
     // the |E| edge shuffle is paid exactly once, here
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+      .repartition(col("src"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // degree fused into the cached edge table at build time: each
+    // iteration joins ranks ONCE against it (no per-round ranks⋈deg
+    // stage); r/d per edge row uses identical per-src operands, so the
+    // float path — and the unrolled oracle — are unchanged
+    val edgesD = edges.join(deg, "src").cache()
 
     val srcDf = Sources.toDF("v")
       .withColumn("jump0", lit(1.0 / Sources.length))
     // sources are nodes even when absent from the edge set — otherwise
     // their jump mass would silently vanish and Σr < 1
-    val nodes = edges.select(col("src").as("v"))
+    val nodes = edgesD.select(col("src").as("v"))
       .unionAll(srcDf.select(col("v"))).distinct().cache()
     // node table with its personalized-jump share, built & cached ONCE;
     // each iteration is then a single contrib join against it
@@ -101,11 +106,9 @@ object Graph {
     // iteration either way — GraphScaleSpec asserts the iteration stays
     // correct with autoBroadcastJoinThreshold = -1).
     for (_ <- 1 to Iters) {
-      val rd = ranks.join(deg, ranks("v") === deg("src"))
-        .select(col("v").as("rv"), (col("r") / col("d")).as("rd"))
-      val contrib = edges.join(rd, edges("src") === col("rv"))
+      val contrib = edgesD.join(ranks, edgesD("src") === ranks("v"))
         .groupBy(col("dst").as("v"))
-        .agg(sum(col("rd")).as("c"))
+        .agg(sum(col("r") / col("d")).as("c"))
       ranks = base
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
