@@ -99,11 +99,7 @@ object GraftOps {
   def minhashCandidates(df: DataFrame, id: String, text: String, n: Int = 3,
                         bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val (sigs, cand) = bandedSignatures(df, id, text, n, bands, rowsPerBand)
-    val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))
-      .join(cand.select(col(id).as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    scoreMinhashPairs(sigs, pairs, id)
+    scoreMinhashPairs(sigs, bucketPairs(cand, id, Long.MaxValue, 1), id)
   }
 
   /** Skew-safe variant of the band self-join: a single hot bucket (the
@@ -123,21 +119,43 @@ object GraftOps {
                               bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
                               hotThreshold: Long = 10000, salt: Int = 8): DataFrame = {
     val (sigs, cand) = bandedSignatures(df, id, text, n, bands, rowsPerBand)
-    val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
-    val tagged = cand.join(counts, Seq("bj", "bv")).localCheckpoint()
+    scoreMinhashPairs(sigs, bucketPairs(cand, id, hotThreshold, salt), id)
+  }
+
+  /** The a<b pair enumeration over a bucketed candidate table
+    * (id, bj, bv) shared by the MinHash / SimHash / embedding LSH
+    * tiers. `hotThreshold` = Long.MaxValue is the plain self-join;
+    * otherwise buckets over the threshold take the salted path — probe
+    * side keyed by md5(id) % salt, build side replicated `salt` ways —
+    * so one hot bucket's quadratic enumeration spreads across `salt`
+    * reducers while cold buckets join plainly. The pair SET is
+    * identical either way (hot pairs are found from their a-side salt;
+    * cross-band duplicates collapse in the distinct). The bucket-count
+    * pass is map-side combinable and rides the (bj, bv) shuffle the
+    * join needs anyway. */
+  private def bucketPairs(cand: DataFrame, id: String,
+                          hotThreshold: Long, salt: Int): DataFrame = {
     def half(d: DataFrame, as: String) = d.select(col(id).as(as), col("bj"), col("bv"))
-    val cold = tagged.filter(col("__n") <= hotThreshold)
-    val coldPairs = half(cold, "a").join(half(cold, "b"), Seq("bj", "bv"))
-      .filter(col("a") < col("b")).select("a", "b")
-    val hot = tagged.filter(col("__n") > hotThreshold)
-    val hotA = half(hot, "a").withColumn("__s",
-      (conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
-        .cast("long") % salt).cast("int"))
-    val hotB = half(hot, "b").withColumn("__s",
-      explode(array((0 until salt).map(lit): _*)))
-    val hotPairs = hotA.join(hotB, Seq("bj", "bv", "__s"))
-      .filter(col("a") < col("b")).select("a", "b")
-    scoreMinhashPairs(sigs, coldPairs.unionAll(hotPairs).distinct(), id)
+    val pairs =
+      if (hotThreshold == Long.MaxValue)
+        half(cand, "a").join(half(cand, "b"), Seq("bj", "bv"))
+          .filter(col("a") < col("b")).select("a", "b")
+      else {
+        val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
+        val tagged = cand.join(counts, Seq("bj", "bv")).localCheckpoint()
+        val cold = tagged.filter(col("__n") <= hotThreshold)
+        val coldPairs = half(cold, "a").join(half(cold, "b"), Seq("bj", "bv"))
+          .filter(col("a") < col("b")).select("a", "b")
+        val hot = tagged.filter(col("__n") > hotThreshold)
+        val hotA = half(hot, "a").withColumn("__s",
+          (conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
+            .cast("long") % salt).cast("int"))
+        val hotB = half(hot, "b").withColumn("__s",
+          explode(array((0 until salt).map(lit): _*)))
+        coldPairs.unionAll(hotA.join(hotB, Seq("bj", "bv", "__s"))
+          .filter(col("a") < col("b")).select("a", "b"))
+      }
+    pairs.distinct()
   }
 
   /** Shared signature + banding front-end of the MinHash tiers: one
@@ -191,20 +209,22 @@ object GraftOps {
   /** SimHash near-dup pairs within a Hamming radius, via byte-banding
     * (radius ≤ 3 over 4 bytes ⇒ some byte equal: exact by pigeonhole). */
   def simhashCandidates(df: DataFrame, id: String, text: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        hotThreshold: Long = Long.MaxValue,
+                        salt: Int = 8): DataFrame = {
     // 4 byte-bands are exhaustive only up to Hamming 3 (pigeonhole);
     // a larger radius would silently drop in-radius pairs
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-band exhaustive search, got $maxHamming")
     val sigs = simhashSignatures(df, id, text).localCheckpoint()
     val bands = (0 until 4).map(j =>
-      sigs.selectExpr(id, "sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
+      sigs.selectExpr(id, s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
       .reduce(_ unionAll _)
-    bands.select(col(id).as("a"), col("sig").as("siga"), col("bj"), col("bv"))
-      .join(bands.select(col(id).as("b"), col("sig").as("sigb"), col("bj"), col("bv")),
-        Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "siga", "sigb").distinct()
+    // pairs first (the shared skew-safe enumerator), signatures joined
+    // back onto the deduped candidate set for the Hamming filter
+    bucketPairs(bands, id, hotThreshold, salt)
+      .join(sigs.select(col(id).as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col(id).as("b"), col("sig").as("sigb")), "b")
       .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
@@ -225,7 +245,9 @@ object GraftOps {
                             threshold: Double,
                             tables: Int = EmbLsh.Tables,
                             bits: Int = EmbLsh.Bits,
-                            dims: Int = EmbLsh.Dims): DataFrame = {
+                            dims: Int = EmbLsh.Dims,
+                            hotThreshold: Long = Long.MaxValue,
+                            salt: Int = 8): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     // e feeds the banding plus BOTH vector-join sides, and banded feeds
     // the tables-leg candidate union twice: materialize each once or
@@ -239,11 +261,7 @@ object GraftOps {
     val cand = (0 until tables).map(t =>
       banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
       .reduce(_ unionAll _)
-    val pairs = cand.select(col(id).as("a"), col("bj"), col("bv"))
-      .join(cand.select(col(id).as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    pairs
+    bucketPairs(cand, id, hotThreshold, salt)
       .join(e.select(col(id).as("a"), col("v").as("va")), "a")
       .join(e.select(col(id).as("b"), col("v").as("vb")), "b")
       .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
