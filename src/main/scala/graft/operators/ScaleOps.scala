@@ -120,6 +120,42 @@ object ScaleOps {
       .orderBy("priority")
   }
 
+  /** Runtime bloom-filter join reduction — the shuffle reducer Spark
+    * injects when one join side carries a selective filter: the dim
+    * side's join keys aggregate into a bloom filter at optimization
+    * time and the FACT side applies `might_contain` BEFORE its
+    * shuffle, so rows that cannot join never cross the wire. At 100 TB
+    * that is the difference between shuffling the whole fact table and
+    * shuffling the ~2% that joins a filtered dim. Toy-scale scans sit
+    * far under the 10 GB application-side threshold that gates the
+    * rewrite, so the query runs on a CLONED session (own SQLConf, same
+    * SparkContext) with the gate lowered — cluster-side plan shape,
+    * observable locally; nothing leaks into the shared session.
+    * PlanSpec asserts the might_contain filter lands on the fact side.
+    * The oracle is the plain join — the bloom filter is
+    * semantics-free. */
+  def q40RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1024")
+    // injection targets SHUFFLE joins (a broadcast join ships the dim,
+    // not the fact, so there is nothing to reduce): disable broadcast
+    // on the clone to reproduce the at-scale join shape the filter
+    // exists for — at 100 TB this join shuffles regardless
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_linestatus"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("status")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_bucketed_join", q32BucketedJoin, Some(
       """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
@@ -134,6 +170,12 @@ object ScaleOps {
       """WITH ev AS (SELECT event_type, value, epoch_us(ts) // 86400000000 AS day FROM events)
          SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM ev WHERE day = (SELECT min(day) + 3 FROM ev)
+         GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q40_runtime_filter", q40RuntimeFilter, Some(
+      """SELECT l.l_linestatus AS status, count(*) AS n_items,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""")),
   )
 }

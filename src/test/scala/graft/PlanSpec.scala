@@ -193,6 +193,21 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "funnel must not sort per-user event sequences")
   }
 
+  test("q40: the runtime bloom filter lands on the fact side of the join") {
+    val df = graft.operators.ScaleOps.q40RuntimeFilter(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${opt.take(1500)}")
+    // and it guards the FACT scan: the filter must sit above lineitem,
+    // not the already-selective orders side
+    val factSide = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(factSide.exists(_.toString.contains("l_orderkey")),
+      "bloom filter did not land on the lineitem side")
+  }
+
   test("graph_jaccard: wedge self-join reuses the cap window's part partitioning") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
