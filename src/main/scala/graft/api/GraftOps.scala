@@ -1035,6 +1035,53 @@ object GraftOps {
     if (converged) labels else connectedComponentsLogN(und, u, v)
   }
 
+  /** Approximate closeness centrality from K deterministically-sampled
+    * sources (the Eppstein–Wang estimator): one BFS tracks hop
+    * distance PER (source, vertex) pair — the frontier-delta loop of
+    * [[bfsHops]] with a two-column key — then
+    * closeness(v) = n_sources_reaching(v) / Σ_s d(s, v). Sources are
+    * the K hash-min vertices (md5 order, like the k-means seeds), so a
+    * SQL oracle replays the identical sample. Exact when K ≥ |V|.
+    *
+    * Scale: the distance table is K×|reached| rows, shuffled once per
+    * round on the co-partitioned edge layout; K is a constant (tens),
+    * so the cost is K BFS sweeps sharing every scan — not K jobs. */
+  def closenessSampled(und: DataFrame, u: String, v: String,
+                       k: Int, rounds: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val sources = edges.select(col("src").as("n")).distinct()
+      .orderBy(md5(col("n").cast("string")), col("n")).limit(k)
+      .select(col("n").as("s"))
+    var dist = sources.select(col("s"), col("s").as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var i = 0
+    var settled = false
+    while (i < rounds && !settled) {
+      val relax = edges.join(frontier, edges("src") === frontier("v"))
+        .groupBy(col("s"), edges("dst").as("v"))
+        .agg((min(col("dist")) + 1L).as("nd"))
+      val joined = dist.join(relax, Seq("s", "v"), "full")
+        .select(col("s"), col("v"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("d2"),
+          (col("dist").isNull).as("__chg")) // unit weights: first reach is final
+        .localCheckpoint()
+      frontier = joined.filter(col("__chg"))
+        .select(col("s"), col("v"), col("d2").as("dist"))
+      dist = joined.select(col("s"), col("v"), col("d2").as("dist"))
+      settled = frontier.isEmpty
+      i += 1
+    }
+    dist.groupBy("v")
+      .agg(count(lit(1)).as("n_src"), sum(col("dist")).as("sum_dist"))
+      .select(col("v"), col("n_src"), col("sum_dist"),
+        when(col("sum_dist") === 0, lit(0.0))
+          .otherwise(round(col("n_src") / col("sum_dist"), 6)).as("closeness"))
+  }
+
   /** Strongly-connected components of a DIRECTED edge list, by
     * forward–backward reachability peeling (the FW-BW idea without the
     * recursion): per outer round, propagate an extremal priority to

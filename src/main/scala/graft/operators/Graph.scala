@@ -689,6 +689,42 @@ object Graph {
         SELECT lab.v, lab.scc, sz.scc_size
         FROM lab JOIN sz ON lab.scc = sz.scc ORDER BY lab.v"""
 
+  /** Approximate closeness centrality (GraftOps.closenessSampled) on
+    * the bipartite supplier↔part graph: hop distances from
+    * ClosenessK md5-sampled sources, closeness(v) = n_reaching / Σd.
+    * The sample is deterministic (hash-min vertices), so the oracle
+    * replays it; BfsRounds bounds the sweeps exactly like graph_bfs
+    * (fixpoint-asserted at test scale). */
+  val ClosenessK = 4
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.closenessSampled(und, "s", "p", ClosenessK, BfsRounds)
+      .orderBy("v")
+  }
+
+  /** Per-(source, vertex) unrolled BFS — the bfsOracle pattern keyed by
+    * (s, v); sources are the md5-min vertices, replayed identically. */
+  private lazy val closenessOracle: String = {
+    val iterCtes = (1 to BfsRounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT d.s, e.dst AS v, min(d.dist) + 1 AS nd
+                FROM d${t - 1} d JOIN edges e ON d.v = e.src GROUP BY 1, 2),
+          d$t AS MATERIALIZED (SELECT coalesce(d.s, r.s) AS s, coalesce(d.v, r.v) AS v,
+                least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
+                FROM d${t - 1} d FULL JOIN r$t r ON d.s = r.s AND d.v = r.v)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          srcs AS MATERIALIZED (SELECT n AS s FROM (SELECT DISTINCT src AS n FROM edges)
+                ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $ClosenessK),
+          d0 AS MATERIALIZED (SELECT s, s AS v, 0::BIGINT AS dist FROM srcs),
+          $iterCtes
+        SELECT v, count(*) AS n_src, CAST(sum(dist) AS BIGINT) AS sum_dist,
+               CASE WHEN sum(dist) = 0 THEN 0.0
+                    ELSE round(count(*) / CAST(sum(dist) AS DOUBLE), 6) END AS closeness
+        FROM d$BfsRounds GROUP BY v ORDER BY v"""
+  }
+
   /** Unrolled BFS relaxation rounds (house oracle style: every level
     * referenced twice → MATERIALIZED, or DuckDB's default CTE inlining
     * re-evaluates 2^K times). */
@@ -844,6 +880,7 @@ object Graph {
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
+    QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),

@@ -255,6 +255,26 @@ class Graph4Spec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("closeness: K ≥ |V| reduces to exact closeness on a path") {
+    // path 0-1-2: d-sums 3 / 2 / 3 → closeness 1.0 / 1.5 / 1.0
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val r = GraftOps.closenessSampled(e, "a", "b", k = 10, rounds = 6)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(0L -> ((3L, 3L, 1.0)), 1L -> ((3L, 2L, 1.5)),
+      2L -> ((3L, 3L, 1.0))))
+  }
+
+  test("closeness: the md5 source sample is deterministic and sized k") {
+    val e = (0L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    def run() = GraftOps.closenessSampled(e, "a", "b", k = 3, rounds = 12)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val r = run()
+    assert(r == run(), "sampled closeness must be reproducible")
+    // every vertex is reached by at most (here: exactly) the 3 sources
+    // on a connected path within the round budget
+    assert(r.forall(_._2 == 3L))
+  }
+
   test("neighborhoodJaccard: cap above the max item degree is a no-op") {
     val sp = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L),
       (3L, 11L), (4L, 12L)).toDF("l_suppkey", "l_partkey")
