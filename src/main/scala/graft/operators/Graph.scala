@@ -648,16 +648,40 @@ object Graph {
     chain.unionAll(back)
   }
 
+  /** SCC labels memoized per (session, dir): graph_scc and the
+    * condensation share one peeling run (the memo-producer-first bench
+    * discipline, same as pagerank → pagerank_topk). */
+  private def sccLabels(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":scc:" + dir,
+      graft.api.GraftOps.stronglyConnectedComponents(
+        sccEdges(spark, dir), "src", "dst").localCheckpoint())
+
   def graphScc(spark: SparkSession, dir: String): DataFrame = {
-    val scc = graft.api.GraftOps.stronglyConnectedComponents(
-      sccEdges(spark, dir), "src", "dst")
+    val scc = sccLabels(spark, dir)
     scc.join(scc.groupBy("scc").agg(count(lit(1)).as("scc_size")), "scc")
       .select(col("v"), col("scc"), col("scc_size"))
       .orderBy("v")
   }
 
-  private lazy val sccOracle: String =
-    s"""WITH RECURSIVE seq AS MATERIALIZED (
+  /** Condensation DAG: the graph OF the SCCs — one row per
+    * (src component, dst component) pair connected by ≥1 original
+    * edge, with the parallel-edge count. Two narrow label joins over
+    * the memoized SCC table; the result is what cycle-free downstream
+    * processing (topological order, reachability on the DAG) consumes. */
+  def graphSccCondensation(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = sccLabels(spark, dir)
+    sccEdges(spark, dir)
+      .join(lbl.select(col("v").as("src"), col("scc").as("src_scc")), "src")
+      .join(lbl.select(col("v").as("dst"), col("scc").as("dst_scc")), "dst")
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .groupBy("src_scc", "dst_scc").agg(count(lit(1)).as("n_edges"))
+      .orderBy("src_scc", "dst_scc")
+  }
+
+  /** Shared CTE body of the SCC oracles: graph construction, recursive
+    * closure, mutual pairs, labels. */
+  private lazy val sccCtes: String =
+    s"""seq AS MATERIALIZED (
             SELECT o_orderkey AS k, o_custkey AS c,
                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
             FROM orders),
@@ -684,10 +708,20 @@ object Graph {
           lab AS MATERIALIZED (
             SELECT verts.v, coalesce(least(verts.v, min(m.w)), verts.v) AS scc
             FROM verts LEFT JOIN mutual m ON verts.v = m.v
-            GROUP BY verts.v),
+            GROUP BY verts.v)"""
+
+  private lazy val sccOracle: String =
+    s"""WITH RECURSIVE $sccCtes,
           sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY 1)
         SELECT lab.v, lab.scc, sz.scc_size
         FROM lab JOIN sz ON lab.scc = sz.scc ORDER BY lab.v"""
+
+  private lazy val sccCondensationOracle: String =
+    s"""WITH RECURSIVE $sccCtes
+        SELECT la.scc AS src_scc, lb.scc AS dst_scc, count(*) AS n_edges
+        FROM edges e JOIN lab la ON e.src = la.v JOIN lab lb ON e.dst = lb.v
+        WHERE la.scc <> lb.scc
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Approximate closeness centrality (GraftOps.closenessSampled) on
     * the bipartite supplier↔part graph: hop distances from
@@ -881,6 +915,7 @@ object Graph {
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
+    QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),

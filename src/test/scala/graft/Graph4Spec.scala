@@ -255,6 +255,16 @@ class Graph4Spec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("scc condensation contains no 2-cycles (components were maximal)") {
+    // a→b and b→a surviving contraction would mean two "SCCs" are
+    // mutually reachable — i.e. the peeling under-merged them
+    val c = Graph.graphSccCondensation(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c.nonEmpty)
+    assert(c.forall { case (a, b) => !c.contains((b, a)) },
+      "condensation contains a mutual pair")
+  }
+
   test("closeness: K ≥ |V| reduces to exact closeness on a path") {
     // path 0-1-2: d-sums 3 / 2 / 3 → closeness 1.0 / 1.5 / 1.0
     val e = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
