@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -120,6 +120,82 @@ object ScaleOps {
       .orderBy("priority")
   }
 
+  /** Bit-interleave (Morton / Z-order) of two 16-bit keys — pure
+    * integer Column arithmetic, fully codegen'd. Sorting by the
+    * interleave clusters BOTH dimensions at once, so a 2-D box
+    * predicate skips most parquet row groups on min/max stats — the
+    * multi-dimensional complement of single-key sorting. */
+  def morton16(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      // 16-bit domain: keys fit at the test SFs; at real scale you
+      // z-order BUCKET ids (key div bucketWidth), not raw keys — the
+      // mask keeps the sort key well-defined either way
+      var x = x0.cast("long").bitwiseAND(lit(0xFFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+      x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+      x
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered copy of lineitem (clustered on morton16(l_partkey,
+    * l_suppkey), 16 z-range files), written once per (session, dir)
+    * with the key bounds cached alongside — deriving the box literals
+    * later would full-scan the layout whose whole point is skipping.
+    * ZOrderSpec measures the row-group skip against an unclustered
+    * copy of the same rows. */
+  private val zordered = scala.collection.concurrent.TrieMap[String, (String, Long, Long)]()
+  def zorderedLineitem(spark: SparkSession, dir: String): (String, Long, Long) =
+    zordered.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_lineitem_z${dir.hashCode & Int.MaxValue}").toString
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.withColumn("z", morton16(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      (path, b.getLong(1) - b.getLong(0), b.getLong(3) - b.getLong(2))
+    })
+
+  /** 2-D box aggregate over the z-ordered layout: both range
+    * predicates reach the parquet scan as literals (bounds read once
+    * at layout-write time, the q34 plan-construction pattern), so
+    * row-group min/max stats on the z-clustered files skip everything
+    * outside the box — a scan cost ∝ box volume, not table size. The
+    * oracle runs the identical box on the raw table (the layout is
+    * semantics-free). */
+  def q41ZorderBox(spark: SparkSession, dir: String): DataFrame = {
+    val (path, pkSpan, skSpan) = zorderedLineitem(spark, dir)
+    // a mid-table box covering ~1/8 of each dimension — populated at
+    // every SF because the bounds scale with the key ranges
+    val (pkLo, pkHi) = (1 + pkSpan / 2, 1 + pkSpan / 2 + (pkSpan / 8).max(1))
+    val (skLo, skHi) = (1 + skSpan / 2, 1 + skSpan / 2 + (skSpan / 8).max(1))
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(pkLo, pkHi) &&
+        col("l_suppkey").between(skLo, skHi))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** The oracle needs the same literals: derive them with the same
+    * integer arithmetic in SQL (spans from the raw table). */
+  private val zorderOracleSql: String =
+    """WITH b AS (SELECT max(l_partkey) - min(l_partkey) AS pks,
+                         max(l_suppkey) - min(l_suppkey) AS sks FROM lineitem)
+       SELECT count(*) AS n_items,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem, b
+       WHERE l_partkey BETWEEN 1 + pks // 2 AND 1 + pks // 2 + greatest(pks // 8, 1)
+         AND l_suppkey BETWEEN 1 + sks // 2 AND 1 + sks // 2 + greatest(sks // 8, 1)"""
+
   /** Runtime bloom-filter join reduction — the shuffle reducer Spark
     * injects when one join side carries a selective filter: the dim
     * side's join keys aggregate into a bloom filter at optimization
@@ -171,6 +247,7 @@ object ScaleOps {
          SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM ev WHERE day = (SELECT min(day) + 3 FROM ev)
          GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q41_zorder_box", q41ZorderBox, Some(zorderOracleSql)),
     QueryDef("q40_runtime_filter", q40RuntimeFilter, Some(
       """SELECT l.l_linestatus AS status, count(*) AS n_items,
                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
