@@ -678,6 +678,74 @@ object Graph {
       .orderBy("src_scc", "dst_scc")
   }
 
+  /** Topological levels of the SCC condensation DAG: level(c) = length
+    * of the longest path from any root to c — the stage number a
+    * scheduler would run component c in. Computed by TopoRounds
+    * synchronized max-relaxation rounds over the condensation edges
+    * (level ← max(level, 1 + level(pred)); correct on DAGs once rounds
+    * ≥ depth, and the condensation's depth is bounded by the run
+    * length, so SccChainLen rounds provably converge — Graph4Spec
+    * asserts the fixpoint). Output: (scc, level) plus the per-level
+    * component count. */
+  def graphTopoLevels(spark: SparkSession, dir: String): DataFrame =
+    topoLevelsOf(
+      graphSccCondensation(spark, dir)
+        .select(col("src_scc").as("src"), col("dst_scc").as("dst")),
+      SccChainLen)
+      .orderBy("scc")
+
+  /** The max-relaxation itself, over any DAG edge list (src, dst) —
+    * exposed so Graph4Spec can hand-check levels and assert the
+    * registered round count sits past the fixpoint. Covers vertices
+    * with ≥1 edge (isolated DAG nodes have no ordering content). */
+  def topoLevelsOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    val verts = e.select(col("src").as("c")).unionAll(e.select(col("dst").as("c")))
+      .distinct()
+    var lvl = verts.select(col("c"), lit(0L).as("level")).localCheckpoint()
+    // frontier delta, like the BFS family: only vertices whose level
+    // rose last round can raise a successor; empty frontier = fixpoint,
+    // so the loop exits early with output identical to the full unroll
+    var frontier = lvl
+    var i = 0
+    var settled = false
+    while (i < rounds && !settled) {
+      val relax = e.join(frontier, e("src") === frontier("c"))
+        .groupBy(e("dst").as("c")).agg((max(col("level")) + 1L).as("nl"))
+      val joined = lvl.join(relax, Seq("c"), "left")
+        .select(col("c"), greatest(col("level"), coalesce(col("nl"), col("level"))).as("l2"),
+          (col("nl").isNotNull && col("nl") > col("level")).as("__chg"))
+        .localCheckpoint()
+      frontier = joined.filter(col("__chg")).select(col("c"), col("l2").as("level"))
+      lvl = joined.select(col("c"), col("l2").as("level"))
+      settled = frontier.isEmpty
+      i += 1
+    }
+    lvl.join(lvl.groupBy("level").agg(count(lit(1)).as("n_comps")), "level")
+      .select(col("c").as("scc"), col("level"), col("n_comps"))
+  }
+
+  private lazy val topoOracle: String = {
+    val iterCtes = (1 to SccChainLen).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT e.dst AS c, max(l.level) + 1 AS nl
+                FROM l${t - 1} l JOIN ce e ON l.c = e.src GROUP BY 1),
+          l$t AS MATERIALIZED (SELECT l.c, greatest(l.level, coalesce(r.nl, l.level)) AS level
+                FROM l${t - 1} l LEFT JOIN r$t r ON l.c = r.c)"""
+    }.mkString(",\n          ")
+    s"""WITH RECURSIVE $sccCtes,
+          ce AS MATERIALIZED (
+            SELECT DISTINCT la.scc AS src, lb.scc AS dst
+            FROM edges e JOIN lab la ON e.src = la.v JOIN lab lb ON e.dst = lb.v
+            WHERE la.scc <> lb.scc),
+          cv AS MATERIALIZED (SELECT DISTINCT c FROM
+            (SELECT src AS c FROM ce UNION ALL SELECT dst FROM ce)),
+          l0 AS MATERIALIZED (SELECT c, 0::BIGINT AS level FROM cv),
+          $iterCtes,
+          sz AS (SELECT level, count(*) AS n_comps FROM l$SccChainLen GROUP BY 1)
+        SELECT l.c AS scc, l.level, sz.n_comps
+        FROM l$SccChainLen l JOIN sz ON l.level = sz.level ORDER BY scc"""
+  }
+
   /** Shared CTE body of the SCC oracles: graph construction, recursive
     * closure, mutual pairs, labels. */
   private lazy val sccCtes: String =
@@ -916,6 +984,7 @@ object Graph {
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
+    QueryDef("graph_topo_levels", graphTopoLevels, Some(topoOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),

@@ -265,6 +265,20 @@ class Graph4Spec extends SparkSpec {
       "condensation contains a mutual pair")
   }
 
+  test("topo levels: longest-path stages on a hand DAG; fixpoint at test scale") {
+    // 1→2→3 plus shortcut 1→3: level(3) must follow the LONG path (2)
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val l = Graph.topoLevelsOf(dag, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // registered round count exceeds the condensation's depth
+    val ce = Graph.graphSccCondensation(SparkSpec.spark, sf)
+      .select(col("src_scc").as("src"), col("dst_scc").as("dst"))
+    def levels(r: Int) = Graph.topoLevelsOf(ce, r).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(levels(Graph.SccChainLen) == levels(Graph.SccChainLen + 1))
+  }
+
   test("closeness: K ≥ |V| reduces to exact closeness on a path") {
     // path 0-1-2: d-sums 3 / 2 / 3 → closeness 1.0 / 1.5 / 1.0
     val e = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
