@@ -1082,6 +1082,73 @@ object GraftOps {
           .otherwise(round(col("n_src") / col("sum_dist"), 6)).as("closeness"))
   }
 
+  /** Approximate betweenness centrality from K deterministically-
+    * sampled sources — Brandes' algorithm (2001), the forward phase
+    * shared in shape with [[closenessSampled]]:
+    *
+    *   forward:  level-synchronous BFS per (source, vertex) pair that
+    *             also accumulates σ(s,v), the NUMBER of shortest s→v
+    *             paths (σ of a new vertex = Σ σ of its predecessors);
+    *   backward: dependency accumulation from the deepest level up,
+    *             δ(s,u) = Σ_{u→w, d(w)=d(u)+1} σ(s,u)/σ(s,w)·(1+δ(s,w)),
+    *             one groupBy per level;
+    *   result:   bc(v) = Σ_s δ(s,v) / 2 (undirected halving).
+    *
+    * Sources are the K hash-min vertices (md5 order), so a SQL oracle
+    * replays the identical sample; δ is rounded to 9 dp per level
+    * (the kmeans discipline) so both engines sum identical numbers.
+    * Each phase is ≤ `rounds` joins of (s,v)-keyed tables against the
+    * checkpointed edge set — K sweeps sharing every scan. */
+  def betweennessSampled(und: DataFrame, u: String, v: String,
+                         k: Int, rounds: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val sources = edges.select(col("src").as("n")).distinct()
+      .orderBy(md5(col("n").cast("string")), col("n")).limit(k)
+      .select(col("n").as("s"))
+    // forward: one DataFrame per BFS level, (s, v, sigma); `seen` is a
+    // lazy union over the checkpointed levels — no materialization of
+    // its own, the anti-join just scans the level checkpoints
+    var level = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector(level)
+    def seen = levels.map(_.select(col("s"), col("v"))).reduce(_ unionAll _)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val nxt = edges.join(level, edges("src") === level("v"))
+        .groupBy(col("s"), edges("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(seen, Seq("s", "v"), "left_anti")
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else { levels :+= nxt; level = nxt }
+      r += 1
+    }
+    // backward: δ per (s, v), deepest level first; each step is one
+    // edge join between adjacent levels + a groupBy on the pred
+    var delta = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    var acc = delta
+    for (lev <- levels.size - 2 to 0 by -1) {
+      val succ = levels(lev + 1)
+        .join(delta.select(col("s"), col("v"), col("delta")), Seq("s", "v"))
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = edges.join(succ, edges("dst") === succ("w"))
+        .select(col("s"), edges("src").as("v"), col("sw"), col("dw"))
+      delta = levels(lev).join(contrib, Seq("s", "v"), "left")
+        .groupBy(col("s"), col("v"), col("sigma"))
+        .agg(round(coalesce(sum(col("sigma") / col("sw") * (lit(1.0) + col("dw"))),
+          lit(0.0)), 9).as("delta"))
+        .select(col("s"), col("v"), col("sigma"), col("delta"))
+        .localCheckpoint()
+      acc = acc.unionAll(delta.select(col("s"), col("v"), col("delta")))
+    }
+    // sources contribute no dependency to themselves: drop (s, v = s)
+    acc.filter(col("s") =!= col("v"))
+      .groupBy("v").agg(round(sum(col("delta")) / 2, 6).as("betweenness"))
+  }
+
   /** Strongly-connected components of a DIRECTED edge list, by
     * forward–backward reachability peeling (the FW-BW idea without the
     * recursion): per outer round, propagate an extremal priority to

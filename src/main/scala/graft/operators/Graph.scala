@@ -805,6 +805,59 @@ object Graph {
       .orderBy("v")
   }
 
+  /** Approximate betweenness centrality (GraftOps.betweennessSampled,
+    * Brandes from BetweennessK md5-sampled sources) on the bipartite
+    * supplier↔part graph — the σ path counts and per-level δ
+    * accumulation verify against a fully unrolled two-phase oracle. */
+  val BetweennessK = 4
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.betweennessSampled(und, "s", "p", BetweennessK, BfsRounds)
+      .orderBy("v")
+  }
+
+  /** Two-phase Brandes unroll: forward levels l0..lR carrying σ (new
+    * vertices only — NOT EXISTS against the cumulative set), then
+    * dependency CTEs dR..d0 walking the levels back down, δ rounded to
+    * 9 dp per level exactly like the Spark plan. */
+  private lazy val betweennessOracle: String = {
+    val R = BfsRounds
+    val fwdCtes = (1 to R).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+                FROM l${t - 1} f JOIN edges e ON f.v = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM a${t - 1} p
+                                  WHERE p.s = f.s AND p.v = e.dst)
+                GROUP BY 1, 2),
+          a$t AS MATERIALIZED (SELECT s, v FROM a${t - 1}
+                UNION ALL SELECT s, v FROM l$t)"""
+    }.mkString(",\n          ")
+    val bwdCtes = (R - 1 to 0 by -1).map { lev =>
+      s"""d$lev AS MATERIALIZED (
+            SELECT lu.s, lu.v,
+                   round(coalesce(sum(lu.sigma / CAST(c.sw AS DOUBLE) * (1 + c.dwv)), 0), 9) AS delta
+            FROM l$lev lu
+            LEFT JOIN (SELECT lw.s, e.src AS u, lw.sigma AS sw, dw.delta AS dwv
+                       FROM edges e JOIN l${lev + 1} lw ON e.dst = lw.v
+                       JOIN d${lev + 1} dw ON dw.s = lw.s AND dw.v = lw.v) c
+              ON c.s = lu.s AND c.u = lu.v
+            GROUP BY 1, 2)"""
+    }.mkString(",\n          ")
+    val allD = (0 to R).map(l => s"SELECT s, v, delta FROM d$l").mkString("\n            UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          srcs AS MATERIALIZED (SELECT n AS s FROM (SELECT DISTINCT src AS n FROM edges)
+                ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $BetweennessK),
+          l0 AS MATERIALIZED (SELECT s, s AS v, 1::BIGINT AS sigma FROM srcs),
+          a0 AS MATERIALIZED (SELECT s, v FROM l0),
+          $fwdCtes,
+          d$R AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM l$R),
+          $bwdCtes,
+          alld AS ($allD)
+        SELECT v, round(sum(delta) / 2, 6) AS betweenness
+        FROM alld WHERE s <> v GROUP BY v ORDER BY v"""
+  }
+
   /** Per-(source, vertex) unrolled BFS — the bfsOracle pattern keyed by
     * (s, v); sources are the md5-min vertices, replayed identically. */
   private lazy val closenessOracle: String = {
@@ -983,6 +1036,7 @@ object Graph {
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
+    QueryDef("graph_betweenness", graphBetweenness, Some(betweennessOracle)),
     QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
     QueryDef("graph_topo_levels", graphTopoLevels, Some(topoOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),

@@ -279,6 +279,19 @@ class Graph4Spec extends SparkSpec {
     assert(levels(Graph.SccChainLen) == levels(Graph.SccChainLen + 1))
   }
 
+  test("betweenness: K ≥ |V| reduces to exact Brandes on path and star") {
+    // path 0-1-2: only the middle vertex carries shortest paths
+    val path3 = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val bc = GraftOps.betweennessSampled(path3, "a", "b", k = 10, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc == Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.0))
+    // star: the hub carries every leaf pair — C(4,2) = 6
+    val star = (1L to 4L).map(i => (0L, i)).toDF("a", "b")
+    val sc = GraftOps.betweennessSampled(star, "a", "b", k = 10, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(0L) == 6.0 && (1L to 4L).forall(i => sc(i) == 0.0))
+  }
+
   test("closeness: K ≥ |V| reduces to exact closeness on a path") {
     // path 0-1-2: d-sums 3 / 2 / 3 → closeness 1.0 / 1.5 / 1.0
     val e = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
