@@ -234,14 +234,47 @@ object Similarity {
   val PqIters = 2
   val PqShortlist = 50
   def annPq(spark: SparkSession, dir: String): DataFrame =
-    annPq(spark, dir, PqShortlist)
+    annPqCore(spark, dir, PqShortlist, permuted = false)
 
-  def annPq(spark: SparkSession, dir: String, shortlistK: Int): DataFrame = {
-    val e = emb(spark, dir)
+  def annPq(spark: SparkSession, dir: String, shortlistK: Int): DataFrame =
+    annPqCore(spark, dir, shortlistK, permuted = false)
+
+  /** Deterministic md5-ordered permutation of the embedding dimensions
+    * — the cheap, oracle-replayable slice of OPQ (Ge et al., CVPR'13):
+    * plain PQ puts ADJACENT dims in the same codebook, so structured
+    * vectors concentrate variance in a few subspaces; a fixed random
+    * permutation spreads it evenly (the learned rotation is the part
+    * SQL can't replay). Dot products are permutation-invariant, so the
+    * exact re-rank semantics are untouched. */
+  lazy val PqPerm: Seq[Int] = {
+    def h(i: Int): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to PqM * PqSub).sortBy(i => (h(i), i))
+  }
+  private lazy val permVecSql: String =
+    s"transform(array(${PqPerm.mkString(", ")}), i -> CAST(element_at(embedding, i) AS DOUBLE))"
+
+  /** PQ over the permuted dimensions (sim_ann_pq_perm). */
+  def annPqPerm(spark: SparkSession, dir: String): DataFrame =
+    annPqCore(spark, dir, PqShortlist, permuted = true)
+
+  def annPqPerm(spark: SparkSession, dir: String, shortlistK: Int): DataFrame =
+    annPqCore(spark, dir, shortlistK, permuted = true)
+
+  private def annPqCore(spark: SparkSession, dir: String, shortlistK: Int,
+                        permuted: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e =
+      if (!permuted) emb(spark, dir)
+      else Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr(permVecSql).as("v"))
     // per-subspace codebooks; checkpointed — each feeds encode AND luts
     val books = (0 until PqM).map { m =>
+      val subExpr =
+        if (!permuted) s"slice(embedding, ${m * PqSub + 1}, $PqSub)"
+        else s"slice($permVecSql, ${m * PqSub + 1}, $PqSub)"
       val sub = Tables.embeddings(spark, dir).select(col("vec_id"),
-        expr(s"slice(embedding, ${m * PqSub + 1}, $PqSub)").as("x"))
+        expr(subExpr).as("x"))
       graft.api.GraftOps.kmeansL2(sub, "vec_id", "x", PqK, PqIters)
         .localCheckpoint()
     }
@@ -581,7 +614,7 @@ object Similarity {
     * generator (one definition of seeds/assign/9dp-means/carryover for
     * both the PQ and IVF-PQ oracles), this wraps it with the subspace
     * slice, the encode pass and the per-query LUT. */
-  private lazy val pqCtes: String = {
+  private def pqCtesWith(eDef: String): String = {
     val blocks = (0 until PqM).map { m =>
       val cFin = s"s${m}c$PqIters"
       s"""e$m AS MATERIALIZED (SELECT vec_id, ${subSql("v", m)} AS x FROM e),
@@ -595,9 +628,12 @@ object Similarity {
                 ${l2ScoreSql("q.x", "c.cv")} AS t
                 FROM e$m q, $cFin c WHERE q.vec_id < $NumQueries)"""
     }.mkString(",\n          ")
-    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS MATERIALIZED ($eDef),
           $blocks"""
   }
+
+  private lazy val pqCtes: String =
+    pqCtesWith("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
 
   /** Unrolled L2 Lloyd CTE chain over a (vec_id, x DOUBLE[]) CTE `src`:
     * emits ${p}c0..${p}c$iters with exactly the kmeansL2 semantics
@@ -749,8 +785,15 @@ object Similarity {
           $ivfPqTailCtes"""
   }
 
-  private lazy val annPqOracle: String =
-    s"""WITH $pqCtes,
+  private lazy val annPqOracle: String = pqOracleWith(pqCtes)
+
+  /** Same pipeline over md5-permuted dimensions — only the e CTE
+    * changes (list_select with the literal permutation). */
+  private lazy val annPqPermOracle: String = pqOracleWith(pqCtesWith(
+    s"SELECT vec_id, list_select(embedding::DOUBLE[], [${PqPerm.mkString(", ")}]) AS v FROM embeddings"))
+
+  private def pqOracleWith(ctes: String): String =
+    s"""WITH $ctes,
           scored AS (SELECT l0.qid, c0.vec_id, l0.t + l1.t + l2.t + l3.t AS score
                      FROM code0 c0
                      JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
@@ -801,7 +844,8 @@ object Similarity {
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
-    QueryDef("sim_ann_pq", annPq, Some(annPqOracle)),
+    QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
+    QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
     QueryDef("sim_ann_ivfpq_percell", annIvfPqPerCell, Some(annIvfPqPerCellOracle)),
   )

@@ -68,6 +68,21 @@ class PqSpec extends SparkSpec {
     assert(topk(Similarity.annIvfPq(spark, sf)) == topk(Similarity.annIvfPq(spark, sf)))
   }
 
+  test("permuted-dimension PQ: exact when the shortlist covers the corpus; deterministic; recall floor") {
+    // permutation leaves true distances unchanged, so the degenerate
+    // full-shortlist case must still return the exact top-k
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    assert(topk(Similarity.annPqPerm(spark, sf, shortlistK = n + 1)) == exactL2(sf))
+    assert(topk(Similarity.annPqPerm(spark, sf)) == topk(Similarity.annPqPerm(spark, sf)))
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    val pq = topk(Similarity.annPqPerm(spark, dir))
+    val recall = exact.map { case (q, ids) =>
+      ids.toSet.intersect(pq.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.4, s"permuted-PQ recall@5 $recall below 0.4")
+  }
+
   test("per-cell residual codebooks recall ≥ shared-codebook recall at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val exact = exactL2(dir)
