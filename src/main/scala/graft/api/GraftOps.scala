@@ -141,8 +141,15 @@ object GraftOps {
         half(cand, "a").join(half(cand, "b"), Seq("bj", "bv"))
           .filter(col("a") < col("b")).select("a", "b")
       else {
+        // checkpoint only the (bj, bv, __n) COUNTS — bucket-cardinality-
+        // sized. Materializing the full tagged candidate table would
+        // store |bands|×|docs| rows executor-local, dominating the very
+        // stage the salting protects at 100 TB; the tag join instead
+        // recomputes lazily per consumer from the (already-checkpointed)
+        // signature scan against this small counts table.
         val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
-        val tagged = cand.join(counts, Seq("bj", "bv")).localCheckpoint()
+          .localCheckpoint()
+        val tagged = cand.join(counts, Seq("bj", "bv"))
         val cold = tagged.filter(col("__n") <= hotThreshold)
         val coldPairs = half(cold, "a").join(half(cold, "b"), Seq("bj", "bv"))
           .filter(col("a") < col("b")).select("a", "b")
@@ -1108,12 +1115,13 @@ object GraftOps {
       .orderBy(md5(col("n").cast("string")), col("n")).limit(k)
       .select(col("n").as("s"))
     // forward: one DataFrame per BFS level, (s, v, sigma); `seen` is a
-    // lazy union over the checkpointed levels — no materialization of
-    // its own, the anti-join just scans the level checkpoints
+    // CUMULATIVE checkpointed (s, v) table — round r anti-joins one
+    // table, where re-unioning the level checkpoints each round would
+    // cost O(L²) scans of them over the whole phase
     var level = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
       .localCheckpoint()
     var levels = Vector(level)
-    def seen = levels.map(_.select(col("s"), col("v"))).reduce(_ unionAll _)
+    var seen = level.select(col("s"), col("v")).localCheckpoint()
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -1122,7 +1130,10 @@ object GraftOps {
         .join(seen, Seq("s", "v"), "left_anti")
         .localCheckpoint()
       if (nxt.isEmpty) done = true
-      else { levels :+= nxt; level = nxt }
+      else {
+        levels :+= nxt; level = nxt
+        seen = seen.unionAll(nxt.select(col("s"), col("v"))).localCheckpoint()
+      }
       r += 1
     }
     // backward: δ per (s, v), deepest level first; each step is one
@@ -1151,7 +1162,8 @@ object GraftOps {
 
   /** Strongly-connected components of a DIRECTED edge list, by
     * forward–backward reachability peeling (the FW-BW idea without the
-    * recursion): per outer round, propagate an extremal priority to
+    * recursion), with a degree-0 TRIM stage before each sweep round
+    * (see `trim` below): per outer round, propagate an extremal priority to
     * fixpoint along edges (F = over ancestors) and along reversed edges
     * (B = over descendants). F and B are constant across an SCC (all
     * members share ancestor and descendant sets), and F(v) = B(v) = p
@@ -1177,12 +1189,41 @@ object GraftOps {
     * convergence aggregation. No broadcast hints; AQE decides.
     */
   def stronglyConnectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
-                                  maxOuter: Int = 20, maxSweep: Int = 40): DataFrame = {
+                                  maxOuter: Int = 20, maxSweep: Int = 40,
+                                  maxTrim: Int = 8): DataFrame = {
     val e0 = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val prio = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
-    var verts = e0.select(col("src").as("v")).unionAll(e0.select(col("dst").as("v")))
-      .distinct().withColumn("p", prio).localCheckpoint()
+    // Priority UNIQUENESS is a soundness requirement, not a tuning knob:
+    // if an ancestor and a descendant of v (not mutually reachable)
+    // shared a priority, fm == bm could match and merge v into a wrong
+    // SCC with no error. 60-bit md5 collides with probability ~|V|²/2⁶¹
+    // — negligible, but not zero — so verify with one distinct-count
+    // agg and salt the hash until unique (expected zero retries). The
+    // oracle is an independent transitive closure, so the salt never
+    // needs replaying.
+    val vset = e0.select(col("src").as("v")).unionAll(e0.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    def withPrio(s: Int): DataFrame = {
+      val base = if (s == 0) col("v").cast("string")
+                 else concat(col("v").cast("string"), lit("#" + s))
+      vset.withColumn("p",
+        conv(substring(md5(base), 1, 15), 16, 10).cast("long")).localCheckpoint()
+    }
+    var salt = 0
+    var verts = withPrio(salt)
+    // (total, distinct) in one agg: the total also seeds the outer
+    // loop's running vertex count, so uniqueness costs no extra job
+    def counts(vs: DataFrame): (Long, Long) = {
+      val r = vs.agg(count(lit(1)).as("n"), countDistinct(col("p")).as("d")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (nv, nDistinct) = counts(verts)
+    while (nDistinct < nv) {
+      salt += 1
+      require(salt <= 4, "SCC priorities not unique after 4 salted re-hashes")
+      verts = withPrio(salt)
+      val c = counts(verts); nv = c._1; nDistinct = c._2
+    }
     var edges = e0
 
     // BOTH extremal-priority propagations in one delta loop: per round,
@@ -1230,10 +1271,56 @@ object GraftOps {
     }
 
     var out = verts.limit(0).select(col("v"), col("v").as("scc"))
+
+    // TRIM (the FW-BW-Trim stage, Hong et al. PPoPP'13): a vertex with
+    // zero in-degree or zero out-degree in the CURRENT subgraph cannot
+    // lie on a cycle, so it is its own singleton SCC — peel such
+    // vertices iteratively (removing a layer exposes the next) before
+    // paying a sweep. On singleton-heavy tails (chain suffixes after
+    // the last back-edge, isolated fragments left by a peel) this
+    // replaces whole sweep rounds with cheap degree checks: each trim
+    // round is two distincts over the shrinking edge set + semi/anti
+    // joins, vs a sweep round's three joins over a 5-column label
+    // table. Capped at `maxTrim` rounds per outer round — the cap is
+    // pure tuning (long open chains peel only from their ends, 2 per
+    // round, and the sweep handles whatever trim leaves), never a
+    // soundness issue.
+    def trim(nVerts: Long): Long = {
+      val before = verts
+      var n = nVerts
+      var r = 0
+      var quiet = false
+      while (!quiet && r < maxTrim) {
+        // one checkpoint + one count per round (the count reads the
+        // fresh checkpoint — cheap); peeled rows are reconstructed ONCE
+        // after the loop, not per round
+        val keep = verts
+          .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+          .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi")
+          .localCheckpoint()
+        val m = keep.count()
+        if (m == n) quiet = true
+        else {
+          verts = keep
+          edges = edges
+            .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).localCheckpoint()
+          n = m
+        }
+        r += 1
+      }
+      if (n < nVerts)
+        out = out.unionAll(before.join(verts, Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("scc")))
+      n
+    }
+
     var outer = 0
     var done = false
     while (!done && outer < maxOuter) {
-      if (verts.isEmpty) done = true
+      nv = trim(nv)
+      if (nv == 0L) done = true
       else {
         val fb = sweepBoth(verts, edges)
         // group key is a string tag + the matched priority: the matched
@@ -1249,6 +1336,7 @@ object GraftOps {
           lab.join(lab.groupBy("g").agg(min(col("v")).as("scc")), "g")
             .select(col("v"), col("scc")))
         verts = verts.join(lab, Seq("v"), "left_anti").localCheckpoint()
+        nv = verts.count() // fresh checkpoint — a cheap scan
         edges = edges
           .join(verts.select(col("v").as("src")), Seq("src"), "left_semi")
           .join(verts.select(col("v").as("dst")), Seq("dst"), "left_semi")
@@ -1311,13 +1399,18 @@ object GraftOps {
   }
 
   /** Wedge-sampling triangle estimate (Seshadhri et al., SDM'13): the
-    * DOULION complement. All wedges are still ENUMERATED (the same
-    * wedge join streams, never materialized), but only an md5-sampled
-    * fraction p pays the closing semi-join; estimate = closed/p. The
-    * closed-fraction standard error ≈ √(q(1−q)/(p·W)) with q = T/W —
-    * independent of degree skew, where DOULION's 1/p³ scaling inflates
-    * hub-heavy variance. The total wedge count comes from out-degrees
-    * (Σ d·(d−1)/2 — an agg, not a wedge materialization).
+    * DOULION complement. The sample rule lives on the wedge's HIGHER-
+    * ordered edge (e2): a wedge is kept iff md5("w_" ++ e2) falls under
+    * p, so the e2 side of the wedge self-join is thinned to ~p·|E| rows
+    * BEFORE any pair materializes — enumeration itself shrinks ~p, not
+    * just the closing probe (at toy scale this puts the sampled tier's
+    * cost well under the exact count's, which shares the full join).
+    * Every wedge still enters with marginal probability exactly p
+    * (cut/10000), so estimate = closed/p stays unbiased; wedges sharing
+    * a sampled e2 edge enter together (cluster sampling — mild positive
+    * correlation, still degree-skew-robust where DOULION's 1/p³ scaling
+    * inflates hub-heavy variance). The total wedge count comes from
+    * out-degrees (Σ d·(d−1)/2 — an agg, not a wedge materialization).
     * Deterministic hash sampling: the SQL oracle replays the identical
     * sample. Returns (n_triangles_est, n_closed_in_sample,
     * n_sampled_wedges, n_wedges). */
@@ -1331,13 +1424,16 @@ object GraftOps {
     val or = orientEdges(und)
     val totalWedges = or.groupBy("src").agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    // "w_" salt keeps this edge hash disjoint from DOULION's (which
+    // samples the same canonical pairs without a prefix)
+    val e2 = or.filter(graft.functions.TextFns.hash32(
+      concat(lit("w_"), col("src").cast("string"), lit("_"),
+        col("dst").cast("string"))) % 10000 < cut)
+      .localCheckpoint() // ~p·|E| rows, read by the join build side
     val sampled = or.as("e1")
-      .join(or.as("e2"),
+      .join(e2.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
-      .select(col("e1.src").as("c"), col("e1.dst").as("u"), col("e2.dst").as("w"))
-      .filter(graft.functions.TextFns.hash32(
-        concat(col("c").cast("string"), lit("_"), col("u").cast("string"),
-          lit("_"), col("w").cast("string"))) % 10000 < cut)
+      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
       .localCheckpoint() // consumed by the sample count AND the closure
     val closed = sampled
       .join(or.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")

@@ -981,7 +981,9 @@ object Graph {
 
   /** Oracle mirrors the DEGREE-ORDERED orientation exactly (row-value
     * (d, id) comparison — the sample is orientation-dependent, unlike
-    * the exact count), then replays the md5 wedge sample. */
+    * the exact count), then replays the md5 e2-EDGE sample: the wedge's
+    * higher-ordered edge is hashed, thinning the join's build side
+    * before pairs form — identical rule to triangleCountWedge. */
   private lazy val wedgeOracle: String = {
     val cut = (WedgeSampleP * 10000).toInt
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -996,13 +998,13 @@ object Graph {
             FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
           tot AS (SELECT coalesce(sum(od * (od - 1) // 2), 0)::BIGINT AS n_wedges FROM (
                     SELECT src, count(*) AS od FROM orx GROUP BY 1)),
+          e2s AS MATERIALIZED (SELECT src, dst, dd FROM orx
+            WHERE ('0x' || substr(md5('w_' || CAST(src AS VARCHAR) || '_' ||
+                     CAST(dst AS VARCHAR)), 1, 8))::BIGINT % 10000 < $cut),
           samp AS MATERIALIZED (
-            SELECT e1.src AS c, e1.dst AS u, e2.dst AS w
-            FROM orx e1 JOIN orx e2 ON e1.src = e2.src
-              AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
-            WHERE ('0x' || substr(md5(CAST(e1.src AS VARCHAR) || '_' ||
-                     CAST(e1.dst AS VARCHAR) || '_' || CAST(e2.dst AS VARCHAR)), 1, 8))::BIGINT
-                  % 10000 < $cut),
+            SELECT e1.dst AS u, e2.dst AS w
+            FROM orx e1 JOIN e2s e2 ON e1.src = e2.src
+              AND (e1.dd, e1.dst) < (e2.dd, e2.dst)),
           closed AS (SELECT count(*) AS n_closed FROM samp
                      WHERE EXISTS (SELECT 1 FROM orx o WHERE o.src = samp.u AND o.dst = samp.w)),
           ns AS (SELECT count(*) AS n_sampled_wedges FROM samp)

@@ -15,6 +15,14 @@ import graft.sources.Tables
 object ScaleOps {
   val NBuckets = 8
 
+  // layout paths/table names carry an md5 of the FULL dir string, not
+  // dir.hashCode: the memos are keyed by the full string, so two dirs
+  // with colliding hashCodes in one session would silently overwrite
+  // each other's on-disk layout while both memo entries stayed live
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   // bucketed managed tables are written once per (session, dir) — the
   // point is that the QUERY runs shuffle-free; the write is load-time
   private val written = scala.collection.concurrent.TrieMap[String, (String, String)]()
@@ -31,7 +39,7 @@ object ScaleOps {
 
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     written.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
-      val suffix = (dir.hashCode & Int.MaxValue).toString
+      val suffix = dirKey(dir)
       val (lt, ot) = (s"graft_lineitem_b$suffix", s"graft_orders_b$suffix")
       dropStale(spark, lt); dropStale(spark, ot)
       Tables.writeBucketed(
@@ -73,7 +81,7 @@ object ScaleOps {
     partitioned.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
       val path = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
-        s"graft_events_byday${dir.hashCode & Int.MaxValue}").toString
+        s"graft_events_byday${dirKey(dir)}").toString
       val byDay = Tables.events(spark, dir)
         .withColumn("day", expr("ts_us div 86400000000"))
       byDay.write.mode("overwrite").partitionBy("day").parquet(path)
@@ -151,7 +159,7 @@ object ScaleOps {
     zordered.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
       val path = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
-        s"graft_lineitem_z${dir.hashCode & Int.MaxValue}").toString
+        s"graft_lineitem_z${dirKey(dir)}").toString
       val li = Tables.lineitem(spark, dir)
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
           col("l_discount"))

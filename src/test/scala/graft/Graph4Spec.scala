@@ -247,6 +247,25 @@ class Graph4Spec extends SparkSpec {
     assert(r == (1L to 10L).map(v => v -> v).toMap)
   }
 
+  test("scc: chain with pendants — trim peels degree-0 layers, and is semantics-free") {
+    // core 3-cycle {1,2,3}; out-pendant chain 3→4→5→6 (trim peels the
+    // degree-0 tail layer by layer), in-pendant chain 7→8→1 (peels from
+    // the head), and a detached edge 20→21 — everything but the cycle
+    // should fall to the trim stage before any sweep runs
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 1L), (20L, 21L)).toDF("s", "d")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 6L,
+      7L -> 7L, 8L -> 8L, 20L -> 20L, 21L -> 21L)
+    val r = GraftOps.stronglyConnectedComponents(e, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == want)
+    // trim disabled (maxTrim = 0) must give the identical answer: the
+    // stage is an optimization, never a semantics change
+    val r0 = GraftOps.stronglyConnectedComponents(e, "s", "d", maxTrim = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r0 == want)
+  }
+
   test("scc: two cycles bridged by a one-way edge stay separate") {
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
       .toDF("s", "d")
