@@ -164,11 +164,15 @@ object Bench {
     val streamJson = stream.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
-    println(json)
     // console capture can truncate long lines mid-JSON; the file copy is
     // the durable artifact
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json.getBytes("UTF-8"))
+    // stop Spark BEFORE printing: shutdown WARN lines interleaved after
+    // the JSON made the driver's stdout parse come up empty (r4/r5 both
+    // recorded parsed: null) — the JSON line must be the last stdout
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

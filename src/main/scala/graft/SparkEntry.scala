@@ -24,4 +24,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** For each rows-only query (no value oracle BY DESIGN — SGD float
+    * paths, sketch registers), DuckDB SQL recomputing the EXPECTED row
+    * count independently (one row, one BIGINT `expected_rows`). */
+  def rowsOracleSql: Map[String, String] =
+    all.flatMap(q => q.rowsOracle.map(q.name -> _)).toMap
 }

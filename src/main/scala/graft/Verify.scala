@@ -44,6 +44,19 @@ object Verify {
       .filter { case (k, _) => wanted(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only tier: record each query's ACTUAL row count (read back
+    // from the parquet just written) next to DuckDB SQL recomputing the
+    // EXPECTED count, so the artifact self-describes as a weaker-but-
+    // real check instead of reading as a missing oracle
+    val rowsJson = SparkEntry.rowsOracleSql
+      .filter { case (k, _) => wanted(k) }
+      .flatMap { case (k, sql) =>
+        try {
+          val n = spark.read.parquet(s"$outDir/$k").count()
+          Some(s"${q(k)}: {${q("rows")}: $n, ${q("expected_rows_sql")}: ${q(sql)}}")
+        } catch { case _: Throwable => None }
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_check.json"), rowsJson)
     spark.stop()
   }
 }

@@ -235,12 +235,24 @@ object Classify {
                 round(ln((ch + 1) / (CAST(nh AS DOUBLE) + v)), 6) AS ll_ham
                 FROM counts, tot)"""
 
+  // rows oracles for the by-design rows-only tier: SGD float weights
+  // aren't SQL-expressible, but the model's ROW COUNT is — one weight
+  // per distinct hashed feature over the corpus (sgd touches every
+  // feature it sees), replayed with the identical md5-mod-1000 hash
+  private val nFeaturesSql =
+    s"""SELECT count(DISTINCT ('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace)
+          AS expected_rows
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)"""
+  private val nDocsSql =
+    "SELECT count(*) AS expected_rows FROM documents"
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("spam_train", train, None),
-    QueryDef("spam_train_shuffled", trainShuffled, None),
-    QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d), None),
-    QueryDef("spam_apply", apply_, None),
-    QueryDef("spam_ensemble", ensemble, None),
+    QueryDef("spam_train", train, None, rowsOracle = Some(nFeaturesSql)),
+    QueryDef("spam_train_shuffled", trainShuffled, None, rowsOracle = Some(nFeaturesSql)),
+    QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d), None,
+      rowsOracle = Some(nFeaturesSql)),
+    QueryDef("spam_apply", apply_, None, rowsOracle = Some(nDocsSql)),
+    QueryDef("spam_ensemble", ensemble, None, rowsOracle = Some(nDocsSql)),
     QueryDef("spam_nb_train", nbTrain, Some(
       s"""WITH $nbModelSql
           SELECT t, ll_spam, ll_ham FROM model ORDER BY t""")),

@@ -50,7 +50,11 @@ object Relational {
   }
 
   /** a6 Q3: lineitems on the day with part/supplier names — both dims
-    * broadcast (the reference hand-rolls this with collectAsMap). */
+    * broadcast (the reference hand-rolls this with collectAsMap). The
+    * explicit hints are REFERENCE FIDELITY (the map-side join IS the
+    * a6 Q3 assignment), not the at-scale plan: part/supplier grow with
+    * SF, so at 100x a forced broadcast turns multi-GB — there you drop
+    * the hints and let AQE pick broadcast only while the dims fit. */
   def q3BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")) === lit(ShipDate))
@@ -371,7 +375,10 @@ object Relational {
                  round(sum(value), 2) AS sum_value,
                  min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
-    QueryDef("q13_approx_sketch", q13ApproxSketch, None),
+    // sketch registers (HLL, KLL) aren't SQL-replayable, but the group
+    // count is: one row per distinct returnflag (rows-only by design)
+    QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
+      "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
     QueryDef("q14_asof_join", q14AsofJoin, Some(
       """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
                 (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)

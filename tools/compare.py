@@ -88,6 +88,23 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(g[1])} rows)")
             n_pass += 1
+    # rows-only tier (by design, no value oracle): Verify records actual
+    # row counts + DuckDB SQL recomputing the expected count
+    rc_path = f"{out_dir}/rows_check.json"
+    if os.path.exists(rc_path):
+        for name, rec in sorted(json.load(open(rc_path)).items()):
+            try:
+                expected = con.execute(rec["expected_rows_sql"]).fetchone()[0]
+            except Exception as e:
+                print(f"FAIL {name} (rows-only): {str(e)[:200]}")
+                n_fail += 1
+                continue
+            if rec["rows"] == expected:
+                print(f"PASS {name} (rows-only: {expected} rows)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name} (rows-only): {rec['rows']} vs expected {expected}")
+                n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
