@@ -193,6 +193,112 @@ object ScaleOps {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** 3-way bit interleave (Morton) of three BUCKET ids (16 bits each →
+    * 48-bit z-value) — the n-D generalization of [[morton16]], same
+    * pure codegen'd integer arithmetic (the masks are the standard
+    * 3-way spreads, good to 21 bits/key). The contract at scale:
+    * mixed-type keys first bucketize to a bounded integer grid — ints
+    * divide by a width, dates/timestamps become days-since-min,
+    * strings would take a hash prefix — then the interleave clusters
+    * all three dimensions at once. */
+  def morton3(a: Column, b: Column, c: Column): Column = {
+    def spread(x0: Column): Column = {
+      var x = x0.cast("long").bitwiseAND(lit(0xFFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 32))).bitwiseAND(lit(0x1F00000000FFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x1F0000FF0000FFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x100F00F00F00F00FL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x1249249249249249L))
+      x
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1)).bitwiseOR(shiftleft(spread(c), 2))
+  }
+
+  /** Lineitem clustered on morton3(bucket(l_partkey), bucket(l_suppkey),
+    * days(l_shipdate)) — three MIXED-TYPE keys: two int ids divided
+    * into ≤2¹⁶ buckets and a timestamp bucketized to days since the
+    * table min. Written once per (session, dir); returns
+    * (path, pkSpan, skSpan, minShipDate, daySpan) — bounds cached at
+    * write time so deriving box literals later costs no scan. */
+  private val z3ordered =
+    scala.collection.concurrent.TrieMap[String, (String, Long, Long, String, Long)]()
+  def z3orderedLineitem(spark: SparkSession, dir: String): (String, Long, Long, String, Long) =
+    z3ordered.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_lineitem_z3${dirKey(dir)}").toString
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      val b = li.agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey")),
+        min(to_date(col("l_shipdate"))), max(to_date(col("l_shipdate")))).head()
+      val (pkLo, pkSpan) = (b.getLong(0), b.getLong(1) - b.getLong(0))
+      val (skLo, skSpan) = (b.getLong(2), b.getLong(3) - b.getLong(2))
+      val d0 = b.getDate(4).toLocalDate
+      val daySpan = java.time.temporal.ChronoUnit.DAYS.between(d0, b.getDate(5).toLocalDate)
+      // ALIGN each dimension to FULL occupancy of the common 16-bit
+      // grid: bucket = (key − lo) · 2¹⁶/(span+1). Without alignment the
+      // widest key monopolizes the interleave's high bits and the sort
+      // degenerates to single-key clustering on it (measured: a raw
+      // 12-bit day span drowned an 8-bit partkey — every file spanned
+      // the full partkey range, zero skip on that dimension). The
+      // double rounding can shift a bucket boundary by one at extreme
+      // spans — layout-quality-only; the box filters never see buckets.
+      def bucket(c: Column, lo: Long, span: Long): Column =
+        floor((c.cast("long") - lit(lo)) * lit(65536.0 / (span + 1.0))).cast("long")
+      val dayCol = datediff(to_date(col("l_shipdate")), lit(java.sql.Date.valueOf(d0)))
+      li.withColumn("z", morton3(
+          bucket(col("l_partkey"), pkLo, pkSpan),
+          bucket(col("l_suppkey"), skLo, skSpan),
+          bucket(dayCol, 0L, daySpan)))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+      (path, pkSpan, skSpan, d0.toString, daySpan)
+    })
+
+  /** 3-D box aggregate over the z3 layout: part range × supplier range
+    * × ship-date window, every predicate on a RAW column (so all three
+    * reach the parquet scan as pushed filters and the row-group
+    * min/max stats on the z3-clustered files skip everything outside
+    * the box). The oracle runs the identical box on the raw table —
+    * the layout is semantics-free; ZOrderSpec proves the skip, with
+    * AQE partition coalescing explicitly enabled. */
+  def q42Zorder3Box(spark: SparkSession, dir: String): DataFrame = {
+    val (path, pkSpan, skSpan, d0s, daySpan) = z3orderedLineitem(spark, dir)
+    val (pkLo, pkHi) = (1 + pkSpan / 2, 1 + pkSpan / 2 + (pkSpan / 8).max(1))
+    val (skLo, skHi) = (1 + skSpan / 2, 1 + skSpan / 2 + (skSpan / 8).max(1))
+    val (dLo, dHi) = (daySpan / 2, daySpan / 2 + (daySpan / 8).max(1))
+    val d0 = java.time.LocalDate.parse(d0s)
+    // half-open timestamp bounds on the raw column (a to_date() wrapper
+    // would block parquet filter pushdown)
+    val tsLo = lit(d0.plusDays(dLo).toString + " 00:00:00").cast("timestamp")
+    val tsHiX = lit(d0.plusDays(dHi + 1).toString + " 00:00:00").cast("timestamp")
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(pkLo, pkHi) &&
+        col("l_suppkey").between(skLo, skHi) &&
+        col("l_shipdate") >= tsLo && col("l_shipdate") < tsHiX)
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  private val zorder3OracleSql: String =
+    """WITH b AS (SELECT max(l_partkey) - min(l_partkey) AS pks,
+                         max(l_suppkey) - min(l_suppkey) AS sks,
+                         min(l_shipdate::DATE) AS d0,
+                         date_diff('day', min(l_shipdate::DATE), max(l_shipdate::DATE)) AS ds
+                  FROM lineitem)
+       SELECT count(*) AS n_items,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem, b
+       WHERE l_partkey BETWEEN 1 + pks // 2 AND 1 + pks // 2 + greatest(pks // 8, 1)
+         AND l_suppkey BETWEEN 1 + sks // 2 AND 1 + sks // 2 + greatest(sks // 8, 1)
+         AND l_shipdate >= (d0 + (ds // 2)::INTEGER)::TIMESTAMP
+         AND l_shipdate < (d0 + (ds // 2 + greatest(ds // 8, 1) + 1)::INTEGER)::TIMESTAMP"""
+
   /** The oracle needs the same literals: derive them with the same
     * integer arithmetic in SQL (spans from the raw table). */
   private val zorderOracleSql: String =
@@ -256,6 +362,7 @@ object ScaleOps {
          FROM ev WHERE day = (SELECT min(day) + 3 FROM ev)
          GROUP BY 1 ORDER BY 1""")),
     QueryDef("q41_zorder_box", q41ZorderBox, Some(zorderOracleSql)),
+    QueryDef("q42_zorder3_box", q42Zorder3Box, Some(zorder3OracleSql)),
     QueryDef("q40_runtime_filter", q40RuntimeFilter, Some(
       """SELECT l.l_linestatus AS status, count(*) AS n_items,
                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

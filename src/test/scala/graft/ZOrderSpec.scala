@@ -59,4 +59,50 @@ class ZOrderSpec extends SparkSpec {
     assert(zRead * 2 <= ctrlRead,
       s"z-order skipped too little: read $zRead vs control $ctrlRead")
   }
+
+  test("3-D mixed-type box skip survives AQE partition coalescing") {
+    val (zPath, pkSpan, skSpan, d0s, daySpan) = ScaleOps.z3orderedLineitem(spark, sf)
+    val ctrlPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_lineitem_z3ctrl").toString
+    sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(ctrlPath)
+    val (pkLo, pkHi) = (1 + pkSpan / 2, 1 + pkSpan / 2 + (pkSpan / 8).max(1))
+    val (skLo, skHi) = (1 + skSpan / 2, 1 + skSpan / 2 + (skSpan / 8).max(1))
+    val (dLo, dHi) = (daySpan / 2, daySpan / 2 + (daySpan / 8).max(1))
+    val d0 = java.time.LocalDate.parse(d0s)
+    val tsLo = lit(d0.plusDays(dLo).toString + " 00:00:00").cast("timestamp")
+    val tsHiX = lit(d0.plusDays(dHi + 1).toString + " 00:00:00").cast("timestamp")
+    // a groupBy AFTER the box scan gives AQE a shuffle whose partitions
+    // it will coalesce (the box output is tiny) — the row-group skip
+    // must hold through exactly that runtime re-plan, since scan-level
+    // pruning is decided per file split, before AQE touches the shuffle
+    def boxAgg(path: String) = spark.read.parquet(path)
+      .filter(col("l_partkey").between(pkLo, pkHi) &&
+        col("l_suppkey").between(skLo, skHi) &&
+        col("l_shipdate") >= tsLo && col("l_shipdate") < tsHiX)
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // layout is semantics-free under the re-plan
+      val zRows = boxAgg(zPath).collect().toSet
+      assert(zRows == boxAgg(ctrlPath).collect().toSet)
+      assert(zRows.nonEmpty)
+      val zRead = recordsRead(boxAgg(zPath))
+      val ctrlRead = recordsRead(boxAgg(ctrlPath))
+      assert(zRead * 2 <= ctrlRead,
+        s"z3 skip lost under AQE coalescing: read $zRead vs control $ctrlRead")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
