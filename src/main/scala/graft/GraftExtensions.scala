@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "top_k_pairs"),
       graft.functions.VectorExpressions.topKBuilder _))
     e.injectFunction((
+      FunctionIdentifier("kmin_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KMinDistinct].getName, "kmin_distinct"),
+      graft.functions.VectorExpressions.kminBuilder _))
+    e.injectFunction((
       FunctionIdentifier("vint_pack"),
       new ExpressionInfo(classOf[graft.functions.VIntPack].getName, "vint_pack"),
       graft.functions.VectorExpressions.vintPackBuilder _))

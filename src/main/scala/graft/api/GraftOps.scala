@@ -1680,6 +1680,81 @@ object GraftOps {
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Neighborhood function N(h) = Σ_v |B(v,h)| (distinct vertices
+    * within h hops of v, summed over ALL v) for h = 0..rounds — the
+    * HyperANF curve (Boldi–Rosa–Vigna, WWW'11) with K-MINIMUM-VALUE
+    * sketches instead of HyperLogLog registers: each vertex carries
+    * x_v = md5-derived value in [1, 2³²], a set's sketch is its k
+    * smallest values, and k-min TRUNCATION COMMUTES WITH UNION, so the
+    * per-hop merge sketch_{h+1}(v) = kmin(sketch_h(v) ∪ ∪_{v~w}
+    * sketch_h(w)) equals the k smallest over the true reachable set —
+    * which is why a SQL oracle can replay the identical iteration
+    * (row_number ≤ k per vertex) where HLL register states could not.
+    *
+    * Estimator per vertex: m < k (sketch unsaturated) → EXACT m;
+    * else (k−1)·2³²/x_(k). Estimates are micro-scaled to integers
+    * before the per-hop sum, so partial-aggregation order can't shift
+    * a single ulp — both engines sum identical BIGINTs. (Distinct
+    * vertices hash-colliding in the 2³² space undercount m by one —
+    * deterministic and replayed identically by the oracle.)
+    *
+    * Scale: per hop ONE |E|⋈|V·k| join + a groupBy holding ≤ k longs
+    * per vertex — cost ≍ k × the BFS relaxation round, the classic ANF
+    * cost model; no per-source fan-out (closeness/betweenness pay one
+    * sweep PER SOURCE, this is one sweep TOTAL for the all-pairs
+    * curve). Returns (hop, nf_est). */
+  def anfSketch(und: DataFrame, u: String, v: String,
+                k: Int, rounds: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(und.sparkSession)
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val xv = conv(substring(md5(col("v").cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L) // [1, 2³²] — never 0, the estimator divides
+    var sk = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), array(xv).as("sk")).localCheckpoint()
+    // per-vertex micro-estimate: exact m·10⁶ while unsaturated, else
+    // round((k−1)·2³²·10⁶ / x_k); x_k = the sketch's LAST (= largest)
+    // element. Integer micro-units make the hop sum order-independent.
+    val cNum = (k - 1).toDouble * 4294967296.0 * 1e6
+    def nfRow(h: Int, s: DataFrame): DataFrame = s
+      .select(when(size(col("sk")) < k, size(col("sk")).cast("long") * 1000000L)
+        .otherwise(round(lit(cNum) / element_at(col("sk"), k)).cast("long"))
+        .as("em"))
+      .agg(round(sum(col("em")) / lit(1e6), 4).as("nf_est"))
+      .select(lit(h).as("hop"), col("nf_est"))
+    var out = nfRow(0, sk)
+    // DELTA iteration (the relaxation-core discipline): k-min merging
+    // is monotone, so a neighbor whose sketch did not change last round
+    // contributes nothing new — each round joins edges only against the
+    // FRONTIER (changed sketches), and an empty frontier is the exact
+    // fixpoint witness: every remaining hop is a no-op and its curve
+    // row repeats unchanged (the fixed-round oracle contract holds).
+    var frontier = sk
+    var settled = false
+    for (h <- 1 to rounds) {
+      if (!settled) {
+        val nbr = edges.join(frontier, edges("src") === frontier("v"))
+          .select(edges("dst").as("v"), col("sk"))
+        // the native `kmin_distinct` bounded-set aggregate: map-side
+        // k-long buffers combine before the shuffle (≤ k values per
+        // vertex per partition move), where a collect_list chain would
+        // shuffle every neighbor sketch in full and sort it
+        val merged = nbr.unionAll(sk).groupBy("v")
+          .agg(expr(s"kmin_distinct(sk, $k)").as("sk"))
+          .localCheckpoint()
+        frontier = merged
+          .join(sk.select(col("v"), col("sk").as("__old")), Seq("v"))
+          .filter(col("sk") =!= col("__old"))
+          .select(col("v"), col("sk")).localCheckpoint()
+        sk = merged
+        settled = frontier.isEmpty
+      }
+      out = out.unionAll(nfRow(h, sk))
+    }
+    out
+  }
+
   /** Neighborhood-Jaccard link prediction over a bipartite
     * (item, node) pair table: for node pairs sharing ≥1 item,
     * |N(a)∩N(b)| / |N(a)∪N(b)|, top `topN` by rounded similarity.

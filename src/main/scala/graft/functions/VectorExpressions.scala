@@ -216,6 +216,14 @@ object VectorExpressions {
     TopKPairs(ord, payload, exprs(2).eval().asInstanceOf[Int])
   }
 
+  private[graft] def kminBuilder(exprs: Seq[Expression]): Expression = {
+    val arr = exprs(0).dataType match {
+      case ArrayType(LongType, _) => exprs(0)
+      case _ => Cast(exprs(0), ArrayType(LongType))
+    }
+    KMinDistinct(arr, exprs(1).eval().asInstanceOf[Int])
+  }
+
   /** Idempotently register graft's native functions on a session so
     * plans can reference them via `expr("cosine_sim(a, b)")` / SQL. */
   def register(spark: SparkSession): Unit = {
@@ -227,6 +235,8 @@ object VectorExpressions {
       "lsh_bucket", lshBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmin_distinct", kminBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_sum", vecSumBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

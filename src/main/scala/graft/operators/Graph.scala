@@ -459,6 +459,48 @@ object Graph {
     graft.api.GraftOps.bfsHops(und, "s", "p", Sources, BfsRounds).orderBy("v")
   }
 
+  /** Neighborhood function / reachability-growth curve over the
+    * supplier↔part graph (GraftOps.anfSketch — HyperANF's curve with
+    * deterministic KMV sketches, k = AnfK): one row per hop 0..BfsRounds
+    * with the estimated Σ_v |B(v,h)|. The effective-diameter readout at
+    * scale: the first hop where the curve flattens. */
+  val AnfK = 8
+  def graphAnf(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.anfSketch(und, "s", "p", AnfK, BfsRounds).orderBy("hop")
+  }
+
+  /** Oracle replays the EXACT sketch iteration (k-min truncation
+    * commutes with union, so per-round row_number ≤ k over the merged
+    * neighbor sketches IS the reachable-set k-min) and the identical
+    * micro-scaled estimator arithmetic. */
+  private lazy val anfOracle: String = {
+    val k = AnfK
+    val iterCtes = (1 to BfsRounds).map { t =>
+      s"""u$t AS (SELECT e.dst AS v, s.x FROM s${t - 1} s JOIN edges e ON s.v = e.src
+                UNION SELECT v, x FROM s${t - 1}),
+          s$t AS MATERIALIZED (SELECT v, x FROM (
+                SELECT v, x, row_number() OVER (PARTITION BY v ORDER BY x) AS rk
+                FROM u$t) WHERE rk <= $k)"""
+    }.mkString(",\n          ")
+    val nfCtes = (0 to BfsRounds).map { t =>
+      s"""n$t AS (SELECT $t AS hop, round(sum(em) / 1000000.0, 4) AS nf_est FROM (
+                SELECT CASE WHEN count(*) < $k THEN count(*) * 1000000
+                       ELSE CAST(round(${k - 1} * 4294967296 * 1000000.0 / max(x)) AS BIGINT)
+                       END AS em
+                FROM s$t GROUP BY v))"""
+    }.mkString(",\n          ")
+    val unionAll = (0 to BfsRounds).map(t => s"SELECT * FROM n$t").mkString(" UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          s0 AS MATERIALIZED (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT + 1 AS x
+                FROM (SELECT DISTINCT src AS v FROM edges)),
+          $iterCtes,
+          $nfCtes
+        SELECT * FROM ($unionAll) ORDER BY hop"""
+  }
+
   /** Multi-source WEIGHTED shortest paths (GraftOps.ssspWeighted,
     * Bellman-Ford relaxation) over the supplier↔part graph with integer
     * edge cost = 11 − min(10, distinct orders for the pair): heavily-
@@ -1030,6 +1072,7 @@ object Graph {
     QueryDef("graph_hits", graphHits, Some(hitsOracle)),
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
+    QueryDef("graph_anf", graphAnf, Some(anfOracle)),
     QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
     QueryDef("graph_diameter", graphDiameter, Some(diameterOracle)),
     QueryDef("graph_components_incremental", graphComponentsIncremental,

@@ -25,6 +25,31 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("kmin_distinct: k smallest distinct values, ascending, merge-safe") {
+    register()
+    // duplicates across groups' rows must COLLAPSE, not crowd the sketch
+    val df = Seq(
+      ("g", Seq(5L, 3L, 9L)),
+      ("g", Seq(3L, 1L, 7L)),
+      ("g", Seq(1L, 8L, 2L)),
+      ("h", Seq(4L))
+    ).toDF("g", "arr")
+    val got = df.groupBy("g").agg(expr("kmin_distinct(arr, 3)").as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("g") == Seq(1L, 2L, 3L))
+    assert(got("h") == Seq(4L)) // under k: exact distinct set
+    // agrees with the declarative chain on a larger random-ish input
+    val big = (1 to 500).map(i => (i % 7, Seq((i * 131L) % 97, (i * 37L) % 97)))
+      .toDF("g", "arr")
+    val a = big.groupBy("g")
+      .agg(expr("kmin_distinct(arr, 5)").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val b = big.groupBy("g")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("arr"))))), 1, 5).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("lsh_bucket: deterministic, seed-sensitive, within range") {
     register()
     val df = Seq(Tuple1(Array.tabulate(64)(i => math.sin(i.toDouble)))).toDF("v")

@@ -298,6 +298,29 @@ class Graph4Spec extends SparkSpec {
     assert(levels(Graph.SccChainLen) == levels(Graph.SccChainLen + 1))
   }
 
+  test("anf: k > |V| makes the KMV curve exact on a path graph") {
+    // path 1-2-3-4-5, k = 8 > 5: every sketch stays unsaturated, so
+    // each per-vertex estimate is the EXACT |B(v,h)| and the curve is
+    // N(0)=5, N(1)=13, N(2)=19, N(3)=23, then 25 at the diameter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = GraftOps.anfSketch(path, "a", "b", k = 8, rounds = 5).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r == Map(0 -> 5.0, 1 -> 13.0, 2 -> 19.0, 3 -> 23.0, 4 -> 25.0, 5 -> 25.0))
+  }
+
+  test("anf: saturated sketches estimate within the KMV error bound on a clique") {
+    // K12 clique: true |B(v,1)| = 12 for every vertex, sketches
+    // saturate at k = 4; the (k-1)/x_k estimator's relative standard
+    // error is ~1/sqrt(k-2) — assert a generous 3-sigma band
+    val clique = (1L to 12L).flatMap(i => ((i + 1) to 12L).map(i -> _)).toDF("a", "b")
+    val r = GraftOps.anfSketch(clique, "a", "b", k = 4, rounds = 1).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(0) == 12.0) // hop 0 is always exact (singleton sketches)
+    val est = r(1) / 12.0 // per-vertex estimate of 12
+    assert(est > 12.0 / (1 + 3.0 / math.sqrt(2)) && est < 12.0 * (1 + 3.0 / math.sqrt(2)),
+      s"clique estimate $est out of band")
+  }
+
   test("betweenness: K ≥ |V| reduces to exact Brandes on path and star") {
     // path 0-1-2: only the middle vertex carries shortest paths
     val path3 = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
