@@ -465,10 +465,32 @@ object Graph {
     * with the estimated Σ_v |B(v,h)|. The effective-diameter readout at
     * scale: the first hop where the curve flattens. */
   val AnfK = 8
-  def graphAnf(spark: SparkSession, dir: String): DataFrame = {
-    val und = liPairs(spark, dir)
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-    graft.api.GraftOps.anfSketch(und, "s", "p", AnfK, BfsRounds).orderBy("hop")
+  // curve memoized per (session, dir): graph_anf and the effective-
+  // diameter readout share one sketch iteration (bench reset clears it
+  // so a timed pass pays the real cost exactly once)
+  private def anfCurve(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":anf:" + dir, {
+      val und = liPairs(spark, dir)
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      graft.api.GraftOps.anfSketch(und, "s", "p", AnfK, BfsRounds).localCheckpoint()
+    })
+  def graphAnf(spark: SparkSession, dir: String): DataFrame =
+    anfCurve(spark, dir).orderBy("hop")
+
+  /** Effective diameter at α = 0.9 off the memoized ANF curve — the
+    * readout HyperANF exists for: the smallest hop h where N(h) ≥
+    * α·N(max hop), i.e. where reachability growth flattens. Integer
+    * hop (no interpolation) keeps the comparison float-exact on both
+    * engines: nf_est is 4-dp-rounded on each side before the α
+    * multiply, so the ≥ test sees identical doubles. */
+  val EffDiamAlpha = 0.9
+  def graphAnfDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val curve = anfCurve(spark, dir)
+    val fin = curve.filter(col("hop") === BfsRounds)
+      .select(col("nf_est").as("nf_total"))
+    curve.crossJoin(broadcast(fin))
+      .filter(col("nf_est") >= lit(EffDiamAlpha) * col("nf_total"))
+      .agg(min(col("hop")).as("eff_diameter"), max(col("nf_total")).as("nf_total"))
   }
 
   /** Oracle replays the EXACT sketch iteration (k-min truncation
@@ -1073,6 +1095,11 @@ object Graph {
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),
+    QueryDef("graph_anf_diameter", graphAnfDiameter, Some(
+      s"""WITH curve AS ($anfOracle)
+          SELECT min(hop) AS eff_diameter, max(nf_total) AS nf_total
+          FROM curve, (SELECT nf_est AS nf_total FROM curve WHERE hop = $BfsRounds)
+          WHERE nf_est >= $EffDiamAlpha * nf_total""")),
     QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
     QueryDef("graph_diameter", graphDiameter, Some(diameterOracle)),
     QueryDef("graph_components_incremental", graphComponentsIncremental,

@@ -321,6 +321,16 @@ class Graph4Spec extends SparkSpec {
       s"clique estimate $est out of band")
   }
 
+  test("anf effective diameter agrees with the curve readout at test scale") {
+    val curve = Graph.graphAnf(SparkSpec.spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val total = curve(Graph.BfsRounds)
+    val want = curve.filter(_._2 >= Graph.EffDiamAlpha * total).keys.min
+    val row = Graph.graphAnfDiameter(SparkSpec.spark, sf).head()
+    assert(row.getInt(0) == want)
+    assert(row.getDouble(1) == total)
+  }
+
   test("betweenness: K ≥ |V| reduces to exact Brandes on path and star") {
     // path 0-1-2: only the middle vertex carries shortest paths
     val path3 = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
