@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
@@ -221,6 +221,50 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
       .orderBy("returnflag")
 
+  /** KMV approximate distinct counts per returnflag — the ORACLE-
+    * CHECKABLE sibling of q13's HLL/KLL sketches: k-minimum-value
+    * sketches over md5-hashed keys are deterministic, so DuckDB
+    * replays the identical sketch and estimator where HLL register
+    * states cannot be expressed in SQL. Estimator (k−1)·2³²/x_k once
+    * saturated, exact m below k; single division + single 4-dp round
+    * per group, identical on both engines. Built on the native
+    * `kmin_distinct` bounded-set aggregate (map-side ≤ k longs per
+    * group — the sketch never materializes its input). */
+  val KmvK = 256
+  def q43ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    def xv(c: String): Column =
+      conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10).cast("long") + lit(1L)
+    def est(s: Column): Column =
+      when(size(s) < KmvK, size(s).cast("double"))
+        .otherwise(round(lit((KmvK - 1).toDouble * 4294967296.0) / element_at(s, KmvK), 4))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("returnflag"),
+        array(xv("l_orderkey")).as("xo"), array(xv("l_partkey")).as("xp"))
+      .groupBy("returnflag")
+      .agg(expr(s"kmin_distinct(xo, $KmvK)").as("so"),
+        expr(s"kmin_distinct(xp, $KmvK)").as("sp"))
+      .select(col("returnflag"),
+        est(col("so")).as("approx_orders"), est(col("sp")).as("approx_parts"))
+      .orderBy("returnflag")
+  }
+
+  private lazy val kmvOracleSql: String = {
+    val k = KmvK
+    val c = (k - 1).toLong * 4294967296L
+    def sk(key: String) =
+      s"""(SELECT rf, count(*) AS m, max(x) AS xk FROM (
+            SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rk FROM (
+              SELECT DISTINCT l_returnflag AS rf,
+                ('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT + 1 AS x
+              FROM lineitem)) WHERE rk <= $k GROUP BY rf)"""
+    s"""SELECT o.rf AS returnflag,
+               CASE WHEN o.m < $k THEN o.m::DOUBLE ELSE round($c / o.xk::DOUBLE, 4) END AS approx_orders,
+               CASE WHEN p.m < $k THEN p.m::DOUBLE ELSE round($c / p.xk::DOUBLE, 4) END AS approx_parts
+        FROM ${sk("l_orderkey")} o JOIN ${sk("l_partkey")} p ON o.rf = p.rf
+        ORDER BY returnflag"""
+  }
+
   /** As-of (temporal) join, composed from a running window rather than a
     * custom physical operator (Spark's sort on (user, ts) makes the
     * "latest signup at or before each event" a running max — the
@@ -376,9 +420,11 @@ object Relational {
                  min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
     // sketch registers (HLL, KLL) aren't SQL-replayable, but the group
-    // count is: one row per distinct returnflag (rows-only by design)
+    // count is: one row per distinct returnflag (rows-only by design);
+    // q43 is the fully-oracle-checked KMV sibling
     QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
       "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
+    QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
     QueryDef("q14_asof_join", q14AsofJoin, Some(
       """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
                 (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)

@@ -50,6 +50,25 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q43 KMV estimates land within the sketch error bound of exact counts") {
+    val est = operators.Relational.q43ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // KMV relative standard error ≈ 1/√(k−2) ≈ 6.3% at k = 256; assert
+    // a 4σ band (saturated), exactness below saturation
+    val band = 4.0 / math.sqrt(operators.Relational.KmvK - 2.0)
+    for ((rf, (eo, ep)) <- est; (xo, xp) = exact(rf)) {
+      def ok(e: Double, x: Long): Boolean =
+        if (x < operators.Relational.KmvK) e == x.toDouble
+        else math.abs(e - x) / x < band
+      assert(ok(eo, xo), s"$rf orders: est $eo vs exact $xo")
+      assert(ok(ep, xp), s"$rf parts: est $ep vs exact $xp")
+    }
+  }
+
   test("lsh_bucket: deterministic, seed-sensitive, within range") {
     register()
     val df = Seq(Tuple1(Array.tabulate(64)(i => math.sin(i.toDouble)))).toDF("v")
