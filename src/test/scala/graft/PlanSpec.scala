@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
     assert(s.nonEmpty && s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
   }
 
+  test("q42: all three box predicates (two ints + timestamp) reach the z3 scan pushed") {
+    val s = scans("q42_zorder3_box")
+    assert(s.nonEmpty)
+    val pushed = s.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    for (c <- Seq("l_partkey", "l_suppkey", "l_shipdate"))
+      assert(pushed.contains(s"GreaterThan($c") || pushed.contains(s"GreaterThanOrEqual($c"),
+        s"$c range not pushed: $pushed")
+  }
+
+  test("graph_anf plans without Window and without cartesian products") {
+    val p = sparkPlan("graph_anf").toString
+    assert(!p.contains("Window"), "ANF merge regressed to a window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q34: the day filter prunes to exactly one partition directory") {
     import org.apache.spark.sql.functions._
     val path = graft.operators.ScaleOps.partitionedEventsPath(spark, sf)
