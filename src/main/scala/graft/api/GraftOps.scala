@@ -145,22 +145,30 @@ object GraftOps {
         // sized. Materializing the full tagged candidate table would
         // store |bands|×|docs| rows executor-local, dominating the very
         // stage the salting protects at 100 TB; the tag join instead
-        // recomputes lazily per consumer from the (already-checkpointed)
-        // signature scan against this small counts table.
+        // recomputes lazily from the (already-checkpointed) signature
+        // scan against this small counts table. Cold and hot buckets
+        // share ONE salt-slotted join (cold rows take slot 0 on both
+        // sides = the plain join; hot rows spread: probe side keyed by
+        // md5(id) % salt, build side exploded over all slots), so the
+        // un-materialized tag join has TWO consumers, not four, and the
+        // pair SET is unchanged (each hot pair found at its a-side
+        // slot; cross-band duplicates collapse in the distinct).
         val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
           .localCheckpoint()
         val tagged = cand.join(counts, Seq("bj", "bv"))
-        val cold = tagged.filter(col("__n") <= hotThreshold)
-        val coldPairs = half(cold, "a").join(half(cold, "b"), Seq("bj", "bv"))
+        def sided(as: String) =
+          tagged.select(col(id).as(as), col("bj"), col("bv"), col("__n"))
+        val aSide = sided("a").withColumn("__s",
+          when(col("__n") <= hotThreshold, lit(0))
+            .otherwise((conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
+              .cast("long") % salt).cast("int")))
+          .drop("__n")
+        val bSide = sided("b").withColumn("__s",
+          explode(when(col("__n") <= hotThreshold, array(lit(0)))
+            .otherwise(array((0 until salt).map(lit): _*))))
+          .drop("__n")
+        aSide.join(bSide, Seq("bj", "bv", "__s"))
           .filter(col("a") < col("b")).select("a", "b")
-        val hot = tagged.filter(col("__n") > hotThreshold)
-        val hotA = half(hot, "a").withColumn("__s",
-          (conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
-            .cast("long") % salt).cast("int"))
-        val hotB = half(hot, "b").withColumn("__s",
-          explode(array((0 until salt).map(lit): _*)))
-        coldPairs.unionAll(hotA.join(hotB, Seq("bj", "bv", "__s"))
-          .filter(col("a") < col("b")).select("a", "b"))
       }
     pairs.distinct()
   }
