@@ -153,6 +153,61 @@ case class LshBucket(child: Expression, numPlanes: Int, dims: Int, seed: Int = 0
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
 }
 
+/** Dense matrix–vector product y = M·v over array<double> — the OPQ
+  * rotation kernel. The matrix is MODEL-sized (d×d, learned driver-side
+  * via Procrustes) and is baked into the expression instance — shipped
+  * once per task via a codegen reference object like [[LshBucket]]'s
+  * plane matrix, never joined or shuffled. Codegen calls the same
+  * static kernel the interpreted path uses: one tight nested loop, no
+  * per-element lambda frames (the `transform(sequence(...))` higher-
+  * order form this replaces allocates one closure frame per output
+  * element). Exposed per-session under a closure-registered function
+  * name (the matrix rides the builder closure, not the SQL text). */
+case class MatVec(matrix: Array[Array[Double]], child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  override def nullSafeEval(a: Any): Any =
+    MatVec.multiply(matrix, a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MatVec$$.MODULE$$.multiply($m, $a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVec = copy(child = c)
+}
+
+object MatVec {
+  def multiply(m: Array[Array[Double]], v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Double](m.length)
+    var i = 0
+    while (i < m.length) {
+      val r = m(i)
+      val n = math.min(r.length, v.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += r(j) * v.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Register `name(v)` = M·v on the session — the matrix is captured
+    * in the builder CLOSURE (SQL text stays tiny; no 4096-double
+    * literal to parse). Idempotent per (session, name). */
+  def registerRotation(spark: SparkSession, name: String,
+                       matrix: Array[Array[Double]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => MatVec(matrix, VectorExpressions.toDoubleArray(exprs.head)),
+      "built-in")
+}
+
 object LshBucket {
   /** ±1 plane components from md5("plane_<seed>_<j>_<d>") — the same
     * derivation a SQL oracle can reproduce with md5/substr/hex-cast. */
@@ -177,6 +232,9 @@ object VectorExpressions {
     case ArrayType(DoubleType, _) => e
     case _ => Cast(e, ArrayType(DoubleType))
   }
+
+  /** [[asDoubleArray]] for builders outside this object (MatVec). */
+  private[graft] def toDoubleArray(e: Expression): Expression = asDoubleArray(e)
 
   private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression =
     CosineSim(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))

@@ -26,7 +26,7 @@ object Similarity {
   // ml_kmeans and sim_ann_ivf_kmeans share one Lloyd training instead
   // of re-running it (the Graph.pagerank memo pattern; Bench resets)
   private val kmMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  def reset(): Unit = kmMemo.clear()
+  def reset(): Unit = { kmMemo.clear(); opqMemo.clear() }
   private def trainedCents(spark: SparkSession, dir: String): DataFrame =
     kmMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
       graft.api.GraftOps.kmeansCosine(
@@ -261,18 +261,113 @@ object Similarity {
   def annPqPerm(spark: SparkSession, dir: String, shortlistK: Int): DataFrame =
     annPqCore(spark, dir, shortlistK, permuted = true)
 
-  private def annPqCore(spark: SparkSession, dir: String, shortlistK: Int,
-                        permuted: Boolean): DataFrame = {
+  /** OPQ: PQ over a LEARNED orthogonal rotation (Ge et al., CVPR'13,
+    * the non-parametric alternation) — the full version of what
+    * `sim_ann_pq_perm`'s fixed permutation approximates. Training
+    * alternates, starting FROM the permutation (refine, don't restart):
+    *   1. rotate the corpus (native `mat_vec` — the d×d model rides a
+    *      codegen reference object, never a join), train the per-
+    *      subspace codebooks on the rotated vectors, encode, and
+    *      reconstruct x̂ (concat of chosen codewords);
+    *   2. update R = argmin_R ‖R·X − X̂‖_F (orthogonal Procrustes):
+    *      the data term M = Σ_rows x̂·xᵀ is ONE d²-wide `vec_sum`
+    *      aggregate (map-side partial, model-sized result — 32 KB at
+    *      d = 64), and the SVD runs driver-side on that d×d matrix,
+    *      exactly like collecting k-means centroids.
+    * Scale: per pass the corpus is touched by one rotate map + the
+    * Lloyd trainings + one flat aggregate — no new shuffle shape; the
+    * learned model is d² doubles regardless of corpus size. Rotation
+    * preserves dot products, so the exact re-rank semantics are
+    * untouched; only shortlist QUALITY changes. Rows-only tier (LAPACK
+    * SVD floats are not SQL-replayable — the judged boundary that
+    * kept this deferred in r5); PqSpec bounds it: orthogonality,
+    * determinism, full-shortlist degeneracy to the exact answer, and
+    * recall ≥ the plain-PQ tier. */
+  val OpqIters = 2
+  private val opqMemo = scala.collection.concurrent.TrieMap[String, String]()
+  private def opqRotationFn(spark: SparkSession, dir: String): String =
+    opqMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val r = learnOpqRotation(spark, dir)
+      val name = "graft_opq_rotate_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      graft.functions.MatVec.registerRotation(spark, name, r)
+      name
+    })
+
+  private[graft] def learnOpqRotation(spark: SparkSession, dir: String): Array[Array[Double]] = {
     graft.functions.VectorExpressions.register(spark)
-    val e =
-      if (!permuted) emb(spark, dir)
-      else Tables.embeddings(spark, dir)
+    val d = PqM * PqSub
+    // init = the PqPerm permutation matrix: start from the variance-
+    // spreading layout pq_perm already proved out and refine it
+    var r = Array.tabulate(d, d)((i, j) => if (PqPerm(i) - 1 == j) 1.0 else 0.0)
+    val x = emb(spark, dir).localCheckpoint()
+    for (_ <- 1 to OpqIters) {
+      graft.functions.MatVec.registerRotation(spark, "graft_opq_tmp", r)
+      // localCheckpoint is EAGER: the plan resolves against the matrix
+      // registered THIS pass before the next re-registration
+      val rot = x.select(col("vec_id"), expr("graft_opq_tmp(v)").as("v"))
+        .localCheckpoint()
+      val books = (0 until PqM).map { m =>
+        graft.api.GraftOps.kmeansL2(
+          rot.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("x")),
+          "vec_id", "x", PqK, PqIters).localCheckpoint()
+      }
+      var enc = rot
+      for (m <- 0 until PqM) {
+        val ca = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
+        enc = enc.crossJoin(broadcast(ca))
+          .withColumn(s"k$m", graft.api.GraftOps.nearestCid(s"cs$m",
+            s"2 * dot_product(slice(v, ${m * PqSub + 1}, $PqSub), c.cv) " +
+              "- dot_product(c.cv, c.cv)"))
+          .drop(s"cs$m")
+      }
+      var rec = enc.select(col("vec_id") +: (0 until PqM).map(m => col(s"k$m")): _*)
+      for (m <- 0 until PqM)
+        rec = rec.join(broadcast(books(m)
+          .select(col("cid").as(s"k$m"), col("cv").as(s"cv$m"))), Seq(s"k$m"))
+      val xhat = (0 until PqM).map(m => s"cv$m").mkString("concat(", ", ", ")")
+      val mFlat = rec
+        .join(x.select(col("vec_id"), col("v").as("xraw")), "vec_id")
+        .select(expr(s"flatten(transform($xhat, a -> transform(xraw, b -> a * b)))").as("op"))
+        .agg(expr("vec_sum(op)").as("m")).head().getSeq[Double](0).toArray
+      // mFlat is row-major M = Σ x̂xᵀ; breeze is column-major, so the
+      // constructor holds Mᵀ. svd(Mᵀ) = U Σ Vᵀ ⇒ M = V Σ Uᵀ, and
+      // Procrustes R (= Ū V̄ᵀ of M's own svd) = V·Uᵀ.
+      val breeze.linalg.svd.SVD(u, _, vt) =
+        breeze.linalg.svd(new breeze.linalg.DenseMatrix(d, d, mFlat))
+      val rm = vt.t * u.t
+      r = Array.tabulate(d, d)((i, j) => rm(i, j))
+    }
+    r
+  }
+
+  /** PQ + learned rotation (sim_ann_opq). */
+  def annOpq(spark: SparkSession, dir: String): DataFrame =
+    annPqCore(spark, dir, PqShortlist, permuted = false,
+      rotFn = Some(opqRotationFn(spark, dir)))
+
+  def annOpq(spark: SparkSession, dir: String, shortlistK: Int): DataFrame =
+    annPqCore(spark, dir, shortlistK, permuted = false,
+      rotFn = Some(opqRotationFn(spark, dir)))
+
+  private def annPqCore(spark: SparkSession, dir: String, shortlistK: Int,
+                        permuted: Boolean, rotFn: Option[String] = None): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = rotFn match {
+      case Some(fn) => Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr(s"$fn(embedding)").as("v"))
+      case None if permuted => Tables.embeddings(spark, dir)
         .select(col("vec_id"), expr(permVecSql).as("v"))
+      case None => emb(spark, dir)
+    }
     // per-subspace codebooks; checkpointed — each feeds encode AND luts
     val books = (0 until PqM).map { m =>
-      val subExpr =
-        if (!permuted) s"slice(embedding, ${m * PqSub + 1}, $PqSub)"
-        else s"slice($permVecSql, ${m * PqSub + 1}, $PqSub)"
+      val vecSql = rotFn match {
+        case Some(fn) => s"$fn(embedding)"
+        case None if permuted => permVecSql
+        case None => "embedding"
+      }
+      val subExpr = s"slice($vecSql, ${m * PqSub + 1}, $PqSub)"
       val sub = Tables.embeddings(spark, dir).select(col("vec_id"),
         expr(subExpr).as("x"))
       graft.api.GraftOps.kmeansL2(sub, "vec_id", "x", PqK, PqIters)
@@ -848,5 +943,13 @@ object Similarity {
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
     QueryDef("sim_ann_ivfpq_percell", annIvfPqPerCell, Some(annIvfPqPerCellOracle)),
+    // rows-only BY DESIGN: the learned rotation is a LAPACK SVD float
+    // path (like spam_train's SGD) — PqSpec bounds it (orthogonality,
+    // determinism, degeneracy to exact, recall ≥ plain PQ); the rows
+    // oracle recomputes the expected output size independently
+    QueryDef("sim_ann_opq", (s: SparkSession, d: String) => annOpq(s, d), None,
+      rowsOracle = Some(
+        s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id < $NumQueries)
+              * least($TopK, (SELECT count(*) - 1 FROM embeddings)) AS expected_rows""")),
   )
 }

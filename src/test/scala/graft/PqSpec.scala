@@ -83,6 +83,33 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"permuted-PQ recall@5 $recall below 0.4")
   }
 
+  test("OPQ: learned rotation is orthogonal; deterministic; degenerates to exact; recall ≥ plain PQ") {
+    // orthogonality: RᵀR = I (Procrustes returns U·Vᵀ, orthogonal by
+    // construction — this guards the breeze layout/transpose plumbing)
+    val r = Similarity.learnOpqRotation(spark, sf)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R'R[$i][$j] = $dot not ${if (i == j) 1 else 0}")
+    }
+    // rotation preserves dot products ⇒ full-shortlist OPQ = exact
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    assert(topk(Similarity.annOpq(spark, sf, shortlistK = n + 1)) == exactL2(sf))
+    assert(topk(Similarity.annOpq(spark, sf)) == topk(Similarity.annOpq(spark, sf)))
+    // the learned rotation must not LOSE recall vs unrotated PQ — the
+    // entire point of spending the alternation
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    def recall(m: Map[Long, Seq[Long]]): Double = exact.map { case (q, ids) =>
+      ids.toSet.intersect(m.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    val plain = recall(topk(Similarity.annPq(spark, dir)))
+    val opq = recall(topk(Similarity.annOpq(spark, dir)))
+    assert(opq >= plain, s"OPQ recall $opq below plain-PQ recall $plain")
+    assert(opq >= 0.4, s"OPQ recall $opq below the 0.4 floor")
+  }
+
   test("per-cell residual codebooks recall ≥ shared-codebook recall at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val exact = exactL2(dir)
