@@ -99,6 +99,49 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Approximate distinct users per 1 h window via KMV sketches
+    * (native `kmin_distinct`, k = KmvUsersK): the streaming
+    * CARDINALITY primitive — per-window state is ≤ k longs no matter
+    * how many events arrive, where an exact countDistinct holds every
+    * user id in the state store (unbounded at 100 TB/day). The md5
+    * values are deterministic, so the DuckDB oracle replays the sketch
+    * AND the (k−1)·2³²/x_k estimator exactly (the q43 discipline);
+    * below saturation the estimate IS the exact count.
+    * `approxUsersStream` is the watermarked streaming front-end —
+    * the TypedImperativeAggregate partial-merges through the state
+    * store like any built-in agg; StreamingSpec proves convergence to
+    * this batch mirror. */
+  val KmvUsersK = 64
+  private def userHash: org.apache.spark.sql.Column =
+    conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+  private def kmvEstimate(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(sk) < KmvUsersK, size(sk).cast("double"))
+      .otherwise(round(
+        lit((KmvUsersK - 1).toDouble * 4294967296.0) / element_at(sk, KmvUsersK), 4))
+
+  def approxUsersBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .select(col("window_ms"), array(userHash).as("x"))
+      .groupBy("window_ms")
+      .agg(expr(s"kmin_distinct(x, $KmvUsersK)").as("sk"))
+      .select(col("window_ms"), kmvEstimate(col("sk")).as("approx_users"))
+      .orderBy("window_ms")
+  }
+
+  def approxUsersStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), array(userHash).as("x"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"kmin_distinct(x, $KmvUsersK)").as("sk"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        kmvEstimate(col("sk")).as("approx_users"))
+  }
+
   /** a7 TrendingArrivals: 10 min windows per event_type whose count is
     * ≥ TrendMin and ≥ 2× the count of the PRECEDING window (a missing
     * preceding window counts as 0, like the reference's initial state). */
@@ -519,6 +562,20 @@ object EventStreams {
     QueryDef("stream_event_count", eventCountBatch, Some(
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms, count(*) AS cnt
           FROM events GROUP BY 1 ORDER BY window_ms""")),
+    QueryDef("stream_approx_users", approxUsersBatch, Some {
+      val c = (KmvUsersK - 1).toLong * 4294967296L
+      s"""WITH ev AS (SELECT DISTINCT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
+                        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS x
+                      FROM events),
+            sk AS (SELECT window_ms, x,
+                          row_number() OVER (PARTITION BY window_ms ORDER BY x) AS rk FROM ev),
+            kk AS (SELECT window_ms, count(*) AS m, max(x) AS xk
+                   FROM sk WHERE rk <= $KmvUsersK GROUP BY 1)
+          SELECT window_ms,
+                 CASE WHEN m < $KmvUsersK THEN m::DOUBLE
+                      ELSE round($c / xk::DOUBLE, 4) END AS approx_users
+          FROM kk ORDER BY window_ms"""
+    }),
     QueryDef("stream_region_count", regionCountBatch, Some(
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
                  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS region,

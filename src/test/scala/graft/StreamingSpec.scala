@@ -26,6 +26,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming KMV distinct-user sketches converge to the batch mirror") {
+    // the TypedImperativeAggregate must partial-merge through the
+    // streaming state store exactly as it does in batch shuffles
+    runToMemory(EventStreams.approxUsersStream(spark, sf), "sau")
+    val streamed = spark.table("sau").collect()
+      .map(r => r.getAs[Long]("window_ms") -> r.getAs[Double]("approx_users")).toMap
+    val batch = EventStreams.approxUsersBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("window_ms") -> r.getAs[Double]("approx_users")).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming stateful dedup converges to the batch replay-collapse") {
     runToMemory(EventStreams.dedupStream(spark, sf), "sdd")
     val streamed = spark.table("sdd").collect()
