@@ -249,11 +249,15 @@ object ScaleOps {
       def bucket(c: Column, lo: Long, span: Long): Column =
         floor((c.cast("long") - lit(lo)) * lit(65536.0 / (span + 1.0))).cast("long")
       val dayCol = datediff(to_date(col("l_shipdate")), lit(java.sql.Date.valueOf(d0)))
+      // 32 z-range files (vs 16 for the 2-D layout): three interleaved
+      // dimensions need finer file granularity for the same per-dim
+      // skip ratio — each file covers a smaller z-range, so a 3-D box
+      // touches proportionally fewer files
       li.withColumn("z", morton3(
           bucket(col("l_partkey"), pkLo, pkSpan),
           bucket(col("l_suppkey"), skLo, skSpan),
           bucket(dayCol, 0L, daySpan)))
-        .repartitionByRange(16, col("z"))
+        .repartitionByRange(32, col("z"))
         .sortWithinPartitions("z")
         .drop("z")
         .write.mode("overwrite").parquet(path)
