@@ -648,6 +648,15 @@ object GraftOps {
     // without this each round re-runs the upstream edge derivation
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    connectedComponentsSym(edges, iters)
+  }
+
+  /** [[connectedComponents]] over an ALREADY-SYMMETRIC (src, dst) edge
+    * table — the entry point for a persisted src-partitioned layout
+    * (e.g. a bucketed edge table): no symmetrize, no re-materialization;
+    * the layout IS the materialization, and its bucket partitioning
+    * rides through every round's edge-side join with zero Exchange. */
+  def connectedComponentsSym(edges: DataFrame, iters: Int): DataFrame = {
     val init = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("dist"))
     // min-label propagation IS Bellman-Ford on zero-cost edges with
@@ -1579,6 +1588,11 @@ object GraftOps {
       .localCheckpoint()
     relaxRounds(edges.withColumn("w", lit(1L)), und.sparkSession, sources, rounds)
   }
+
+  /** [[bfsHops]] over an already-symmetric (src, dst) edge table — the
+    * persisted-layout entry point (see connectedComponentsSym). */
+  def bfsHopsSym(edges: DataFrame, sources: Seq[Long], rounds: Int): DataFrame =
+    relaxRounds(edges.withColumn("w", lit(1L)), edges.sparkSession, sources, rounds)
 
   /** Multi-source shortest paths over a WEIGHTED directed edge list
     * (Bellman-Ford relaxation): dist_{t+1}(v) = min(dist_t(v),

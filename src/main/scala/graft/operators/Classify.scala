@@ -41,11 +41,20 @@ object Classify {
           s"t -> CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $FeatureSpace AS INT))))")
           .as("features"))
 
+  /** Sigmoid quantization grid: probabilities are snapped to multiples
+    * of 2^-20 (~1e-6, far below the 6-dp reporting precision). Every
+    * other float op in the SGD replay is an IEEE add/multiply in a
+    * fixed order — bit-deterministic on any engine — so quantizing the
+    * ONE libm call (exp differs by ulps across math libraries) makes
+    * the full 500-step weight trajectory reproducible bit-for-bit by
+    * the DuckDB recursive-CTE oracle. */
+  val ProbGrid = 1048576.0
+
   private def sgd(rows: Iterator[(Long, Boolean, Seq[Int])]): Map[Int, Double] = {
     val w = scala.collection.mutable.Map[Int, Double]()
     rows.foreach { case (_, isSpam, features) =>
       val score = features.iterator.map(f => w.getOrElse(f, 0.0)).sum
-      val prob = 1.0 / (1 + math.exp(-score))
+      val prob = math.floor((1.0 / (1.0 + math.exp(-score))) * ProbGrid + 0.5) / ProbGrid
       val label = if (isSpam) 1.0 else 0.0
       features.foreach(f => w.update(f, w.getOrElse(f, 0.0) + (label - prob) * Delta))
     }
@@ -98,35 +107,54 @@ object Classify {
       .orderBy("feature")
   }
 
-  /** Parameter-averaged SGD: each partition runs the serial pass on its
-    * shard, weights averaged — the distributed path for large corpora. */
+  /** Parameter-averaged SGD: each shard runs the serial pass, weights
+    * averaged — the distributed path for large corpora. Shard key is
+    * the EXPLICIT doc_id % n (not engine-internal partition hashing) so
+    * shard membership is replayable by the DuckDB oracle; a physical
+    * partition may hold several shards (hash collisions), so the pass
+    * splits on shard boundaries after the within-partition sort.
+    * Averaging goes through exact micro-unit integers (6-dp weight ×
+    * 1e6): the cross-shard sum is a BIGINT — order-free and engine-
+    * independent — instead of an order-sensitive float reduction. */
   def trainAveraged(spark: SparkSession, dir: String, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     instances(spark, dir)
-      .as[(Long, Boolean, Seq[Int])]
-      // hash repartition, NOT repartitionByRange: range bounds come from
-      // seed-varying reservoir sampling, which would shuffle boundary
-      // docs between shards across runs and make the averaged weights
-      // nondeterministic — hash(doc_id) % n is fixed on any cluster
-      .repartition(partitions, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .mapPartitions(rows => sgd(rows).iterator)
+      .withColumn("shard", (col("doc_id") % partitions).cast("int"))
+      .select("shard", "doc_id", "is_spam", "features")
+      .as[(Int, Long, Boolean, Seq[Int])]
+      .repartition(partitions, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        it.toVector.groupBy(_._1).valuesIterator.flatMap { rows =>
+          sgd(rows.iterator.map { case (_, id, s, f) => (id, s, f) })
+        }
+      }
       .toDF("feature", "w")
+      .select(col("feature"),
+        round(round(col("w"), 6) * 1e6).cast("long").as("mw"))
       .groupBy("feature")
-      .agg(round(sum(col("w")) / partitions, 6).as("weight"))
+      .agg(sum(col("mw")).as("sm"))
+      .select(col("feature"),
+        round(col("sm").cast("double") / partitions / 1e6, 6).as("weight"))
       .orderBy("feature")
   }
 
   /** Score all instances with the serially-trained model (broadcast join
-    * of the tiny weight table onto exploded features). */
+    * of the tiny weight table onto exploded features). Scores are summed
+    * as exact micro-unit BIGINTs (model weights are 6-dp, so weight×1e6
+    * is integral): the per-doc reduction is order-free, which makes the
+    * score and the predicted sign bit-replayable by the DuckDB oracle. */
   def apply_(spark: SparkSession, dir: String): DataFrame = {
     val w = train(spark, dir)
+      .select(col("feature"), round(col("weight") * 1e6).cast("long").as("mw"))
     val feat = instances(spark, dir)
       .select(col("doc_id"), col("is_spam"), explode(col("features")).as("feature"))
     feat.join(broadcast(w), Seq("feature"), "left")
       .groupBy("doc_id", "is_spam")
-      .agg(round(sum(coalesce(col("weight"), lit(0.0))), 6).as("score"))
-      .withColumn("predicted", col("score") > 0)
+      .agg(sum(coalesce(col("mw"), lit(0L))).as("sm"))
+      .select(col("doc_id"), col("is_spam"),
+        round(col("sm").cast("double") / 1e6, 6).as("score"),
+        (col("sm") > 0).as("predicted"))
       .orderBy("doc_id")
   }
 
@@ -153,17 +181,21 @@ object Classify {
     val scored = models.foldLeft(feat) { case (d, m) =>
       d.join(broadcast(m), Seq("feature"), "left")
     }
-    val shardSums = (0 until n).map(s => sum(coalesce(col(s"w$s"), lit(0.0))).as(s"s$s"))
-    val avg = (0 until n).map(s => col(s"s$s")).reduce(_ + _) / n
+    // per-shard scores as exact micro-unit BIGINTs (order-free sums) —
+    // the combination rules (average, sign votes) then replay exactly
+    // in the DuckDB oracle
+    val shardSums = (0 until n).map(s =>
+      sum(coalesce(round(col(s"w$s") * 1e6).cast("long"), lit(0L))).as(s"s$s"))
+    val total = (0 until n).map(s => col(s"s$s")).reduce(_ + _)
     val votes = (0 until n).map(s => when(col(s"s$s") > 0, 1).otherwise(-1)).reduce(_ + _)
     scored
       .groupBy("doc_id", "is_spam")
       .agg(shardSums.head, shardSums.tail: _*)
       .select(col("doc_id"), col("is_spam"),
-        round(avg, 6).as("score_avg"),
-        votes.cast("long").as("votes"))
-      .withColumn("predicted_avg", col("score_avg") > 0)
-      .withColumn("predicted_vote", col("votes") > 0)
+        round(total.cast("double") / n / 1e6, 6).as("score_avg"),
+        votes.cast("long").as("votes"),
+        (total > 0).as("predicted_avg"),
+        (votes > 0).as("predicted_vote"))
       .orderBy("doc_id")
   }
 
@@ -235,24 +267,118 @@ object Classify {
                 round(ln((ch + 1) / (CAST(nh AS DOUBLE) + v)), 6) AS ll_ham
                 FROM counts, tot)"""
 
-  // rows oracles for the by-design rows-only tier: SGD float weights
-  // aren't SQL-expressible, but the model's ROW COUNT is — one weight
-  // per distinct hashed feature over the corpus (sgd touches every
-  // feature it sees), replayed with the identical md5-mod-1000 hash
-  private val nFeaturesSql =
-    s"""SELECT count(DISTINCT ('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace)
-          AS expected_rows
-        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)"""
-  private val nDocsSql =
-    "SELECT count(*) AS expected_rows FROM documents"
+  /** DuckDB recursive-CTE replay of the serial SGD — the value oracle
+    * for the whole SGD tier. The weight vector is list-valued over the
+    * DENSE index of features actually present in the corpus (31 at test
+    * scale, not the 1000-wide hash space); one recursion step = one
+    * document, visiting shards in lockstep. Bit-exact against Spark
+    * because the sigmoid is grid-quantized (see [[ProbGrid]]) and all
+    * other float ops are order-fixed IEEE adds/multiplies.
+    *
+    * @param shardExpr DuckDB expression over doc_id assigning the shard
+    * @param orderCols within-shard visit order (the serial pass order)
+    */
+  private def replayCtes(shardExpr: String, orderCols: String): String =
+    s"""WITH RECURSIVE
+        inst AS MATERIALIZED (
+          SELECT doc_id, doc_id % 3 = 0 AS is_spam, $shardExpr AS shard,
+                 list_sort(list_distinct(list_transform(string_split(text, ' '),
+                   t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace AS INT)))) AS features
+          FROM documents),
+        seen AS MATERIALIZED (
+          SELECT list_sort(list_distinct(flatten(list(features)))) AS fs FROM inst),
+        ord AS MATERIALIZED (
+          SELECT row_number() OVER (PARTITION BY shard ORDER BY $orderCols) AS step,
+                 shard, is_spam,
+                 list_transform(features, f -> array_position(fs, f)) AS fidx
+          FROM inst, seen),
+        sgd AS (
+          SELECT shard, CAST(0 AS BIGINT) AS step,
+                 list_transform(fs, f -> CAST(0.0 AS DOUBLE)) AS w
+          FROM (SELECT DISTINCT shard FROM inst), seen
+          UNION ALL
+          SELECT shard, step,
+                 list_transform(range(1, len(w) + 1), i ->
+                   CASE WHEN list_contains(fidx, i)
+                        THEN w[i] + (lbl - prob) * $Delta ELSE w[i] END) AS w
+          FROM (
+            SELECT o.shard, o.step, o.fidx, s.w,
+                   CASE WHEN o.is_spam THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS lbl,
+                   floor((1.0 / (1.0 + exp(-coalesce(
+                     list_sum(list_transform(o.fidx, i -> s.w[i])), 0.0))))
+                     * $ProbGrid + 0.5) / $ProbGrid AS prob
+            FROM sgd s JOIN ord o ON o.shard = s.shard AND o.step = s.step + 1)),
+        models AS (SELECT shard, arg_max(w, step) AS w FROM sgd GROUP BY shard)"""
+
+  private val SerialOrder = "doc_id"
+  private val ShuffledOrder = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
+  /** Final weights of a single-shard replay as (feature, weight). */
+  private def trainOracle(orderCols: String): String =
+    s"""${replayCtes("0", orderCols)}
+        SELECT f AS feature, round(m.w[array_position(fs, f)], 6) AS weight
+        FROM models m, seen, (SELECT unnest(fs) AS f FROM seen)
+        ORDER BY feature"""
+
+  /** Micro-unit (6-dp × 1e6 BIGINT) per-shard weight vectors. */
+  private val microCte =
+    """micro AS (SELECT shard,
+         list_transform(w, x -> CAST(round(round(x, 6) * 1000000.0) AS BIGINT)) AS mw
+       FROM models)"""
+
+  private def avgOracle(partitions: Int): String =
+    s"""${replayCtes(s"doc_id % $partitions", SerialOrder)},
+        $microCte,
+        sums AS (SELECT i, sum(mw[i]) AS sm
+                 FROM micro, (SELECT unnest(range(1, len(fs) + 1)) AS i FROM seen)
+                 GROUP BY i)
+        SELECT fs[CAST(i AS INT)] AS feature,
+               round((CAST(sm AS DOUBLE) / $partitions) / 1000000.0, 6) AS weight
+        FROM sums, seen ORDER BY feature"""
+
+  private val applyOracle: String =
+    s"""${replayCtes("0", SerialOrder)},
+        $microCte
+        SELECT doc_id, is_spam,
+               round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+               s > 0 AS predicted
+        FROM (SELECT i.doc_id, i.is_spam,
+                     coalesce(list_sum(list_transform(
+                       list_transform(i.features, f -> array_position(fs, f)),
+                       x -> m.mw[x])), 0) AS s
+              FROM inst i, seen, micro m)
+        ORDER BY doc_id"""
+
+  private def ensembleOracle(n: Int): String = {
+    val sCols = (0 until n).map(s =>
+      s"sum(CASE WHEN shard = $s THEN sc ELSE 0 END) AS s$s").mkString(", ")
+    val total = (0 until n).map(s => s"s$s").mkString(" + ")
+    val votes = (0 until n).map(s =>
+      s"(CASE WHEN s$s > 0 THEN 1 ELSE -1 END)").mkString(" + ")
+    s"""${replayCtes(s"(doc_id // $n) % $n", SerialOrder)},
+        $microCte,
+        scores AS (SELECT i.doc_id, i.is_spam, m.shard,
+                     coalesce(list_sum(list_transform(
+                       list_transform(i.features, f -> array_position(fs, f)),
+                       x -> m.mw[x])), 0) AS sc
+                   FROM inst i, seen, micro m),
+        agg AS (SELECT doc_id, is_spam, $sCols FROM scores GROUP BY 1, 2)
+        SELECT doc_id, is_spam,
+               round((CAST($total AS DOUBLE) / $n) / 1000000.0, 6) AS score_avg,
+               CAST($votes AS BIGINT) AS votes,
+               ($total) > 0 AS predicted_avg,
+               ($votes) > 0 AS predicted_vote
+        FROM agg ORDER BY doc_id"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("spam_train", train, None, rowsOracle = Some(nFeaturesSql)),
-    QueryDef("spam_train_shuffled", trainShuffled, None, rowsOracle = Some(nFeaturesSql)),
-    QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d), None,
-      rowsOracle = Some(nFeaturesSql)),
-    QueryDef("spam_apply", apply_, None, rowsOracle = Some(nDocsSql)),
-    QueryDef("spam_ensemble", ensemble, None, rowsOracle = Some(nDocsSql)),
+    QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),
+    QueryDef("spam_train_shuffled", trainShuffled, Some(trainOracle(ShuffledOrder))),
+    QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d),
+      Some(avgOracle(8))),
+    QueryDef("spam_apply", apply_, Some(applyOracle)),
+    QueryDef("spam_ensemble", ensemble, Some(ensembleOracle(3))),
     QueryDef("spam_nb_train", nbTrain, Some(
       s"""WITH $nbModelSql
           SELECT t, ll_spam, ll_ham FROM model ORDER BY t""")),

@@ -51,6 +51,33 @@ object Graph {
         .select(col("l_suppkey"), col("l_partkey")).distinct()
         .localCheckpoint())
 
+  /** Persisted src-partitioned symmetric edge layout with fused degree
+    * — the reference's PartitionGraph.java:37-118 (RangePartitioner +
+    * persisted SequenceFile layout that downstream PageRank reads
+    * shuffle-free), re-expressed as a bucketed managed table (the q32
+    * pattern): (src, dst, d) bucketed+sorted on src, written ONCE per
+    * (session, dir). Every iterative consumer (pagerank, CC, BFS) then
+    * joins its |V|-sized state table against the bucketed scan, whose
+    * reported hash partitioning satisfies the join's distribution —
+    * zero Exchange on the |E| edge side, on every round AND on every
+    * cold start (the table outlives the session; a fresh JVM re-reads
+    * the same files instead of re-paying the edge shuffle). */
+  private val layoutMemo = scala.collection.concurrent.TrieMap[String, String]()
+  def persistedSymEdges(spark: SparkSession, dir: String): DataFrame = {
+    val name = layoutMemo.getOrElseUpdate(
+      spark.sparkContext.applicationId + ":" + dir, {
+        val t = s"graft_edges_b${ScaleOps.dirKey(dir)}"
+        ScaleOps.dropStale(spark, t)
+        val fwd = liPairs(spark, dir).select(col("l_suppkey").as("src"),
+          (col("l_partkey") + PartOffset).as("dst"))
+        val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        Tables.writeBucketed(edges.join(deg, "src"), t, "src", ScaleOps.NBuckets)
+        t
+      })
+    spark.table(name)
+  }
+
   /** Distinct co-purchase part pairs (a < b, same order) — shared by
     * the exact and sampled triangle counts. */
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
@@ -71,20 +98,15 @@ object Graph {
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = liPairs(spark, dir)
-    val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
-    // repartition on src BEFORE caching: the cached scan then reports
-    // hash-partitioning on src, so every iteration's edge⋈rank join
-    // reuses the layout and shuffles ONLY the |V|-sized rank table —
-    // the |E| edge shuffle is paid exactly once, here
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    // degree fused into the cached edge table at build time: each
-    // iteration joins ranks ONCE against it (no per-round ranks⋈deg
-    // stage); r/d per edge row uses identical per-src operands, so the
+    // the persisted bucketed layout replaces the old per-session
+    // repartition+cache: the bucketed scan reports hash partitioning on
+    // src, so every iteration's edge⋈rank join shuffles ONLY the
+    // |V|-sized rank table — and unlike a cache, the layout survives
+    // the session, so cold starts never re-pay the |E| shuffle either.
+    // Degree is fused into the table at write time (no per-round
+    // ranks⋈deg stage); r/d uses identical per-src operands, so the
     // float path — and the unrolled oracle — are unchanged
-    val edgesD = edges.join(deg, "src").cache()
+    val edgesD = persistedSymEdges(spark, dir)
 
     val srcDf = Sources.toDF("v")
       .withColumn("jump0", lit(1.0 / Sources.length))
@@ -312,14 +334,14 @@ object Graph {
   /** Degree distribution of the supplier↔part graph: how many nodes have
     * each degree. Scan + two groupBys (map-side partial both times);
     * shuffle volume ∝ |V| then ∝ distinct degrees. */
-  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val li = liPairs(spark, dir)
-    val fwd = li.select(col("l_suppkey").as("src"), (col("l_partkey") + PartOffset).as("dst"))
-    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy("src").agg(count(lit(1)).as("degree"))
+  def graphDegree(spark: SparkSession, dir: String): DataFrame =
+    // degrees are already fused into the persisted layout: one distinct
+    // over (src, d) — shuffle ∝ |V| — then the tiny distribution groupBy,
+    // instead of re-counting over the |E| edge rows
+    persistedSymEdges(spark, dir)
+      .select(col("src"), col("d").as("degree")).distinct()
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
-  }
 
   /** Connected components by min-label propagation: comp(v) starts at v,
     * each round takes the min over the neighborhood; after `CcIters`
@@ -334,11 +356,9 @@ object Graph {
     * O(log n) rounds regardless of diameter; localCheckpoint every 3
     * rounds truncates the growing lineage either way. */
   val CcIters = 6 // all test SFs converge in 3 rounds (measured); 2× margin
-  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val und = liPairs(spark, dir)
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-    graft.api.GraftOps.connectedComponents(und, "s", "p", CcIters).orderBy("v")
-  }
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.connectedComponentsSym(
+      persistedSymEdges(spark, dir).select("src", "dst"), CcIters).orderBy("v")
 
   /** Same components via large-star/small-star contraction
     * (GraftOps.connectedComponentsLogN) — the diameter-independent
@@ -453,11 +473,10 @@ object Graph {
     * covers the graph's eccentricity at every test SF with margin;
     * GraphSpec asserts the fixpoint. */
   val BfsRounds = 8
-  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val und = liPairs(spark, dir)
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-    graft.api.GraftOps.bfsHops(und, "s", "p", Sources, BfsRounds).orderBy("v")
-  }
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.bfsHopsSym(
+      persistedSymEdges(spark, dir).select("src", "dst"), Sources, BfsRounds)
+      .orderBy("v")
 
   /** Neighborhood function / reachability-growth curve over the
     * supplier↔part graph (GraftOps.anfSketch — HyperANF's curve with

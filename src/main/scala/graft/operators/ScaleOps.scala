@@ -19,7 +19,7 @@ object ScaleOps {
   // dir.hashCode: the memos are keyed by the full string, so two dirs
   // with colliding hashCodes in one session would silently overwrite
   // each other's on-disk layout while both memo entries stayed live
-  private def dirKey(dir: String): String =
+  private[operators] def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
@@ -29,7 +29,7 @@ object ScaleOps {
 
   // the in-memory catalog forgets tables across JVMs but the warehouse
   // directory persists — clear both or a rerun hits LOCATION_ALREADY_EXISTS
-  private def dropStale(spark: SparkSession, name: String): Unit = {
+  private[operators] def dropStale(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)

@@ -300,13 +300,18 @@ object Similarity {
     // init = the PqPerm permutation matrix: start from the variance-
     // spreading layout pq_perm already proved out and refine it
     var r = Array.tabulate(d, d)((i, j) => if (PqPerm(i) - 1 == j) 1.0 else 0.0)
-    val x = emb(spark, dir).localCheckpoint()
-    for (_ <- 1 to OpqIters) {
-      graft.functions.MatVec.registerRotation(spark, "graft_opq_tmp", r)
-      // localCheckpoint is EAGER: the plan resolves against the matrix
-      // registered THIS pass before the next re-registration
-      val rot = x.select(col("vec_id"), expr("graft_opq_tmp(v)").as("v"))
-        .localCheckpoint()
+    val x = emb(spark, dir)
+    for (pass <- 1 to OpqIters) {
+      // one rotation function PER PASS: every lazy plan built this pass
+      // binds its own matrix by name, so nothing needs to be eagerly
+      // materialized before the next pass re-learns R. The rotated
+      // corpus is never checkpointed — each consumer (Lloyd trainings,
+      // encode, M-aggregate) fuses the d×d mat-vec into its own scan,
+      // a recompute-over-materialize trade that holds at 100 TB where
+      // a corpus-sized checkpoint would not.
+      val rotFn = s"graft_opq_tmp_p$pass"
+      graft.functions.MatVec.registerRotation(spark, rotFn, r)
+      val rot = x.select(col("vec_id"), expr(s"$rotFn(v)").as("v"))
       val books = (0 until PqM).map { m =>
         graft.api.GraftOps.kmeansL2(
           rot.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("x")),

@@ -151,6 +151,32 @@ object TextAnalytics {
         .filter(col("nt") === RetrievalTerms.length)
         .select("doc_id"))
 
+  /** a3/BooleanRetrievalCompressed.java:147-183 — the reference's actual
+    * retrieval path: `fetchPostings` decodes the gap+VInt bytes of each
+    * query term, then runQuery:80-96 intersects the decoded doc sets.
+    * Composed here from the two existing halves: the index side packs
+    * per-term sorted doc ids into the BINARY `enc` column (`vint_pack`),
+    * the retrieval side sees ONLY (term, enc) — the plain ids array is
+    * projected away — so the doc ids it intersects genuinely come out of
+    * `vint_unpack` over the compressed bytes. The term filter sits on
+    * the index's grouping key, so Catalyst prunes the pack/unpack work
+    * to the query terms; at scale the enc column would be a persisted
+    * postings table (see Tables.writeBucketed) read by term. */
+  def booleanRetrievalCompressed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val index = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(RetrievalTerms: _*))
+      .groupBy("term").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("term"), expr("vint_pack(ids)").as("enc"))
+    val hits = index
+      .select(col("term"), explode(expr("vint_unpack(enc)")).as("doc_id"))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === RetrievalTerms.length)
+      .select("doc_id")
+    fetchText(spark, dir, hits)
+  }
+
   /** a3/BooleanRetrievalCompressed.java:runQuery — stack-based postfix
     * boolean query evaluation ("a b AND c OR"): each term resolves to
     * its doc set from the postings; AND/OR intersect/union the top two
@@ -248,6 +274,15 @@ object TextAnalytics {
          SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)
          ORDER BY doc_id""")),
     QueryDef("boolean_retrieval", booleanRetrieval, Some(
+      s"""WITH hits AS (SELECT doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w IN ($termList)
+            GROUP BY doc_id HAVING count(DISTINCT w) = ${RetrievalTerms.length})
+          SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)
+          ORDER BY doc_id""")),
+    // same oracle as boolean_retrieval ON PURPOSE: the compressed path
+    // must retrieve the identical doc set, just via the encoded bytes
+    QueryDef("boolean_retrieval_compressed", booleanRetrievalCompressed, Some(
       s"""WITH hits AS (SELECT doc_id
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
             WHERE w IN ($termList)

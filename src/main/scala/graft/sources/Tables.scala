@@ -62,6 +62,12 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive (isAdjustedToUTC=false) parquet timestamps would read as
+    // TIMESTAMP_NTZ, whose epoch extraction depends on the session
+    // timezone; with NTZ inference off they read as plain TIMESTAMP
+    // whose stored micros pass through unchanged — the same values the
+    // DuckDB oracle's epoch_us sees, on any session timezone
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = read(spark, dir, "events")
     val withUs = raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts_us", expr("ts div 1000"))

@@ -37,23 +37,26 @@ object TextFormats {
     "orders" -> StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType))),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))),
     "lineitem" -> StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
       StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
       StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
       StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
-      StructField("l_shipdate", TimestampNTZType))),
+      StructField("l_shipdate", TimestampType))),
   )
 
-  /** Read a pipe-delimited `.tbl` file with the named table's schema. */
+  /** Read a pipe-delimited `.tbl` file with the named table's schema.
+    * Timestamps are plain TIMESTAMP (not NTZ): the whole library reads
+    * naive parquet timestamps with NTZ inference off (see Tables.events)
+    * so stored micros pass through as UTC instants on every session —
+    * the text reader matches that posture. */
   def tbl(spark: SparkSession, path: String, table: String): DataFrame =
     spark.read
       .schema(schemas(table))
       .option("sep", "|")
       .option("timestampFormat", "yyyy-MM-dd[ HH:mm:ss]")
-      .option("timestampNTZFormat", "yyyy-MM-dd[ HH:mm:ss]") // schemas use TimestampNTZ
       .csv(path)
 
   /** Read a plain-text corpus: one document per line, stable line ids

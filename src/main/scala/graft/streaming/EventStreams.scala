@@ -232,25 +232,36 @@ object EventStreams {
       .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
         col("n_events"), col("sum_value"))
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** readStream view of the events parquet (ts arrives as int64 nanos).
-    * The file source wants a directory; the single-file testdata layout
-    * is bridged with a symlink under a temp dir (read-only on the data). */
+  /** readStream view of the events parquet. The stored `ts` physical
+    * type is probed from a batch read of the same file (int64 nanos in
+    * the legacy layout, naive TIMESTAMP(us) in the current one — the
+    * same dual handling as Tables.events) and normalized to `ts_us`
+    * epoch micros + a micro-precision `ts`. The file source wants a
+    * directory; the single-file testdata layout is bridged with a
+    * symlink under a temp dir (read-only on the data). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive timestamps must read as plain TIMESTAMP (raw micros pass
+    // through, matching DuckDB's epoch_us) — not session-tz-dependent NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val streamDir = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
       dir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(eventSchema).parquet(streamDir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = spark.readStream.schema(eventSchema(tsType)).parquet(streamDir.toString)
+    val withUs = tsType match {
+      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
+      case _        => raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   /** Streaming a7 EventCount: 1 h tumbling windows with a watermark. */

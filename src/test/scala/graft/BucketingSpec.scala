@@ -26,6 +26,39 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("persisted graph edge layout: iteration join has no Exchange on the edge side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val edges = graft.operators.Graph.persistedSymEdges(spark, sf)
+      // one PageRank-shaped iteration: |V|-sized state joined against
+      // the layout on src — only the state side may shuffle
+      val ranks = edges.select(col("src").as("v")).distinct()
+        .withColumn("r", lit(1.0))
+      val iter = edges.join(ranks, edges("src") === ranks("v"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("d")).as("c"))
+      // an edge-side exchange would repartition on src (the join key of
+      // the bucketed scan); the state-side shuffle keys on v and the
+      // groupBy's on dst — both legitimate
+      val plan = iter.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"edge side of the iteration join still shuffles:\n${plan.take(2000)}")
+      // cross-check vs the unbucketed equivalent: the same join over raw
+      // symmetric edges MUST plan the |E|-side src shuffle the layout
+      // eliminates (guards against the assertion going vacuous if plan
+      // rendering changes)
+      val rawPairs = graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val fwd = rawPairs.select(col("l_suppkey").as("src"),
+        (col("l_partkey") + graft.operators.Graph.PartOffset).as("dst"))
+      val rawEdges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val rawIter = rawEdges.join(ranks, rawEdges("src") === ranks("v"))
+        .groupBy(col("dst")).agg(count(lit(1)).as("c"))
+      val rawPlan = rawIter.queryExecution.executedPlan.toString
+      assert(rawPlan.contains("Exchange hashpartitioning(src"),
+        s"expected the unbucketed plan to shuffle the edge side:\n${rawPlan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
     // (managed tables land in ./spark-warehouse — gitignored)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path

@@ -140,6 +140,20 @@ class FunctionsSpec extends SparkSpec {
     assert(exTrunc.getMessage != null)
   }
 
+  test("boolean_retrieval_compressed: identical hits via the encoded postings; decode is in-plan") {
+    val sf = "/root/testdata/sf0.001"
+    val compressed = operators.TextAnalytics.booleanRetrievalCompressed(spark, sf)
+    // the doc ids must genuinely flow through vint_unpack over the
+    // BINARY column — assert the decode survives into the final plan
+    val plan = compressed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("vint_unpack"), s"decode not in plan:\n$plan")
+    assert(plan.contains("vint_pack"), s"encode not in plan:\n$plan")
+    val a = compressed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = operators.TextAnalytics.booleanRetrieval(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("vint codec round-trips 500 seeded-random sorted arrays (property sweep)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(42)

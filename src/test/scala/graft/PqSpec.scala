@@ -93,6 +93,13 @@ class PqSpec extends SparkSpec {
       assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
         s"R'R[$i][$j] = $dot not ${if (i == j) 1 else 0}")
     }
+    // streaming-fold training (no rotated-corpus checkpoint): two
+    // independent learns must reproduce the rotation bit-for-bit — the
+    // recompute-instead-of-materialize plan changes nothing numerically
+    val r2 = Similarity.learnOpqRotation(spark, sf)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(r(i)(j) - r2(i)(j)) <= 1e-9,
+        s"rotation not reproducible at [$i][$j]: ${r(i)(j)} vs ${r2(i)(j)}")
     // rotation preserves dot products ⇒ full-shortlist OPQ = exact
     val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
     assert(topk(Similarity.annOpq(spark, sf, shortlistK = n + 1)) == exactL2(sf))
