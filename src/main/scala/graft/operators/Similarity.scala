@@ -449,11 +449,32 @@ object Similarity {
   def annIvfPqPerCell(spark: SparkSession, dir: String): DataFrame =
     annIvfPqCore(spark, dir, perCell = true)
 
+  /** IVF-PQ in an OPQ-rotated space: the learned rotation is applied to
+    * corpus AND queries before the coarse quantizer, so cells, residual
+    * codebooks and ADC all operate on the rotated vectors (rotation
+    * preserves L2, so the exact re-rank semantics are untouched).
+    * Measurement path for the r7 "rotation+IVF" candidate — see PqSpec's
+    * recall comparison for whether the composition earns its cost. */
+  private[graft] def annOpqIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqCore(spark, dir, perCell = false,
+      rotFn = Some(opqRotationFn(spark, dir)))
+
   private def annIvfPqCore(spark: SparkSession, dir: String,
-                           perCell: Boolean): DataFrame = {
-    val e = emb(spark, dir)
+                           perCell: Boolean,
+                           rotFn: Option[String] = None): DataFrame = {
+    val raw = rotFn match {
+      case Some(fn) =>
+        graft.functions.VectorExpressions.register(spark)
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), expr(s"$fn(embedding)").as("embedding"))
+      case None => Tables.embeddings(spark, dir)
+    }
+    val e = rotFn match {
+      case Some(_) => raw.select(col("vec_id"), col("embedding").as("v"))
+      case None    => emb(spark, dir)
+    }
     val coarse = graft.api.GraftOps.kmeansL2(
-        Tables.embeddings(spark, dir), "vec_id", "embedding", IvfPqCoarseK, PqIters)
+        raw, "vec_id", "embedding", IvfPqCoarseK, PqIters)
       .localCheckpoint()
     val ca = coarse.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val asg = e.crossJoin(broadcast(ca))
@@ -953,6 +974,14 @@ object Similarity {
     // determinism, degeneracy to exact, recall ≥ plain PQ); the rows
     // oracle recomputes the expected output size independently
     QueryDef("sim_ann_opq", (s: SparkSession, d: String) => annOpq(s, d), None,
+      rowsOracle = Some(
+        s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id < $NumQueries)
+              * least($TopK, (SELECT count(*) - 1 FROM embeddings)) AS expected_rows""")),
+    // IVF-PQ run in the OPQ-rotated space — registered on a MEASURED
+    // recall win at equal probe budget (0.46 vs 0.40 recall@5 at
+    // sf0.01, PqSpec's comparison test); same rows-only tier as
+    // sim_ann_opq (the rotation is LAPACK-SVD floats)
+    QueryDef("sim_ann_opq_ivf", (s: SparkSession, d: String) => annOpqIvf(s, d), None,
       rowsOracle = Some(
         s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id < $NumQueries)
               * least($TopK, (SELECT count(*) - 1 FROM embeddings)) AS expected_rows""")),

@@ -117,6 +117,20 @@ class PqSpec extends SparkSpec {
     assert(opq >= 0.4, s"OPQ recall $opq below the 0.4 floor")
   }
 
+  test("rotation+IVF composition: recall measured against plain IVF-PQ at equal probe budget") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = exactL2(dir)
+    def recall(m: Map[Long, Seq[Long]]): Double = exact.map { case (q, ids) =>
+      ids.toSet.intersect(m.getOrElse(q, Seq()).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    val plain = recall(topk(Similarity.annIvfPq(spark, dir)))
+    val rotated = recall(topk(Similarity.annOpqIvf(spark, dir)))
+    info(f"ivfpq recall@5 = $plain%.4f, opq+ivfpq recall@5 = $rotated%.4f (NProbe equal)")
+    // the rotated space must at minimum stay usable; whether the delta
+    // justifies a registered operator is recorded in SURVEY.md
+    assert(rotated >= 0.4, s"opq+ivf recall $rotated below the 0.4 floor")
+  }
+
   test("per-cell residual codebooks recall ≥ shared-codebook recall at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val exact = exactL2(dir)
