@@ -730,8 +730,9 @@ object GraftOps {
     * forced broadcasts of |V|/|E| tables; AQE decides. */
   def personalizedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                            sources: Seq[Long], alpha: Double = 0.15,
-                           iters: Int = 5): DataFrame = {
-    val (edges, deg, base) = prGraph(edges0, srcCol, dstCol, sources)
+                           iters: Int = 5,
+                           prePartitioned: Boolean = false): DataFrame = {
+    val (edges, deg, base) = prGraph(edges0, srcCol, dstCol, sources, prePartitioned)
     prLoop(edges, deg, base, base.select(col("v"), col("jump0").as("r")),
       alpha, iters)
   }
@@ -753,22 +754,31 @@ object GraftOps {
     prLoop(edges, deg, base, warm, alpha, iters)
   }
 
-  /** Shared graph prep: cached src-partitioned edges, out-degrees, and
-    * the node×jump base table. */
+  /** Shared graph prep: src-partitioned edges, out-degrees, and the
+    * node×jump base table. `prePartitioned = true` declares the input
+    * already partitioned on `srcCol` (a persisted bucketed layout):
+    * the explicit repartition AND the edge cache are skipped — the
+    * layout's scan reports the partitioning, every downstream src-keyed
+    * join/agg rides it with zero Exchange, and at 100 TB the edge table
+    * is re-read from its bucketed files instead of pinned in memory. */
   private def prGraph(edges0: DataFrame, srcCol: String, dstCol: String,
-                      sources: Seq[Long]): (DataFrame, DataFrame, DataFrame) = {
+                      sources: Seq[Long],
+                      prePartitioned: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(sources.nonEmpty, "personalized PageRank needs at least one source node")
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src"))
+    val sel = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = if (prePartitioned) sel else sel.repartition(col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
-    // degree fused into the cached edge table at build time: each
-    // iteration then joins ranks ONCE against it — the former
-    // per-round ranks⋈deg stage is gone, and r/d per edge row uses the
-    // identical operands (r, d are per-src), so the float path is
-    // unchanged. Co-partitioned on src, same as before.
-    val edgesD = edges.join(deg, "src").cache()
+    // degree fused into the edge table at build time: each iteration
+    // then joins ranks ONCE against it — the former per-round
+    // ranks⋈deg stage is gone, and r/d per edge row uses the identical
+    // operands (r, d are per-src), so the float path is unchanged.
+    // Co-partitioned on src either way.
+    val edgesD = {
+      val j = edges.join(deg, "src")
+      if (prePartitioned) j else j.cache()
+    }
     val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
     val nodes = edgesD.select(col("src").as("v"))
       .unionAll(edgesD.select(col("dst").as("v")))

@@ -171,10 +171,15 @@ object Graph {
     * the bipartite mirror above sidesteps. Runs on the generalized
     * `GraftOps.personalizedPageRank` core. */
   def pagerankDirected(spark: SparkSession, dir: String): DataFrame = {
-    val li = liPairs(spark, dir)
-    val edges = li.select(col("l_suppkey").as("src"),
-      (col("l_partkey") + PartOffset).as("dst"))
-    graft.api.GraftOps.personalizedPageRank(edges, "src", "dst", Sources, Alpha, Iters)
+    // the DIRECTED supplier→part edges are exactly the src < PartOffset
+    // half of the persisted symmetric layout (suppliers key below the
+    // offset, parts above): the filter preserves the scan's bucket
+    // partitioning on src, so the directed iteration also runs with a
+    // shuffle-free edge side off the same on-disk table
+    val edges = persistedSymEdges(spark, dir)
+      .filter(col("src") < PartOffset).select("src", "dst")
+    graft.api.GraftOps.personalizedPageRank(edges, "src", "dst", Sources, Alpha, Iters,
+        prePartitioned = true)
       .select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
   }
 
