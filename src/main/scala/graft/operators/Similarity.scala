@@ -579,6 +579,67 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Scalar quantization (SQ8) ANN: per-DIMENSION affine int8 codes —
+    * the remaining standard memory tier next to PQ (FAISS's SQ8): one
+    * byte per dimension, code_i = round((x_i − lo_i)·255/(hi_i − lo_i))
+    * against per-dim corpus bounds, decode x̂_i = lo_i + c_i·Δ_i/255.
+    * Where PQ buys 16–64× compression with codebook training, SQ8 buys
+    * a flat 4–8× (float→byte) with NO training — two scan-speed
+    * aggregates for the bounds — and, unlike PQ's Lloyd floats, every
+    * stage is plain deterministic arithmetic, so the FULL pipeline
+    * (bounds → codes → reconstruction → ADC shortlist → exact re-rank)
+    * value-verifies against DuckDB bit-for-bit.
+    * Scale: bounds = one map-side min/max agg (d rows out); codes =
+    * a broadcast-join projection (the 1-byte-per-dim table is the
+    * at-scale artifact, 4–8× less scan IO than floats); scoring is the
+    * same broadcast-query scan as the exact baseline but over the
+    * decoded bytes; shortlist via the bounded-heap aggregate; exact
+    * re-rank touches R·|Q| true vectors only. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame =
+    annSq8(spark, dir, PqShortlist)
+
+  def annSq8(spark: SparkSession, dir: String, shortlistK: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = emb(spark, dir)
+    // per-dim corpus bounds as one broadcastable row of two d-arrays
+    val bounds = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(expr("array_sort(collect_list(struct(pos, lo, hi)))").as("t"))
+      .select(expr("transform(t, s -> s.lo)").as("lo"),
+        expr("transform(t, s -> s.hi)").as("hi"))
+    // int codes 0..255 (constant dims pin to 0 — decode returns lo)
+    val codes = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        s"""transform(v, (x, i) -> CASE WHEN hi[i] = lo[i] THEN 0
+              ELSE CAST(least(CAST($Sq8Levels AS DOUBLE), greatest(0.0D,
+                round((x - lo[i]) * CAST($Sq8Levels AS DOUBLE) / (hi[i] - lo[i]))))
+                AS INT) END)""").as("code"))
+    val rec = codes.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        s"""transform(code, (c, i) ->
+              lo[i] + CAST(c AS DOUBLE) * (hi[i] - lo[i]) / CAST($Sq8Levels AS DOUBLE))""")
+        .as("xh"))
+    val scored = rec.join(broadcast(
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, xh) - dot_product(xh, xh)").as("score"))
+    val shortlist = graft.api.GraftOps
+      .topKPerGroupAgg(scored, "qid", "score", "vec_id", shortlistK)
+      .select(col("qid"), col("vec_id"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, v) - dot_product(v, v)").as("score"))
+    graft.api.GraftOps.topKPerGroupAgg(exact, "qid", "score", "vec_id", TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+  val Sq8Levels = 255
+
   /** Radius (range) search: every corpus vector within cosine ≥ Radius
     * of each query — the fixed-threshold complement of top-k (recall
     * jobs want "all sufficiently-similar", not "best k"). Same broadcast
@@ -906,6 +967,38 @@ object Similarity {
           $ivfPqTailCtes"""
   }
 
+  /** DuckDB mirror of annSq8: per-dim bounds, affine codes, decode,
+    * ADC shortlist, exact re-rank — positional joins replay the
+    * per-dimension arithmetic in the identical operation order. */
+  private lazy val annSq8Oracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          u AS MATERIALIZED (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+          b AS MATERIALIZED (SELECT pos, min(val) AS lo, max(val) AS hi FROM u GROUP BY pos),
+          rec AS MATERIALIZED (SELECT u.vec_id, list(
+                b.lo + CAST(CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(least(CAST($Sq8Levels AS DOUBLE), greatest(0.0,
+                      round((u.val - b.lo) * CAST($Sq8Levels AS DOUBLE) / (b.hi - b.lo))))
+                      AS INT) END AS DOUBLE) * (b.hi - b.lo) / CAST($Sq8Levels AS DOUBLE)
+                ORDER BY u.pos) AS xh
+              FROM u JOIN b USING (pos) GROUP BY u.vec_id),
+          q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+          scored AS (SELECT q.qid, r.vec_id,
+                            2 * list_dot_product(q.qv, r.xh) - list_dot_product(r.xh, r.xh) AS score
+                     FROM q, rec r WHERE r.vec_id <> q.qid),
+          short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                        2 * list_dot_product(eq.v, ec.v) - list_dot_product(ec.v, ec.v) AS score
+                 FROM short s JOIN e eq ON s.qid = eq.vec_id
+                 JOIN e ec ON s.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, score,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM ex)
+        SELECT qid, rnk, vec_id AS neighbor, round(score, 6) AS score
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
   private lazy val annPqOracle: String = pqOracleWith(pqCtes)
 
   /** Same pipeline over md5-permuted dimensions — only the e CTE
@@ -965,6 +1058,7 @@ object Similarity {
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
+    QueryDef("sim_ann_sq8", (s: SparkSession, d: String) => annSq8(s, d), Some(annSq8Oracle)),
     QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
