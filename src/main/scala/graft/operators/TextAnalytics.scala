@@ -151,6 +151,47 @@ object TextAnalytics {
         .filter(col("nt") === RetrievalTerms.length)
         .select("doc_id"))
 
+  /** Positional inverted index as a flat postings relation: one row per
+    * (term, doc, 1-based position) with per-(term, doc) tf — the index
+    * layout phrase/proximity queries need, one `posexplode` past the
+    * reference's (docno, tf) postings. Flat rather than array-valued:
+    * the relation IS the postings list (ordered by position within each
+    * posting), joins/filters compose on it directly, and the driver's
+    * oracle gate compares scalar columns. Shuffle ∝ positions, with the
+    * tf window riding the same (term, doc_id) partitioning. */
+  def positionalIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), (col("pos") + 1).cast("long").as("pos"))
+      .withColumn("tf",
+        count(lit(1)).over(Window.partitionBy(col("term"), col("doc_id"))))
+      .orderBy("term", "doc_id", "pos")
+
+  /** Exact phrase retrieval over positional postings: term k of the
+    * phrase must appear at position p+k for an anchor p of term 0 —
+    * expressed as a chain of equi-joins on (doc_id, pos − k), so each
+    * term's postings are filtered BEFORE joining and the join keys
+    * co-partition; no window, no array intersection UDF. Returns each
+    * matching doc with its phrase-occurrence count and text. */
+  val PhraseTerms: Seq[String] = Seq("part", "filter")
+  def phraseRetrieval(spark: SparkSession, dir: String,
+                      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.nonEmpty, "phrase retrieval needs at least one term")
+    val post = tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val anchors = phrase.zipWithIndex
+      .map { case (t, k) =>
+        post.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - k).as("pos"))
+      }
+      .reduce(_.join(_, Seq("doc_id", "pos")))
+    val hits = anchors.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+    hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_occurrences"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** a3/BooleanRetrievalCompressed.java:147-183 — the reference's actual
     * retrieval path: `fetchPostings` decodes the gap+VInt bytes of each
     * query term, then runQuery:80-96 intersects the decoded doc sets.
@@ -280,6 +321,25 @@ object TextAnalytics {
             GROUP BY doc_id HAVING count(DISTINCT w) = ${RetrievalTerms.length})
           SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)
           ORDER BY doc_id""")),
+    QueryDef("inverted_index_positional", positionalIndex, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t)
+         SELECT term, doc_id, pos,
+                count(*) OVER (PARTITION BY term, doc_id) AS tf
+         FROM p WHERE term <> '' ORDER BY term, doc_id, pos""")),
+    QueryDef("phrase_retrieval", (s, d) => phraseRetrieval(s, d), Some {
+      val joins = PhraseTerms.zipWithIndex.tail.map { case (t, k) =>
+        s"JOIN p p$k ON p$k.doc_id = p0.doc_id AND p$k.pos = p0.pos + $k AND p$k.term = '$t'"
+      }.mkString("\n                ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+           m AS (SELECT p0.doc_id FROM p p0
+                $joins
+                WHERE p0.term = '${PhraseTerms.head}'),
+           h AS (SELECT doc_id, count(*) AS n_occurrences FROM m GROUP BY 1)
+         SELECT h.doc_id, h.n_occurrences, d.text
+         FROM h JOIN documents d USING (doc_id) ORDER BY doc_id"""
+    }),
     // same oracle as boolean_retrieval ON PURPOSE: the compressed path
     // must retrieve the identical doc set, just via the encoded bytes
     QueryDef("boolean_retrieval_compressed", booleanRetrievalCompressed, Some(

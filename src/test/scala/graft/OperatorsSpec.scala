@@ -73,6 +73,27 @@ class OperatorsSpec extends SparkSpec {
     assert(n == ok && n > 0)
   }
 
+  test("phrase retrieval: every hit contains the adjacent phrase; occurrence counts match a direct scan") {
+    val phrase = TextAnalytics.PhraseTerms
+    val hits = TextAnalytics.phraseRetrieval(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val needle = phrase.mkString(" ")
+    hits.foreach { r =>
+      val text = r.getAs[String]("text")
+      // count adjacent occurrences by scanning the token stream directly
+      val toks = text.split(" ", -1)
+      val direct = toks.indices.count(i =>
+        i + phrase.length <= toks.length &&
+          phrase.indices.forall(k => toks(i + k) == phrase(k)))
+      assert(direct == r.getAs[Long]("n_occurrences"),
+        s"doc ${r.getAs[Long]("doc_id")}: $direct direct vs ${r.getAs[Long]("n_occurrences")}")
+      assert(text.contains(needle))
+    }
+    // three-term phrases chain through the same join builder
+    val tri = TextAnalytics.phraseRetrieval(spark, sf, Seq("part", "filter", "scan"))
+    tri.collect().foreach(r => assert(r.getAs[String]("text").contains("part filter scan")))
+  }
+
   test("pagerank mass is conserved (sums to 1)") {
     val total = operators.Graph.pagerank(spark, sf)
       .agg(sum("rank")).head.getDouble(0)
