@@ -265,6 +265,56 @@ object Relational {
         ORDER BY returnflag"""
   }
 
+  /** Count-min sketch heavy hitters — the third classic sketch next to
+    * the KMV (distinct) and HLL (q13) tiers: CmsD×CmsW bounded counters
+    * (md5 row-hashes), per-key estimate = min over rows of its counter,
+    * top HhTopK keys by estimate. est ≥ true count always (collisions
+    * only inflate — CmsSpec asserts the bound); state is D×W counters
+    * regardless of key cardinality, and the counter build is one
+    * map-side-combinable groupBy — the bounded-memory path to "which
+    * keys dominate this 100 TB table". Candidate estimation here scans
+    * distinct keys (toy-scale convenience); at scale candidates come
+    * from a sample or a prior round, and the sketch is merged across
+    * partitions/days by plain counter addition. Deterministic hashes ⇒
+    * the DuckDB oracle replays counters, estimates and ranking. */
+  val CmsD = 4
+  val CmsW = 1024
+  val HhTopK = 20
+  def q44HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))
+    def bucket(j: Column, k: Column): Column =
+      conv(substring(md5(concat_ws("_", j, k)), 1, 8), 16, 10)
+        .cast("long") % CmsW
+    val rowIdx = explode(array((0 until CmsD).map(lit): _*)).as("j")
+    val cms = keys.select(col("k"), rowIdx)
+      .select(col("j"), bucket(col("j"), col("k")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val est = keys.distinct()
+      .select(col("k"), rowIdx)
+      .select(col("k"), col("j"), bucket(col("j"), col("k")).as("b"))
+      .join(cms, Seq("j", "b"))
+      .groupBy("k").agg(min(col("c")).as("est"))
+    est.orderBy(col("est").desc, col("k")).limit(HhTopK)
+      .select(col("k").as("partkey"), col("est"))
+  }
+
+  private lazy val cmsOracleSql: String =
+    s"""WITH keys AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
+          rows_ AS (SELECT j FROM (VALUES ${(0 until CmsD).map(j => s"($j)").mkString(", ")}) r(j)),
+          h AS MATERIALIZED (SELECT j, k,
+                 ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % $CmsW AS b
+               FROM keys, rows_),
+          cms AS MATERIALIZED (SELECT j, b, count(*) AS c FROM h GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT k FROM keys),
+          ch AS (SELECT c.k, r.j,
+                 ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '_' || CAST(c.k AS VARCHAR)), 1, 8))::BIGINT % $CmsW AS b
+               FROM cand c, rows_ r),
+          est AS (SELECT ch.k, min(cms.c) AS est
+                  FROM ch JOIN cms ON cms.j = ch.j AND cms.b = ch.b
+                  GROUP BY ch.k)
+        SELECT k AS partkey, est FROM est
+        ORDER BY est DESC, k LIMIT $HhTopK"""
+
   /** As-of (temporal) join, composed from a running window rather than a
     * custom physical operator (Spark's sort on (user, ts) makes the
     * "latest signup at or before each event" a running max — the
@@ -425,6 +475,7 @@ object Relational {
     QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
       "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
     QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
+    QueryDef("q44_heavy_hitters", q44HeavyHitters, Some(cmsOracleSql)),
     QueryDef("q14_asof_join", q14AsofJoin, Some(
       """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
                 (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)

@@ -200,6 +200,21 @@ class OperatorsSpec extends SparkSpec {
     assert(five.forall(r => math.abs(r.getLong(1)) <= 5))
   }
 
+  test("count-min heavy hitters: estimates upper-bound true counts; the true top key is found") {
+    val est = Relational.q44HeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Long]("est")).toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("c")).toMap
+    // CMS property: collisions only INFLATE — est ≥ true count, always
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"key $k: est $e below true ${exact(k)}")
+    }
+    // the genuinely heaviest key cannot be displaced below the top list
+    val top = exact.maxBy { case (k, c) => (c, k) }._1
+    assert(est.contains(top), s"true top key $top missing from the heavy-hitter list")
+  }
+
   test("histogram collapses to bucket 0 when every value is equal") {
     import SparkSpec.spark.implicits._
     // hi = lo: the bucket expression must not divide by zero
