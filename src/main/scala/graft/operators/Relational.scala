@@ -282,38 +282,41 @@ object Relational {
   val HhTopK = 20
   def q44HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))
-    def bucket(j: Column, k: Column): Column =
-      conv(substring(md5(concat_ws("_", j, k)), 1, 8), 16, 10)
-        .cast("long") % CmsW
-    val rowIdx = explode(array((0 until CmsD).map(lit): _*)).as("j")
-    val cms = keys.select(col("k"), rowIdx)
-      .select(col("j"), bucket(col("j"), col("k")).as("b"))
+    // ONE md5 per key row: the 32-hex digest carries four independent
+    // 8-hex chunks — row j's bucket reads chars 8j+1..8j+8 — so the
+    // counter build hashes each row once, not CmsD times
+    def buckets(k: Column): Column = {
+      val h = md5(k.cast("string"))
+      array((0 until CmsD).map { j =>
+        conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long") % CmsW
+      }: _*)
+    }
+    val cms = keys.select(posexplode(buckets(col("k"))).as(Seq("j", "b")))
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
     val est = keys.distinct()
-      .select(col("k"), rowIdx)
-      .select(col("k"), col("j"), bucket(col("j"), col("k")).as("b"))
+      .select(col("k"), posexplode(buckets(col("k"))).as(Seq("j", "b")))
       .join(cms, Seq("j", "b"))
       .groupBy("k").agg(min(col("c")).as("est"))
     est.orderBy(col("est").desc, col("k")).limit(HhTopK)
       .select(col("k").as("partkey"), col("est"))
   }
 
-  private lazy val cmsOracleSql: String =
+  private lazy val cmsOracleSql: String = {
+    val chunks = (0 until CmsD).map(j =>
+      s"('0x' || substr(h, ${8 * j + 1}, 8))::BIGINT % $CmsW").mkString(", ")
     s"""WITH keys AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
-          rows_ AS (SELECT j FROM (VALUES ${(0 until CmsD).map(j => s"($j)").mkString(", ")}) r(j)),
-          h AS MATERIALIZED (SELECT j, k,
-                 ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % $CmsW AS b
-               FROM keys, rows_),
-          cms AS MATERIALIZED (SELECT j, b, count(*) AS c FROM h GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT k FROM keys),
-          ch AS (SELECT c.k, r.j,
-                 ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '_' || CAST(c.k AS VARCHAR)), 1, 8))::BIGINT % $CmsW AS b
-               FROM cand c, rows_ r),
+          hk AS MATERIALIZED (SELECT k, md5(CAST(k AS VARCHAR)) AS h FROM keys),
+          hb AS MATERIALIZED (SELECT k, unnest([$chunks]) AS b,
+                 generate_subscripts([$chunks], 1) - 1 AS j
+               FROM hk),
+          cms AS MATERIALIZED (SELECT j, b, count(*) AS c FROM hb GROUP BY 1, 2),
+          ch AS (SELECT DISTINCT k, j, b FROM hb),
           est AS (SELECT ch.k, min(cms.c) AS est
                   FROM ch JOIN cms ON cms.j = ch.j AND cms.b = ch.b
                   GROUP BY ch.k)
         SELECT k AS partkey, est FROM est
         ORDER BY est DESC, k LIMIT $HhTopK"""
+  }
 
   /** As-of (temporal) join, composed from a running window rather than a
     * custom physical operator (Spark's sort on (user, ts) makes the
