@@ -142,6 +142,61 @@ object EventStreams {
         kmvEstimate(col("sk")).as("approx_users"))
   }
 
+  /** Per-window heavy hitters by count-min sketch — the BOUNDED-STATE
+    * sibling of `stream_topk` exactly as `stream_approx_users` is to
+    * exact distinct: the streaming half maintains only the sparse
+    * CmsD×CmsW counter grid per window (windowed groupBy — partial
+    * merges through the state store; an exact per-user top-k holds
+    * every user id), and the heavy-hitter readout joins candidates
+    * against the emitted counters downstream. One md5 digest per event
+    * yields all CmsD row-buckets (the q44 chunking); estimates are
+    * min-over-rows, top HhStreamK per window with deterministic ties.
+    * `heavyHittersCounterStream` is the watermarked streaming front-end
+    * for the counter half; StreamingSpec proves it converges to the
+    * batch counters exactly. */
+  val CmsStreamD = 4
+  val CmsStreamW = 256
+  val HhStreamK = 3
+  private def cmsBuckets: org.apache.spark.sql.Column = {
+    val h = md5(col("user_id").cast("string"))
+    array((0 until CmsStreamD).map { j =>
+      conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long") % CmsStreamW
+    }: _*)
+  }
+
+  /** The streaming state: per (window, row, bucket) counts. */
+  def heavyHittersCountersBatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .select(col("window_ms"), posexplode(cmsBuckets).as(Seq("j", "b")))
+      .groupBy("window_ms", "j", "b").agg(count(lit(1)).as("c"))
+
+  def heavyHittersBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+    val counters = heavyHittersCountersBatch(spark, dir)
+    val est = ev.select(col("window_ms"), col("user_id")).distinct()
+      .select(col("window_ms"), col("user_id"), posexplode(cmsBuckets).as(Seq("j", "b")))
+      .join(counters, Seq("window_ms", "j", "b"))
+      .groupBy("window_ms", "user_id").agg(min(col("c")).as("est"))
+    val w = Window.partitionBy(col("window_ms"))
+      .orderBy(col("est").desc, col("user_id"))
+    est.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HhStreamK)
+      .select(col("window_ms"), col("rnk"), col("user_id"), col("est"))
+      .orderBy("window_ms", "rnk")
+  }
+
+  /** Watermarked streaming front-end of the counter half. */
+  def heavyHittersCounterStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), posexplode(cmsBuckets).as(Seq("j", "b")))
+      .groupBy(window(col("ts"), "1 hour"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("j"), col("b"), col("c"))
+
   /** a7 TrendingArrivals: 10 min windows per event_type whose count is
     * ≥ TrendMin and ≥ 2× the count of the PRECEDING window (a missing
     * preceding window counts as 0, like the reference's initial state). */
@@ -586,6 +641,31 @@ object EventStreams {
                  CASE WHEN m < $KmvUsersK THEN m::DOUBLE
                       ELSE round($c / xk::DOUBLE, 4) END AS approx_users
           FROM kk ORDER BY window_ms"""
+    }),
+    QueryDef("stream_heavy_hitters", heavyHittersBatch, Some {
+      val chunks = (0 until CmsStreamD).map(j =>
+        s"('0x' || substr(h, ${8 * j + 1}, 8))::BIGINT % $CmsStreamW").mkString(", ")
+      s"""WITH ev AS MATERIALIZED (
+              SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms, user_id,
+                     md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events),
+            hb AS MATERIALIZED (SELECT window_ms, user_id,
+                   unnest([$chunks]) AS b,
+                   generate_subscripts([$chunks], 1) - 1 AS j
+                 FROM ev),
+            cms AS MATERIALIZED (SELECT window_ms, j, b, count(*) AS c
+                 FROM hb GROUP BY 1, 2, 3),
+            ch AS (SELECT DISTINCT window_ms, user_id, j, b FROM hb),
+            est AS (SELECT ch.window_ms, ch.user_id, min(cms.c) AS est
+                    FROM ch JOIN cms ON cms.window_ms = ch.window_ms
+                      AND cms.j = ch.j AND cms.b = ch.b
+                    GROUP BY 1, 2),
+            r AS (SELECT window_ms, user_id, est,
+                         row_number() OVER (PARTITION BY window_ms
+                           ORDER BY est DESC, user_id) AS rnk
+                  FROM est)
+          SELECT window_ms, rnk, user_id, est FROM r
+          WHERE rnk <= $HhStreamK ORDER BY window_ms, rnk"""
     }),
     QueryDef("stream_region_count", regionCountBatch, Some(
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,

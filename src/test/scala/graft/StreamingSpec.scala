@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming CMS counters converge to the batch counter grid exactly") {
+    // the heavy-hitter sketch's streaming half: per-window sparse
+    // counter cells must partial-merge through the state store to the
+    // identical grid the batch mirror computes
+    runToMemory(EventStreams.heavyHittersCounterStream(spark, sf), "shh")
+    val streamed = spark.table("shh").collect()
+      .map(r => (r.getAs[Long]("window_ms"), r.getAs[Int]("j"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("c")).toMap
+    val batch = EventStreams.heavyHittersCountersBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("window_ms"), r.getAs[Int]("j"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("c")).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // and per-window state really is bounded by the grid, not the users
+    val maxCells = spark.table("shh").groupBy("window_ms").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxCells <= EventStreams.CmsStreamD.toLong * EventStreams.CmsStreamW)
+  }
+
   test("streaming stateful dedup converges to the batch replay-collapse") {
     runToMemory(EventStreams.dedupStream(spark, sf), "sdd")
     val streamed = spark.table("sdd").collect()
