@@ -337,6 +337,43 @@ object Dedup {
                      FROM pairs p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id)
         SELECT a, b, cos FROM scored WHERE cos >= $EmbThreshold ORDER BY a, b"""
 
+  /** Edit-distance fuzzy join over the distinct part-name dictionary —
+    * the string-cleaning sibling of the token-level tiers: all pairs of
+    * distinct names within Levenshtein distance ≤ FuzzK, found WITHOUT
+    * an all-pairs scan via the deletion-neighborhood signature
+    * (SymSpell): every string emits its ≤ FuzzK-deletion variants, and
+    * any pair within distance k provably shares a common variant (align
+    * the pair; delete the ≤ k substituted/inserted positions from each
+    * side — the filter is EXACT, no recall loss, which the brute-force
+    * oracle independently certifies). Candidates then verify with one
+    * `levenshtein` call. Scale: signatures per string are
+    * O(L choose k) ≈ 80 at L = 12 — the join shuffles |dict|×80 short
+    * strings, never |dict|²; the dictionary shape (distinct names, not
+    * corpus rows) is exactly how fuzzy joins run in cleaning pipelines. */
+  val FuzzK = 2
+  def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name").as("name")).distinct()
+    // variants with 0, 1, or 2 character deletions, built in-row
+    val sigs = names.select(col("name"), explode(expr(
+      """concat(
+           array(name),
+           transform(sequence(1, length(name)), i ->
+             concat(substr(name, 1, i - 1), substr(name, i + 1))),
+           flatten(transform(sequence(1, length(name)), i ->
+             CASE WHEN i < length(name) THEN
+               transform(sequence(i + 1, length(name)), j ->
+                 concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), substr(name, j + 1)))
+             ELSE CAST(array() AS ARRAY<STRING>) END)))""")).as("sig"))
+      .distinct()
+    sigs.select(col("name").as("a"), col("sig"))
+      .join(sigs.select(col("name").as("b"), col("sig")), "sig")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= FuzzK)
+      .orderBy("a", "b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -351,6 +388,15 @@ object Dedup {
                  round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
           FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold
+          ORDER BY a, b""")),
+    // brute-force oracle ON PURPOSE: an independent all-pairs scan
+    // certifies the deletion-signature filter loses no pair
+    QueryDef("dedup_fuzzy_names", dedupFuzzyNames, Some(
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+          SELECT a.name AS a, b.name AS b,
+                 levenshtein(a.name, b.name) AS dist
+          FROM n a, n b
+          WHERE a.name < b.name AND levenshtein(a.name, b.name) <= $FuzzK
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
     QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
