@@ -192,6 +192,30 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Proximity retrieval — the unordered sibling of phrase match: docs
+    * where the two terms co-occur within ProxWindow token positions, in
+    * either order. One equi-join of the two filtered postings streams on
+    * doc_id with a band predicate on the positions (no windows, no
+    * arrays); reports the pair count and tightest gap per doc. */
+  val ProxWindow = 5
+  def proximityRetrieval(spark: SparkSession, dir: String,
+                         t1: String = PhraseTerms.head,
+                         t2: String = PhraseTerms.last,
+                         w: Int = ProxWindow): DataFrame = {
+    val post = tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val pa = post.filter(col("term") === t1).select(col("doc_id"), col("pos").as("pa"))
+    val pb = post.filter(col("term") === t2).select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, "doc_id")
+      .filter(abs(col("pa") - col("pb")) <= w && col("pa") =!= col("pb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_gap"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_pairs"), col("min_gap"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** a3/BooleanRetrievalCompressed.java:147-183 — the reference's actual
     * retrieval path: `fetchPostings` decodes the gap+VInt bytes of each
     * query term, then runQuery:80-96 intersects the decoded doc sets.
@@ -340,6 +364,16 @@ object TextAnalytics {
          SELECT h.doc_id, h.n_occurrences, d.text
          FROM h JOIN documents d USING (doc_id) ORDER BY doc_id"""
     }),
+    QueryDef("proximity_retrieval", (s, d) => proximityRetrieval(s, d), Some(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+           m AS (SELECT a.doc_id, abs(a.pos - b.pos) AS gap
+                 FROM p a JOIN p b ON a.doc_id = b.doc_id
+                 WHERE a.term = '${PhraseTerms.head}' AND b.term = '${PhraseTerms.last}'
+                   AND abs(a.pos - b.pos) <= $ProxWindow AND a.pos <> b.pos),
+           h AS (SELECT doc_id, count(*) AS n_pairs, min(gap) AS min_gap FROM m GROUP BY 1)
+         SELECT h.doc_id, h.n_pairs, h.min_gap, d.text
+         FROM h JOIN documents d USING (doc_id) ORDER BY doc_id""")),
     // same oracle as boolean_retrieval ON PURPOSE: the compressed path
     // must retrieve the identical doc set, just via the encoded bytes
     QueryDef("boolean_retrieval_compressed", booleanRetrievalCompressed, Some(
