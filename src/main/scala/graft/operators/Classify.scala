@@ -47,18 +47,41 @@ object Classify {
     * fixed order — bit-deterministic on any engine — so quantizing the
     * ONE libm call (exp differs by ulps across math libraries) makes
     * the full 500-step weight trajectory reproducible bit-for-bit by
-    * the DuckDB recursive-CTE oracle. */
+    * the DuckDB recursive-CTE oracle.
+    *
+    * Residual risk: the claim is probabilistic, not absolute — if a
+    * step's `sigmoid * 2^20 + 0.5` lands within exp's cross-libm ulp
+    * error (~1e-10 at this scale) of an integer, the floor() flips and
+    * the trajectories diverge. Chance per step ≈ 2^-33; the spec pins
+    * it down on the test corpora via [[minGridMargin]] (every step's
+    * scaled sigmoid is far from a grid boundary). */
   val ProbGrid = 1048576.0
 
-  private def sgd(rows: Iterator[(Long, Boolean, Seq[Int])]): Map[Int, Double] = {
+  private def sgd(rows: Iterator[(Long, Boolean, Seq[Int])],
+                  onMargin: Double => Unit = _ => ()): Map[Int, Double] = {
     val w = scala.collection.mutable.Map[Int, Double]()
     rows.foreach { case (_, isSpam, features) =>
       val score = features.iterator.map(f => w.getOrElse(f, 0.0)).sum
-      val prob = math.floor((1.0 / (1.0 + math.exp(-score))) * ProbGrid + 0.5) / ProbGrid
+      val x = (1.0 / (1.0 + math.exp(-score))) * ProbGrid + 0.5
+      onMargin(math.abs(x - math.rint(x)))
+      val prob = math.floor(x) / ProbGrid
       val label = if (isSpam) 1.0 else 0.0
       features.foreach(f => w.update(f, w.getOrElse(f, 0.0) + (label - prob) * Delta))
     }
     w.toMap
+  }
+
+  /** Minimum distance of any serial-pass step's scaled sigmoid from an
+    * integer grid boundary — the spec asserts this is orders of
+    * magnitude above cross-libm exp error, discharging the residual
+    * risk documented at [[ProbGrid]]. Driver-side replay; spec-only. */
+  private[graft] def minGridMargin(spark: SparkSession, dir: String): Double = {
+    import spark.implicits._
+    val rows = instances(spark, dir).as[(Long, Boolean, Seq[Int])]
+      .collect().sortBy(_._1)
+    var min = Double.MaxValue
+    sgd(rows.iterator, m => if (m < min) min = m)
+    min
   }
 
   // trained weights memoized per (session, dir): apply/ensemble reuse
@@ -124,9 +147,22 @@ object Classify {
       .as[(Int, Long, Boolean, Seq[Int])]
       .repartition(partitions, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
+      // rows arrive sorted by (shard, doc_id); split on shard
+      // boundaries STREAMING — one instance in memory at a time, never
+      // the whole partition (a partition may hold several shards via
+      // hash collisions, and at corpus scale buffering it would OOM)
       .mapPartitions { it =>
-        it.toVector.groupBy(_._1).valuesIterator.flatMap { rows =>
-          sgd(rows.iterator.map { case (_, id, s, f) => (id, s, f) })
+        val b = it.buffered
+        Iterator.continually(b).takeWhile(_.hasNext).flatMap { bb =>
+          val shard = bb.head._1
+          val group = new Iterator[(Long, Boolean, Seq[Int])] {
+            def hasNext: Boolean = bb.hasNext && bb.head._1 == shard
+            def next(): (Long, Boolean, Seq[Int]) = {
+              val (_, id, s, f) = bb.next(); (id, s, f)
+            }
+          }
+          val model = sgd(group) // sgd drains the group fully
+          model
         }
       }
       .toDF("feature", "w")

@@ -347,13 +347,19 @@ object Dedup {
     * side — the filter is EXACT, no recall loss, which the brute-force
     * oracle independently certifies). Candidates then verify with one
     * `levenshtein` call. Scale: signatures per string are
-    * O(L choose k) ≈ 80 at L = 12 — the join shuffles |dict|×80 short
-    * strings, never |dict|²; the dictionary shape (distinct names, not
-    * corpus rows) is exactly how fuzzy joins run in cleaning pipelines. */
+    * O(L choose k) — TPC-H p_name runs ~30–35 chars, so k = 2 emits
+    * ~(35 choose 2) ≈ 600 variants per name. To keep that affordable
+    * the join key is the 64-bit xxhash of each variant, not the variant
+    * string itself: shuffle is |dict|×600 8-byte longs, never |dict|²
+    * and never 30-byte strings. Hash collisions can only ADD candidate
+    * pairs (each is then verified by `levenshtein`), so exactness is
+    * preserved; the dictionary shape (distinct names, not corpus rows)
+    * is exactly how fuzzy joins run in cleaning pipelines. */
   val FuzzK = 2
   def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir).select(col("p_name").as("name")).distinct()
-    // variants with 0, 1, or 2 character deletions, built in-row
+    // variants with 0, 1, or 2 character deletions, built in-row and
+    // immediately hashed to 64 bits (see scaladoc: collisions are safe)
     val sigs = names.select(col("name"), explode(expr(
       """concat(
            array(name),
@@ -363,7 +369,8 @@ object Dedup {
              CASE WHEN i < length(name) THEN
                transform(sequence(i + 1, length(name)), j ->
                  concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), substr(name, j + 1)))
-             ELSE CAST(array() AS ARRAY<STRING>) END)))""")).as("sig"))
+             ELSE CAST(array() AS ARRAY<STRING>) END)))""")).as("sigstr"))
+      .select(col("name"), xxhash64(col("sigstr")).as("sig"))
       .distinct()
     sigs.select(col("name").as("a"), col("sig"))
       .join(sigs.select(col("name").as("b"), col("sig")), "sig")

@@ -12,8 +12,20 @@ import org.apache.spark.sql.types.LongType
   * pushes filters into (verify via `.explain` → `PushedFilters`).
   */
 object Tables {
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Graft's timestamp semantics are defined over a UTC session: naive
+    * parquet/text timestamps are read as UTC instants so the stored
+    * micros match the DuckDB oracle's `epoch_us` on ANY caller session.
+    * Pinning the conf here (not just in Bench/Verify/specs) means a
+    * caller on a non-UTC session can't silently read shifted instants.
+    * Spark reads the session timezone per-query, so setting it at read
+    * time covers the whole downstream plan. */
+  private[sources] def ensureUtc(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureUtc(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -51,13 +51,17 @@ object TextFormats {
     * Timestamps are plain TIMESTAMP (not NTZ): the whole library reads
     * naive parquet timestamps with NTZ inference off (see Tables.events)
     * so stored micros pass through as UTC instants on every session —
-    * the text reader matches that posture. */
-  def tbl(spark: SparkSession, path: String, table: String): DataFrame =
+    * the text reader matches that posture. The session timezone is
+    * pinned to UTC HERE (Tables.ensureUtc), not just in the entry
+    * points, so a non-UTC caller can't read shifted instants. */
+  def tbl(spark: SparkSession, path: String, table: String): DataFrame = {
+    Tables.ensureUtc(spark)
     spark.read
       .schema(schemas(table))
       .option("sep", "|")
       .option("timestampFormat", "yyyy-MM-dd[ HH:mm:ss]")
       .csv(path)
+  }
 
   /** Read a plain-text corpus: one document per line, stable line ids
     * (zipWithIndex is deterministic per file-order, unlike

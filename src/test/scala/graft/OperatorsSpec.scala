@@ -141,6 +141,15 @@ class OperatorsSpec extends SparkSpec {
     assert(n == distinct)
   }
 
+  test("spam classifier: no SGD step lands near a sigmoid grid boundary") {
+    // The bit-for-bit cross-engine replay claim rests on floor(x) never
+    // flipping under exp's cross-libm ulp error (~1e-10 at 2^20 scale).
+    // Assert every step of the serial pass keeps its scaled sigmoid far
+    // from an integer — the residual-risk discharge for ProbGrid.
+    val margin = Classify.minGridMargin(spark, sf)
+    assert(margin > 1e-6, s"min grid margin $margin too close to a boundary")
+  }
+
   test("spam classifier: averaged training agrees with serial on most predictions") {
     val serial = Classify.apply_(spark, sf)
       .select("doc_id", "predicted").collect()
