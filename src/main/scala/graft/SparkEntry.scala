@@ -9,7 +9,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Dedup.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
-      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ EventAnalytics.defs ++
+      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++
+      EventAnalytics.defs ++
       graft.streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
