@@ -591,6 +591,130 @@ object Graph {
         SELECT v, dist FROM d$SsspRounds ORDER BY v"""
   }
 
+  /** Minimum spanning forest by distributed Borůvka over the weighted
+    * supplier↔part graph (same integer costs as `graph_sssp`). The
+    * edge total order (w, a, b) makes weights effectively distinct, so
+    * the MSF is UNIQUE — every round, each current component picks its
+    * minimum outgoing edge under that order, and by the cut property
+    * EVERY such pick is an MSF edge no matter how partial the merge
+    * state is (any vertex set S: the min edge crossing (S, V∖S) is in
+    * the MSF). Contraction is min-hooking (new label = min of own and
+    * partner's label — monotone decreasing, so the hook map is
+    * cycle-free) followed by MstJumps pointer-jumping compositions of
+    * the ≤|comps|-row label map, which resolves hook chains up to
+    * 2^MstJumps deep per round; rounds after convergence are no-ops
+    * (no cross-component edges → no picks → labels unchanged), so the
+    * FIXED MstRounds unroll stays oracle-exact. MstSpec certifies the
+    * result against an independent driver-side Kruskal and the
+    * |MSF| = |V| − #components identity.
+    *
+    * Scale: per round one |E| join against labels (the same shape as
+    * each CC round) + MstJumps self-joins of a map whose size is the
+    * CURRENT component count (collapses geometrically); components at
+    * least halve per effective round, so MstRounds = 6 with 64-deep
+    * jumps covers graphs far beyond the test SFs — at true 100 TB
+    * scale raise MstRounds (O(log |V|) total), nothing else changes. */
+  val MstRounds = 6
+  val MstJumps = 6
+
+  /** Materialize AND sever logical-plan lineage. `localCheckpoint`
+    * alone truncates execution but re-derives the new LogicalRDD's
+    * constraints/stats from the parent plan — chained across the
+    * rounds×jumps generations of this loop those rewrites compound
+    * GEOMETRICALLY (measured: round-4 jumps took 30–100 s on a
+    * 5-component graph, pure driver-side analysis). Re-wrapping the
+    * checkpointed RDD through createDataFrame starts every generation
+    * from a bare leaf. Costs one Row conversion per downstream scan of
+    * a ≤|V|-row table — noise next to the |E| joins. */
+  private def hardBreak(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  def graphMst(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartOffset).as("b"))
+      .agg((lit(SsspMaxCost + 1) - least(lit(SsspMaxCost), count(lit(1)))).as("w"))
+      .localCheckpoint()
+    var labels = hardBreak(edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct().select(col("v"), col("v").as("comp")))
+    var picks: Option[DataFrame] = None
+    var converged = false
+    for (_ <- 1 to MstRounds if !converged) {
+      val ec = edges.as("e")
+        .join(labels.as("la"), col("e.a") === col("la.v"))
+        .join(labels.as("lb"), col("e.b") === col("lb.v"))
+        .filter(col("la.comp") =!= col("lb.comp"))
+        .select(col("la.comp").as("ca"), col("lb.comp").as("cb"),
+          col("e.w").as("w"), col("e.a").as("a"), col("e.b").as("b"))
+      val cand = ec
+        .select(col("ca").as("comp"), col("cb").as("other"), col("w"), col("a"), col("b"))
+        .unionAll(ec
+          .select(col("cb").as("comp"), col("ca").as("other"), col("w"), col("a"), col("b")))
+      // (w, a, b) is unique per comp (an edge contributes one row per
+      // side), so min(struct) ≡ the oracle's row_number ORDER BY w,a,b
+      val pick = hardBreak(cand.groupBy("comp")
+        .agg(min(struct(col("w"), col("a"), col("b"), col("other"))).as("m"))
+        .select(col("comp"), col("m.other").as("other"),
+          col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b")))
+      if (pick.isEmpty) {
+        // no cross-component edges anywhere → MSF complete; the
+        // remaining unrolled rounds are no-ops in the oracle too
+        converged = true
+      } else {
+        picks = Some(picks.fold(pick.select("a", "b", "w"))(
+          _ unionAll pick.select("a", "b", "w")))
+        var map = hardBreak(
+          pick.select(col("comp"), least(col("comp"), col("other")).as("lab")))
+        for (_ <- 1 to MstJumps) {
+          val m2 = map.select(col("comp").as("c2"), col("lab").as("l2"))
+          map = hardBreak(map.join(m2, col("lab") === col("c2"), "left")
+            .select(col("comp"), coalesce(col("l2"), col("lab")).as("lab")))
+        }
+        labels = hardBreak(
+          labels.as("l").join(map.as("m"), col("l.comp") === col("m.comp"), "left")
+            .select(col("l.v").as("v"), coalesce(col("m.lab"), col("l.comp")).as("comp")))
+      }
+    }
+    picks.get.distinct().orderBy("a", "b")
+  }
+
+  /** The identical Borůvka unroll in DuckDB CTEs: per round a pick
+    * (row_number over the same (w, a, b) order) + MstJumps map
+    * compositions + the relabel; the answer is the distinct union of
+    * every round's picks. */
+  private lazy val mstOracle: String = {
+    def jumps(r: Int): String = (1 to MstJumps).map { j =>
+      s"""map${r}_$j AS MATERIALIZED (SELECT m1.comp, coalesce(m2.lab, m1.lab) AS lab
+              FROM map${r}_${j - 1} m1 LEFT JOIN map${r}_${j - 1} m2 ON m1.lab = m2.comp)"""
+    }.mkString(",\n          ")
+    val rounds = (1 to MstRounds).map { r =>
+      s"""ec$r AS (SELECT la.comp AS ca, lb.comp AS cb, e.w, e.a, e.b
+              FROM ew e JOIN ml${r - 1} la ON e.a = la.v JOIN ml${r - 1} lb ON e.b = lb.v
+              WHERE la.comp <> lb.comp),
+          cand$r AS (SELECT ca AS comp, cb AS other, w, a, b FROM ec$r
+                     UNION ALL SELECT cb, ca, w, a, b FROM ec$r),
+          pick$r AS MATERIALIZED (SELECT comp, other, w, a, b FROM (
+                     SELECT *, row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+                     FROM cand$r) WHERE rn = 1),
+          map${r}_0 AS MATERIALIZED (SELECT comp, least(comp, other) AS lab FROM pick$r),
+          ${jumps(r)},
+          ml$r AS MATERIALIZED (SELECT l.v, coalesce(m.lab, l.comp) AS comp
+                  FROM ml${r - 1} l LEFT JOIN map${r}_$MstJumps m ON l.comp = m.comp)"""
+    }.mkString(",\n          ")
+    val unionPicks = (1 to MstRounds)
+      .map(r => s"SELECT a, b, w FROM pick$r").mkString(" UNION ALL ")
+    s"""WITH ow AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey, l_partkey FROM lineitem),
+          ew AS MATERIALIZED (SELECT l_suppkey AS a, l_partkey + $PartOffset AS b,
+                ${SsspMaxCost + 1} - least($SsspMaxCost, count(*)) AS w
+                FROM ow GROUP BY 1, 2),
+          ml0 AS MATERIALIZED (SELECT v, v AS comp FROM (
+                SELECT DISTINCT v FROM (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew))),
+          $rounds
+        SELECT DISTINCT a, b, w FROM ($unionPicks) ORDER BY a, b"""
+  }
+
   /** Approximate diameter by DOUBLE SWEEP (Magnien/Latapy/Habib): BFS
     * from a fixed seed finds a farthest node u; a second BFS from u
     * reaches (on real-world graphs, usually attains) the diameter —
@@ -1125,6 +1249,7 @@ object Graph {
           FROM curve, (SELECT nf_est AS nf_total FROM curve WHERE hop = $BfsRounds)
           WHERE nf_est >= $EffDiamAlpha * nf_total""")),
     QueryDef("graph_sssp", graphSssp, Some(ssspOracle)),
+    QueryDef("graph_mst", graphMst, Some(mstOracle)),
     QueryDef("graph_diameter", graphDiameter, Some(diameterOracle)),
     QueryDef("graph_components_incremental", graphComponentsIncremental,
       Some(ccIncrementalOracle)),
