@@ -272,18 +272,77 @@ object Similarity {
     *   2. update R = argmin_R ‖R·X − X̂‖_F (orthogonal Procrustes):
     *      the data term M = Σ_rows x̂·xᵀ is ONE d²-wide `vec_sum`
     *      aggregate (map-side partial, model-sized result — 32 KB at
-    *      d = 64), and the SVD runs driver-side on that d×d matrix,
-    *      exactly like collecting k-means centroids.
+    *      d = 64), and the polar factor of M (the Procrustes optimum)
+    *      is computed driver-side, exactly like collecting k-means
+    *      centroids.
     * Scale: per pass the corpus is touched by one rotate map + the
     * Lloyd trainings + one flat aggregate — no new shuffle shape; the
     * learned model is d² doubles regardless of corpus size. Rotation
     * preserves dot products, so the exact re-rank semantics are
-    * untouched; only shortlist QUALITY changes. Rows-only tier (LAPACK
-    * SVD floats are not SQL-replayable — the judged boundary that
-    * kept this deferred in r5); PqSpec bounds it: orthogonality,
-    * determinism, full-shortlist degeneracy to the exact answer, and
-    * recall ≥ the plain-PQ tier. */
+    * untouched; only shortlist QUALITY changes.
+    *
+    * VALUE-ORACLE DESIGN (what flipped this tier from rows-only to
+    * oracle-green): the Procrustes solve is NOT a LAPACK SVD but a
+    * deterministic Newton–Schulz polar iteration ([[polarNS]]) —
+    * R₀ = M/‖M‖_F, R ← R(3I − RᵀR)/2 — whose every float op is a
+    * sequential IEEE multiply/add in a fixed order, with M snapped to
+    * a 1e-6 grid (absorbing distributed-sum order variance, the
+    * kmeans-9dp discipline) and R snapped to a 1e-12 grid per sweep
+    * (the spam-SGD ProbGrid discipline). DuckDB replays the identical
+    * arithmetic with list_dot_product/list_sum (measured bit-identical
+    * to sequential loops), so the whole 2-pass alternation — Lloyd
+    * codebooks, encode, reconstruction, M, polar sweeps, final PQ
+    * pipeline — is one self-contained SQL oracle. PqSpec additionally
+    * certifies the iteration against LAPACK (‖R_NS − R_SVD‖_∞ ≤ 1e-6
+    * on random and ill-scaled matrices) plus orthogonality to 1e-9,
+    * determinism, exact-degeneracy, and the recall floors. */
   val OpqIters = 2
+
+  /** Newton–Schulz sweeps for the polar factor. ‖M/‖M‖_F‖₂ ≤ 1 < √3
+    * guarantees convergence; small singular values grow ×1.5 per sweep
+    * until they saturate at 1, so 72 sweeps cover σ/‖M‖_F ≥ ~1e-11.
+    * The corpus M is near-rank-deficient (measured σmin/F ≈ 1e-9 at
+    * sf0.001 — reconstructed x̂ spans slightly fewer directions than
+    * d), which is exactly why the sweep count is this high; directions
+    * at or below the grid floor get seeded by the deterministic 1e-12
+    * quantization residue and saturate a few sweeps later, giving a
+    * deterministic orthogonal completion where LAPACK's was arbitrary.
+    * Sweeps past convergence are fixpoints under the grid (saturated
+    * directions are quadratically contractive), so the fixed unroll is
+    * oracle-exact. */
+  val NsIters = 72
+  val MGrid = 1e6   // Σ x̂xᵀ entries: absorbs vec_sum order variance
+  val RGrid = 1e12  // per-sweep rotation grid: pins both engines
+
+  private def grid(x: Double, g: Double): Double = math.floor(x * g + 0.5) / g
+
+  /** Last pass's quantized M — spec-only conditioning probe. */
+  private[graft] var lastM: Array[Array[Double]] = _
+
+  /** Orthogonal polar factor of (grid-quantized) M by Newton–Schulz.
+    * Loop orders are load-bearing: every sum runs k = 0..d−1
+    * ascending, matching the oracle's list_dot_product over lists
+    * built in the same order — bit-identical trajectories. */
+  private[graft] def polarNS(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    var fro = 0.0
+    for (i <- 0 until d; j <- 0 until d) fro += m(i)(j) * m(i)(j)
+    val f = math.sqrt(fro)
+    var r = Array.tabulate(d, d)((i, j) => grid(m(i)(j) / f, RGrid))
+    for (_ <- 1 to NsIters) {
+      val rc = r
+      val a = Array.tabulate(d, d) { (i, j) =>
+        var s = 0.0; var k = 0
+        while (k < d) { s += rc(k)(i) * rc(k)(j); k += 1 }; s
+      }
+      val ra = Array.tabulate(d, d) { (i, j) =>
+        var s = 0.0; var k = 0
+        while (k < d) { s += rc(i)(k) * a(k)(j); k += 1 }; s
+      }
+      r = Array.tabulate(d, d)((i, j) => grid((3 * rc(i)(j) - ra(i)(j)) / 2, RGrid))
+    }
+    r
+  }
   private val opqMemo = scala.collection.concurrent.TrieMap[String, String]()
   private def opqRotationFn(spark: SparkSession, dir: String): String =
     opqMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
@@ -335,13 +394,15 @@ object Similarity {
         .join(x.select(col("vec_id"), col("v").as("xraw")), "vec_id")
         .select(expr(s"flatten(transform($xhat, a -> transform(xraw, b -> a * b)))").as("op"))
         .agg(expr("vec_sum(op)").as("m")).head().getSeq[Double](0).toArray
-      // mFlat is row-major M = Σ x̂xᵀ; breeze is column-major, so the
-      // constructor holds Mᵀ. svd(Mᵀ) = U Σ Vᵀ ⇒ M = V Σ Uᵀ, and
-      // Procrustes R (= Ū V̄ᵀ of M's own svd) = V·Uᵀ.
-      val breeze.linalg.svd.SVD(u, _, vt) =
-        breeze.linalg.svd(new breeze.linalg.DenseMatrix(d, d, mFlat))
-      val rm = vt.t * u.t
-      r = Array.tabulate(d, d)((i, j) => rm(i, j))
+      // mFlat is row-major M = Σ x̂xᵀ; snap to the 1e-6 grid (the
+      // distributed vec_sum's partition order varies run to run and
+      // engine to engine — the grid is where both engines re-agree),
+      // then the deterministic Newton–Schulz sweep replaces the old
+      // LAPACK SVD: same Procrustes optimum (PqSpec: ≤1e-6 from the
+      // SVD answer), fully DuckDB-replayable.
+      val mq = Array.tabulate(d, d)((i, j) => grid(mFlat(i * d + j), MGrid))
+      lastM = mq
+      r = polarNS(mq)
     }
     r
   }
@@ -846,9 +907,12 @@ object Similarity {
     * residual build, probes with the −‖q−c‖² cross-cell term, per-probe
     * query residuals. Emits e0, ec, the qz Lloyd chain, asg, res,
     * probes, rq. */
-  private lazy val ivfPqHeadCtes: String = {
+  private lazy val ivfPqHeadCtes: String =
+    ivfPqHeadCtesWith("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  private def ivfPqHeadCtesWith(eDef: String): String = {
     val cFin = s"qzc$PqIters"
-    s"""e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e0 AS MATERIALIZED ($eDef),
           ec AS MATERIALIZED (SELECT vec_id, v AS x FROM e0),
           ${l2LloydCtes("qz", "ec", IvfPqCoarseK, PqIters)},
           asg AS MATERIALIZED (SELECT vec_id, cid FROM (
@@ -910,7 +974,7 @@ object Similarity {
     * codebook Lloyds, encode, probes with the −‖q−c‖² cross-cell term,
     * residual LUTs, ADC shortlist, exact re-rank — every float in the
     * same order as the Spark plan. */
-  private lazy val annIvfPqOracle: String = {
+  private def ivfPqOracleWith(head: String): String = {
     val residBlocks = (0 until PqM).map { m =>
       s"""rs$m AS MATERIALIZED (SELECT vec_id, ${subSql("rv", m)} AS x FROM res),
           ${l2LloydCtes(s"b$m", s"rs$m", PqK, PqIters)},
@@ -924,10 +988,20 @@ object Similarity {
                   - list_dot_product(c.cv, c.cv) AS t
                 FROM rq r, b${m}c$PqIters c)"""
     }.mkString(",\n          ")
-    s"""WITH $ivfPqHeadCtes,
+    s"""WITH $head,
           $residBlocks,
           $ivfPqTailCtes"""
   }
+
+  private lazy val annIvfPqOracle: String = ivfPqOracleWith(ivfPqHeadCtes)
+
+  /** IVF-PQ over the OPQ-rotated space: the full training replay
+    * (opqTrainingCtes) feeds `rotfin` into the standard IVF-PQ oracle
+    * head — cells, residuals, codebooks, ADC and the exact re-rank all
+    * operate on the rotated corpus, exactly like the Spark plan. */
+  private lazy val annOpqIvfOracle: String = ivfPqOracleWith(
+    s"""$opqTrainingCtes,
+          ${ivfPqHeadCtesWith("SELECT vec_id, v FROM rotfin")}""")
 
   /** DuckDB mirror of annIvfPqPerCell: same head and tail, but one
     * Lloyd chain per (cell, subspace). Cells are addressed by cid RANK
@@ -1006,6 +1080,94 @@ object Similarity {
   private lazy val annPqPermOracle: String = pqOracleWith(pqCtesWith(
     s"SELECT vec_id, list_select(embedding::DOUBLE[], [${PqPerm.mkString(", ")}]) AS v FROM embeddings"))
 
+  // ----- OPQ value oracle: full 2-pass training replay ---------------
+
+  private val Ed = PqM * PqSub // embedding dimensionality (64)
+  private val RGridLit = "1000000000000.0" // = RGrid, spelled for SQL
+  private val MGridLit = "1000000.0"       // = MGrid
+
+  /** Unrolled Newton–Schulz polar sweep over a single-row matrix CTE
+    * `mCte` (column `m`, LIST<LIST<DOUBLE>>, already M-grid-snapped).
+    * Emits ${p}f, ${p}r0..${p}r$NsIters; the result matrix is column
+    * `r` of `${p}r$NsIters`. Every dot is a list_dot_product over
+    * lists built in ascending-k order — bit-identical to [[polarNS]]'s
+    * sequential loops (measured: DuckDB list ops sum left-to-right).
+    * Every level MATERIALIZED: DuckDB would otherwise inline the
+    * 2×NsIters-deep chain into one expression. */
+  private def nsCtes(p: String, mCte: String): String = {
+    val its = (1 to NsIters).map { it =>
+      s"""${p}a$it AS MATERIALIZED (SELECT r,
+              list_transform(tr, ci -> list_transform(tr, cj -> list_dot_product(ci, cj))) AS a
+              FROM (SELECT r, list_transform(range(1, ${Ed + 1}), i ->
+                      list_transform(r, row -> row[i])) AS tr
+                    FROM ${p}r${it - 1})),
+          ${p}r$it AS MATERIALIZED (SELECT list_transform(range(1, ${Ed + 1}), i ->
+                list_transform(range(1, ${Ed + 1}), j ->
+                  floor((3 * r[i][j] - list_dot_product(r[i],
+                    list_transform(a, row -> row[j]))) / 2 * $RGridLit + 0.5) / $RGridLit)) AS r
+              FROM ${p}a$it)"""
+    }.mkString(",\n          ")
+    s"""${p}f AS MATERIALIZED (SELECT sqrt(list_sum(list_transform(flatten(m), v -> v * v))) AS f
+              FROM $mCte),
+          ${p}r0 AS MATERIALIZED (SELECT list_transform(m, row -> list_transform(row, v ->
+                floor(v / f * $RGridLit + 0.5) / $RGridLit)) AS r
+              FROM $mCte, ${p}f),
+          $its"""
+  }
+
+  /** One OPQ training pass in CTEs: subspace Lloyds + encode on the
+    * pass's rotated corpus `eDef`, reconstruction x̂, and the
+    * M-grid-snapped data term M = Σ x̂·x_rawᵀ (single-row matrix CTE
+    * `${p}m`). `raw` must be in scope. */
+  private def opqPassCtes(p: String, eDef: String): String = {
+    val blocks = (0 until PqM).map { m =>
+      s"""${p}x$m AS MATERIALIZED (SELECT vec_id, ${subSql("v", m)} AS x FROM ${p}e),
+          ${l2LloydCtes(s"${p}s$m", s"${p}x$m", PqK, PqIters)},
+          ${p}code$m AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${l2ScoreSql("e.x", "c.cv")} DESC, c.cid) AS rn
+                FROM ${p}x$m e, ${p}s${m}c$PqIters c) WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    val codeJoins = s"${p}code0 c0 " + (1 until PqM)
+      .map(m => s"JOIN ${p}code$m c$m USING (vec_id)").mkString(" ")
+    val bookJoins = (0 until PqM)
+      .map(m => s"JOIN ${p}s${m}c$PqIters b$m ON b$m.cid = c$m.cid").mkString(" ")
+    val concat = (0 until PqM).map(m => s"b$m.cv").mkString(" || ")
+    s"""${p}e AS MATERIALIZED ($eDef),
+          $blocks,
+          ${p}rec AS MATERIALIZED (SELECT c0.vec_id, $concat AS xhat
+                FROM $codeJoins $bookJoins),
+          ${p}mc AS MATERIALIZED (SELECT ii.i AS ii, jj.j AS jj,
+                floor(sum(h.xhat[ii.i] * w.v[jj.j]) * $MGridLit + 0.5) / $MGridLit AS val
+                FROM ${p}rec h JOIN raw w USING (vec_id),
+                     unnest(range(1, ${Ed + 1})) AS ii(i),
+                     unnest(range(1, ${Ed + 1})) AS jj(j)
+                GROUP BY 1, 2),
+          ${p}m AS MATERIALIZED (SELECT list(row ORDER BY ii) AS m FROM (
+                SELECT ii, list(val ORDER BY jj) AS row FROM ${p}mc GROUP BY ii))"""
+  }
+
+  /** The whole [[learnOpqRotation]] replay: pass 1 from the PqPerm
+    * permutation, polar sweep → R₁, pass 2 on the R₁-rotated corpus,
+    * polar sweep → R₂, and `rotfin` = the R₂-rotated corpus that the
+    * final PQ/IVF-PQ pipeline consumes. */
+  private lazy val opqTrainingCtes: String =
+    s"""raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ${opqPassCtes("p1", s"SELECT vec_id, list_select(v, [${PqPerm.mkString(", ")}]) AS v FROM raw")},
+          ${nsCtes("q1", "p1m")},
+          rot1 AS MATERIALIZED (SELECT w.vec_id,
+                list_transform(n.r, row -> list_dot_product(row, w.v)) AS v
+                FROM raw w, q1r$NsIters n),
+          ${opqPassCtes("p2", "SELECT vec_id, v FROM rot1")},
+          ${nsCtes("q2", "p2m")},
+          rotfin AS MATERIALIZED (SELECT w.vec_id,
+                list_transform(n.r, row -> list_dot_product(row, w.v)) AS v
+                FROM raw w, q2r$NsIters n)"""
+
+  private lazy val annOpqOracle: String =
+    pqOracleWith(s"$opqTrainingCtes,\n          ${pqCtesWith("SELECT vec_id, v FROM rotfin")}")
+
   private def pqOracleWith(ctes: String): String =
     s"""WITH $ctes,
           scored AS (SELECT l0.qid, c0.vec_id, l0.t + l1.t + l2.t + l3.t AS score
@@ -1063,21 +1225,17 @@ object Similarity {
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
     QueryDef("sim_ann_ivfpq_percell", annIvfPqPerCell, Some(annIvfPqPerCellOracle)),
-    // rows-only BY DESIGN: the learned rotation is a LAPACK SVD float
-    // path (like spam_train's SGD) — PqSpec bounds it (orthogonality,
-    // determinism, degeneracy to exact, recall ≥ plain PQ); the rows
-    // oracle recomputes the expected output size independently
-    QueryDef("sim_ann_opq", (s: SparkSession, d: String) => annOpq(s, d), None,
-      rowsOracle = Some(
-        s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id < $NumQueries)
-              * least($TopK, (SELECT count(*) - 1 FROM embeddings)) AS expected_rows""")),
+    // VALUE-ORACLE since r9: the Procrustes solve is a grid-quantized
+    // Newton-Schulz polar sweep (see polarNS), so the entire 2-pass
+    // OPQ training + final pipeline replays in DuckDB — the same
+    // technique that flipped the SGD tier green in r8
+    QueryDef("sim_ann_opq", (s: SparkSession, d: String) => annOpq(s, d),
+      Some(annOpqOracle)),
     // IVF-PQ run in the OPQ-rotated space — registered on a MEASURED
     // recall win at equal probe budget (0.46 vs 0.40 recall@5 at
-    // sf0.01, PqSpec's comparison test); same rows-only tier as
-    // sim_ann_opq (the rotation is LAPACK-SVD floats)
-    QueryDef("sim_ann_opq_ivf", (s: SparkSession, d: String) => annOpqIvf(s, d), None,
-      rowsOracle = Some(
-        s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id < $NumQueries)
-              * least($TopK, (SELECT count(*) - 1 FROM embeddings)) AS expected_rows""")),
+    // sf0.01, PqSpec's comparison test); value-verified like
+    // sim_ann_opq (shared training replay, IVF-PQ oracle tail)
+    QueryDef("sim_ann_opq_ivf", (s: SparkSession, d: String) => annOpqIvf(s, d),
+      Some(annOpqIvfOracle)),
   )
 }

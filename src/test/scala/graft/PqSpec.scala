@@ -83,9 +83,32 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"permuted-PQ recall@5 $recall below 0.4")
   }
 
+  test("Newton-Schulz polar sweep matches the LAPACK SVD polar factor") {
+    // the value-oracle iteration (polarNS) must land on the same
+    // Procrustes optimum LAPACK finds — a DIFFERENT algorithm agreeing
+    // to 1e-6, so oracle-greenness isn't self-referential. Trial 3
+    // scales entries by 0.01 to exercise the normalize-then-iterate
+    // path on small magnitudes.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val d = 64
+      val scale = if (trial == 3) 0.01 else 10.0
+      val m = Array.tabulate(d, d)((_, _) => (rnd.nextDouble() - 0.5) * scale)
+      val ns = Similarity.polarNS(m)
+      // column-major constructor holds Mᵀ; svd(Mᵀ) = UΣVᵀ ⇒ polar(M) = V·Uᵀ
+      val bm = new breeze.linalg.DenseMatrix(d, d, m.flatten)
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(bm)
+      val pol = vt.t * u.t
+      var maxdiff = 0.0
+      for (i <- 0 until d; j <- 0 until d)
+        maxdiff = math.max(maxdiff, math.abs(ns(i)(j) - pol(i, j)))
+      assert(maxdiff < 1e-6, s"trial $trial: NS vs SVD polar factor diff $maxdiff")
+    }
+  }
+
   test("OPQ: learned rotation is orthogonal; deterministic; degenerates to exact; recall ≥ plain PQ") {
-    // orthogonality: RᵀR = I (Procrustes returns U·Vᵀ, orthogonal by
-    // construction — this guards the breeze layout/transpose plumbing)
+    // orthogonality: RᵀR = I (the polar factor is orthogonal by
+    // construction — this guards the NS convergence + grid plumbing)
     val r = Similarity.learnOpqRotation(spark, sf)
     val d = r.length
     for (i <- 0 until d; j <- 0 until d) {
