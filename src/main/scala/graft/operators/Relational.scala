@@ -221,6 +221,57 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
       .orderBy("returnflag")
 
+  /** Hash-sampled approximate percentiles per returnflag — the ORACLE-
+    * CHECKABLE sibling of q13's percentile_approx half (the q43/KMV
+    * discipline applied to quantiles): a DETERMINISTIC md5 row-sample
+    * (1/PctSampleMod of rows, keyed on the (orderkey, linenumber) row
+    * identity) replaces the GK/KLL sketch whose compactor state depends
+    * on arrival order, and the p50/p99 are EXACT discrete percentiles
+    * of that sample — rank ceil(p·n) under the total order (price,
+    * orderkey, linenumber), zero float estimation arithmetic, so DuckDB
+    * replays it to the bit. Error is classic sampling error
+    * (O(1/√(p(1−p)n)) quantile deviation; spec-bounded vs the exact
+    * percentiles). Scale: the groupwise sort window runs over the
+    * SAMPLE only — that is the sketch's entire point; at 100 TB you
+    * shrink the sampling rate, not the algorithm. */
+  val PctSampleMod = 4
+  def q45ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("returnflag"),
+        col("l_extendedprice").as("price"), col("l_orderkey"), col("l_linenumber"))
+      .filter(conv(substring(md5(concat_ws("_",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % PctSampleMod === 0)
+    val ranked = s
+      .withColumn("rn", row_number().over(Window.partitionBy("returnflag")
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("returnflag")))
+    ranked.groupBy("returnflag").agg(
+        max(when(col("rn") === ceil(col("n") * lit(0.5)), col("price"))).as("p50_price"),
+        max(when(col("rn") === ceil(col("n") * lit(0.99)), col("price"))).as("p99_price"),
+        max(col("n")).as("n_sample"))
+      .orderBy("returnflag")
+  }
+
+  private lazy val pctOracleSql: String =
+    s"""WITH s AS (SELECT l_returnflag AS returnflag, l_extendedprice AS price,
+                          l_orderkey, l_linenumber
+                   FROM lineitem
+                   WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                            CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                         % $PctSampleMod = 0),
+          ranked AS (SELECT returnflag, price,
+                            row_number() OVER (PARTITION BY returnflag
+                              ORDER BY price, l_orderkey, l_linenumber) AS rn,
+                            count(*) OVER (PARTITION BY returnflag) AS n
+                     FROM s)
+        SELECT returnflag,
+               max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN price END) AS p50_price,
+               max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN price END) AS p99_price,
+               max(n) AS n_sample
+        FROM ranked GROUP BY returnflag ORDER BY returnflag"""
+
   /** KMV approximate distinct counts per returnflag — the ORACLE-
     * CHECKABLE sibling of q13's HLL/KLL sketches: k-minimum-value
     * sketches over md5-hashed keys are deterministic, so DuckDB
@@ -475,10 +526,20 @@ object Relational {
     // sketch registers (HLL, KLL) aren't SQL-replayable, but the group
     // count is: one row per distinct returnflag (rows-only by design);
     // q43 is the fully-oracle-checked KMV sibling
+    // THE one permanent rows-only entry (formally pinned r9): q13
+    // exercises Spark's NATIVE sketches — HLL++ registers and the GK
+    // quantile summary, whose merge states are arrival-order-dependent
+    // and not SQL-expressible by construction. Every half has an
+    // oracle-green deterministic sibling (distinct → q43/KMV, heavy
+    // keys → q44/CMS, percentiles → q45/hash-sample), so the VALUE
+    // semantics are covered; this entry keeps the native-sketch surface
+    // a user would actually run at 100 TB, with an independent rows
+    // oracle + spec error bounds.
     QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
       "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
     QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
     QueryDef("q44_heavy_hitters", q44HeavyHitters, Some(cmsOracleSql)),
+    QueryDef("q45_approx_percentile", q45ApproxPercentile, Some(pctOracleSql)),
     QueryDef("q14_asof_join", q14AsofJoin, Some(
       """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
                 (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)

@@ -233,6 +233,28 @@ class OperatorsSpec extends SparkSpec {
     assert(h.map(r => r.getString(0) -> r.getLong(2)).toMap == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("hash-sampled percentiles stay within sampling error of exact answers") {
+    // q45 (the value-verifiable percentile sibling of q13): p50/p99
+    // from a 1/4 deterministic sample vs exact percentile_disc-style
+    // answers — and a second run reproduces it exactly
+    val sf01 = "/root/testdata/sf0.01"
+    val got = operators.Relational.q45ApproxPercentile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = sources.Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (m, p99)) =>
+      val (am, ap99) = got(k)
+      assert(math.abs(am - m) / m < 0.05, s"$k p50: $am vs $m")
+      assert(math.abs(ap99 - p99) / p99 < 0.05, s"$k p99: $ap99 vs $p99")
+    }
+    val again = operators.Relational.q45ApproxPercentile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("sketch aggregates stay within their error bounds of exact answers") {
     val approx = operators.Relational.q13ApproxSketch(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
