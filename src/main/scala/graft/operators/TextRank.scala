@@ -113,9 +113,100 @@ object TextRank {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus word co-occurrence graph. Edges = adjacent token pairs
+    * (window 2), undirected, weighted by exact integer co-occurrence
+    * counts; TrIters fixed damped iterations
+    * S(v) = (1-d) + d·Σ_u w_uv/W_u·S(u); ranking happens on scores
+    * ROUNDED to 6dp with a term tie-break so a last-ulp float difference
+    * can't flip a rank across engines (the tfidf discipline). Retires
+    * the carried "corpus keyphrase" item — the synthetic text does carry
+    * enough adjacency structure for a co-occurrence graph even without
+    * realistic stopwords.
+    *
+    * Scale: the token explode + bigram groupBy is the only corpus-sized
+    * shuffle (∝ distinct bigram types after the partial agg, not corpus
+    * bytes); the iteration runs on the |vocab|-sized node table — terms,
+    * not documents — which for real corpora is millions of rows against
+    * billions of docs, so per-iteration joins are dim-table sized. Same
+    * no-broadcast-hint posture as pagerank: AQE broadcasts the rank
+    * table while it fits. */
+  val TrIters = 20
+  val TrDamping = 0.85
+  val TrTopK = 15
+  def textTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .select(expr("filter(toks, t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2")) // self-loops carry no ranking signal
+    // undirected: symmetrize, then one groupBy for the weighted edge list
+    val edges = big.unionAll(big.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy(col("w1").as("src"), col("w2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // consumed TrIters+1 times; truncate the explode lineage
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("frac"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("term")).distinct().cache()
+    var score = nodes.select(col("term"), lit(1.0).as("s"))
+    for (_ <- 1 to TrIters) {
+      val contrib = e.join(score, e("src") === score("term"))
+        .groupBy(col("dst").as("term"))
+        .agg(sum(col("frac") * col("s")).as("c"))
+      score = nodes.join(contrib, Seq("term"), "left")
+        .select(col("term"),
+          (lit(1 - TrDamping) + lit(TrDamping) * coalesce(col("c"), lit(0.0))).as("s"))
+    }
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    // partial top-k, no single-partition vocab sort); the row_number
+    // window then ranks only the TrTopK survivors
+    val top = score.withColumn("score", round(col("s"), 6))
+      .select(col("term"), col("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(TrTopK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("term"))).cast("long"))
+      .select(col("rnk"), col("term"), col("score"))
+      .orderBy("rnk")
+  }
+
+  /** Unrolled-iteration DuckDB oracle generated from the same constants. */
+  private val textrankOracle: String = {
+    val iterCtes = (1 to TrIters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS term, sum(e.frac * s.s) AS c
+                  FROM s${k - 1} s JOIN e ON s.term = e.src GROUP BY 1),
+          s$k AS MATERIALIZED (SELECT n.term, ${1 - TrDamping} + $TrDamping * coalesce(c.c, 0) AS s
+                  FROM nodes n LEFT JOIN c$k c ON n.term = c.term)"""
+    }.mkString(",\n          ")
+    s"""WITH d AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+          big AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+                  FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                  for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                  WHERE len(toks) >= 2),
+          sym AS (SELECT w1, w2 FROM big WHERE w1 <> w2
+                  UNION ALL SELECT w2, w1 FROM big WHERE w1 <> w2),
+          edges AS MATERIALIZED (SELECT w1 AS src, w2 AS dst, count(*) AS w FROM sym GROUP BY 1, 2),
+          outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+          e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w / CAST(outw.wout AS DOUBLE) AS frac
+                 FROM edges JOIN outw ON edges.src = outw.src),
+          nodes AS MATERIALIZED (SELECT DISTINCT src AS term FROM edges),
+          s0 AS MATERIALIZED (SELECT term, 1.0 AS s FROM nodes),
+          $iterCtes,
+          fin AS (SELECT term, round(s, 6) AS score FROM s$TrIters),
+          r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, term) AS BIGINT) AS rnk,
+                       term, score FROM fin)
+        SELECT rnk, term, score FROM r WHERE rnk <= $TrTopK ORDER BY rnk"""
+  }
+
   private def xxSql(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_textrank", textTextrank, Some(textrankOracle)),
     QueryDef("text_lm_score", textLmScore, Some(
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            db AS (SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
