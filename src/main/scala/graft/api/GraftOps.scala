@@ -178,19 +178,39 @@ object GraftOps {
     * pair-join sides), exploded to (id, band index, band value). */
   private def bandedSignatures(df: DataFrame, id: String, text: String, n: Int,
                                bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
+    (sigs, bandCandidates(sigs, id, bands, rowsPerBand))
+  }
+
+  /** The (id, bj, bv) banded-candidate relation from a signature table
+    * (id, mh0..mh{NumHashes-1}) — exposed so a persisted signature
+    * layout can derive its candidate table from the stored signatures
+    * instead of re-hashing the corpus. */
+  def bandCandidates(sigs: DataFrame, id: String,
+                     bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     require(bands * rowsPerBand <= NumHashes,
       s"bands×rows must fit the $NumHashes computed permutations")
-    val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
     val bandCols = (0 until bands).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(", ")
       s"concat_ws('_', $parts) AS band$j"
     }
     val banded = sigs.selectExpr(Seq(id) ++ bandCols: _*)
-    val cand = (0 until bands).map { j =>
+    (0 until bands).map { j =>
       banded.select(col(id), lit(j).as("bj"), col(s"band$j").as("bv"))
     }.reduce(_ unionAll _)
-    (sigs, cand)
   }
+
+  /** Candidate pairs + estimated Jaccard from PRECOMPUTED signature and
+    * banded-candidate relations — the persisted-layout path. `sigs`
+    * carries (id, mh0..mh{NumHashes-1}), `cand` (id, bj, bv): exactly
+    * the relations [[bandedSignatures]] derives, however materialized.
+    * When `cand` is a managed table bucketed on (bj, bv) the self-join
+    * reads both sides shuffle-free (the q32 discipline); values are
+    * identical to [[minhashCandidates]] by construction. */
+  def minhashCandidatesFrom(sigs: DataFrame, cand: DataFrame, id: String,
+                            hotThreshold: Long = Long.MaxValue,
+                            salt: Int = 1): DataFrame =
+    scoreMinhashPairs(sigs, bucketPairs(cand, id, hotThreshold, salt), id)
 
   /** Estimated Jaccard for candidate pairs from the full signatures. */
   private def scoreMinhashPairs(sigs: DataFrame, pairs: DataFrame,

@@ -58,10 +58,51 @@ object Dedup {
         n = 3, threshold = ContainmentThreshold)
       .orderBy("a", "b")
 
-  /** MinHash + LSH candidate pairs with estimated Jaccard. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    graft.api.GraftOps.minhashCandidates(docs(spark, dir), "doc_id", "text")
+  /** Persisted MinHash layout — the LSH analog of Graph's persisted
+    * src-bucketed edge layout (PartitionGraph re-expressed): two managed
+    * tables written ONCE per (session, dir) and shared by the whole
+    * minhash family (dedup_minhash / _salted / dedup_cluster), then by
+    * any later session over the same corpus:
+    *  - graft_mh_sigs_b*: (doc_id, mh0..mh15) bucketed+sorted on doc_id
+    *    — the corpus is shingled and hashed exactly once; the pair-score
+    *    join reads the signature side without an Exchange;
+    *  - graft_mh_cand_b*: (doc_id, bj, bv) bucketed+sorted on (bj, bv)
+    *    — the band self-join reads BOTH sides from the bucketed scan's
+    *    reported hash partitioning, so candidate enumeration starts
+    *    shuffle-free, and the salted variant's bucket-count pass rides
+    *    the same layout.
+    * At 100 TB this is the production shape: signatures are ids + 16
+    * ints and candidates ids + a band hash — both ∝ |docs|, never
+    * corpus bytes — and the layout outlives the session, so incremental
+    * re-dedup never re-shingles the corpus. Values are unchanged (the
+    * stored relations are bit-identical to the in-plan ones), so all
+    * three consumers keep their existing oracle. */
+  private val layoutMemo =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  def persistedMinhashLayout(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (st, ct) = layoutMemo.getOrElseUpdate(
+      spark.sparkContext.applicationId + ":" + dir, {
+        val k = ScaleOps.dirKey(dir)
+        val (sigsT, candT) = (s"graft_mh_sigs_b$k", s"graft_mh_cand_b$k")
+        ScaleOps.dropStale(spark, sigsT); ScaleOps.dropStale(spark, candT)
+        Tables.writeBucketed(
+          graft.api.GraftOps.minhashSignatures(docs(spark, dir), "doc_id", "text"),
+          sigsT, Seq("doc_id"), ScaleOps.NBuckets)
+        Tables.writeBucketed(
+          graft.api.GraftOps.bandCandidates(spark.table(sigsT), "doc_id"),
+          candT, Seq("bj", "bv"), ScaleOps.NBuckets)
+        (sigsT, candT)
+      })
+    (spark.table(st), spark.table(ct))
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard, over the
+    * persisted signature/band layout. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = persistedMinhashLayout(spark, dir)
+    graft.api.GraftOps.minhashCandidatesFrom(sigs, cand, "doc_id")
       .orderBy("a", "b")
+  }
 
   /** The skew-safe salted band join (GraftOps.minhashCandidatesSalted):
     * band buckets over SaltHotThreshold rows spread their pair
@@ -72,10 +113,12 @@ object Dedup {
     * actually executes, not just plans, at the test SFs. */
   val SaltHotThreshold = 2L
   val SaltWays = 4
-  def dedupMinhashSalted(spark: SparkSession, dir: String): DataFrame =
-    graft.api.GraftOps.minhashCandidatesSalted(docs(spark, dir), "doc_id", "text",
+  def dedupMinhashSalted(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = persistedMinhashLayout(spark, dir)
+    graft.api.GraftOps.minhashCandidatesFrom(sigs, cand, "doc_id",
         hotThreshold = SaltHotThreshold, salt = SaltWays)
       .orderBy("a", "b")
+  }
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed (the registered
     * production path): candidates collide in ≥1 of EmbTables sign-bit
@@ -172,8 +215,9 @@ object Dedup {
     * assignment is one left join on doc_id. */
   val ClusterIters = 6
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = persistedMinhashLayout(spark, dir)
     val pairs = graft.api.GraftOps
-      .minhashCandidates(docs(spark, dir), "doc_id", "text")
+      .minhashCandidatesFrom(sigs, cand, "doc_id")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", ClusterIters)
     docs(spark, dir).select(col("doc_id"))

@@ -67,8 +67,15 @@ object Tables {
     * scale. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key variant: a join on the full key set reads the scan's
+    * reported hash partitioning and skips its Exchange. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
 

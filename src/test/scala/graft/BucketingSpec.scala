@@ -59,6 +59,32 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("persisted minhash layout: band self-join shuffle-free, family parity") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val (sigs, cand) = graft.operators.Dedup.persistedMinhashLayout(spark, sf)
+      // the candidate self-join keys exactly on the bucket keys (bj, bv):
+      // with both sides reading the bucketed scan, neither may shuffle
+      val self = cand.select(col("doc_id").as("a"), col("bj"), col("bv"))
+        .join(cand.select(col("doc_id").as("b"), col("bj"), col("bv")),
+          Seq("bj", "bv"))
+        .filter(col("a") < col("b"))
+      val plan = self.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(bj"),
+        s"band self-join still shuffles the candidate sides:\n${plan.take(2000)}")
+      // the layout path must return bit-identical pairs to the direct path
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSeq
+      val viaLayout = rows(graft.operators.Dedup.dedupMinhash(spark, sf))
+      val direct = rows(graft.api.GraftOps
+        .minhashCandidates(graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+        .orderBy("a", "b"))
+      assert(viaLayout == direct)
+      val viaSalted = rows(graft.operators.Dedup.dedupMinhashSalted(spark, sf))
+      assert(viaSalted == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
     // (managed tables land in ./spark-warehouse — gitignored)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
