@@ -168,6 +168,40 @@ object Similarity {
     graft.api.GraftOps.kmeansMiniBatch(
       Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmbBatches)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means-cluster the embeddings, then drop any vector with a
+    * sufficiently-cosine-similar LOWER-id neighbor in the SAME cluster
+    * (keep-the-first, matching the dedup tier's min-id keeper rule).
+    * Composes the memoized spherical k-means (trainedCents — identical
+    * float path to ml_kmeans) with a within-cluster pair scan, so the
+    * full training + assignment + verdict replays in DuckDB.
+    *
+    * Scale: this IS the published at-scale design — clustering first
+    * so pair enumeration is within-cluster only (k scales with N to
+    * hold the per-cluster pair budget; the cluster id is the shuffle
+    * key, one equi-join). The threshold comparison happens on cosines
+    * ROUNDED to 6dp so a last-ulp delta can't flip a keep verdict. */
+  val SemThreshold = 0.45
+  def curSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = trainedCents(spark, dir)
+    val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        graft.api.GraftOps.nearestCid("cs", "cosine_sim(v, c.cv)").as("cid"))
+      .localCheckpoint() // consumed 3x: both pair sides + the output spine
+    val a = assigned.select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(expr("round(cosine_sim(va, vb), 6)") >= SemThreshold)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__drop").isNull.as("is_keep"))
+      .orderBy("vec_id")
+  }
+
   /** Unrolled mini-batch rounds as DuckDB CTEs: same hash batches, same
     * running-mean fold with 9 dp per-round rounding, seeds from the full
     * corpus by the kmeansCosine hash rule. */
@@ -824,6 +858,24 @@ object Similarity {
         FROM c$KmIters c LEFT JOIN af a USING (cid)
         GROUP BY c.cid, c.cv ORDER BY cid"""
 
+  /** SemDeDup oracle: the shared Lloyd replay, final assignment, then
+    * the within-cluster lower-id-neighbor verdict. */
+  private lazy val curSemdedupOracle: String =
+    s"""WITH $kmeansCtes,
+          af AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e, c$KmIters c) WHERE rn = 1),
+          av AS MATERIALIZED (SELECT af.vec_id, af.cid, e.v
+                FROM af JOIN e USING (vec_id)),
+          drops AS (SELECT DISTINCT b.vec_id
+                    FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    WHERE round(${cosSql("a.v", "b.v")}, 6) >= $SemThreshold)
+        SELECT av.vec_id, av.cid, (d.vec_id IS NULL) AS is_keep
+        FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+        ORDER BY av.vec_id"""
+
   private lazy val annIvfKmeansOracle: String =
     s"""WITH $kmeansCtes,
           asg AS (SELECT vec_id, cid FROM (
@@ -1220,6 +1272,7 @@ object Similarity {
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
+    QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
     QueryDef("sim_ann_sq8", (s: SparkSession, d: String) => annSq8(s, d), Some(annSq8Oracle)),
     QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
