@@ -212,6 +212,20 @@ object GraftOps {
                             salt: Int = 1): DataFrame =
     scoreMinhashPairs(sigs, bucketPairs(cand, id, hotThreshold, salt), id)
 
+  /** DIRECTED candidate pairs from a bucketed candidate table
+    * (id, bj, bv) — the k-NN-graph form of the shared skew-safe
+    * enumerator: every same-bucket ordered pair (a→b, b→a), via the
+    * a<b enumeration symmetrized after the distinct (half the join
+    * work of enumerating ordered pairs directly; hot buckets spread
+    * with the same salted path). */
+  def bucketKnnPairs(cand: DataFrame, id: String,
+                     hotThreshold: Long = Long.MaxValue,
+                     salt: Int = 1): DataFrame = {
+    val undirected = bucketPairs(cand, id, hotThreshold, salt)
+    undirected.unionAll(
+      undirected.select(col("b").as("a"), col("a").as("b")))
+  }
+
   /** Estimated Jaccard for candidate pairs from the full signatures. */
   private def scoreMinhashPairs(sigs: DataFrame, pairs: DataFrame,
                                 id: String): DataFrame = {

@@ -86,6 +86,35 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** k-NN GRAPH over the whole corpus (every vector is a query) — the
+    * backbone structure for diversity sampling, graph-based dedup
+    * clustering, and NN-descent-style refinement in a training-data
+    * pipeline. Candidates come from the same 8×6 sign-LSH tables as
+    * sim_ann_lsh, but enumerated as a bucket SELF-join through the
+    * shared skew-safe bucketKnnPairs core (hot buckets would otherwise
+    * put a quadratic enumeration on one reducer — the same failure mode
+    * as minhash banding, same salted fix available); final per-node
+    * ranking through the bounded-heap aggregate, ≤ k rows per node per
+    * task. Shuffle ∝ tables×N + candidate pairs — never N². */
+  val KnnK = 3
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(spark, dir)
+    val buckets = (0 until NumTables).map(t =>
+      expr(s"lsh_bucket(v, $BitsPerTable, 64, $t)"))
+    val cand = e0.select(col("vec_id"),
+        posexplode(array(buckets: _*)).as(Seq("bj", "bv")))
+    val pairs = graft.api.GraftOps.bucketKnnPairs(cand, "vec_id")
+    val scored = pairs
+      .join(e0.select(col("vec_id").as("a"), col("v").as("qv")), Seq("a"))
+      .join(e0.select(col("vec_id").as("b"), col("v")), Seq("b"))
+      .select(col("a").as("qid"), expr("cosine_sim(qv, v)").as("cos"), col("b"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "cos", payloadCol = "b", k = KnnK)
+      .select(col("qid"), col("rnk"), col("b").as("neighbor"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   /** ANN via IVF (inverted-file index, training-free): every 50th vector
     * is a "centroid"; vectors are assigned to their nearest centroid,
     * and each query probes only its own NProbe nearest centroid cells.
@@ -785,6 +814,35 @@ object Similarity {
         FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
   }
 
+  /** DuckDB mirror of simKnnGraph: same inlined hyperplanes, bucket
+    * SELF-join over all nodes, per-node top-KnnK. */
+  private lazy val knnGraphOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS MATERIALIZED (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT ba.vec_id AS qid, bb.vec_id
+                   FROM buck ba JOIN buck bb ON ba.t = bb.t AND ba.bv = bb.bv
+                   WHERE bb.vec_id <> ba.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $KnnK ORDER BY qid, rnk"""
+  }
+
   /** DuckDB mirror of annIvf: same every-Nth centroid rule, nearest-cell
     * assignment, NProbe query probes and final ranking — the window form
     * is fine HERE (oracle runs at test SF only; the Spark side is the
@@ -1273,6 +1331,7 @@ object Similarity {
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
+    QueryDef("sim_knn_graph", simKnnGraph, Some(knnGraphOracle)),
     QueryDef("sim_ann_sq8", (s: SparkSession, d: String) => annSq8(s, d), Some(annSq8Oracle)),
     QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
