@@ -1226,7 +1226,70 @@ object Graph {
         FROM closed, ns, tot"""
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec sampling
+    * stage, Perozzi et al. 2014): one WalkLen-step walk per node over
+    * the symmetric supplier↔part graph. The "random" choice at (walk,
+    * step, node) is the md5 hash of that triple mod the node's degree —
+    * fully reproducible across engines and restarts (the property a
+    * training pipeline needs for resumable corpus generation), indexing
+    * into the node's dst-sorted neighbor list.
+    *
+    * Scale: neighbor indexing is a row_number window partitioned by src
+    * — partition-local on the bucketed edge layout, paid once; each
+    * step is TWO |walks|-sized equi-joins (degree lookup, then (src,
+    * idx) edge lookup) — never an explode over neighborhoods, so hub
+    * nodes cost the same as leaves. Per-step state = |walks| rows. */
+  val WalkLen = 8
+  def graphWalks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = persistedSymEdges(spark, dir) // (src, dst, d)
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val idxEdges = edges
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .localCheckpoint() // consumed WalkLen times + the degree projection
+    val deg = idxEdges.select(col("src"), col("d")).distinct()
+    var cur = deg.select(col("src").as("walk_id"), col("src").as("node"))
+    var acc = cur.withColumn("step", lit(0L))
+    for (s <- 1 to WalkLen) {
+      val withPick = cur.join(deg, cur("node") === deg("src"))
+        .select(col("walk_id"), col("node"),
+          (graft.functions.TextFns.hash32(concat_ws("_",
+            col("walk_id"), lit(s), col("node"))) % col("d")).as("pick"))
+      val stepped = withPick.join(idxEdges,
+          withPick("node") === idxEdges("src") && withPick("pick") === idxEdges("idx"))
+        .select(col("walk_id"), col("dst").as("node"))
+      cur = stepped
+      acc = acc.unionAll(stepped.withColumn("step", lit(s.toLong)))
+    }
+    acc.select(col("walk_id"), col("step"), col("node")).orderBy("walk_id", "step")
+  }
+
+  /** Unrolled-step walk oracle: same md5 pick rule, same dst-sorted
+    * neighbor index. */
+  private lazy val walksOracle: String = {
+    val stepCtes = (1 to WalkLen).map { s =>
+      s"""w$s AS MATERIALIZED (
+            SELECT w.walk_id, e.dst AS node
+            FROM w${s - 1} w
+            JOIN deg g ON w.node = g.src
+            JOIN ie e ON e.src = w.node
+             AND e.idx = ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '_$s' || '_' ||
+                   CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % g.d)"""
+    }.mkString(",\n          ")
+    val unions = (0 to WalkLen).map(s =>
+      s"SELECT walk_id, $s::BIGINT AS step, node FROM w$s").mkString("\n          UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+          ie AS MATERIALIZED (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM edges),
+          w0 AS MATERIALIZED (SELECT src AS walk_id, src AS node FROM deg),
+          $stepCtes
+        SELECT * FROM ($unions) ORDER BY walk_id, step"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_walks", graphWalks, Some(walksOracle)),
     QueryDef("pagerank", pagerank, Some(oracle)),
     QueryDef("pagerank_topk", pagerankTopk, Some(
       s"""WITH pr AS ($oracle)
