@@ -203,10 +203,81 @@ object TextRank {
         SELECT rnk, term, score FROM r WHERE rnk <= $TrTopK ORDER BY rnk"""
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+    * maximal token runs between stopword delimiters; word score =
+    * deg(w)/freq(w) over the phrase relation (deg = Σ phrase length
+    * over occurrences containing w); phrase score = Σ word scores,
+    * top-K distinct phrases. The corpus's stopword inventory is tiny
+    * ("a"/"the") so phrases run long — semantically degenerate for
+    * keyphrases but algorithmically exact, and the multiword complement
+    * of text_textrank's single-word ranking.
+    *
+    * Determinism: segmentation is a per-doc running stopword count
+    * (window over token positions — partitions by doc, never corpus);
+    * all counts are integers; the ONE float reduction (phrase-score
+    * sum) is rounded to 4dp before ranking (wider guard band than the
+    * usual 6 — these sums run ~50 terms long) with a phrase tie-break.
+    * Scale: token explode + (doc, seg) groupBys — inverted-index-shaped
+    * shuffles ∝ tokens; wstat is vocab-sized; top-k via orderBy+limit
+    * (TakeOrderedAndProject). */
+  val RakeStop: Seq[String] = Seq("a", "the")
+  val RakeTopK = 15
+  def textRake(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), t -> t <> '')")).as(Seq("pos", "t")))
+    val seg = tok.withColumn("seg",
+      sum(when(col("t").isin(RakeStop: _*), 1).otherwise(0))
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val words = seg.filter(!col("t").isin(RakeStop: _*))
+      .localCheckpoint() // consumed 3x: phrase build, wstat, occurrence score
+    val phr = words.groupBy(col("doc_id"), col("seg"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, t))), x -> x.t), ' ')").as("phrase"),
+        count(lit(1)).as("plen"))
+    val wstat = words.join(phr, Seq("doc_id", "seg"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val occ = words.join(wstat, Seq("t"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("deg") / col("freq")).as("sc"))
+    val ps = phr.join(occ, Seq("doc_id", "seg"))
+      .groupBy(col("phrase"))
+      .agg(max(round(col("sc"), 4)).as("score"))
+    val top = ps.orderBy(col("score").desc, col("phrase")).limit(RakeTopK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
+      .select(col("rnk"), col("phrase"), col("score"))
+      .orderBy("rnk")
+  }
+
+  private lazy val rakeOracle: String = {
+    val stopList = RakeStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM d),
+          seg AS (SELECT doc_id, t, pos,
+                         sum(CASE WHEN t IN ($stopList) THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                  FROM tok),
+          words AS MATERIALIZED (SELECT doc_id, seg, t, pos FROM seg WHERE t NOT IN ($stopList)),
+          phr AS MATERIALIZED (SELECT doc_id, seg, string_agg(t, ' ' ORDER BY pos) AS phrase,
+                        count(*) AS plen
+                 FROM words GROUP BY 1, 2),
+          wstat AS MATERIALIZED (SELECT w.t, count(*) AS freq, sum(p.plen) AS deg
+                   FROM words w JOIN phr p USING (doc_id, seg) GROUP BY 1),
+          occ AS (SELECT w.doc_id, w.seg, sum(s.deg / CAST(s.freq AS DOUBLE)) AS sc
+                  FROM words w JOIN wstat s ON w.t = s.t GROUP BY 1, 2),
+          ps AS (SELECT p.phrase, max(round(o.sc, 4)) AS score
+                 FROM phr p JOIN occ o USING (doc_id, seg) GROUP BY 1),
+          r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT) AS rnk,
+                       phrase, score FROM ps)
+        SELECT rnk, phrase, score FROM r WHERE rnk <= $RakeTopK ORDER BY rnk"""
+  }
+
   private def xxSql(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_textrank", textTextrank, Some(textrankOracle)),
+    QueryDef("text_rake", textRake, Some(rakeOracle)),
     QueryDef("text_lm_score", textLmScore, Some(
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            db AS (SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2

@@ -21,6 +21,19 @@ class TextRankKeywordSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("text_rake: phrases are stopword-free runs, k rows, deterministic") {
+    val out = TextRank.textRake(spark, sf).collect()
+    assert(out.length == TextRank.RakeTopK)
+    for (r <- out) {
+      val words = r.getString(1).split(" ")
+      assert(words.nonEmpty && words.forall(w => !TextRank.RakeStop.contains(w)),
+        s"phrase '${r.getString(1)}' contains a stopword delimiter")
+      assert(r.getDouble(2) > 0)
+    }
+    val again = TextRank.textRake(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("text_textrank ranks high-degree hub terms above rare terms") {
     // the rank-1 term must be among the top-5 most frequent corpus
     // tokens: on a co-occurrence graph with near-uniform attachment,
