@@ -256,6 +256,99 @@ object CurationQuality {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM kept GROUP BY 1 ORDER BY split"""
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    * score every doc by its rare-bigram fraction under the corpus
+    * add-one bigram LM (the text_lm_score model — a count-based
+    * EXACT-rational proxy for perplexity: a sum-of-logs perplexity
+    * would be float-accumulation-order-sensitive across engines), then
+    * split each language into head/middle/tail terciles.
+    *
+    * The tercile rank is NOT a per-language window over the corpus
+    * (one reducer per language = the classic skew wall): a per-(lang,
+    * score) histogram (small — scores are bounded rationals) carries
+    * cumulative base ranks, and each doc computes its final rank as
+    * base + its row_number within its (lang, score) TIE GROUP — the
+    * shuffle keys on (lang, score), far finer than lang. Bucket
+    * boundaries are integer arithmetic (rnk·3 vs n), tie order is
+    * (score, doc_id) — fully deterministic, no float ranking. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docBig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pair = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pair.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = docBig.select(col("w2")).unionAll(docBig.select(col("w1").as("w2")))
+      .agg(countDistinct(col("w2")).as("v"))
+    val perDoc = docBig
+      .join(pair, Seq("w1", "w2")).join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", (col("c12") + 1) / (col("c1") + col("v")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p") < TextRank.RareP, 1L).otherwise(0L)).as("n_rare"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("score",
+        coalesce(col("n_rare") / col("n_bigrams"), lit(1.0)))
+      .select(col("doc_id"), col("lang"), col("score"))
+    val nLang = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+      .withColumn("base", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score"))) - col("c"))
+    scored.join(hist.select(col("lang"), col("score"), col("base")), Seq("lang", "score"))
+      .withColumn("tie", row_number().over(
+        Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))).cast("long"))
+      .join(nLang, "lang")
+      .withColumn("rnk", col("base") + col("tie"))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n"), lit("head"))
+          .when(col("rnk") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          db AS MATERIALIZED (SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                 for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+          pair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+          uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1),
+          v AS (SELECT count(DISTINCT w2) AS v
+                FROM (SELECT w2 FROM db UNION ALL SELECT w1 FROM db)),
+          pd AS (SELECT db.doc_id, count(*) AS n_bigrams,
+                        sum(CASE WHEN (pair.c12 + 1) / (CAST(uni.c1 AS DOUBLE) + v.v)
+                                 < ${TextRank.RareP} THEN 1 ELSE 0 END) AS n_rare
+                 FROM db JOIN pair ON db.w1 = pair.w1 AND db.w2 = pair.w2
+                 JOIN uni ON db.w1 = uni.w1, v
+                 GROUP BY 1),
+          sc AS MATERIALIZED (SELECT doc.doc_id, doc.lang,
+                        coalesce(pd.n_rare / CAST(pd.n_bigrams AS DOUBLE), 1.0) AS score
+                 FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id),
+          nl AS (SELECT lang, count(*) AS n FROM sc GROUP BY 1),
+          hist AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+          cum AS (SELECT lang, score,
+                         sum(c) OVER (PARTITION BY lang ORDER BY score) - c AS base
+                  FROM hist),
+          rnked AS (SELECT s.doc_id, s.lang, s.score,
+                           cum.base + row_number() OVER (
+                             PARTITION BY s.lang, s.score ORDER BY s.doc_id) AS rnk,
+                           nl.n
+                    FROM sc s JOIN cum ON s.lang = cum.lang AND s.score = cum.score
+                    JOIN nl ON s.lang = nl.lang)
+        SELECT doc_id, lang, round(score, 6) AS score,
+               CASE WHEN rnk * 3 <= n THEN 'head'
+                    WHEN rnk * 3 <= n * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rnked ORDER BY doc_id"""
+
   // single source of truth for the doc_id hash mirror (parity-critical)
   private def hashSql = Curation.hashSql
   private val shingleSql =
@@ -263,6 +356,7 @@ object CurationQuality {
       "for i in generate_series(1, len(toks) - 2)])"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_ccnet_buckets", ccnetBuckets, Some(ccnetOracle)),
     QueryDef("cur_quality_filter", qualityFilter, Some(
       s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
