@@ -212,6 +212,13 @@ object GraftOps {
                             salt: Int = 1): DataFrame =
     scoreMinhashPairs(sigs, bucketPairs(cand, id, hotThreshold, salt), id)
 
+  /** Estimated-Jaccard scoring of an EXTERNALLY-enumerated (a, b) pair
+    * relation against a signature table — the incremental-dedup path,
+    * where the pair set mixes persisted-layout and freshly-signed
+    * candidates and so can't come from the internal enumerator. */
+  def scoreCandidatePairs(sigs: DataFrame, pairs: DataFrame, id: String): DataFrame =
+    scoreMinhashPairs(sigs, pairs, id)
+
   /** DIRECTED candidate pairs from a bucketed candidate table
     * (id, bj, bv) — the k-NN-graph form of the shared skew-safe
     * enumerator: every same-bucket ordered pair (a→b, b→a), via the

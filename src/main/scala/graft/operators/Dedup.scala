@@ -120,6 +120,54 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** INCREMENTAL minhash dedup — the persisted layout's reason to
+    * exist: a delta batch (hash-selected tenth of the corpus, standing
+    * in for newly-arrived docs) is shingled and signed IN-PLAN, while
+    * the base corpus is read from the persisted signature/band tables
+    * with a filter — the base is never re-shingled. Candidates =
+    * delta×base band collisions ∪ delta×delta, scored against the
+    * union of persisted base signatures and fresh delta signatures.
+    * Result ≡ dedup_minhash's pairs restricted to pairs touching the
+    * delta (signatures are per-doc, so membership can't change values)
+    * — the oracle IS that restriction of the full replay, making the
+    * equivalence the verified property, the pagerank_incremental
+    * discipline. At 100 TB: delta cost ∝ |delta| corpus bytes + a
+    * band join against the layout; zero base re-hash. */
+  val DeltaMod = 10L
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (sigsP, candP) = persistedMinhashLayout(spark, dir)
+    def isDelta(c: org.apache.spark.sql.Column) =
+      graft.functions.TextFns.hash32(c.cast("string")) % DeltaMod === 0L
+    val deltaSigs = graft.api.GraftOps
+      .minhashSignatures(docs(spark, dir).filter(isDelta(col("doc_id"))), "doc_id", "text")
+      .localCheckpoint() // consumed twice: band expansion + scoring
+    val deltaCand = graft.api.GraftOps.bandCandidates(deltaSigs, "doc_id")
+    val baseCand = candP.filter(!isDelta(col("doc_id")))
+    val db = deltaCand.select(col("doc_id").as("x"), col("bj"), col("bv"))
+      .join(baseCand.select(col("doc_id").as("y"), col("bj"), col("bv")), Seq("bj", "bv"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val dd = deltaCand.select(col("doc_id").as("a"), col("bj"), col("bv"))
+      .join(deltaCand.select(col("doc_id").as("b"), col("bj"), col("bv")), Seq("bj", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val pairs = db.unionAll(dd).distinct()
+    val sigs = sigsP.filter(!isDelta(col("doc_id"))).unionAll(deltaSigs)
+    graft.api.GraftOps.scoreCandidatePairs(sigs, pairs, "doc_id")
+      .orderBy("a", "b")
+  }
+
+  private val minhashIncrementalOracle: String = {
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    def deltaSql(c: String) =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT % $DeltaMod = 0"
+    s"""WITH ${minhashPairCtesFrom("documents")}
+        SELECT p.a AS a, p.b AS b, round(($matchSum) / CAST($NumHashes AS DOUBLE), 6) AS est_jaccard
+        FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id
+        WHERE ${deltaSql("p.a")} OR ${deltaSql("p.b")}
+        ORDER BY a, b"""
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed (the registered
     * production path): candidates collide in ≥1 of EmbTables sign-bit
     * buckets, exact cosine only within buckets — shuffle ∝ tables×docs,
@@ -450,6 +498,8 @@ object Dedup {
           WHERE a.name < b.name AND levenshtein(a.name, b.name) <= $FuzzK
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_minhash_incremental", dedupMinhashIncremental,
+      Some(minhashIncrementalOracle)),
     QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),

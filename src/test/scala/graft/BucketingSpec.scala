@@ -85,6 +85,20 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("incremental minhash ≡ full pairs restricted to the delta") {
+    val delta = (id: Long) =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16) %
+        graft.operators.Dedup.DeltaMod == 0
+    val full = graft.operators.Dedup.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter { case (a, b, _) => delta(a) || delta(b) }
+    val inc = graft.operators.Dedup.dedupMinhashIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.toSeq == expected.toSeq)
+    assert(expected.nonEmpty, "delta touched no pairs — vacuous at this SF")
+  }
+
   test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
     // (managed tables land in ./spark-warehouse — gitignored)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
