@@ -177,6 +177,48 @@ object CurationQuality {
       .orderBy("split")
   }
 
+  /** v3 = the full v2 chain with the Gopher REPETITION gate inserted
+    * between decontamination and near-dup clustering — quality rules →
+    * benchmark decontamination → repetition flags (Rae et al. Table A1,
+    * the cur_repetition signals over the surviving docs only) → MinHash
+    * clustering keeper → domain mix → split. The repetition stage costs
+    * one n-gram explode over the POST-filter corpus (strictly less work
+    * than running it standalone first — filters run cheapest-first).
+    * The oracle replays all six stages. */
+  def pipelineV3(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+      .select("doc_id", "text", "source").localCheckpoint()
+    val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
+      isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
+      w = ShingleW, threshold = ContamThreshold)
+    val clean = qdocs
+      .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val calm = clean.join(
+        Repetition.signals(clean.select(col("doc_id"), col("text")))
+          .filter(!col("repetitive")).select("doc_id"), "doc_id")
+      .localCheckpoint() // pair build + keeper join + mix all consume it
+    val pairs = graft.api.GraftOps.minhashCandidates(calm, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = calm
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("text"), col("source"))
+    val pExpr: Column = when(
+      expr("CAST(substring(source, 4) AS INT)") % 2 === 0, EvenWeight
+    ).otherwise(OddWeight)
+    val mixed = graft.api.GraftOps
+      .domainMixSample(kept, "doc_id", "source", weight = pExpr)
+      .select("doc_id")
+    Curation.splitHash(kept.join(mixed, "doc_id"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
   private lazy val pipelineV2Oracle: String =
     s"""WITH qdocs AS MATERIALIZED (
             SELECT doc_id, text, source, toks
@@ -205,6 +247,60 @@ object CurationQuality {
           l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
           ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
           kept AS MATERIALIZED (SELECT c.doc_id, c.text, c.source FROM clean c
+                 LEFT JOIN l${Dedup.ClusterIters} l ON c.doc_id = l.v
+                 WHERE c.doc_id = coalesce(l.comp, c.doc_id)),
+          counts AS (SELECT source, count(*) AS n,
+                            CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                 THEN CAST($EvenWeight AS DOUBLE)
+                                 ELSE CAST($OddWeight AS DOUBLE) END AS p
+                     FROM kept GROUP BY 1),
+          t2 AS (SELECT min(n / p) AS t FROM counts),
+          quotas AS (SELECT source, floor(p * t2.t) AS quota FROM counts, t2),
+          ranked AS (SELECT doc_id, source, text,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY $hashSql, doc_id) AS rn
+                     FROM kept),
+          mixed AS (SELECT r.doc_id, r.text FROM ranked r
+                    JOIN quotas q USING (source) WHERE r.rn <= q.quota)
+        SELECT CASE WHEN $hashSql % 100 < ${Curation.TrainUpper} THEN 'train'
+                    WHEN $hashSql % 100 < ${Curation.ValUpper} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM mixed GROUP BY 1 ORDER BY split"""
+
+  private lazy val pipelineV3Oracle: String =
+    s"""WITH qdocs AS MATERIALIZED (
+            SELECT doc_id, text, source, toks
+            FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+            WHERE $qualityPassSql
+          ),
+          cb AS MATERIALIZED (SELECT doc_id, toks,
+                 $hashSql % 100 >= $BenchPctFloor AS is_bench FROM qdocs),
+          csh AS MATERIALIZED (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                 FROM (SELECT * FROM cb WHERE len(toks) >= $ShingleW)),
+          bench AS (SELECT DISTINCT sh FROM csh WHERE is_bench),
+          ctot AS (SELECT doc_id, count(*) AS n FROM csh WHERE NOT is_bench GROUP BY 1),
+          chit AS (SELECT s.doc_id, count(*) AS h FROM csh s JOIN bench USING (sh)
+                   WHERE NOT s.is_bench GROUP BY 1),
+          clean AS MATERIALIZED (
+            SELECT q.doc_id, q.text, q.source
+            FROM cb b JOIN qdocs q USING (doc_id)
+            LEFT JOIN ctot t USING (doc_id) LEFT JOIN chit h USING (doc_id)
+            WHERE NOT b.is_bench AND
+              (CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(h.h, 0) / CAST(t.n AS DOUBLE), 6) END)
+                < $ContamThreshold),
+          ${Repetition.repetitionCtesFrom("clean")},
+          calm AS MATERIALIZED (
+            SELECT c.doc_id, c.text, c.source FROM clean c
+            JOIN rep r ON c.doc_id = r.doc_id WHERE NOT r.repetitive),
+          ${Dedup.minhashPairCtesFrom("calm")},
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
+          kept AS MATERIALIZED (SELECT c.doc_id, c.text, c.source FROM calm c
                  LEFT JOIN l${Dedup.ClusterIters} l ON c.doc_id = l.v
                  WHERE c.doc_id = coalesce(l.comp, c.doc_id)),
           counts AS (SELECT source, count(*) AS n,
@@ -406,6 +502,7 @@ object CurationQuality {
           FROM documents ORDER BY doc_id""")),
     QueryDef("cur_pipeline", pipeline, Some(pipelineOracle)),
     QueryDef("cur_pipeline_v2", pipelineV2, Some(pipelineV2Oracle)),
+    QueryDef("cur_pipeline_v3", pipelineV3, Some(pipelineV3Oracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
            counts AS (SELECT source, count(*) AS n,

@@ -55,8 +55,14 @@ object Repetition {
     if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
 
   /** Per-document repetition signals + the Gopher keep/flag verdict. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    signals(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The signal computation over ANY (doc_id, text) relation — exposed
+    * so composed pipelines (cur_pipeline_v3) can gate their survivor
+    * set on the repetition verdict without re-reading the table. */
+  def signals(docsDf: DataFrame): DataFrame = {
+    val base = docsDf
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t != '')").as("toks"),
         split(col("text"), "\n").as("lines"))
@@ -119,7 +125,77 @@ object Repetition {
     lineCols.join(gramCols, Seq("doc_id"), "left")
       .na.fill(0.0, Ns.map(fracName))
       .withColumn("repetitive", flagged)
-      .orderBy("doc_id")
+  }
+
+  /** CTE chain ending in `rep` (doc_id, repetitive) over any docs
+    * relation carrying (doc_id, text) — the composable form of the
+    * oracle, shared by cur_repetition and the v3 pipeline. */
+  def repetitionCtesFrom(rel: String): String = {
+    val pivotCols = Ns.map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN frac END), 0.0) AS ${fracName(n)}")
+      .mkString(",\n               ")
+    val flag = (Seq(
+      s"l.dup_line_frac > $DupLineFracMax",
+      s"l.dup_line_char_frac > $DupLineCharFracMax") ++
+      Ns.map { n =>
+        val bound = if (n <= 4) TopGramMax(n) else DupGramMax(n)
+        s"coalesce(g.${fracName(n)}, 0.0) > $bound"
+      }).mkString(" OR ")
+    s"""rdocs AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM $rel),
+        rbase AS MATERIALIZED (
+          SELECT doc_id, toks,
+                 coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS total_chars,
+                 len(lines) AS n_lines,
+                 len(list_distinct(lines)) AS n_distinct_lines,
+                 coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+                 coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS distinct_line_chars
+          FROM rdocs),
+        rgrams AS (
+          SELECT doc_id, total_chars, n,
+                 array_to_string(toks[i:i+n-1], ' ') AS gram
+          FROM rbase,
+               unnest([${Ns.mkString(",")}]) AS t1(n),
+               unnest(range(1, len(toks) - n + 2)) AS t2(i)
+          WHERE len(toks) >= n),
+        rcounts AS MATERIALIZED (
+          SELECT doc_id, total_chars, n, gram, count(*) AS cnt,
+                 length(gram) - (n - 1) AS gram_chars
+          FROM rgrams GROUP BY 1, 2, 3, 4),
+        rtops AS (SELECT doc_id, n, max(cnt) AS top_cnt
+                 FROM rcounts GROUP BY 1, 2),
+        rtopg AS (
+          SELECT c.doc_id, c.n, t.top_cnt, max(c.gram) AS top_gram
+          FROM rcounts c JOIN rtops t
+            ON c.doc_id = t.doc_id AND c.n = t.n AND c.cnt = t.top_cnt
+          GROUP BY 1, 2, 3),
+        rdups AS (
+          SELECT doc_id, n, total_chars,
+                 sum(CASE WHEN cnt > 1 THEN cnt * gram_chars ELSE 0 END) AS dup_chars
+          FROM rcounts GROUP BY 1, 2, 3),
+        rpern AS (
+          SELECT d.doc_id, d.n,
+                 round(least(1.0, CAST(CASE WHEN d.n <= 4
+                     THEN g.top_cnt * (length(g.top_gram) - (d.n - 1))
+                     ELSE d.dup_chars END AS DOUBLE) / d.total_chars), 6) AS frac
+          FROM rdups d JOIN rtopg g ON d.doc_id = g.doc_id AND d.n = g.n),
+        rgramcols AS (
+          SELECT doc_id,
+               $pivotCols
+          FROM rpern GROUP BY 1),
+        rlinecols AS (
+          SELECT doc_id,
+                 round((n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE), 6) AS dup_line_frac,
+                 CASE WHEN line_chars = 0 THEN 0.0
+                      ELSE round((line_chars - distinct_line_chars) / CAST(line_chars AS DOUBLE), 6)
+                 END AS dup_line_char_frac
+          FROM rbase),
+        rep AS MATERIALIZED (
+          SELECT l.doc_id, ($flag) AS repetitive
+          FROM rlinecols l LEFT JOIN rgramcols g ON l.doc_id = g.doc_id)"""
   }
 
   private val oracle: String = {
