@@ -125,6 +125,46 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffles (${exchanges.size}):\n${p.toString.take(1500)}")
   }
 
+  test("sim_knn_graph ranks all N nodes through the heap aggregate, not a window") {
+    // the k-NN graph makes EVERY vector a query — a per-node window
+    // would sort the full candidate stream on |V| tasks; the heap form
+    // caps emission at k per node per partition
+    val p = sparkPlan("sim_knn_graph").toString
+    assert(!p.contains("Window"), s"knn graph plans a Window:\n${p.take(1200)}")
+    assert(p.contains("top_k_pairs"), "knn graph does not rank via top_k_pairs")
+  }
+
+  test("graph_walks steps are equi-joins: no Generate under the walk joins") {
+    // each step must be two |walks|-sized equi-joins (degree, (src,idx))
+    // — a neighborhood explode (Generate) would cost deg(u) rows per
+    // walk and melt on hub nodes
+    val p = sparkPlan("graph_walks")
+    val generates = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.isEmpty, s"walk step explodes neighborhoods:\n${p.toString.take(1200)}")
+    assert(p.toString.contains("SortMergeJoin") || p.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("cur_ccnet_buckets: corpus rank runs in (lang, score) tie groups") {
+    // the doc-level rank must come from the tie-group row_number (≥2
+    // partition keys) — a corpus row_number over PARTITION BY lang
+    // would put each language on one reducer at scale. The one
+    // single-key window allowed is the cumulative sum over the (lang,
+    // score) HISTOGRAM, whose input is aggregate-sized, and it must
+    // sit above a groupBy (HashAggregate), not the raw doc stream.
+    val plan = sparkPlan("cur_ccnet_buckets")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "no tie-group window — doc ranks would run per-language")
+    for (w <- windows if w.partitionSpec.size < 2)
+      assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }.nonEmpty,
+        s"single-key window over non-aggregated input:\n${w.toString.take(600)}")
+  }
+
   test("sim_ann_pq ranks both stages through heap aggregates, not windows") {
     // ADC shortlist AND exact re-rank go through top_k_pairs; a Window
     // would collapse the corpus-sized scored stream onto |Q| tasks
