@@ -9,7 +9,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Dedup.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
-      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++
+      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
       EventAnalytics.defs ++
       graft.streaming.EventStreams.defs
 

@@ -272,6 +272,96 @@ object Relational {
                max(n) AS n_sample
         FROM ranked GROUP BY returnflag ORDER BY returnflag"""
 
+  /** Theta-sketch-style SET-OPERATION cardinalities over KMV sketches —
+    * the "how many users in A∪B / A∩B without touching the raw sets"
+    * sketch algebra (Dasgupta et al., the DataSketches theta design)
+    * on the deterministic KMV base q43 established: A = customers
+    * ordering before [[SetopsSplitDate]], B = after. Union sketch =
+    * k smallest of A∪B (one kmin_distinct over all rows); intersection
+    * uses the theta rule est∩ = ρ·est∪ with ρ = |{h ∈ union sketch :
+    * h ∈ A-sketch ∧ h ∈ B-sketch}|/k — every h in the union sketch
+    * that belongs to A is provably in A's own k-min (kth(A) ≥ kth(A∪B)),
+    * so the membership test over truncated sketches is exact. Exact
+    * counts ride along to expose the sketch error. All arithmetic is
+    * integer until the one division + 4-dp round per estimate — DuckDB
+    * replays sketches AND estimators bit-for-bit.
+    *
+    * Scale: three bounded k-long sketches + one boolean-flag distinct
+    * agg; the orders scan never shuffles more than (custkey, side)
+    * pairs, and sketch merge is map-side. At 100 TB this is THE way
+    * to answer overlap questions — the exact columns become the thing
+    * you can no longer afford, the sketch columns don't change cost. */
+  val SetopsSplitDate = "1998-07-01"
+  def q46SketchSetops(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val k = KmvK
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("ck"),
+        (to_date(col("o_orderdate")) < lit(SetopsSplitDate)).as("isa"))
+      .distinct()
+    val h = o.select(col("isa"),
+      (conv(substring(md5(col("ck").cast("string")), 1, 8), 16, 10)
+        .cast("long") + lit(1L)).as("x"))
+    val sk = h.agg(
+      expr(s"kmin_distinct(CASE WHEN isa THEN array(x) END, $k)").as("sa"),
+      expr(s"kmin_distinct(CASE WHEN NOT isa THEN array(x) END, $k)").as("sb"),
+      expr(s"kmin_distinct(array(x), $k)").as("su"))
+    val flags = o.groupBy("ck").agg(
+      max(when(col("isa"), 1L).otherwise(0L)).as("ina"),
+      max(when(!col("isa"), 1L).otherwise(0L)).as("inb"))
+    val exact = flags.agg(
+      sum(col("ina")).as("exact_a"), sum(col("inb")).as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("ina") * col("inb")).as("exact_inter"))
+    val c = (k - 1).toDouble * 4294967296.0
+    def est(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(round(lit(c) / element_at(s, k), 4))
+    sk.crossJoin(exact)
+      .withColumn("n_both", expr(
+        "size(filter(su, h -> array_contains(sa, h) AND array_contains(sb, h)))"))
+      .select(
+        est(col("sa")).as("est_a"), est(col("sb")).as("est_b"),
+        est(col("su")).as("est_union"),
+        when(size(col("su")) < k, col("n_both").cast("double"))
+          .otherwise(round(col("n_both").cast("double") *
+            (lit(c) / element_at(col("su"), k)) / k, 4)).as("est_inter"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"))
+  }
+
+  private lazy val setopsOracleSql: String = {
+    val k = KmvK
+    val c = (k - 1).toLong * 4294967296L
+    s"""WITH o AS (SELECT DISTINCT o_custkey AS ck,
+                          CAST(o_orderdate AS DATE) < DATE '$SetopsSplitDate' AS isa
+                   FROM orders),
+          h AS (SELECT ck, isa,
+                       ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT + 1 AS x
+                FROM o),
+          sa AS (SELECT x FROM (SELECT DISTINCT x FROM h WHERE isa) ORDER BY x LIMIT $k),
+          sb AS (SELECT x FROM (SELECT DISTINCT x FROM h WHERE NOT isa) ORDER BY x LIMIT $k),
+          su AS (SELECT x FROM (SELECT DISTINCT x FROM h) ORDER BY x LIMIT $k),
+          sta AS (SELECT count(*) AS m, max(x) AS xk FROM sa),
+          stb AS (SELECT count(*) AS m, max(x) AS xk FROM sb),
+          stu AS (SELECT count(*) AS m, max(x) AS xk FROM su),
+          nb AS (SELECT count(*) AS n_both FROM su
+                 WHERE x IN (SELECT x FROM sa) AND x IN (SELECT x FROM sb)),
+          fl AS (SELECT ck, max(CASE WHEN isa THEN 1 ELSE 0 END) AS ina,
+                        max(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS inb
+                 FROM o GROUP BY ck),
+          ex AS (SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+                        CAST(sum(inb) AS BIGINT) AS exact_b,
+                        count(*) AS exact_union,
+                        CAST(sum(ina * inb) AS BIGINT) AS exact_inter FROM fl)
+        SELECT CASE WHEN sta.m < $k THEN sta.m::DOUBLE ELSE round($c / sta.xk::DOUBLE, 4) END AS est_a,
+               CASE WHEN stb.m < $k THEN stb.m::DOUBLE ELSE round($c / stb.xk::DOUBLE, 4) END AS est_b,
+               CASE WHEN stu.m < $k THEN stu.m::DOUBLE ELSE round($c / stu.xk::DOUBLE, 4) END AS est_union,
+               CASE WHEN stu.m < $k THEN nb.n_both::DOUBLE
+                    ELSE round(nb.n_both::DOUBLE * ($c / stu.xk::DOUBLE) / $k, 4) END AS est_inter,
+               ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
+        FROM sta, stb, stu, nb, ex"""
+  }
+
   /** KMV approximate distinct counts per returnflag — the ORACLE-
     * CHECKABLE sibling of q13's HLL/KLL sketches: k-minimum-value
     * sketches over md5-hashed keys are deterministic, so DuckDB
@@ -540,6 +630,7 @@ object Relational {
     QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
     QueryDef("q44_heavy_hitters", q44HeavyHitters, Some(cmsOracleSql)),
     QueryDef("q45_approx_percentile", q45ApproxPercentile, Some(pctOracleSql)),
+    QueryDef("q46_sketch_setops", q46SketchSetops, Some(setopsOracleSql)),
     QueryDef("q14_asof_join", q14AsofJoin, Some(
       """SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
                 (max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
