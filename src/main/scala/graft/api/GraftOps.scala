@@ -1621,6 +1621,43 @@ object GraftOps {
     labels.select(col("v"), col("lbl").as("comm"))
   }
 
+  /** Newman modularity per community over an UNDIRECTED edge list and a
+    * (v, comm) label table: q_term = L_c/m − (d_c/2m)², from exact
+    * integer internal-edge / degree-sum / node counts; one double
+    * division inside an 8-dp round (operands cast double in a fixed
+    * order so a SQL oracle replays the float path exactly). Σ q_term =
+    * the classic global Q.
+    *
+    * Scale: labels join the edge list once per endpoint (shuffle ∝ |E|
+    * on the join key); all aggregation after is |comms|-sized, and the
+    * edge count m rides along as a broadcast 1-row aggregate. */
+  def modularity(und: DataFrame, u: String, v: String,
+                 labels: DataFrame): DataFrame = {
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val ec = und.select(col(u).as("s"), col(v).as("p"))
+      .join(labels.select(col("v").as("s"), col("comm").as("cs")), Seq("s"))
+      .join(labels.select(col("v").as("p"), col("comm").as("cp")), Seq("p"))
+    val internal = ec.filter(col("cs") === col("cp"))
+      .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("internal_edges"))
+    val degSum = ec.select(col("cs").as("comm"))
+      .unionAll(ec.select(col("cp").as("comm")))
+      .groupBy("comm").agg(count(lit(1)).as("degree_sum"))
+    val md = col("m").cast("double")
+    labels.groupBy("comm").agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("comm"), "left")
+      .join(degSum, Seq("comm"), "left")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("q_term", round(
+        (lit(4.0) * md * col("internal_edges").cast("double") -
+          col("degree_sum").cast("double") * col("degree_sum").cast("double")) /
+        (lit(4.0) * md * md), 8))
+      .select(col("comm"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"), col("q_term"))
+  }
+
   /** Multi-source BFS hop distance over an UNDIRECTED edge list:
     * dist(v) = min #hops from any source, relaxed a FIXED `rounds`
     * times (a fixed count keeps a SQL oracle exact; rounds ≥ eccentric-

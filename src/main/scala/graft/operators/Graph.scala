@@ -790,6 +790,26 @@ object Graph {
       .orderBy("v")
   }
 
+  /** Newman modularity of the LPA communities — the standard "did the
+    * community detector find real structure" score, per community:
+    * Q_c = L_c/m − (d_c/2m)² with L_c = edges internal to c, d_c = sum
+    * of member degrees, m = |undirected edges|. All three inputs are
+    * exact integers (no float iteration); the per-community term does
+    * ONE double division inside an 8-dp round, with every operand
+    * explicitly cast double in the same order on both engines. Total
+    * Q = Σ q_term (the caller's trivial sum); per-community rows are
+    * the useful output — they say WHICH communities are cohesive.
+    *
+    * Scale: labels join edges twice (src, dst) — shuffle ∝ |E| on the
+    * join key like any LPA round; everything after is |comms|-sized.
+    * m rides along as a broadcast 1-row aggregate, not a driver action. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    val lbl = graft.api.GraftOps.labelPropagation(und, "s", "p", LpaRounds)
+    graft.api.GraftOps.modularity(und, "s", "p", lbl).orderBy("comm")
+  }
+
   /** HITS hubs & authorities (GraftOps.hits) on the DIRECTED
     * supplier→part graph: suppliers score as hubs (they point at
     * parts), parts as authorities — the natural bipartite reading.
@@ -1126,8 +1146,10 @@ object Graph {
   }
 
   /** Unrolled LPA rounds: votes (neighbor labels + self) → per-(v,lbl)
-    * counts → per-v argmax with (count DESC, label ASC) tie-break. */
-  private lazy val lpaOracle: String = {
+    * counts → per-v argmax with (count DESC, label ASC) tie-break.
+    * Shared CTE prefix: `l$LpaRounds` is the final (v, lbl) table —
+    * the modularity oracle builds on the same chain. */
+  private lazy val lpaCtePrefix: String = {
     val iterCtes = (1 to LpaRounds).map { k =>
       s"""v$k AS MATERIALIZED (SELECT e.dst AS v, l.lbl FROM l${k - 1} l
                 JOIN edges e ON l.v = e.src
@@ -1137,14 +1159,43 @@ object Graph {
                 SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
                 FROM c$k) WHERE rn = 1)"""
     }.mkString(",\n          ")
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
           edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
           l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM edges),
-          $iterCtes,
+          $iterCtes"""
+  }
+
+  private lazy val lpaOracle: String =
+    s"""WITH ${lpaCtePrefix},
           sz AS (SELECT lbl AS comm, count(*) AS comm_size FROM l$LpaRounds GROUP BY 1)
         SELECT l.v, l.lbl AS comm, sz.comm_size
         FROM l$LpaRounds l JOIN sz ON l.lbl = sz.comm ORDER BY l.v"""
-  }
+
+  /** Same unrolled LPA chain, then the modularity aggregation: one
+    * UNDIRECTED edge per li pair (the `li` CTE), endpoint labels from
+    * l$LpaRounds, per-community internal-edge / degree-sum / node
+    * counts, q_term with operands cast double in the Spark order. */
+  private lazy val modularityOracle: String =
+    s"""WITH ${lpaCtePrefix},
+          m AS (SELECT count(*) AS m FROM li),
+          ec AS MATERIALIZED (SELECT ls.lbl AS cs, lp.lbl AS cp FROM li
+                JOIN l$LpaRounds ls ON li.s = ls.v
+                JOIN l$LpaRounds lp ON li.p = lp.v),
+          internal AS (SELECT cs AS comm, count(*) AS internal_edges
+                       FROM ec WHERE cs = cp GROUP BY 1),
+          degsum AS (SELECT comm, count(*) AS degree_sum FROM (
+                       SELECT cs AS comm FROM ec UNION ALL SELECT cp FROM ec)
+                     GROUP BY 1),
+          nodes AS (SELECT lbl AS comm, count(*) AS n_nodes FROM l$LpaRounds GROUP BY 1)
+        SELECT n.comm, n.n_nodes,
+               coalesce(i.internal_edges, 0) AS internal_edges,
+               coalesce(d.degree_sum, 0) AS degree_sum,
+               round((4.0 * m.m::DOUBLE * coalesce(i.internal_edges, 0)::DOUBLE -
+                      coalesce(d.degree_sum, 0)::DOUBLE * coalesce(d.degree_sum, 0)::DOUBLE) /
+                     (4.0 * m.m::DOUBLE * m.m::DOUBLE), 8) AS q_term
+        FROM nodes n LEFT JOIN internal i ON n.comm = i.comm
+        LEFT JOIN degsum d ON n.comm = d.comm, m
+        ORDER BY n.comm"""
 
   /** Unrolled HITS half-steps; every level referenced twice →
     * MATERIALIZED. Scalar L1 norms as subqueries (DuckDB evaluates the
@@ -1304,6 +1355,7 @@ object Graph {
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
     QueryDef("graph_hits", graphHits, Some(hitsOracle)),
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
+    QueryDef("graph_modularity", graphModularity, Some(modularityOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),
     QueryDef("graph_anf_diameter", graphAnfDiameter, Some(

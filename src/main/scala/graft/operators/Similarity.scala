@@ -53,6 +53,79 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** k-NN CLASSIFICATION over the embedding corpus — the label column's
+    * first consumer: a deterministic 1-in-[[KnnTestMod]] id split holds
+    * out test vectors, each classified by majority vote over its
+    * [[KnnClassK]] nearest train neighbors (exact cosine — the
+    * ground-truth tier, like sim_cosine_topk; the ANN tiers are the
+    * scale path for the same candidate generation). Vote argmax uses
+    * the (count DESC, label ASC) tie-break so prediction is total-order
+    * deterministic and DuckDB replays votes and verdicts exactly.
+    *
+    * Scale: test queries broadcast (they are the small side by
+    * construction); candidate scoring rides the corpus scan, ranking
+    * through the bounded-heap aggregate ≤ k rows per query per task;
+    * the vote/argmax tables are |Q|·|labels|-sized.
+    *
+    * On THIS corpus the labels are geometry-free (measured same-label
+    * vs cross-label mean cosine 0.0016 vs 0.0003, 1-NN accuracy ≈
+    * chance), so the registered query's accuracy is the honest ~10%
+    * noise floor; KnnClassifySpec proves the classifier on planted
+    * clusters, and the oracle value-checks votes and verdicts. */
+  val KnnClassK = 5
+  val KnnTestMod = 10
+  def mlKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    knnClassifyOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("label")))
+  }
+
+  /** The classifier core over any (vec_id, v, label) frame — spec
+    * entry point for planted-cluster data. */
+  def knnClassifyOn(e: DataFrame): DataFrame = {
+    val lab = e.select(col("vec_id"), col("label"))
+    val test = e.filter(col("vec_id") % KnnTestMod === 0)
+    val train = e.filter(col("vec_id") % KnnTestMod =!= 0)
+    val scored = train
+      .crossJoin(broadcast(test.select(col("vec_id").as("qid"), col("v").as("qv"))))
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col("vec_id"))
+    val top = graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+      ordCol = "cos", payloadCol = "vec_id", k = KnnClassK)
+    val pred = top.join(lab, Seq("vec_id"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("c"))
+      .groupBy("qid")
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("qid"), (-col("m.nl")).as("pred_label"))
+    pred
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("true_label")), Seq("qid"))
+      .select(col("qid"), col("pred_label"), col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy("qid")
+  }
+
+  private lazy val knnClassifyOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+          test AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e
+                   WHERE vec_id % $KnnTestMod = 0),
+          train AS (SELECT vec_id, v, label FROM e WHERE vec_id % $KnnTestMod <> 0),
+          scored AS (SELECT t.qid, tr.vec_id, tr.label,
+                            ${cosSql("t.qv", "tr.v")} AS cos
+                     FROM test t, train tr),
+          r AS (SELECT qid, vec_id, label,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+                FROM scored),
+          votes AS (SELECT qid, label, count(*) AS c FROM r
+                    WHERE rk <= $KnnClassK GROUP BY 1, 2),
+          pred AS (SELECT qid, label AS pred_label FROM (
+                     SELECT qid, label,
+                            row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
+                     FROM votes) WHERE rn = 1)
+        SELECT p.qid, p.pred_label, t.true_label,
+               p.pred_label = t.true_label AS correct
+        FROM pred p JOIN test t USING (qid) ORDER BY p.qid"""
+
   /** ANN via multi-table LSH: candidates collide with the query in ANY
     * of the NumTables sign-bit buckets (native `lsh_bucket` expression,
     * one seed per table), then exact cosine + top-k over the candidate
@@ -1328,6 +1401,7 @@ object Similarity {
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
+    QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
