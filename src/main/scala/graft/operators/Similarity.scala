@@ -188,6 +188,96 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** One NN-DESCENT refinement round over [[simKnnGraph]] (Dong et al.
+    * WWW'11): a node's improved neighbor candidates are the
+    * neighbors-of-its-neighbors in the SYMMETRIZED current graph —
+    * two vectors close to a common third are likely close to each
+    * other — so candidates come from a self-join of the (pivot,
+    * member) adjacency on the pivot, unioned with the current edges,
+    * then exact-cosine re-ranked top-[[KnnK]]. LSH recall gaps close
+    * without new tables: the graph itself generates the candidates.
+    *
+    * Scale: the pivot adjacency is CAPPED at [[NdCap]] members per
+    * pivot (the deterministic analog of NN-descent's ρK sampling) —
+    * without the cap a hub with R reverse-neighbors contributes R²
+    * pairs to one reducer; with it, join fan-out is ≤ NdCap² per
+    * pivot, shuffle ∝ candidates. Ranking through the bounded heap as
+    * everywhere. KnnGraphSpec asserts recall vs brute force improves
+    * on the LSH-only graph. */
+  val NdCap = 8
+  def simNnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(spark, dir)
+    val knn0 = simKnnGraph(spark, dir).select(col("qid"), col("neighbor"))
+    val nb = knn0.select(col("qid").as("b"), col("neighbor").as("x"))
+      .unionAll(knn0.select(col("neighbor").as("b"), col("qid").as("x")))
+      .distinct()
+    val nbc = graft.api.GraftOps.topKPerGroupAgg(
+        nb.withColumn("negx", -col("x")), part = "b",
+        ordCol = "negx", payloadCol = "x", k = NdCap)
+      .select(col("b"), col("x"))
+    val cand = nbc.as("i").join(nbc.as("j"), Seq("b"))
+      .select(col("i.x").as("qid"), col("j.x").as("vec_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .unionAll(knn0.select(col("qid"), col("neighbor").as("vec_id")))
+      .distinct()
+    val scored = cand
+      .join(e0.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e0, Seq("vec_id"))
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col("vec_id"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "cos", payloadCol = "vec_id", k = KnnK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB mirror of simNnDescent: the knnGraphOracle chain, then the
+    * capped symmetrized adjacency, pivot self-join, union with current
+    * edges, exact re-rank. */
+  private lazy val nnDescentOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS MATERIALIZED (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand0 AS (SELECT DISTINCT ba.vec_id AS qid, bb.vec_id
+                    FROM buck ba JOIN buck bb ON ba.t = bb.t AND ba.bv = bb.bv
+                    WHERE bb.vec_id <> ba.vec_id),
+          scored0 AS (SELECT c.qid, c.vec_id,
+                             ${cosSql("eq.v", "ec.v")} AS cos
+                      FROM cand0 c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          knn0 AS MATERIALIZED (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored0) WHERE rnk <= $KnnK),
+          nb AS (SELECT DISTINCT b, x FROM (
+                SELECT qid AS b, vec_id AS x FROM knn0
+                UNION ALL SELECT vec_id, qid FROM knn0)),
+          nbc AS MATERIALIZED (SELECT b, x FROM (
+                SELECT b, x, row_number() OVER (PARTITION BY b ORDER BY x) AS rn
+                FROM nb) WHERE rn <= $NdCap),
+          cand AS (SELECT DISTINCT qid, vec_id FROM (
+                SELECT i.x AS qid, j.x AS vec_id FROM nbc i JOIN nbc j ON i.b = j.b
+                WHERE i.x <> j.x
+                UNION ALL SELECT qid, vec_id FROM knn0)),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $KnnK ORDER BY qid, rnk"""
+  }
+
   /** ANN via IVF (inverted-file index, training-free): every 50th vector
     * is a "centroid"; vectors are assigned to their nearest centroid,
     * and each query probes only its own NProbe nearest centroid cells.
@@ -1406,6 +1496,7 @@ object Similarity {
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
     QueryDef("sim_knn_graph", simKnnGraph, Some(knnGraphOracle)),
+    QueryDef("sim_nn_descent", simNnDescent, Some(nnDescentOracle)),
     QueryDef("sim_ann_sq8", (s: SparkSession, d: String) => annSq8(s, d), Some(annSq8Oracle)),
     QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
