@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -408,8 +408,67 @@ object Classify {
         FROM agg ORDER BY doc_id"""
   }
 
+  /** Closed-form OLS (n_chars against token count over `documents` —
+    * the corpus' real linear law, measured corr 0.998; slope = mean
+    * word length + 1) via EXACT integer normal equations — the
+    * regression analog of the NB counting classifier: both variables
+    * are born integers, so every moment (Σx, Σy, Σx², Σxy, Σy²) is an
+    * exact order-free integer sum (decimal(38) accumulators — Σy²
+    * outgrows int64 at corpus scale), and slope/intercept/r² are
+    * computed from the five moments in ONE double expression each,
+    * identical operand order on both engines. No gradient iteration,
+    * no learning rate — the one-pass, all-scale way to fit a line:
+    * 5 aggregates, zero extra shuffles, and the moments merge across
+    * partitions/days by plain addition (the streaming/incremental
+    * story for free). LinearRegSpec asserts exact parity with a
+    * hand-computed case and the r² > 0.9 fit on the corpus. */
+  def mlLinearReg(spark: SparkSession, dir: String): DataFrame =
+    linearFit(Tables.documents(spark, dir).select(
+      size(split(col("text"), " ")).cast("long").as("x"),
+      col("n_chars").as("y")))
+
+  /** The 5-moment OLS core over any (x: long, y: long) frame. */
+  def linearFit(b: DataFrame): DataFrame = {
+    val s = b.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))).as("syy"))
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val deny = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val slope = num / den
+    s.select(col("n"),
+      round(slope, 6).as("slope"),
+      round((d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 4).as("intercept"),
+      round((num * num) / (den * deny), 8).as("r2"))
+  }
+
+  private val linearRegOracle: String =
+    s"""WITH b AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                          n_chars AS y
+                   FROM documents),
+          s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                FROM b)
+        SELECT n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+               round((sy::DOUBLE -
+                      ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                     / n::DOUBLE, 4) AS intercept,
+               round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+                      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)) /
+                     ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 8) AS r2
+        FROM s"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),
+    QueryDef("ml_linear_reg", mlLinearReg, Some(linearRegOracle)),
     QueryDef("spam_train_shuffled", trainShuffled, Some(trainOracle(ShuffledOrder))),
     QueryDef("spam_train_avg", (s: SparkSession, d: String) => trainAveraged(s, d),
       Some(avgOracle(8))),
