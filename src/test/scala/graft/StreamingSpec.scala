@@ -55,6 +55,22 @@ class StreamingSpec extends SparkSpec {
     assert(maxCells <= EventStreams.CmsStreamD.toLong * EventStreams.CmsStreamW)
   }
 
+  test("streaming minhash near-dup verdicts converge to the batch mirror") {
+    // band-bucket state: one long per distinct bucket; the per-doc
+    // OR/count aggregate of the emitted band verdicts must equal the
+    // batch mirror's n_hot_bands exactly
+    runToMemory(EventStreams.minhashDedupStream(spark, sf), "smd",
+      OutputMode.Append())
+    val streamed = spark.table("smd").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.count(_.getAs[Boolean]("dup_band")).toLong }
+    val batch = EventStreams.minhashDedupBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hot_bands")).toMap
+    assert(streamed == batch && batch.nonEmpty)
+    // the detector actually fires on this corpus
+    assert(batch.values.exists(_ > 0))
+  }
+
   test("streaming stateful dedup converges to the batch replay-collapse") {
     runToMemory(EventStreams.dedupStream(spark, sf), "sdd")
     val streamed = spark.table("sdd").collect()
