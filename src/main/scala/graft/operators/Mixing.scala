@@ -34,6 +34,11 @@ import graft.functions.TextFns
   * rows per doc regardless of doc length; the B-row log-ratio model
   * broadcasts back, the weight is a map-side-combinable integer sum.
   * At 100 TB both are two scans and two tiny broadcasts.
+  *
+  * Both expose relation-parameterized cores (Spark: `dsirWeights` /
+  * `temperatureRates`; SQL: `dsirCtesFrom` / `mixTempCtesFrom`) so the
+  * composed corpus build (cur_pipeline_v4) runs the SAME code and the
+  * SAME replay inside its chain.
   */
 object Mixing {
   /** Rate grid: basis points of 1/10000 — floor() keeps realized rates
@@ -47,18 +52,31 @@ object Mixing {
 
   private val hashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
-  /** Temperature-scaled mixing rates by language: rate = √(n_min/n),
-    * i.e. post-sample counts ∝ √n (α = 1/2 temperature), smallest
-    * language kept whole. √ and ÷ are IEEE correctly-rounded on both
-    * engines, so the floored basis-point rate is bit-identical. */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  /** Per-stratum temperature rates over any frame: (stratum, n_docs,
+    * rate_bp) with rate = floor(√(n_min/n)·grid). √ and ÷ are IEEE
+    * correctly-rounded on both engines → bit-identical rates. */
+  def temperatureRates(df: DataFrame, stratum: String): DataFrame = {
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("n_docs"))
     val nmin = counts.agg(min(col("n_docs")).as("nmin"))
-    val rates = counts.crossJoin(broadcast(nmin))
-      .select(col("lang"), col("n_docs"),
+    counts.crossJoin(broadcast(nmin))
+      .select(col(stratum), col("n_docs"),
         floor(sqrt(col("nmin").cast("double") / col("n_docs")) * RateGrid)
           .cast("long").as("rate_bp"))
+  }
+
+  /** The kept subset of `df` under the temperature rates (md5 ladder on
+    * `key`). */
+  def temperatureFilter(df: DataFrame, stratum: String, key: String): DataFrame =
+    df.join(broadcast(temperatureRates(df, stratum).select(col(stratum), col("rate_bp"))),
+        Seq(stratum))
+      .filter(TextFns.hash32(col(key).cast("string")) % RateGrid < col("rate_bp"))
+      .drop("rate_bp")
+
+  /** Temperature-scaled mixing rates by language + realized kept
+    * counts — the registered demonstration query. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val rates = temperatureRates(docs, "lang")
     val kept = docs.join(broadcast(rates), Seq("lang"))
       .filter(TextFns.hash32(col("doc_id").cast("string")) % RateGrid < col("rate_bp"))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
@@ -67,6 +85,19 @@ object Mixing {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("lang")
   }
+
+  /** SQL mirror of [[temperatureRates]]+[[temperatureFilter]] over a
+    * (doc_id, lang, …) relation: CTE chain ending in `tkeep` = the
+    * kept doc_ids. Names are `t`-prefixed to compose without clashes. */
+  def mixTempCtesFrom(rel: String): String =
+    s"""tc AS (SELECT lang, count(*) AS n_docs FROM $rel GROUP BY 1),
+          tm AS (SELECT min(n_docs) AS nmin FROM tc),
+          trt AS (SELECT lang, n_docs,
+                       CAST(floor(sqrt(nmin::DOUBLE / n_docs) * $RateGrid) AS BIGINT) AS rate_bp
+                FROM tc, tm),
+          tkeep AS (SELECT r.doc_id FROM $rel r JOIN trt USING (lang)
+                    WHERE ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % $RateGrid < rate_bp)"""
 
   private val mixTemperatureOracle: String =
     s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
@@ -80,14 +111,13 @@ object Mixing {
         SELECT r.lang, r.n_docs, r.rate_bp, coalesce(k.n_kept, 0) AS n_kept
         FROM r LEFT JOIN k USING (lang) ORDER BY lang"""
 
-  /** DSIR importance weights: hashed-unigram LLR of target (`en`) vs
-    * raw (everything else), Laplace-smoothed, 1e-6-grid-floored
-    * per-bucket so the per-doc Σ n·lr is exact integer math. keep =
-    * weight > 0 (more target-like than raw-like) — a threshold, not a
-    * global sort, so selection is a scan at any scale. */
-  def dsir(spark: SparkSession, dir: String): DataFrame = {
+  /** DSIR importance weights over any (doc_id, lang, text) frame:
+    * hashed-unigram LLR of target (`en`) vs raw, Laplace-smoothed,
+    * 1e-6-grid-floored per bucket so the per-doc Σ n·lr is exact
+    * integer math. Returns (doc_id, lang, w_micro). */
+  def dsirWeights(docs: DataFrame): DataFrame = {
     val B = DsirBuckets
-    val tok = Tables.documents(spark, dir)
+    val tok = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), col("lang"),
@@ -104,32 +134,45 @@ object Mixing {
     dfb.join(broadcast(lr), Seq("f"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("n") * col("lr")).as("w_micro"))
+  }
+
+  /** keep = w > 0 (more target-like than raw-like) — a threshold, not
+    * a global sort, so selection is a scan at any scale. */
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("w_micro"),
         (col("w_micro") > 0).as("keep"))
       .orderBy("doc_id")
+
+  /** SQL mirror of [[dsirWeights]] over a (doc_id, lang, text)
+    * relation: CTE chain ending in `dsirw` = (doc_id, lang, w_micro).
+    * Names are `ds`-prefixed to compose without clashes. */
+  def dsirCtesFrom(rel: String): String = {
+    val B = DsirBuckets
+    s"""dstok AS (SELECT doc_id, lang,
+                         ('0x' || substr(md5(t), 1, 8))::BIGINT % $B AS f
+                  FROM (SELECT doc_id, lang,
+                               unnest(string_split(text, ' ')) AS t
+                        FROM $rel)),
+          dsdfb AS MATERIALIZED (SELECT doc_id, lang, f, count(*) AS n
+                  FROM dstok GROUP BY 1, 2, 3),
+          dsst AS (SELECT f,
+                          sum(CASE WHEN lang = '$TargetLang' THEN n ELSE 0 END) AS ct,
+                          sum(CASE WHEN lang <> '$TargetLang' THEN n ELSE 0 END) AS cr
+                   FROM dsdfb GROUP BY 1),
+          dstt AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dsst),
+          dslr AS (SELECT f,
+                          CAST(floor((ln((ct + 1)::DOUBLE / (tt + $B)) -
+                                      ln((cr + 1)::DOUBLE / (tr + $B))) * $DsirGrid) AS BIGINT) AS lr
+                   FROM dsst, dstt),
+          dsirw AS (SELECT doc_id, lang, CAST(sum(n * lr) AS BIGINT) AS w_micro
+                    FROM dsdfb JOIN dslr USING (f) GROUP BY 1, 2)"""
   }
 
-  private val dsirOracle: String = {
-    val B = DsirBuckets
-    s"""WITH tok AS (SELECT doc_id, lang,
-                            ('0x' || substr(md5(t), 1, 8))::BIGINT % $B AS f
-                     FROM (SELECT doc_id, lang,
-                                  unnest(string_split(text, ' ')) AS t
-                           FROM documents)),
-          dfb AS (SELECT doc_id, lang, f, count(*) AS n FROM tok GROUP BY 1, 2, 3),
-          st AS (SELECT f,
-                        sum(CASE WHEN lang = '$TargetLang' THEN n ELSE 0 END) AS ct,
-                        sum(CASE WHEN lang <> '$TargetLang' THEN n ELSE 0 END) AS cr
-                 FROM dfb GROUP BY 1),
-          tt AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st),
-          lr AS (SELECT f,
-                        CAST(floor((ln((ct + 1)::DOUBLE / (tt + $B)) -
-                                    ln((cr + 1)::DOUBLE / (tr + $B))) * $DsirGrid) AS BIGINT) AS lr
-                 FROM st, tt),
-          w AS (SELECT doc_id, lang, CAST(sum(n * lr) AS BIGINT) AS w_micro
-                FROM dfb JOIN lr USING (f) GROUP BY 1, 2)
-        SELECT doc_id, lang, w_micro, w_micro > 0 AS keep FROM w ORDER BY doc_id"""
-  }
+  private val dsirOracle: String =
+    s"""WITH ${dsirCtesFrom("documents")}
+        SELECT doc_id, lang, w_micro, w_micro > 0 AS keep FROM dsirw ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_mix_temperature", mixTemperature, Some(mixTemperatureOracle)),
