@@ -1760,6 +1760,36 @@ object GraftOps {
     * semi-joins of the shrinking edge set against the alive set —
     * shuffle ∝ current |E|, monotonically decreasing; the alive set is
     * checkpointed per round because both semi-joins consume it. */
+  /** FULL core decomposition (coreness per vertex) via the iterated
+    * H-index (Lü et al. 2016): c_0 = degree; c_{t+1}(v) = H-operator
+    * over the neighbors' c_t — the largest h such that ≥ h neighbors
+    * hold value ≥ h, computed per vertex as max(least(rank, value))
+    * over the desc-ranked neighbor values (rank ties are irrelevant to
+    * that max-min). The sequence decreases monotonically to coreness;
+    * a FIXED round count keeps the SQL oracle exact (CorenessSpec
+    * asserts the fixpoint is reached at test scale and matches
+    * hand-computed coreness on a planted clique+chain).
+    *
+    * Scale: each round is one |E| join against the |V| label table +
+    * one per-vertex ranking — shuffle keys on v, the same budget as a
+    * kCore peel round, but ONE run yields every k's core at once. */
+  def coreness(und: DataFrame, u: String, v: String, rounds: Int): DataFrame = {
+    val fwd = und.select(col(u).as("src"), col(v).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("c"))
+    for (i <- 1 to rounds) {
+      val vals = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("c").as("nc"))
+      val ranked = vals.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("v").orderBy(col("nc").desc)))
+      labels = ranked.groupBy("v")
+        .agg(max(least(col("rn").cast("long"), col("nc"))).as("c"))
+      if (i % 2 == 0) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   def kCore(und: DataFrame, u: String, v: String, k: Int,
             rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))

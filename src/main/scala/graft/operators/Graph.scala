@@ -775,6 +775,36 @@ object Graph {
     graft.api.GraftOps.kCore(und, "s", "p", KCoreK, KCoreRounds).orderBy("v")
   }
 
+  /** Full core decomposition (coreness per vertex) — the one-run
+    * generalization of graph_kcore's fixed-k peel: GraftOps.coreness'
+    * iterated H-index over the supplier↔part graph; the kcore
+    * subgraph for ANY k then reads off this table. */
+  val CorenessRounds = 8
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.coreness(und, "s", "p", CorenessRounds)
+      .select(col("v"), col("c").as("coreness"))
+      .orderBy("v")
+  }
+
+  /** Unrolled iterated-H-index rounds: per round, desc-rank the
+    * neighbor values per vertex and take max(least(rank, value)). */
+  private lazy val corenessOracle: String = {
+    val iterCtes = (1 to CorenessRounds).map { t =>
+      s"""hv$t AS (SELECT e.src AS v, c.c AS nc FROM edges e
+                JOIN hc${t - 1} c ON e.dst = c.v),
+          hr$t AS (SELECT v, nc, row_number() OVER (PARTITION BY v ORDER BY nc DESC) AS rn
+                FROM hv$t),
+          hc$t AS MATERIALIZED (SELECT v, max(least(rn, nc)) AS c FROM hr$t GROUP BY 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          hc0 AS MATERIALIZED (SELECT src AS v, count(*) AS c FROM edges GROUP BY 1),
+          $iterCtes
+        SELECT v, c AS coreness FROM hc$CorenessRounds ORDER BY v"""
+  }
+
   /** Label-propagation communities (GraftOps.labelPropagation) on the
     * supplier↔part graph, LpaRounds synchronized rounds with self-vote
     * and smallest-label tie-break — deterministic, oracle-unrolled.
@@ -1369,6 +1399,7 @@ object Graph {
     QueryDef("graph_components_incremental", graphComponentsIncremental,
       Some(ccIncrementalOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
+    QueryDef("graph_coreness", graphCoreness, Some(corenessOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
