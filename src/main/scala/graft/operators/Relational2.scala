@@ -313,7 +313,66 @@ object Relational2 {
       .orderBy("p_partkey")
   }
 
+  /** Market-basket association rules over order baskets — the classic
+    * retail-analytics co-occurrence op (Agrawal/Srikant): pairs of
+    * parts bought in the same order with count ≥ [[AssocMinCount]],
+    * scored by support, both-direction confidence, and lift. All four
+    * scores are one exact-integer-operand double division inside a
+    * 6-dp round — bit-replayable.
+    *
+    * Scale: pair enumeration is WITHIN-basket (TPC-H baskets are ≤ 7
+    * items, real carts bounded too — fan-out is Σ|basket|², never
+    * catalog²); the pair groupBy shuffles candidate pairs only, item
+    * counts join back keyed on item, and the order total rides along
+    * as a broadcast 1-row aggregate. The support threshold prunes
+    * BEFORE the scoring joins — at 100 TB you raise it, the plan
+    * doesn't change. */
+  val AssocMinCount = 2L
+  def q47AssocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+
+  /** The rules core over any distinct (ok, pk) basket frame. */
+  def assocRulesFrom(b: DataFrame): DataFrame = {
+    val nOrders = b.select(countDistinct(col("ok")).as("n_orders"))
+    val items = b.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= AssocMinCount)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pairs
+      .join(items.select(col("pk").as("a"), col("n_i").as("n_a")), Seq("a"))
+      .join(items.select(col("pk").as("b"), col("n_i").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(d(col("n_ab")) / d(col("n_orders")), 6).as("support"),
+        round(d(col("n_ab")) / d(col("n_a")), 6).as("conf_ab"),
+        round(d(col("n_ab")) / d(col("n_b")), 6).as("conf_ba"),
+        round((d(col("n_ab")) * d(col("n_orders"))) /
+              (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  private val assocOracle: String =
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+          items AS (SELECT pk, count(*) AS n_i FROM b GROUP BY 1),
+          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+                    FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+                    GROUP BY 1, 2 HAVING count(*) >= $AssocMinCount)
+        SELECT p.a, p.b, p.n_ab,
+               round(p.n_ab::DOUBLE / n.n_orders::DOUBLE, 6) AS support,
+               round(p.n_ab::DOUBLE / ia.n_i::DOUBLE, 6) AS conf_ab,
+               round(p.n_ab::DOUBLE / ib.n_i::DOUBLE, 6) AS conf_ba,
+               round((p.n_ab::DOUBLE * n.n_orders::DOUBLE) /
+                     (ia.n_i::DOUBLE * ib.n_i::DOUBLE), 6) AS lift
+        FROM pairs p JOIN items ia ON p.a = ia.pk JOIN items ib ON p.b = ib.pk, n
+        ORDER BY a, b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_assoc_rules", q47AssocRules, Some(assocOracle)),
     QueryDef("q19_pivot", q19Pivot, Some(
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
                  ${Priorities.map(p => s"round(sum(CASE WHEN o_orderpriority = '$p' THEN o_totalprice END), 2) AS p${p.charAt(0)}").mkString(",\n                 ")}
