@@ -1079,6 +1079,52 @@ object Similarity {
         FROM c$KmIters c LEFT JOIN af a USING (cid)
         GROUP BY c.cid, c.cv ORDER BY cid"""
 
+  /** Simplified silhouette score per k-means cluster (the centroid
+    * form: a(i) = cosine distance to OWN centroid, b(i) = to the
+    * second-nearest; s = (b−a)/max(a,b)) — the cluster-quality score
+    * for the embedding tier, exactly as graph_modularity scores the
+    * community tier. Assignment ties break (distance ASC, cid ASC) on
+    * BOTH engines — the oracle ranks by the same derived distance, not
+    * by raw cosine, so a 1−x precision collapse can't flip the order.
+    * One corpus scan over the broadcast centroid array; per-cluster
+    * mean is the only aggregation. */
+  def mlSilhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOn(emb(spark, dir), trainedCents(spark, dir))
+
+  /** The silhouette core over any (vec_id, v) frame and (cid, cv)
+    * centroid table — spec entry point for planted clusters. */
+  def silhouetteOn(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), expr(
+        "array_sort(transform(cs, c -> struct(1.0 - cosine_sim(v, c.cv) AS d, c.cid AS cid)))").as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("cid").as("cid"),
+        col("ds").getItem(0).getField("d").as("d1"),
+        col("ds").getItem(1).getField("d").as("d2"))
+      .withColumn("s", when(greatest(col("d1"), col("d2")) === 0.0, lit(0.0))
+        .otherwise((col("d2") - col("d1")) / greatest(col("d1"), col("d2"))))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), round(avg(col("s")), 6).as("silhouette"))
+      .orderBy("cid")
+  }
+
+  private lazy val silhouetteOracle: String =
+    s"""WITH $kmeansCtes,
+          sldd AS (SELECT e.vec_id, c.cid, 1.0 - ${cosSql("e.v", "c.cv")} AS d
+                 FROM e, c$KmIters c),
+          slrk AS (SELECT vec_id, cid, d,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM sldd),
+          sla1 AS (SELECT vec_id, cid, d AS d1 FROM slrk WHERE rn = 1),
+          sla2 AS (SELECT vec_id, d AS d2 FROM slrk WHERE rn = 2),
+          sls AS (SELECT sla1.vec_id, sla1.cid,
+                       CASE WHEN greatest(d1, d2) = 0 THEN 0.0
+                            ELSE (d2 - d1) / greatest(d1, d2) END AS s
+                FROM sla1 JOIN sla2 USING (vec_id))
+        SELECT cid, count(*) AS n_members, round(avg(s), 6) AS silhouette
+        FROM sls GROUP BY 1 ORDER BY cid"""
+
   /** SemDeDup oracle: the shared Lloyd replay, final assignment, then
     * the within-cluster lower-id-neighbor verdict. */
   private lazy val curSemdedupOracle: String =
@@ -1492,6 +1538,7 @@ object Similarity {
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
+    QueryDef("ml_silhouette", mlSilhouette, Some(silhouetteOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
