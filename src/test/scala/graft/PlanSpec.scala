@@ -286,6 +286,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cur_mix_temperature: the rate table joins as broadcast; corpus never sorts") {
+    val p = sparkPlan("cur_mix_temperature").toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    // the only Sort is the final |langs|-row presentation orderBy
+    val sorts = sparkPlan("cur_mix_temperature").collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.size <= 1, s"unexpected global sorts: ${sorts.size}")
+  }
+
+  test("cur_dsir: the 128-row model broadcasts back; selection is a threshold, not a sort") {
+    val p = sparkPlan("cur_dsir").toString
+    assert(p.contains("BroadcastHashJoin"), "log-ratio model join should broadcast")
+    val sorts = sparkPlan("cur_dsir").collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.size <= 1, "selection must not globally sort the corpus")
+  }
+
+  test("q47_assoc_rules: order-total rides as broadcast; scan prunes to (orderkey, partkey)") {
+    val s = scans("q47_assoc_rules")
+    assert(s.nonEmpty &&
+      s.head.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_partkey"))
+    assert(sparkPlan("q47_assoc_rules").toString.contains("BroadcastNestedLoopJoin") ||
+      sparkPlan("q47_assoc_rules").toString.contains("BroadcastExchange"))
+  }
+
+  test("ml_linear_reg: one pass — a single scan, no joins") {
+    val plan = sparkPlan("ml_linear_reg")
+    assert(scans("ml_linear_reg").size == 1)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, "moment fit must not join")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // run the query first: under AQE, codegen stages appear in the
     // executed plan only once stages have materialized
