@@ -194,7 +194,7 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     def pass(): Map[String, Double] = {
       operators.Graph.reset(); operators.Classify.reset()
-      operators.Similarity.reset()
+      operators.Similarity.reset(); operators.Bpe.reset()
       // also drop CacheManager state: cache()d fragments are keyed by
       // canonicalized plan, so pass 2's identical plans would silently
       // reuse pass 1's materialized data and under-report their cost
