@@ -1466,6 +1466,39 @@ object GraftOps {
       .select(col("n_triangles"), col("n_edges"))
   }
 
+  /** Per-node LOCAL CLUSTERING COEFFICIENT: 2·T_v / (d_v·(d_v−1)) from
+    * per-node triangle counts — the degree-ordered enumeration finds
+    * each triangle once (same plan as [[triangleCount]]), then credits
+    * all three corners via one explode (3 rows per triangle, map-side
+    * combined). Nodes below degree 2 score 0. One double division in a
+    * 6-dp round, operand order fixed cross-engine.
+    *
+    * Scale: identical shuffle budget to the exact triangle count plus
+    * a 3×T explode into a map-side-combinable groupBy; degrees join
+    * back keyed on node. */
+  def clusteringCoeff(und0: DataFrame, u: String, v: String): DataFrame = {
+    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val or = orientEdges(und)
+    val tris = or.as("e1")
+      .join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
+      .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+      .join(or.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("p"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree").cast("double") * (col("degree") - 1).cast("double")), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Wedge-sampling triangle estimate (Seshadhri et al., SDM'13): the
     * DOULION complement. The sample rule lives on the wedge's HIGHER-
     * ordered edge (e2): a wedge is kept iff md5("w_" ++ e2) falls under

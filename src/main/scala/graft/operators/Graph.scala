@@ -472,6 +472,31 @@ object Graph {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.triangleCount(coPurchaseEdges(spark, dir), "a", "b")
 
+  /** Per-node local clustering coefficient over the co-purchase graph
+    * (GraftOps.clusteringCoeff — the per-corner readout of the same
+    * degree-ordered triangle enumeration graph_triangles runs). */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.clusteringCoeff(coPurchaseEdges(spark, dir), "a", "b")
+      .orderBy("v")
+
+  private lazy val clusteringOracle: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          edges AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+                    FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+                  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+          pern AS (SELECT v, count(*) AS n_tri FROM (
+                     SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1),
+          deg AS (SELECT v, count(*) AS degree FROM (
+                    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1)
+        SELECT d.v, d.degree, coalesce(t.n_tri, 0) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(2.0 * coalesce(t.n_tri, 0)::DOUBLE /
+                               (d.degree::DOUBLE * (d.degree - 1)::DOUBLE), 6)
+                    ELSE 0.0 END AS coeff
+        FROM deg d LEFT JOIN pern t ON d.v = t.v ORDER BY d.v"""
+
   /** Multi-source BFS hop distance from the PageRank source suppliers
     * over the supplier↔part graph (GraftOps.bfsHops — fixed-round
     * relaxation, same co-partitioned per-round layout as CC). BfsRounds
@@ -1418,6 +1443,7 @@ object Graph {
                    WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b))
           SELECT tri.n_triangles, (SELECT count(*) FROM edges) AS n_edges FROM tri""")),
     QueryDef("graph_triangles_wedge", graphTrianglesWedge, Some(wedgeOracle)),
+    QueryDef("graph_clustering_coeff", graphClusteringCoeff, Some(clusteringOracle)),
     QueryDef("graph_triangles_approx", graphTrianglesApprox, Some {
       val cut = (TriSampleP * 10000).toInt
       val p3 = TriSampleP * TriSampleP * TriSampleP
