@@ -58,6 +58,64 @@ object TextAnalytics {
       .orderBy("w1", "w2")
   }
 
+  /** Skip-gram windowed co-occurrence PMI (the word2vec/SGNS context
+    * statistic, Levy & Goldberg's #(c,x)·|D|/(#(c)·#(x)) over the
+    * ordered-pair corpus D): token pairs within ±[[SkipWindow]]
+    * positions, both directions counted, canonical w1 ≤ w2 rows
+    * emitted. Complements `pmi_pairs` (doc-level co-occurrence) with
+    * the POSITIONAL window the embedding-training pipelines use.
+    *
+    * Scale: the position self-join fans out ≤ W rows per token (join
+    * on doc_id with a band predicate — never doc²); marginals are one
+    * groupBy; |D| rides as a broadcast 1-row agg. */
+  val SkipWindow = 3
+  val SkipThreshold = 5L
+  def skipgramPmi(spark: SparkSession, dir: String): DataFrame =
+    skipgramPmiOn(tokenized(spark, dir))
+
+  /** The skip-gram core over any (doc_id, toks) frame — spec entry. */
+  def skipgramPmiOn(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val jo = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + SkipWindow)
+      .select(col("a.w").as("wa"), col("b.w").as("wb"))
+    val ord = jo.select(col("wa").as("c"), col("wb").as("x"))
+      .unionAll(jo.select(col("wb").as("c"), col("wa").as("x")))
+    val d = ord.agg(count(lit(1)).as("dd"))
+    val cents = ord.groupBy("c").agg(count(lit(1)).as("nc"))
+    ord.groupBy("c", "x").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= SkipThreshold && col("c") <= col("x"))
+      .join(cents.select(col("c"), col("nc").as("na")), Seq("c"))
+      .join(cents.select(col("c").as("x"), col("nc").as("nb")), Seq("x"))
+      .crossJoin(broadcast(d))
+      .select(col("c").as("w1"), col("x").as("w2"), col("n12"),
+        round(log10((col("n12") * col("dd")) / (col("na") * col("nb"))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  private lazy val skipgramOracle: String =
+    s"""WITH tk AS MATERIALIZED (
+            SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'w': toks[i]} for i in generate_series(1, len(toks))]) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+            WHERE s.w <> ''),
+          jo AS (SELECT a.w AS wa, b.w AS wb FROM tk a JOIN tk b
+                 ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $SkipWindow),
+          ord AS MATERIALIZED (SELECT wa AS c, wb AS x FROM jo
+                 UNION ALL SELECT wb, wa FROM jo),
+          dt AS (SELECT count(*) AS dd FROM ord),
+          cents AS (SELECT c, count(*) AS nc FROM ord GROUP BY 1),
+          pr AS (SELECT c, x, count(*) AS n12 FROM ord GROUP BY 1, 2
+                 HAVING count(*) >= $SkipThreshold)
+        SELECT p.c AS w1, p.x AS w2, p.n12,
+               round(log10((p.n12 * dt.dd) / (ca.nc * cx.nc)), 6) AS pmi
+        FROM pr p JOIN cents ca ON p.c = ca.c JOIN cents cx ON p.x = cx.c, dt
+        WHERE p.c <= p.x ORDER BY w1, w2"""
+
   /** a1/a2: PMI over co-occurring tokens (first 40, distinct, per doc). */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
@@ -285,6 +343,7 @@ object TextAnalytics {
          SELECT w1, w2, pair_cnt,
                 round(pair_cnt / (sum(pair_cnt) OVER (PARTITION BY w1)), 6) AS relfreq
          FROM c ORDER BY w1, w2""")),
+    QueryDef("text_skipgram_pmi", skipgramPmi, Some(skipgramOracle)),
     QueryDef("pmi_pairs", pmiPairs, Some(
       s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')[1:$PmiTake]) AS s
                      FROM documents),
