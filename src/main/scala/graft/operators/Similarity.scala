@@ -26,7 +26,7 @@ object Similarity {
   // ml_kmeans and sim_ann_ivf_kmeans share one Lloyd training instead
   // of re-running it (the Graph.pagerank memo pattern; Bench resets)
   private val kmMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  def reset(): Unit = { kmMemo.clear(); opqMemo.clear() }
+  def reset(): Unit = { kmMemo.clear(); opqMemo.clear(); pcaMemo.clear() }
   private def trainedCents(spark: SparkSession, dir: String): DataFrame =
     kmMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
       graft.api.GraftOps.kmeansCosine(
@@ -631,6 +631,87 @@ object Similarity {
       r = polarNS(mq)
     }
     r
+  }
+
+  /** Leading principal component by FIXED-ROUND power iteration on the
+    * grid-quantized Gram matrix — uncentered PCA, the OPQ discipline
+    * applied to spectral analysis: G = Σ x·xᵀ is ONE d²-wide `vec_sum`
+    * aggregate (model-sized — the corpus never leaves its scan),
+    * snapped to the 1e-6 grid where both engines re-agree; then
+    * [[PcaIters]] deterministic power steps (ascending-k dots, L2
+    * normalize, 1e-12 grid per iterate — [[polarNS]]'s rules) yield
+    * the component, and the per-vector score is one dot against the
+    * inlined component literals. The 24-step iterate IS the spec
+    * (convergence is the spec's claim, not the oracle's); PcaSpec
+    * certifies ≥0.99 cosine to the long-run eigenvector and the
+    * Rayleigh quotient's monotone growth. */
+  val PcaIters = 24
+  private val pcaMemo = scala.collection.concurrent.TrieMap[String, Array[Double]]()
+  private[graft] def pcaComponent(spark: SparkSession, dir: String): Array[Double] = {
+    graft.functions.VectorExpressions.register(spark)
+    pcaMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val d = Ed
+      val gFlat = emb(spark, dir)
+        .select(expr("flatten(transform(v, a -> transform(v, b -> a * b)))").as("op"))
+        .agg(expr("vec_sum(op)").as("g")).head().getSeq[Double](0).toArray
+      val g = Array.tabulate(d, d)((i, j) => grid(gFlat(i * d + j), MGrid))
+      powerIterate(g, PcaIters)
+    })
+  }
+
+  /** Fixed-round power iteration with per-step grid snap — shared with
+    * the spec's long-run reference. */
+  private[graft] def powerIterate(g: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = g.length
+    var p = Array.fill(d)(grid(1.0 / math.sqrt(d.toDouble), RGrid))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var k = 0
+        while (k < d) { s += g(i)(k) * p(k); k += 1 }; s
+      }
+      var n2 = 0.0
+      var k = 0
+      while (k < d) { n2 += w(k) * w(k); k += 1 }
+      val n = math.sqrt(n2)
+      p = Array.tabulate(d)(i => grid(w(i) / n, RGrid))
+    }
+    p
+  }
+
+  /** Per-vector first-principal-component scores. */
+  def mlPca(spark: SparkSession, dir: String): DataFrame = {
+    val comp = pcaComponent(spark, dir)
+    val compSql = comp.map(_.toString).mkString("array(", ", ", ")")
+    emb(spark, dir)
+      .select(col("vec_id"),
+        round(expr(s"dot_product(v, $compSql)"), 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** Full replay: Gram on the 1e-6 grid, unrolled 24 power steps on
+    * the 1e-12 grid, projection join. */
+  private lazy val pcaOracle: String = {
+    val steps = (1 to PcaIters).map { t =>
+      s"""pw$t AS MATERIALIZED (SELECT list_transform(g, row -> list_dot_product(row, p)) AS w, g
+              FROM pp${t - 1}),
+          pp$t AS MATERIALIZED (SELECT g, list_transform(w, x ->
+                floor(x / sqrt(list_dot_product(w, w)) * $RGridLit + 0.5) / $RGridLit) AS p
+              FROM pw$t)"""
+    }.mkString(",\n          ")
+    s"""WITH raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          gc AS (SELECT ii.i AS ii, jj.j AS jj,
+                        floor(sum(w.v[ii.i] * w.v[jj.j]) * $MGridLit + 0.5) / $MGridLit AS val
+                 FROM raw w, unnest(range(1, ${Ed + 1})) AS ii(i),
+                      unnest(range(1, ${Ed + 1})) AS jj(j)
+                 GROUP BY 1, 2),
+          pp0 AS MATERIALIZED (SELECT g,
+                list_transform(range(1, ${Ed + 1}), i ->
+                  floor(1.0 / sqrt(${Ed}.0) * $RGridLit + 0.5) / $RGridLit) AS p
+              FROM (SELECT list(row ORDER BY ii) AS g FROM (
+                      SELECT ii, list(val ORDER BY jj) AS row FROM gc GROUP BY ii))),
+          $steps
+        SELECT r.vec_id, round(list_dot_product(r.v, pp$PcaIters.p), 6) AS pc1
+        FROM raw r, pp$PcaIters ORDER BY r.vec_id"""
   }
 
   /** PQ + learned rotation (sim_ann_opq). */
@@ -1539,6 +1620,7 @@ object Similarity {
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
     QueryDef("ml_silhouette", mlSilhouette, Some(silhouetteOracle)),
+    QueryDef("ml_pca", mlPca, Some(pcaOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
