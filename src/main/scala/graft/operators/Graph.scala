@@ -800,6 +800,51 @@ object Graph {
     graft.api.GraftOps.kCore(und, "s", "p", KCoreK, KCoreRounds).orderBy("v")
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list — "do hubs
+    * attach to hubs". Exactly the ml_linear_reg discipline: five
+    * order-free integer moments (degrees are integers) in decimal(38)
+    * accumulators, ONE double expression with fixed cross-engine
+    * operand order, 6-dp round. One degree groupBy + two broadcast-able
+    * joins + five aggregates — scan-speed at any |E|. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    val edges = und.select(col("s").as("a"), col("p").as("b"))
+      .unionAll(und.select(col("p").as("a"), col("s").as("b")))
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val ep = edges
+      .join(deg.select(col("v").as("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("y")), Seq("b"))
+    val s = ep.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    s.select(col("n").as("n_directed_edges"),
+      round(num / den, 6).as("assortativity"))
+  }
+
+  private val assortativityOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS a, p AS b FROM li UNION ALL SELECT p, s FROM li),
+          deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+          ep AS (SELECT da.d AS x, db.d AS y FROM edges e
+                 JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+          s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                FROM ep)
+        SELECT n AS n_directed_edges,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                     (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                      sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS assortativity
+        FROM s"""
+
   /** Full core decomposition (coreness per vertex) — the one-run
     * generalization of graph_kcore's fixed-k peel: GraftOps.coreness'
     * iterated H-index over the supplier↔part graph; the kcore
@@ -1425,6 +1470,7 @@ object Graph {
       Some(ccIncrementalOracle)),
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_coreness", graphCoreness, Some(corenessOracle)),
+    QueryDef("graph_assortativity", graphAssortativity, Some(assortativityOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),

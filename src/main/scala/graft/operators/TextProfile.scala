@@ -75,7 +75,79 @@ object TextProfile {
 
   private val stopPredSql = StopWords.map(w => s"t = '$w'").mkString(" OR ")
 
+  /** Per-SOURCE Jensen–Shannon divergence from the corpus unigram
+    * distribution — the domain-shift gauge a mixture-tuning pass reads
+    * ("which slices look least like the blend"). Per-(source, word)
+    * terms p·log₂(p/m) and q·log₂(q/m) are floored onto a 1e-9 grid
+    * and summed as exact BIGINTs (order-free — the SGD/DSIR grid
+    * discipline), one double halving + round at the end. The grid is
+    * sources × vocabulary (LEFT-joined counts — absent words carry
+    * p = 0 and still contribute their q·log₂2 mass), built from ONE
+    * token-count groupBy; |sources| is small, so the grid is
+    * vocabulary-sized, never corpus-sized. */
+  val JsGrid = 1000000000.0
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceOn(Tables.documents(spark, dir))
+
+  /** The JS core over any (source, text) frame — spec entry point. */
+  def jsDivergenceOn(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val stot = sw.groupBy("source").agg(sum(col("n")).as("ns"))
+    val cw = sw.groupBy("w").agg(sum(col("n")).as("nw"))
+    val ct = cw.agg(sum(col("nw")).as("nn"))
+    val g = stot.crossJoin(cw)
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("ns"), col("nw"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(ct))
+    val p = col("n").cast("double") / col("ns")
+    val q = col("nw").cast("double") / col("nn")
+    val m = (p + q) / lit(2)
+    val t = g.select(col("source"), col("ns"),
+      when(col("n") > 0, floor(p * log2(p / m) * JsGrid).cast("long"))
+        .otherwise(lit(0L)).as("t1"),
+      floor(q * log2(q / m) * JsGrid).cast("long").as("t2"))
+    t.groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"),
+        (sum(col("t1")) + sum(col("t2"))).as("snano"))
+      .select(col("source"), col("n_tokens"),
+        round((col("snano").cast("double") / lit(2)) / lit(JsGrid), 6).as("js"))
+      .orderBy("source")
+  }
+
+  private val jsOracle: String =
+    s"""WITH tok AS (SELECT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> ''),
+          sw AS MATERIALIZED (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2),
+          stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sw GROUP BY 1),
+          cw AS (SELECT w, CAST(sum(n) AS BIGINT) AS nw FROM sw GROUP BY 1),
+          ct AS (SELECT CAST(sum(nw) AS BIGINT) AS nn FROM cw),
+          g AS (SELECT st.source, st.ns, c.nw, coalesce(s.n, 0) AS n
+                FROM stot st CROSS JOIN cw c
+                LEFT JOIN sw s ON s.source = st.source AND s.w = c.w),
+          t AS (SELECT source, ns,
+                       CASE WHEN n > 0 THEN CAST(floor((n::DOUBLE / ns) *
+                              log2((n::DOUBLE / ns) /
+                                   (((n::DOUBLE / ns) + (nw::DOUBLE / nn)) / 2)) *
+                              $JsGrid) AS BIGINT)
+                            ELSE 0 END AS t1,
+                       CAST(floor((nw::DOUBLE / nn) *
+                              log2((nw::DOUBLE / nn) /
+                                   (((n::DOUBLE / ns) + (nw::DOUBLE / nn)) / 2)) *
+                              $JsGrid) AS BIGINT) AS t2
+                FROM g, ct),
+          a AS (SELECT source, max(ns) AS n_tokens,
+                       CAST(sum(t1) + sum(t2) AS BIGINT) AS snano
+                FROM t GROUP BY 1)
+        SELECT source, n_tokens, round((snano::DOUBLE / 2) / $JsGrid, 6) AS js
+        FROM a ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_js_divergence", jsDivergence, Some(jsOracle)),
     QueryDef("text_langid", langId, Some(
       s"""SELECT doc_id, lang,
                  round(len(list_filter(string_split(text, ' '), t -> $stopPredSql))
