@@ -11,6 +11,7 @@ object SparkEntry {
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ Multimodal.defs ++
       Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
       EventAnalytics.defs ++
+      graft.sources.IoRoundtrip.defs ++
       graft.streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

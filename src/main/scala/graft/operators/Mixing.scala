@@ -174,8 +174,64 @@ object Mixing {
     s"""WITH ${dsirCtesFrom("documents")}
         SELECT doc_id, lang, w_micro, w_micro > 0 AS keep FROM dsirw ORDER BY doc_id"""
 
+  /** Temperature mixing WITH UPSAMPLING (the full UNIMAX shape):
+    * per-language targets ∝ √n scaled to preserve the corpus total
+    * (head languages shrink, tail languages REPLICATE — what
+    * downsample-only mixing cannot do). Integer ladder throughout:
+    * √n floored onto a 1e-6 grid, S = Σ exact; target = N·s/S by
+    * BIGINT division; each doc emits ⌊target/n⌋ copies plus one more
+    * when its hash lands under the remainder — deterministic
+    * fractional replication, the same rule handles both up- and
+    * down-sampling. The registered query EMITS the replicated rows
+    * (sequence-explode — the plan a training run would consume) and
+    * reports per-language realized counts; the oracle computes the
+    * identical count in closed form (copies·n + \|{hash < rem}\|). */
+  val SqrtGrid = 1000000L
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs").cast("double")) * SqrtGrid).cast("long"))
+    val tot = counts.agg(sum(col("s")).as("ss"), sum(col("n_docs")).as("nn"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(nn * s) div ss"))
+      .withColumn("copies", expr("target div n_docs"))
+      .withColumn("rem", col("target") % col("n_docs"))
+      .select(col("lang"), col("n_docs"), col("target"), col("copies"), col("rem"))
+    val emitted = docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("k",
+        col("copies") + when(
+          TextFns.hash32(col("doc_id").cast("string")) % col("n_docs") < col("rem"), 1L)
+          .otherwise(0L))
+      .filter(col("k") > 0)
+      .select(col("lang"), explode(expr("sequence(1, k)")).as("cp"))
+      .groupBy("lang").agg(count(lit(1)).as("n_emitted"))
+    rates.join(emitted, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"))
+      .orderBy("lang")
+  }
+
+  private val mixUpsampleOracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs,
+                          CAST(floor(sqrt(count(*)::DOUBLE) * $SqrtGrid) AS BIGINT) AS s
+                   FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(s) AS BIGINT) AS ss, CAST(sum(n_docs) AS BIGINT) AS nn FROM c),
+          r AS (SELECT lang, n_docs,
+                       (nn * s) // ss AS target,
+                       ((nn * s) // ss) // n_docs AS copies,
+                       ((nn * s) // ss) % n_docs AS rem
+                FROM c, t),
+          e AS (SELECT d.lang, count(*) FILTER (
+                        ($hashSql % r.n_docs) < r.rem) AS n_extra,
+                       count(*) AS n
+                FROM documents d JOIN r USING (lang) GROUP BY 1)
+        SELECT r.lang, r.n_docs, r.target,
+               CAST(r.copies * e.n + e.n_extra AS BIGINT) AS n_emitted
+        FROM r JOIN e USING (lang) ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_mix_temperature", mixTemperature, Some(mixTemperatureOracle)),
+    QueryDef("cur_mix_upsample", mixUpsample, Some(mixUpsampleOracle)),
     QueryDef("cur_dsir", dsir, Some(dsirOracle)),
   )
 }
