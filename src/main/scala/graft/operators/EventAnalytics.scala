@@ -160,7 +160,111 @@ object EventAnalytics {
         ORDER BY s.cohort_day, "offset""""
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the behavioral model behind next-action prediction and
+    * anomalous-session scoring: P(next | current) from one lag/lead
+    * window per user plus a pair groupBy. Totally ordered by
+    * (ts_us, event_id) so the chain is deterministic; p is one
+    * rounded division per (from, to) cell against the from-row total.
+    * Scale: the window sorts each user's OWN events (shuffle keys on
+    * user_id — |events| once); the transition matrix is |types|²
+    * cells, map-side combined. */
+  def q48MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("p", round(col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val markovOracle: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+          l AS (SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS next_type
+                FROM e),
+          tr AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+                 FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM tr ORDER BY from_type, to_type"""
+
+  /** Ordered funnel WITHIN 30-minute sessions — the composed form a
+    * product warehouse actually reports ("conversion per visit"):
+    * the q11 sessionization prelude assigns (user, session) keys, then
+    * the q37 conditional-min discipline runs per session — stage k's
+    * first time must lie strictly after stage k−1's within the SAME
+    * session. Shuffles: one |events| window for session ids, then
+    * |sessions|-sized stage aggregations. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+  def q49SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("sess_no",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val keys = Seq("user_id", "sess_no")
+    var thresholds = sess
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === FunnelStages.head, col("ts_us"))).as("t"))
+      .filter(col("t").isNotNull)
+    def stageCount(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_sessions")).select(lit(label).as("stage"), col("n_sessions"))
+    var out = stageCount(s"1_${FunnelStages.head}", thresholds)
+    for ((stage, i) <- FunnelStages.tail.zipWithIndex) {
+      thresholds = sess.join(thresholds, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(min(when(col("event_type") === stage && col("ts_us") > col("t"),
+          col("ts_us"))).as("t2"))
+        .filter(col("t2").isNotNull)
+        .withColumnRenamed("t2", "t")
+      out = out.unionAll(stageCount(s"${i + 2}_$stage", thresholds))
+    }
+    out.orderBy("stage")
+  }
+
+  private val sessionFunnelOracle: String = {
+    val stageCtes = FunnelStages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""t1 AS (SELECT * FROM (
+                SELECT user_id, sess_no,
+                       min(CASE WHEN event_type = '$st' THEN ts_us END) AS t
+                FROM c GROUP BY 1, 2) WHERE t IS NOT NULL)"""
+      else
+        s"""t${i + 1} AS (SELECT * FROM (
+                SELECT c.user_id, c.sess_no,
+                       min(CASE WHEN c.event_type = '$st' AND c.ts_us > t$i.t
+                           THEN c.ts_us END) AS t
+                FROM c JOIN t$i USING (user_id, sess_no)
+                GROUP BY 1, 2) WHERE t IS NOT NULL)"""
+    }.mkString(",\n          ")
+    val rows = FunnelStages.zipWithIndex.map { case (st, i) =>
+      s"SELECT '${i + 1}_$st' AS stage, (SELECT count(*) FROM t${i + 1}) AS n_sessions"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+          s AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS brk FROM l),
+          c AS MATERIALIZED (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sess_no FROM s),
+          $stageCtes
+        $rows ORDER BY stage"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_markov_transitions", q48MarkovTransitions, Some(markovOracle)),
+    QueryDef("q49_session_funnel", q49SessionFunnel, Some(sessionFunnelOracle)),
     QueryDef("q37_funnel", q37Funnel, Some(funnelOracle)),
     QueryDef("q38_retention", q38Retention, Some(retentionOracle)),
     QueryDef("q39_funnel_users", q39FunnelUsers, Some(funnelUsersOracle)),
