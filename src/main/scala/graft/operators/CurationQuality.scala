@@ -414,6 +414,68 @@ object CurationQuality {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM mixed GROUP BY 1 ORDER BY split"""
 
+  /** The DATASET CARD — the one-page summary a training-data release
+    * ships with (docs/tokens/slices, quality-keep and contamination
+    * rates, near-dup pair count), computed as ONE lazy union of
+    * single-value aggregates over already-verified operator cores.
+    * Every metric is independently replayed by the oracle; at 100 TB
+    * each row is a scan-or-reuse aggregate, nothing new shuffles. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), round(col("v").cast("double"), 6).as("value"))
+    val toks = docs.select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("s"), count(lit(1)).as("c"))
+    Seq(
+      row("01_n_docs", docs.agg(count(lit(1)).as("v"))),
+      row("02_n_tokens", toks.select(col("s").as("v"))),
+      row("03_mean_doc_tokens",
+        toks.select((col("s").cast("double") / col("c").cast("double")).as("v"))),
+      row("04_n_langs", docs.agg(countDistinct(col("lang")).as("v"))),
+      row("05_n_sources", docs.agg(countDistinct(col("source")).as("v"))),
+      row("06_quality_keep_rate", qualityFilter(spark, dir)
+        .agg((sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("v"))),
+      row("07_contamination_rate", contamination(spark, dir)
+        .agg((sum(when(col("flagged"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("v"))),
+      row("08_near_dup_pairs",
+        Dedup.dedupMinhash(spark, dir).agg(count(lit(1)).as("v"))),
+    ).reduce(_ unionAll _).orderBy("metric")
+  }
+
+  private lazy val datasetCardOracle: String =
+    s"""WITH base AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
+          tk AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS s, count(*) AS c FROM base),
+          q AS (SELECT sum(CASE WHEN $qualityPassSql THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*)::DOUBLE AS r FROM base),
+          cb2 AS (SELECT doc_id, toks, $hashSql % 100 >= $BenchPctFloor AS is_bench FROM base),
+          csh2 AS (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                   FROM cb2 WHERE len(toks) >= $ShingleW),
+          bench2 AS (SELECT DISTINCT sh FROM csh2 WHERE is_bench),
+          ctot2 AS (SELECT doc_id, count(*) AS n FROM csh2 WHERE NOT is_bench GROUP BY 1),
+          chit2 AS (SELECT s.doc_id, count(*) AS h FROM csh2 s JOIN bench2 USING (sh)
+                    WHERE NOT s.is_bench GROUP BY 1),
+          crate AS (SELECT sum(CASE WHEN
+                        (CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                              ELSE round(coalesce(h.h, 0) / CAST(t.n AS DOUBLE), 6) END)
+                          >= $ContamThreshold THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE AS r
+                    FROM (SELECT doc_id FROM cb2 WHERE NOT is_bench) c
+                    LEFT JOIN ctot2 t USING (doc_id) LEFT JOIN chit2 h USING (doc_id)),
+          ${Dedup.minhashPairCtesFrom("documents")},
+          np AS (SELECT count(*) AS n FROM pairs)
+        SELECT metric, round(value, 6) AS value FROM (
+          SELECT '01_n_docs' AS metric, (SELECT c FROM tk)::DOUBLE AS value
+          UNION ALL SELECT '02_n_tokens', (SELECT s FROM tk)::DOUBLE
+          UNION ALL SELECT '03_mean_doc_tokens', (SELECT s::DOUBLE / c::DOUBLE FROM tk)
+          UNION ALL SELECT '04_n_langs', (SELECT count(DISTINCT lang) FROM base)::DOUBLE
+          UNION ALL SELECT '05_n_sources', (SELECT count(DISTINCT source) FROM base)::DOUBLE
+          UNION ALL SELECT '06_quality_keep_rate', (SELECT r FROM q)
+          UNION ALL SELECT '07_contamination_rate', (SELECT r FROM crate)
+          UNION ALL SELECT '08_near_dup_pairs', (SELECT n FROM np)::DOUBLE)
+        ORDER BY metric"""
+
   private val qualityPassSql: String =
     s"""NOT (CAST(len(toks) AS BIGINT) < $MinToks OR CAST(len(toks) AS BIGINT) > $MaxToks)
         AND round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) >= $MinDistinctRatio
@@ -595,6 +657,7 @@ object CurationQuality {
     QueryDef("cur_pipeline_v2", pipelineV2, Some(pipelineV2Oracle)),
     QueryDef("cur_pipeline_v3", pipelineV3, Some(pipelineV3Oracle)),
     QueryDef("cur_pipeline_v4", pipelineV4, Some(pipelineV4Oracle)),
+    QueryDef("cur_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
            counts AS (SELECT source, count(*) AS n,

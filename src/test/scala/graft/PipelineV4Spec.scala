@@ -33,4 +33,15 @@ class PipelineV4Spec extends SparkSpec {
     val again = CurationQuality.pipelineV4(spark, sf).collect()
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("cur_dataset_card: all metrics present, rates bounded, counts consistent") {
+    val card = CurationQuality.datasetCard(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card.size == 8)
+    assert(card("01_n_docs") == Tables.documents(spark, sf).count().toDouble)
+    assert(card("06_quality_keep_rate") >= 0 && card("06_quality_keep_rate") <= 1)
+    assert(card("07_contamination_rate") >= 0 && card("07_contamination_rate") <= 1)
+    assert(card("03_mean_doc_tokens") > 0)
+    assert(card("08_near_dup_pairs") >= 0)
+  }
 }
