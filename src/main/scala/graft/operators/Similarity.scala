@@ -633,6 +633,63 @@ object Similarity {
     r
   }
 
+  /** Greedy k-CENTER diversity sampling (Gonzalez 2-approximation —
+    * the "maximally spread subset" selector behind coverage-first
+    * data curation): seed = smallest vec_id, then [[KCenterK]]−1
+    * rounds each add the point FARTHEST (cosine distance, 6-dp
+    * rounded before the argmax so ties are total-ordered by id) from
+    * the chosen set. Each round is ONE scan-wide aggregate over the
+    * broadcast center list — the centers are model-sized, the corpus
+    * never shuffles; k rounds = k scans (at 100 TB you cache the
+    * min-distance column and update it incrementally — same plan
+    * shape). The oracle unrolls all rounds. Output: each center with
+    * its selection round and the distance that won it, plus the final
+    * coverage radius semantics via the last round's distance. */
+  val KCenterK = 8
+  def simKCenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).localCheckpoint()
+    // seed: smallest id (1-row scalar read parameterizing the loop —
+    // the documented plan-construction action pattern)
+    var centers = List(e.agg(min(col("vec_id"))).head().getLong(0))
+    var picks = List((centers.head, 1, 0.0))
+    for (r <- 2 to KCenterK) {
+      val minDist = e.filter(!col("vec_id").isInCollection(centers))
+        .crossJoin(broadcast(e.filter(col("vec_id").isInCollection(centers))
+          .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))))
+        .select(col("vec_id"), expr(
+          "round(array_min(transform(cs, c -> 1.0 - cosine_sim(v, c.cv))), 6)").as("d"))
+      val next = minDist
+        .orderBy(col("d").desc, col("vec_id")).limit(1).head()
+      centers = centers :+ next.getLong(0)
+      picks = picks :+ ((next.getLong(0), r, next.getDouble(1)))
+    }
+    picks.toDF("vec_id", "round", "dist_at_pick").orderBy("round")
+  }
+
+  /** Unrolled greedy selection: round r's argmax over the min distance
+    * to the previously chosen set (all prior rounds' picks). */
+  private lazy val kcenterOracle: String = {
+    val rounds = (2 to KCenterK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id, v FROM k$i").mkString(" UNION ALL ")
+      s"""kd$r AS (SELECT e.vec_id, e.v,
+                round(min(1.0 - ${cosSql("e.v", "c.v")}), 6) AS d
+                FROM e, ($prev) c
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM ($prev))
+                GROUP BY e.vec_id, e.v),
+          k$r AS MATERIALIZED (SELECT vec_id, v, d FROM kd$r
+                ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n          ")
+    val out = (1 to KCenterK).map { r =>
+      if (r == 1) s"SELECT vec_id, 1 AS round, 0.0 AS dist_at_pick FROM k1"
+      else s"SELECT vec_id, $r AS round, d AS dist_at_pick FROM k$r"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          k1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+          $rounds
+        $out ORDER BY round"""
+  }
+
   /** Leading principal component by FIXED-ROUND power iteration on the
     * grid-quantized Gram matrix — uncentered PCA, the OPQ discipline
     * applied to spectral analysis: G = Σ x·xᵀ is ONE d²-wide `vec_sum`
@@ -1621,6 +1678,7 @@ object Similarity {
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
     QueryDef("ml_silhouette", mlSilhouette, Some(silhouetteOracle)),
     QueryDef("ml_pca", mlPca, Some(pcaOracle)),
+    QueryDef("sim_kcenter", simKCenter, Some(kcenterOracle)),
     QueryDef("ml_kmeans_minibatch", mlKmeansMiniBatch, Some(kmbOracle)),
     QueryDef("sim_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansOracle)),
     QueryDef("cur_semdedup", curSemdedup, Some(curSemdedupOracle)),
