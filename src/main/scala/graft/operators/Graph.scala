@@ -800,6 +800,49 @@ object Graph {
     graft.api.GraftOps.kCore(und, "s", "p", KCoreK, KCoreRounds).orderBy("v")
   }
 
+  /** BUTTERFLY counting (Wang et al., the bipartite analog of triangle
+    * counting — a butterfly is a (2,2)-biclique): ON THIS GRAPH the
+    * right motif, since a bipartite network has zero triangles by
+    * construction. Per part, its C(d,2) supplier pairs enumerate
+    * co-access wedges (fan-out ∝ Σ C(d_p, 2) — bounded by part
+    * degrees, never |S|²); butterflies = Σ over supplier pairs of
+    * C(common, 2). The bipartite clustering coefficient 4B/W (wedges
+    * closing into butterflies) is one rounded division. */
+  def graphButterflies(spark: SparkSession, dir: String): DataFrame =
+    butterfliesOn(liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")))
+
+  /** The butterfly core over any bipartite (s, p) edge frame. */
+  def butterfliesOn(li: DataFrame): DataFrame = {
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val bf = pairs.agg(sum(expr("c * (c - 1) div 2")).as("n_butterflies"))
+    val ds = li.groupBy("s").agg(count(lit(1)).as("dS"))
+    val dp = li.groupBy("p").agg(count(lit(1)).as("dP"))
+    val cat = li.join(ds, Seq("s")).join(dp, Seq("p"))
+      .agg(sum((col("dS") - 1) * (col("dP") - 1)).as("n_caterpillars"))
+    bf.crossJoin(cat)
+      .select(col("n_butterflies"), col("n_caterpillars"),
+        round(lit(4.0) * col("n_butterflies").cast("double") /
+          col("n_caterpillars").cast("double"), 6).as("bf_clustering"))
+  }
+
+  private val butterfliesOracle: String =
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+          pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c
+                 FROM li x JOIN li y ON x.p = y.p AND x.s < y.s
+                 GROUP BY 1, 2),
+          bf AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies FROM pr),
+          ds AS (SELECT s, count(*) AS dS FROM li GROUP BY 1),
+          dp AS (SELECT p, count(*) AS dP FROM li GROUP BY 1),
+          ct AS (SELECT CAST(sum((ds.dS - 1) * (dp.dP - 1)) AS BIGINT) AS n_caterpillars
+                 FROM li JOIN ds USING (s) JOIN dp USING (p))
+        SELECT n_butterflies, n_caterpillars,
+               round(4.0 * n_butterflies::DOUBLE / n_caterpillars::DOUBLE, 6) AS bf_clustering
+        FROM bf, ct"""
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the directed-both-ways edge list — "do hubs
     * attach to hubs". Exactly the ml_linear_reg discipline: five
@@ -1471,6 +1514,7 @@ object Graph {
     QueryDef("graph_kcore", graphKCore, Some(kcoreOracle)),
     QueryDef("graph_coreness", graphCoreness, Some(corenessOracle)),
     QueryDef("graph_assortativity", graphAssortativity, Some(assortativityOracle)),
+    QueryDef("graph_butterflies", graphButterflies, Some(butterfliesOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),

@@ -75,6 +75,53 @@ object TextProfile {
 
   private val stopPredSql = StopWords.map(w => s"t = '$w'").mkString(" OR ")
 
+  /** Zipf-law fit of the corpus word-frequency distribution: OLS of
+    * log-frequency against log-rank (both floored onto a 1e-6 grid so
+    * the moments are exact integers — [[Classify.linearFit]]'s
+    * discipline on transformed variables; the micro-units cancel in
+    * the slope, which IS the Zipf exponent). Natural text fits slope
+    * ≈ −1 with high r²; a near-uniform synthetic vocabulary honestly
+    * reports a shallow slope — either way the MEASUREMENT is the
+    * deliverable. Vocabulary-sized ranking window, 5 moment
+    * aggregates, zero corpus-sized shuffles beyond the word count. */
+  val ZipfGrid = 1000000.0
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = wc.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+    Classify.linearFit(ranked.select(
+      floor(log(col("rnk").cast("double")) * ZipfGrid).cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * ZipfGrid).cast("long").as("y")))
+  }
+
+  private val zipfOracle: String =
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY 1),
+          rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM wc),
+          b AS (SELECT CAST(floor(ln(rnk::DOUBLE) * $ZipfGrid) AS BIGINT) AS x,
+                       CAST(floor(ln(cnt::DOUBLE) * $ZipfGrid) AS BIGINT) AS y
+                FROM rk),
+          s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                FROM b)
+        SELECT n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+               round((sy::DOUBLE -
+                      ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                     / n::DOUBLE, 4) AS intercept,
+               round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+                      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)) /
+                     ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 8) AS r2
+        FROM s"""
+
   /** Per-SOURCE Jensen–Shannon divergence from the corpus unigram
     * distribution — the domain-shift gauge a mixture-tuning pass reads
     * ("which slices look least like the blend"). Per-(source, word)
@@ -148,6 +195,7 @@ object TextProfile {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_js_divergence", jsDivergence, Some(jsOracle)),
+    QueryDef("text_zipf_fit", zipfFit, Some(zipfOracle)),
     QueryDef("text_langid", langId, Some(
       s"""SELECT doc_id, lang,
                  round(len(list_filter(string_split(text, ' '), t -> $stopPredSql))
