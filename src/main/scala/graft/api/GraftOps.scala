@@ -1968,6 +1968,46 @@ object GraftOps {
       .limit(topN)
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over the same
+    * capped bipartite wedge join as [[neighborhoodJaccard]]: candidate
+    * pair score = Σ_z 1/ln(deg z) over shared items z — rare shared
+    * items count more than hubs. The per-item weight quantizes the ONE
+    * libm call (ln) to integer nano-units, floor(1e9/ln d), so the
+    * per-pair aggregation is an EXACT order-free integer sum and the
+    * top-N ordering is decided on exact integers (the grid-sigmoid
+    * discipline; cross-libm floor-flip risk is the documented ~2⁻⁴⁰
+    * per distinct degree, spec-checked margin). Only items with ≥2
+    * nodes can appear in a wedge, so ln(d) > 0 always.
+    *
+    * Scale: identical to the Jaccard plan — per-item cap bounds the
+    * wedge fan-out at itemCap² under any skew; the weight table is
+    * |items|-sized and joins on the wedge's own item key (no new
+    * shuffle); top-N via sort on the exact integer score. */
+  def adamicAdar(pairs: DataFrame, itemCol: String, nodeCol: String,
+                 topN: Int, itemCap: Int): DataFrame = {
+    val it = col(itemCol)
+    val nd = col(nodeCol)
+    val w = Window.partitionBy(it)
+      .orderBy(md5(concat_ws("_", it, nd)), nd)
+    val capped = pairs.select(it, nd)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= itemCap).drop("__rk")
+    val weight = capped.groupBy(it).agg(count(lit(1)).as("d"))
+      .select(it, floor(lit(1e9) / log(col("d"))).cast("long").as("wm"))
+    capped.as("x").join(capped.as("y"),
+        col(s"x.$itemCol") === col(s"y.$itemCol") &&
+          col(s"x.$nodeCol") < col(s"y.$nodeCol"))
+      .select(col(s"x.$itemCol").as(itemCol),
+        col(s"x.$nodeCol").as("a"), col(s"y.$nodeCol").as("b"))
+      .join(weight, itemCol)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(col("wm")).as("aa_nano"))
+      .select(col("a"), col("b"), col("common"), col("aa_nano"),
+        round(col("aa_nano") / 1e9, 6).as("adamic_adar"))
+      .orderBy(col("aa_nano").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Benchmark-contamination scan: fraction of each candidate doc's
     * distinct w-gram shingles present in the benchmark subset (rows
     * where `isBench` is true). The benchmark shingle set broadcasts;

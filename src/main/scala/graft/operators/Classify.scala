@@ -466,7 +466,78 @@ object Classify {
                       (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 8) AS r2
         FROM s"""
 
+  /** Full-batch gradient-descent logistic regression — the SYNCHRONOUS
+    * data-parallel trainer next to spam_train's serial SGD: each
+    * iteration is one pass of aggregates (score per doc, gradient per
+    * feature), so the whole K-iteration train is K rounds of map-side-
+    * combined shuffles with NO sequential per-row dependency — the
+    * shape that actually scales to a 1000-executor corpus, where the
+    * serial-SGD tier exists for reference fidelity.
+    *
+    * Integer determinism ladder: weights live in micro units (1e-6,
+    * BIGINT), scores are exact integer sums of micros, the sigmoid is
+    * grid-quantized to 2^-20 (the ProbGrid discipline — the ONE libm
+    * call), so per-feature gradients are exact integer sums and each
+    * update is floor() on cross-engine-identical doubles. The full
+    * trajectory replays bit-for-bit in 5 unrolled DuckDB CTE rounds —
+    * no recursion needed, unlike the SGD replay. */
+  val BatchIters = 5
+  val BatchLr = 0.5
+  def mlLogregBatch(spark: SparkSession, dir: String): DataFrame = {
+    val inst = instances(spark, dir).localCheckpoint()
+    val px = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f"))
+      .localCheckpoint() // scanned twice per iteration
+    val nDf = inst.agg(count(lit(1)).as("nn"))
+    var w = px.select("f").distinct().withColumn("wm", lit(0L)).localCheckpoint()
+    for (_ <- 1 to BatchIters) {
+      val scored = px.join(w, "f")
+        .groupBy("doc_id")
+        .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
+      val err = scored.select(col("doc_id"),
+        (floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
+          .cast("long") -
+          when(col("is_spam"), ProbGrid.toLong).otherwise(0L)).as("e"))
+      val grad = px.join(err, "doc_id").groupBy("f").agg(sum(col("e")).as("g"))
+      w = w.join(grad, "f")
+        .crossJoin(broadcast(nDf))
+        .select(col("f"),
+          (col("wm") - floor(col("g") * (BatchLr * 1e6) / (col("nn") * ProbGrid) + 0.5)
+            .cast("long")).as("wm"))
+        .localCheckpoint() // truncate the K-round lineage
+    }
+    w.select(col("f").as("feature"), round(col("wm") / 1e6, 6).as("weight"))
+      .orderBy("feature")
+  }
+
+  private val logregBatchOracle: String = {
+    val iterCtes = (1 to BatchIters).map { k =>
+      s"""s$k AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                FROM px p JOIN w${k - 1} w USING (f) GROUP BY 1),
+          e$k AS (SELECT doc_id,
+                       CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT)
+                         - CASE WHEN is_spam THEN ${ProbGrid.toLong} ELSE 0 END AS e
+                FROM s$k),
+          g$k AS (SELECT p.f, sum(e.e) AS g
+                FROM px p JOIN e$k e USING (doc_id) GROUP BY 1),
+          w$k AS MATERIALIZED (SELECT w.f,
+                       w.wm - CAST(floor(g.g * ($BatchLr * 1e6) / (n.nn * $ProbGrid) + 0.5) AS BIGINT) AS wm
+                FROM w${k - 1} w JOIN g$k g USING (f), n)"""
+    }.mkString(",\n          ")
+    s"""WITH inst AS MATERIALIZED (
+          SELECT doc_id, doc_id % 3 = 0 AS is_spam,
+                 list_sort(list_distinct(list_transform(string_split(text, ' '),
+                   t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace AS INT)))) AS features
+          FROM documents),
+          n AS (SELECT count(*) AS nn FROM inst),
+          px AS MATERIALIZED (SELECT doc_id, is_spam, unnest(features) AS f FROM inst),
+          w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wm FROM px),
+          $iterCtes
+        SELECT f AS feature, round(wm / 1e6, 6) AS weight
+        FROM w$BatchIters ORDER BY feature"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),
     QueryDef("ml_linear_reg", mlLinearReg, Some(linearRegOracle)),
     QueryDef("spam_train_shuffled", trainShuffled, Some(trainOracle(ShuffledOrder))),

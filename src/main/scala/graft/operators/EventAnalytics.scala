@@ -262,7 +262,55 @@ object EventAnalytics {
         $rows ORDER BY stage"""
   }
 
+  /** Sequential-pattern support: for EVERY ordered event-type triple
+    * (a, b, c), how many users have some a-event strictly before some
+    * b-event strictly before some c-event — the support-counting core
+    * of sequence mining (GSP/PrefixSpan's candidate evaluation),
+    * generalized past q37's one fixed stage list to the full |types|³
+    * pattern lattice.
+    *
+    * Shape: the funnel conditional-min discipline, vectorized over
+    * patterns — stage tables keyed by (user, pattern-prefix) instead
+    * of user. t1 = first occurrence per (user, a): |users|×|types|
+    * rows. t2 joins events back on user_id (each event meets its
+    * user's ≤|types| prefixes) → first b-after-a per (user, a, b).
+    * t3 likewise → support counts. Shuffle volume is |events|×|types|
+    * at the widest — never |events|² — and every stage is a map-side
+    * partial min/count. The pattern lattice itself (≤|types|³ rows)
+    * stays tiny at any corpus scale. */
+  def q51SeqSupport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .localCheckpoint() // 3 consumers: scan once, not thrice
+    val t1 = ev.groupBy(col("user_id"), col("event_type").as("a"))
+      .agg(min(col("ts_us")).as("t"))
+    val t2 = ev.join(t1, "user_id")
+      .filter(col("ts_us") > col("t"))
+      .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+      .agg(min(col("ts_us")).as("t"))
+    val t3 = ev.join(t2, "user_id")
+      .filter(col("ts_us") > col("t"))
+      .groupBy(col("a"), col("b"), col("event_type").as("c"))
+      .agg(countDistinct(col("user_id")).as("support"))
+    t3.orderBy("a", "b", "c")
+  }
+
+  private val seqSupportOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          t1 AS MATERIALIZED (SELECT user_id, event_type AS a, min(ts_us) AS t
+                 FROM e GROUP BY 1, 2),
+          t2 AS MATERIALIZED (SELECT e.user_id, t1.a, e.event_type AS b, min(e.ts_us) AS t
+                 FROM e JOIN t1 ON e.user_id = t1.user_id
+                 WHERE e.ts_us > t1.t GROUP BY 1, 2, 3)
+        SELECT t2.a, t2.b, e.event_type AS c,
+               count(DISTINCT e.user_id) AS support
+        FROM e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.ts_us > t2.t
+        GROUP BY 1, 2, 3
+        ORDER BY a, b, c"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_seq_support", q51SeqSupport, Some(seqSupportOracle)),
     QueryDef("q48_markov_transitions", q48MarkovTransitions, Some(markovOracle)),
     QueryDef("q49_session_funnel", q49SessionFunnel, Some(sessionFunnelOracle)),
     QueryDef("q37_funnel", q37Funnel, Some(funnelOracle)),

@@ -1363,6 +1363,31 @@ object Graph {
         FROM h$HitsIters h JOIN a$HitsIters a USING (v) ORDER BY v"""
   }
 
+  /** Adamic–Adar link prediction between suppliers over shared parts
+    * (GraftOps.adamicAdar): the weighted sibling of graph_jaccard —
+    * shared RARE parts score higher than shared hub parts. Same capped
+    * wedge plan; the score sums exact integer nano-weights so the
+    * top-N cut is decided on exact integers. */
+  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.adamicAdar(
+      liPairs(spark, dir), "l_partkey", "l_suppkey", JaccardTopN, JaccardPartCap)
+
+  private lazy val adamicAdarOracle: String =
+    s"""WITH li0 AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+          li AS MATERIALIZED (SELECT s, p FROM (
+                SELECT s, p, row_number() OVER (PARTITION BY p
+                  ORDER BY md5(CAST(p AS VARCHAR) || '_' || CAST(s AS VARCHAR)), s) AS rk
+                FROM li0) WHERE rk <= $JaccardPartCap),
+          w AS MATERIALIZED (SELECT p, CAST(floor(1000000000.0 / ln(count(*))) AS BIGINT) AS wm
+               FROM li GROUP BY 1),
+          pairs AS (SELECT x.s AS a, y.s AS b, count(*) AS common,
+                           sum(w.wm)::BIGINT AS aa_nano
+                    FROM li x JOIN li y ON x.p = y.p AND x.s < y.s
+                    JOIN w ON w.p = x.p
+                    GROUP BY 1, 2)
+        SELECT a, b, common, aa_nano, round(aa_nano / 1e9, 6) AS adamic_adar
+        FROM pairs ORDER BY aa_nano DESC, a, b LIMIT $JaccardTopN"""
+
   private lazy val jaccardOracle: String =
     s"""WITH li0 AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
           li AS MATERIALIZED (SELECT s, p FROM (
@@ -1516,6 +1541,7 @@ object Graph {
     QueryDef("graph_assortativity", graphAssortativity, Some(assortativityOracle)),
     QueryDef("graph_butterflies", graphButterflies, Some(butterfliesOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
+    QueryDef("graph_adamic_adar", graphAdamicAdar, Some(adamicAdarOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_betweenness", graphBetweenness, Some(betweennessOracle)),

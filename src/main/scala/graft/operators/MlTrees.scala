@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Histogram-based decision-tree training — the MLlib/XGBoost split-
+  * finding discipline re-expressed as plain aggregates: candidate
+  * split gains come from ONE pass of per-(feature, value) histograms
+  * (map-side combined), cumulated by a window, never from per-row
+  * sorting. Regression target is l_extendedprice in EXACT cents;
+  * every moment (counts, sums, sums of squares) is an exact
+  * decimal(38) integer sum — order-free across partitions — and each
+  * gain is one double expression in identical operand order on both
+  * engines (the ml_linear_reg discipline), so split selection (an
+  * argmax over doubles) is cross-engine deterministic.
+  *
+  * Scale: the histogram is |features|×|distinct values| rows (the
+  * three TPC-H features are born low-cardinality; continuous features
+  * would be quantile-binned first, same plan shape). The corpus-sized
+  * work is one melt + one groupBy per boosting round; the candidate
+  * table, the argmax, and the leaf stats are all dim-sized. The
+  * boosted rounds chain stump parameters through 1-row broadcast
+  * cross-joins — no driver-side collect in the loop.
+  */
+object MlTrees {
+  /** (feature, v, y) long-form rows: y = price cents (exact),
+    * features quantized to their native integer grids. */
+  private def meltRows(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseRows(spark, dir)
+    Seq("qty", "disc", "tax").map { f =>
+      base.select(lit(f).as("feature"), col(f).as("v"), col("y"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** One row per lineitem: integer features + exact cent target.
+    * floor(x*100 + 0.5) is pure IEEE arithmetic on the identical
+    * double input — bit-deterministic on any engine. */
+  private def baseRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("tax"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+
+  private val baseSql: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS qty,
+              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+              CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+       FROM lineitem"""
+
+  /** Variance-reduction gain for split x ≤ t from cumulative moments:
+    * gain = S_L²/n_L + S_R²/n_R − S²/n (the SSE decrease; leaf means
+    * are the predictions). All inputs exact integers cast to double. */
+  private def gainCol(nL: Column, sL: Column, n: Column, s: Column): Column = {
+    def d(c: Column) = c.cast("double")
+    val sR = d(s) - d(sL)
+    val nR = d(n) - d(nL)
+    d(sL) * d(sL) / d(nL) + sR * sR / nR - d(s) * d(s) / d(n)
+  }
+
+  val StumpTopK = 10
+
+  /** All candidate stump splits ranked by exact-moment gain. */
+  def mlTreeStump(spark: SparkSession, dir: String): DataFrame = {
+    val hist = meltRows(spark, dir)
+      .groupBy("feature", "v")
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("decimal(38,0)")).as("sy"))
+    val w = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("n_left", sum(col("cnt")).over(w))
+      .withColumn("s_left", sum(col("sy")).over(w))
+    val tot = hist.groupBy("feature")
+      .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("s"))
+    cum.join(tot, "feature")
+      .filter(col("n_left") < col("n"))
+      .select(col("feature"), col("v").as("threshold"),
+        col("n_left"), (col("n") - col("n_left")).as("n_right"),
+        round(col("s_left").cast("double") / col("n_left") / 100, 4).as("mean_left"),
+        round((col("s").cast("double") - col("s_left").cast("double"))
+          / (col("n") - col("n_left")) / 100, 4).as("mean_right"),
+        round(gainCol(col("n_left"), col("s_left"), col("n"), col("s")) / 1e8, 4).as("gain"))
+      .orderBy(col("gain").desc, col("feature"), col("threshold"))
+      .limit(StumpTopK)
+  }
+
+  private val stumpOracle: String =
+    s"""WITH base AS ($baseSql),
+          melt AS (SELECT 'qty' AS feature, qty AS v, y FROM base
+                   UNION ALL SELECT 'disc', disc, y FROM base
+                   UNION ALL SELECT 'tax', tax, y FROM base),
+          hist AS MATERIALIZED (SELECT feature, v, count(*) AS cnt, sum(y) AS sy
+                 FROM melt GROUP BY 1, 2),
+          cum AS (SELECT feature, v,
+                         sum(cnt) OVER tw AS n_left,
+                         sum(sy) OVER tw AS s_left
+                  FROM hist
+                  WINDOW tw AS (PARTITION BY feature ORDER BY v
+                                ROWS UNBOUNDED PRECEDING)),
+          tot AS (SELECT feature, sum(cnt) AS n, sum(sy) AS s FROM hist GROUP BY 1)
+        SELECT c.feature, c.v AS threshold,
+               c.n_left::BIGINT AS n_left, (t.n - c.n_left)::BIGINT AS n_right,
+               round(c.s_left::DOUBLE / c.n_left / 100, 4) AS mean_left,
+               round((t.s::DOUBLE - c.s_left::DOUBLE) / (t.n - c.n_left) / 100, 4) AS mean_right,
+               round((c.s_left::DOUBLE * c.s_left::DOUBLE / c.n_left::DOUBLE
+                      + (t.s::DOUBLE - c.s_left::DOUBLE) * (t.s::DOUBLE - c.s_left::DOUBLE)
+                        / (t.n::DOUBLE - c.n_left::DOUBLE)
+                      - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE) / 1e8, 4) AS gain
+        FROM cum c JOIN tot t ON c.feature = t.feature
+        WHERE c.n_left < t.n
+        ORDER BY gain DESC, c.feature, threshold LIMIT $StumpTopK"""
+
+  /** Boosting rounds and shrinkage. Leaf values are quantized to whole
+    * cents — floor(mean·η + 0.5) on cross-engine-identical doubles —
+    * so residuals stay EXACT integers round over round and every
+    * histogram sum stays order-free. */
+  val GbtRounds = 3
+  val GbtEta = 0.5
+
+  /** Gradient-boosted stumps: each round fits the best single split to
+    * the current residuals, predicts η·leaf-mean (quantized to cents),
+    * and subtracts. Stump selection chains through 1-row broadcast
+    * joins — the whole K-round train is ONE lazy plan. */
+  def mlGbtStumps(spark: SparkSession, dir: String): DataFrame = {
+    var rows = baseRows(spark, dir).withColumn("r", col("y"))
+      .localCheckpoint() // scanned K times: materialize the cents once
+    val out = (1 to GbtRounds).map { k =>
+      val melt = Seq("qty", "disc", "tax")
+        .map(f => rows.select(lit(f).as("feature"), col(f).as("v"), col("r")))
+        .reduce(_ unionAll _)
+      val hist = melt.groupBy("feature", "v")
+        .agg(count(lit(1)).as("cnt"), sum(col("r").cast("decimal(38,0)")).as("sr"))
+      val w = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("n_left", sum(col("cnt")).over(w))
+        .withColumn("s_left", sum(col("sr")).over(w))
+      val tot = hist.groupBy("feature")
+        .agg(sum(col("cnt")).as("n"), sum(col("sr")).as("s"))
+      val best = cum.join(tot, "feature")
+        .filter(col("n_left") < col("n"))
+        .select(col("feature"), col("v").as("threshold"),
+          col("n_left"), (col("n") - col("n_left")).as("n_right"),
+          floor(col("s_left").cast("double") / col("n_left") * GbtEta + 0.5)
+            .cast("long").as("leaf_left"),
+          floor((col("s").cast("double") - col("s_left").cast("double"))
+            / (col("n") - col("n_left")) * GbtEta + 0.5).cast("long").as("leaf_right"),
+          gainCol(col("n_left"), col("s_left"), col("n"), col("s")).as("g"))
+        .orderBy(col("g").desc, col("feature"), col("threshold"))
+        .limit(1)
+        .select(col("feature").as("bf"), col("threshold").as("bt"),
+          col("n_left").as("bnl"), col("n_right").as("bnr"),
+          col("leaf_left").as("bll"), col("leaf_right").as("blr"))
+      // apply the stump in-plan: 1-row broadcast cross-join, no collect
+      rows = rows.crossJoin(broadcast(best))
+        .withColumn("fv",
+          when(col("bf") === "qty", col("qty"))
+            .when(col("bf") === "disc", col("disc"))
+            .otherwise(col("tax")))
+        .withColumn("r", col("r") -
+          when(col("fv") <= col("bt"), col("bll")).otherwise(col("blr")))
+        .select("qty", "disc", "tax", "y", "r")
+        .localCheckpoint()
+      val sse = rows.agg(
+        count(lit(1)).as("n"),
+        sum((col("r").cast("decimal(38,0)") * col("r").cast("decimal(38,0)"))).as("ss"))
+        .select(round(col("ss").cast("double") / col("n") / 1e4, 4).as("mse"))
+      best.crossJoin(sse).select(lit(k.toLong).as("round"),
+        col("bf").as("feature"), col("bt").as("threshold"),
+        col("bnl").as("n_left"), col("bnr").as("n_right"),
+        col("bll").as("leaf_left"), col("blr").as("leaf_right"), col("mse"))
+    }
+    out.reduce(_ unionAll _).orderBy("round")
+  }
+
+  private val gbtOracle: String = {
+    def roundCtes(k: Int): String = {
+      val r = s"rows$k"
+      val prev = s"rows${k - 1}"
+      s"""melt$k AS (SELECT 'qty' AS feature, qty AS v, r FROM $prev
+                   UNION ALL SELECT 'disc', disc, r FROM $prev
+                   UNION ALL SELECT 'tax', tax, r FROM $prev),
+          hist$k AS MATERIALIZED (SELECT feature, v, count(*) AS cnt, sum(r) AS sr
+                 FROM melt$k GROUP BY 1, 2),
+          cum$k AS (SELECT feature, v,
+                         sum(cnt) OVER tw AS n_left,
+                         sum(sr) OVER tw AS s_left
+                  FROM hist$k
+                  WINDOW tw AS (PARTITION BY feature ORDER BY v
+                                ROWS UNBOUNDED PRECEDING)),
+          tot$k AS (SELECT feature, sum(cnt) AS n, sum(sr) AS s FROM hist$k GROUP BY 1),
+          best$k AS MATERIALIZED (
+            SELECT c.feature AS bf, c.v AS bt,
+                   c.n_left::BIGINT AS bnl, (t.n - c.n_left)::BIGINT AS bnr,
+                   CAST(floor(c.s_left::DOUBLE / c.n_left * $GbtEta + 0.5) AS BIGINT) AS bll,
+                   CAST(floor((t.s::DOUBLE - c.s_left::DOUBLE) / (t.n - c.n_left) * $GbtEta + 0.5) AS BIGINT) AS blr
+            FROM cum$k c JOIN tot$k t ON c.feature = t.feature
+            WHERE c.n_left < t.n
+            ORDER BY (c.s_left::DOUBLE * c.s_left::DOUBLE / c.n_left::DOUBLE
+                      + (t.s::DOUBLE - c.s_left::DOUBLE) * (t.s::DOUBLE - c.s_left::DOUBLE)
+                        / (t.n::DOUBLE - c.n_left::DOUBLE)
+                      - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE) DESC,
+                     c.feature, c.v
+            LIMIT 1),
+          $r AS MATERIALIZED (
+            SELECT qty, disc, tax, y,
+                   r - (CASE WHEN (CASE WHEN b.bf = 'qty' THEN qty
+                                        WHEN b.bf = 'disc' THEN disc
+                                        ELSE tax END) <= b.bt
+                             THEN b.bll ELSE b.blr END) AS r
+            FROM $prev, best$k b),
+          sse$k AS (SELECT round(sum(r::HUGEINT * r::HUGEINT)::DOUBLE / count(*) / 1e4, 4) AS mse
+                    FROM $r)"""
+    }
+    val rounds = (1 to GbtRounds).map(roundCtes).mkString(",\n          ")
+    val sel = (1 to GbtRounds).map { k =>
+      s"""SELECT $k::BIGINT AS round, bf AS feature, bt AS threshold,
+                 bnl AS n_left, bnr AS n_right, bll AS leaf_left, blr AS leaf_right,
+                 (SELECT mse FROM sse$k) AS mse
+          FROM best$k"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH rows0 AS MATERIALIZED (SELECT *, y AS r FROM ($baseSql)),
+          $rounds
+        $sel ORDER BY round"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_tree_stump", mlTreeStump, Some(stumpOracle)),
+    QueryDef("ml_gbt_stumps", mlGbtStumps, Some(gbtOracle)),
+  )
+}

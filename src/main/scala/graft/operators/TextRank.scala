@@ -275,7 +275,68 @@ object TextRank {
 
   private def xxSql(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0.0 END"
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form, fixed discount D=0.75) — the LM
+    * smoothing that actually ships in n-gram toolkits (KenLM/SRILM),
+    * next to text_lm_score's add-one baseline:
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·)
+    *                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    *
+    * Every input is an exact integer count (pair counts, history
+    * totals, distinct-successor / distinct-predecessor fan-outs, the
+    * global bigram-type count); the probability is ONE double
+    * expression in identical operand order on both engines — the
+    * ml_linear_reg discipline, no quantization grid needed.
+    *
+    * Scale: three groupBys over the bigram relation (shuffle ∝ bigram
+    * TYPES after map-side partial agg, not corpus bytes); the type
+    * count is a 1-row broadcast. The model table is vocab²-bounded —
+    * dim-table sized against any corpus. */
+  val KnDiscount = 0.75
+  val KnMinPair = 2
+  def textKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // consumed 4x (hist, fanouts, type count, base)
+    val hist = pair.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val back = pair.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = pair.agg(count(lit(1)).as("bt"))
+    pair.filter(col("c12") >= KnMinPair)
+      .join(hist, "w1").join(back, "w2").crossJoin(broadcast(types))
+      .withColumn("pkn", round(
+        greatest(col("c12") - KnDiscount, lit(0.0)) / col("c1") +
+          lit(KnDiscount) * col("n1f") / col("c1") * (col("n1b") / col("bt")), 6))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("pkn"))
+      .orderBy("w1", "w2")
+  }
+
+  private val kneserNeyOracle: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          db AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                 for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+          pair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+          hist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM pair GROUP BY 1),
+          back AS (SELECT w2, count(*) AS n1b FROM pair GROUP BY 1),
+          t AS (SELECT count(*) AS bt FROM pair)
+        SELECT pair.w1, pair.w2, pair.c12, hist.c1::BIGINT AS c1,
+               round(greatest(pair.c12 - $KnDiscount, 0.0) / hist.c1 +
+                     $KnDiscount * hist.n1f / hist.c1 * (back.n1b / CAST(t.bt AS DOUBLE)), 6) AS pkn
+        FROM pair JOIN hist ON pair.w1 = hist.w1
+                  JOIN back ON pair.w2 = back.w2, t
+        WHERE pair.c12 >= $KnMinPair
+        ORDER BY pair.w1, pair.w2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_kneser_ney", textKneserNey, Some(kneserNeyOracle)),
     QueryDef("text_textrank", textTextrank, Some(textrankOracle)),
     QueryDef("text_rake", textRake, Some(rakeOracle)),
     QueryDef("text_lm_score", textLmScore, Some(

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-10 additions: forecasting, sequence mining, KN smoothing,
+  * Adamic–Adar, histogram trees, batch-GD logistic regression, DBSCAN. */
+class Round10Spec extends SparkSpec {
+
+  test("q50_ewma: smoothed value stays inside the trailing window's range") {
+    val rows = Forecast.q50Ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val xs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      rs.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        val window = xs.slice(math.max(0, i - Forecast.EwmaK + 1), i + 1)
+        val e = r.getDouble(4)
+        assert(e >= window.min - 1e-6 && e <= window.max + 1e-6,
+          s"ewma $e outside window [${window.min}, ${window.max}]")
+      }
+      // first observation: no history, EWMA = x exactly
+      val first = rs.minBy(_.getLong(1))
+      assert(math.abs(first.getDouble(4) - first.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("q51_seq_support: the (view,click,purchase) cell equals the q37 funnel's stage 3") {
+    val sup = EventAnalytics.q51SeqSupport(spark, sf)
+      .filter(col("a") === "view" && col("b") === "click" && col("c") === "purchase")
+      .collect()
+    val funnel = EventAnalytics.q37Funnel(spark, sf)
+      .filter(col("stage") === 3).collect()
+    assert(funnel.length == 1)
+    val f3 = funnel.head.getLong(2)
+    val s3 = if (sup.isEmpty) 0L else sup.head.getLong(3)
+    // exists-a-before-b-before-c ≡ the greedy first-occurrence chain
+    assert(s3 == f3, s"seq support $s3 != funnel stage-3 $f3")
+  }
+
+  test("text_kneser_ney: probabilities in (0, 1], bounded below by the discounted MLE term") {
+    val rows = TextRank.textKneserNey(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c12, c1, pkn) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(pkn > 0 && pkn <= 1.0)
+      val mle = (c12 - TextRank.KnDiscount) / c1.toDouble
+      assert(pkn >= mle - 1e-6, s"pkn $pkn < discounted MLE $mle")
+    }
+  }
+
+  test("graph_adamic_adar: integer nano-weights stay clear of floor boundaries; scores consistent") {
+    val rows = Graph.graphAdamicAdar(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, nano, aa) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(common >= 1)
+      // score equals the quantized sum at 6dp
+      assert(math.abs(aa - math.rint(nano / 1e9 * 1e6) / 1e6) < 1e-9)
+      // each shared item contributes at most 1/ln(2)
+      assert(nano <= common * math.ceil(1e9 / math.log(2)).toLong)
+    }
+    // the grid-margin discipline: every realizable part degree's
+    // nano-weight is far from an integer boundary (cross-libm ulps
+    // can't flip the floor)
+    (2 to 4096).foreach { d =>
+      val x = 1e9 / math.log(d.toDouble)
+      val frac = x - math.floor(x)
+      assert(frac > 1e-4 && frac < 1 - 1e-4 || x < 1e-9,
+        s"degree $d nano-weight $x within 1e-4 of a floor boundary")
+    }
+  }
+
+  test("ml_tree_stump: candidates ranked by gain, partitions add up") {
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    val rows = MlTrees.mlTreeStump(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= MlTrees.StumpTopK)
+    val gains = rows.map(_.getDouble(6))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b }, "gains not descending")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == total)
+      assert(r.getDouble(6) >= 0, "variance reduction must be non-negative")
+    }
+  }
+
+  test("ml_gbt_stumps: training MSE strictly decreases round over round") {
+    val rows = MlTrees.mlGbtStumps(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length == MlTrees.GbtRounds)
+    val mses = rows.map(_.getDouble(7))
+    mses.zip(mses.tail).foreach { case (a, b) =>
+      assert(b < a, s"MSE did not decrease: $a -> $b")
+    }
+  }
+
+  test("ml_logreg_batch: finite micro-grid weights that separate the classes") {
+    val w = Classify.mlLogregBatch(spark, sf).collect()
+    assert(w.nonEmpty)
+    assert(w.forall(r => math.abs(r.getDouble(1)) < 100))
+    assert(w.exists(r => r.getDouble(1) != 0.0), "all-zero weights: training did nothing")
+    // scoring the training set with the learned weights must beat the
+    // 50% coin on the is_spam = (doc_id % 3 == 0) labels
+    val wm = w.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val inst = Classify.instances(spark, sf).collect()
+    val correct = inst.count { r =>
+      val score = r.getSeq[Int](2).map(f => wm.getOrElse(f, 0.0)).sum
+      (score > 0) == r.getBoolean(1)
+    }
+    assert(correct.toDouble / inst.length > 0.5,
+      s"train accuracy ${correct.toDouble / inst.length} not above chance")
+  }
+
+  test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
+    val pairs = graft.api.GraftOps.embeddingNearDupPairs(
+        graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Dbscan.mlDbscan(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val isCore = rows.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    rows.foreach { r =>
+      val (v, c, core) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      val deg = nbrs.getOrElse(v, Set.empty).size
+      if (core) {
+        assert(deg >= Dbscan.DbMinNb, s"core $v has only $deg neighbors")
+        assert(c >= 0)
+        // core neighbors of a core point share its cluster
+        nbrs(v).filter(isCore).foreach { u =>
+          assert(cluster(u) == c, s"core neighbors $v/$u in different clusters")
+        }
+      } else if (c >= 0) {
+        // border: must have a core neighbor carrying that cluster
+        assert(nbrs.getOrElse(v, Set.empty).exists(u => isCore(u) && cluster(u) == c))
+      } else {
+        // noise: no core neighbor at all
+        assert(!nbrs.getOrElse(v, Set.empty).exists(isCore))
+      }
+    }
+  }
+}
