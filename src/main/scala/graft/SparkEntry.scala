@@ -7,7 +7,7 @@ import graft.operators._
 object SparkEntry {
   /** All implemented operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs ++ Dedup.defs ++
+    Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs ++ Dedup.defs ++ SuffixArray.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ MlTrees.defs ++ Dbscan.defs ++ Multimodal.defs ++
       Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
       EventAnalytics.defs ++ Forecast.defs ++

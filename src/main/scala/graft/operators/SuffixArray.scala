@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Distributed suffix-array construction by prefix doubling (the
+  * Manber–Myers discipline in its sort-based distributed form — Flick
+  * & Aluru SC'15) and the exact repeated-substring detector built on
+  * it: the machinery behind exact substring-level training-data dedup
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"), where set-based MinHash/Jaccard dilutes away long
+  * literal copies inside otherwise-different documents
+  * (dedup_substring_winnow is the sketch tier; THIS is the exact
+  * tier).
+  *
+  * Scale design — the part that matters:
+  *  - NO global single-partition window anywhere. Each doubling round
+  *    re-ranks (r, r[i+2ᵏ]) pairs with a range-repartitioned local
+  *    row_number plus per-partition offsets (the distributed
+  *    zipWithIndex), then a min-over-key window: rank(key) =
+  *    #strictly-smaller + 1 falls out independent of where the range
+  *    partitioner cut ties, so the result is partitioning-invariant.
+  *  - r[i+2ᵏ] is ONE lead() window per doc — positions are dense, so
+  *    the shifted rank needs no self-join.
+  *  - O(log maxlen) rounds, each a constant number of |suffix|-sized
+  *    shuffles; rounds stop EARLY once every rank is unique (max rank
+  *    = n ⇒ later rounds are provable no-ops), so cost tracks the
+  *    corpus' actual repeat depth, not the worst case.
+  *  - The oracle is INDEPENDENT, not a replay: DuckDB sorts the
+  *    suffix strings directly (binary collation ≡ the char-code
+  *    ranks on this ASCII corpus) — construction and specification
+  *    meet only at the answer.
+  *
+  * The doubling depth bounds comparisons at 2^Rounds = 1024 chars;
+  * suffixes equal beyond that would tie-break by (doc_id, pos) while
+  * the oracle compares full strings — SuffixArraySpec asserts every
+  * doc is shorter than the bound, so the arms agree. A 1/SampleMod
+  * deterministic doc sample bounds the suffix count (the documented
+  * corpus-sampling knob; full-corpus SA at 100 TB shards by hashed
+  * doc ranges and builds per-shard arrays the same way). */
+object SuffixArray {
+  val SampleMod = 10
+  val Rounds = 10
+  val LcpCap = 64
+  val MinRep = 20
+  val RepTopK = 200
+
+  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def reset(): Unit = memo.clear()
+
+  /** Order-preserving rank (ties equal, rank = #smaller + 1) of the
+    * key columns, computed WITHOUT a global window: range partition →
+    * local row_number → per-partition offsets (partitions-sized, the
+    * one driver-trivial window) → min row-number per key group. */
+  private def rankByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    // MATERIALIZE the partition ids before the plan forks into
+    // local/offs: spark_partition_id() is nondeterministic, and the
+    // two subtrees would otherwise re-run the range shuffle
+    // independently (AQE may even coalesce them differently) — the
+    // inner join back on __pid then silently drops rows. The
+    // checkpoint is also the honest distributed-sample-sort shape:
+    // sorted runs are written once, then ranked.
+    val parted = df.repartitionByRange(kcols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = parted.withColumn("__ln",
+      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn("__rowno", col("__ln") + col("__off"))
+      .withColumn("__r", min(col("__rowno")).over(Window.partitionBy(kcols: _*)))
+      .drop("__pid", "__ln", "__off", "__rowno")
+  }
+
+  /** (doc_id, pos, suf64, sa_rank): the suffix array of the sampled
+    * corpus — sa_rank is the 1-based lexicographic position, ties
+    * (none at this depth; spec-checked) broken by (doc_id, pos). */
+  def suffixRanks(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val chars = Tables.documents(spark, dir)
+        .filter(col("doc_id") % SampleMod === 0)
+        .select(col("doc_id"), col("text"), posexplode(split(col("text"), "")))
+        // Spark's split(_, "") can emit a trailing "" element; a
+        // phantom past-the-end suffix would not exist in the oracle
+        .filter(col("col") =!= "")
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          expr(s"substring(text, pos + 1, $LcpCap)").as("suf"),
+          // +1 keeps rank 0 free to mean "past the end of the doc"
+          (ascii(col("col")) + 1).cast("long").as("r"))
+      var sfx = chars.localCheckpoint()
+      val n = sfx.count()
+      var d = 1
+      var k = 0
+      var done = false
+      while (k < Rounds && !done) {
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val keyed = sfx.withColumn("r2",
+          coalesce(lead(col("r"), d).over(byDoc), lit(0L)))
+        sfx = rankByKey(keyed, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("r"))
+          .localCheckpoint()
+        // all ranks unique ⇒ the order is final; remaining rounds are
+        // no-ops (1-row agg on the already-materialized checkpoint).
+        // max(r)=n would NOT suffice: [1,1,3] has max=n with a tie.
+        done = sfx.agg(countDistinct(col("r"))).head().getLong(0) == n
+        d *= 2; k += 1
+      }
+      // final tie-break to a total order (unique by construction here)
+      rankByKey(sfx, Seq("r", "doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("sa_rank"))
+        .localCheckpoint()
+    })
+
+  def textSuffixArray(spark: SparkSession, dir: String): DataFrame =
+    suffixRanks(spark, dir)
+      .select(col("doc_id"), col("pos"), col("sa_rank"))
+      .orderBy("doc_id", "pos")
+
+  private val sfxCte: String =
+    s"""d AS (SELECT doc_id, text FROM documents WHERE doc_id % $SampleMod = 0),
+          sfx AS (SELECT doc_id, u.i AS pos, substr(text, u.i) AS suf
+                  FROM d, unnest(generate_series(1, length(text))) u(i)),
+          r AS MATERIALIZED (SELECT doc_id, pos, suf,
+                 row_number() OVER (ORDER BY suf, doc_id, pos) AS sa_rank
+               FROM sfx)"""
+
+  private val saOracle: String =
+    s"""WITH $sfxCte
+        SELECT doc_id, pos, sa_rank FROM r ORDER BY doc_id, pos"""
+
+  /** Exact repeated substrings ≥ MinRep chars: LCP between rank-
+    * adjacent suffixes (every maximal repeat surfaces as an adjacent
+    * pair in suffix order), computed by a monotone bounded prefix
+    * compare — reported with both occurrences and the shared snippet.
+    * Adjacency is a self-join on sa_rank+1 (distributed), never a
+    * global window. */
+  def dedupSubstringSa(spark: SparkSession, dir: String): DataFrame = {
+    val sa = suffixRanks(spark, dir)
+    val a = sa.select(col("sa_rank").as("rk"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("suf").as("sufa"))
+    val b = sa.select((col("sa_rank") - 1).as("rk"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"), col("suf").as("sufb"))
+    a.join(b, "rk")
+      // j must not run past either suffix: substring beyond the end
+      // returns the whole (short) string, so two docs sharing a short
+      // identical TAIL would otherwise count equal all the way to the
+      // cap and report a phantom 64-char repeat
+      .withColumn("lcp", expr(
+        s"size(filter(sequence(1, $LcpCap), j -> j <= least(length(sufa), length(sufb))" +
+          " AND substring(sufa, 1, j) = substring(sufb, 1, j)))")
+        .cast("long"))
+      .filter(col("lcp") >= MinRep)
+      .withColumn("snippet", expr("substring(sufa, 1, CAST(least(lcp, 40) AS INT))"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("lcp"), col("snippet"))
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+      .limit(RepTopK)
+  }
+
+  private val repOracle: String =
+    s"""WITH $sfxCte,
+          adj AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+                         b.doc_id AS doc_b, b.pos AS pos_b,
+                         substr(a.suf, 1, $LcpCap) AS sufa,
+                         substr(b.suf, 1, $LcpCap) AS sufb
+                  FROM r a JOIN r b ON b.sa_rank = a.sa_rank + 1),
+          l AS (SELECT doc_a, pos_a, doc_b, pos_b, sufa,
+                       CAST(len(list_filter(generate_series(1, $LcpCap),
+                         j -> j <= least(length(sufa), length(sufb))
+                              AND substr(sufa, 1, j) = substr(sufb, 1, j))) AS BIGINT) AS lcp
+                FROM adj)
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp,
+               substr(sufa, 1, CAST(least(lcp, 40) AS INT)) AS snippet
+        FROM l WHERE lcp >= $MinRep
+        ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT $RepTopK"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_suffix_array", textSuffixArray, Some(saOracle)),
+    QueryDef("dedup_substring_sa", dedupSubstringSa, Some(repOracle)),
+  )
+}

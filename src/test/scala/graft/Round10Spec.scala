@@ -109,6 +109,53 @@ class Round10Spec extends SparkSpec {
       s"train accuracy ${correct.toDouble / inst.length} not above chance")
   }
 
+  test("text_suffix_array: a true suffix array — permutation ranks, lexicographic order, depth bound") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % SuffixArray.SampleMod === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the doubling depth must cover every suffix or ties would break
+    // differently from the full-string oracle
+    assert(docs.values.map(_.length).max <= (1 << SuffixArray.Rounds))
+    val sa = SuffixArray.textSuffixArray(spark, sf).collect()
+    assert(sa.length == docs.values.map(_.length).sum)
+    val ranks = sa.map(_.getLong(2)).sorted
+    assert(ranks.head == 1L && ranks.last == sa.length &&
+      ranks.distinct.length == sa.length, "ranks are not a permutation of 1..n")
+    // rank order IS lexicographic suffix order with (doc, pos) tie-break
+    val byRank = sa.sortBy(_.getLong(2))
+      .map(r => (docs(r.getLong(0)).substring(r.getLong(1).toInt - 1), r.getLong(0), r.getLong(1)))
+    byRank.zip(byRank.tail).foreach { case ((s1, d1, p1), (s2, d2, p2)) =>
+      val cmp = s1.compareTo(s2)
+      assert(cmp < 0 || (cmp == 0 && (d1 < d2 || (d1 == d2 && p1 < p2))),
+        s"suffix order violated at ($d1,$p1) vs ($d2,$p2)")
+    }
+  }
+
+  test("dedup_substring_sa: every reported repeat really occurs at both positions") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % SuffixArray.SampleMod === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val reps = SuffixArray.dedupSubstringSa(spark, sf).collect()
+    reps.foreach { r =>
+      val (da, pa, db, pb, lcp, snip) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))
+      assert(lcp >= SuffixArray.MinRep && lcp <= SuffixArray.LcpCap)
+      assert(snip.length == math.min(lcp, 40L))
+      assert(docs(da).startsWith(snip, pa.toInt - 1), s"snippet absent at ($da,$pa)")
+      assert(docs(db).startsWith(snip, pb.toInt - 1), s"snippet absent at ($db,$pb)")
+      // the claimed LCP is exact (below the cap): next char differs or a doc ends
+      if (lcp < SuffixArray.LcpCap) {
+        val sa1 = docs(da).substring(pa.toInt - 1)
+        val sb1 = docs(db).substring(pb.toInt - 1)
+        assert(sa1.take(lcp.toInt) == sb1.take(lcp.toInt))
+        assert(sa1.length == lcp || sb1.length == lcp ||
+          sa1.charAt(lcp.toInt) != sb1.charAt(lcp.toInt), "LCP not maximal")
+      }
+    }
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
