@@ -9,7 +9,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs ++ Dedup.defs ++ SuffixArray.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ MlTrees.defs ++ Dbscan.defs ++ Multimodal.defs ++
-      Graph.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
+      Graph.defs ++ Truss.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
       EventAnalytics.defs ++ Forecast.defs ++
       graft.sources.IoRoundtrip.defs ++
       graft.streaming.EventStreams.defs

@@ -483,7 +483,10 @@ object Classify {
     * no recursion needed, unlike the SGD replay. */
   val BatchIters = 5
   val BatchLr = 0.5
-  def mlLogregBatch(spark: SparkSession, dir: String): DataFrame = {
+
+  /** (px, final micro-weight table (f, wm)) — shared by the weight
+    * report and the calibration consumer. */
+  private[operators] def trainBatch(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val inst = instances(spark, dir).localCheckpoint()
     val px = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f"))
       .localCheckpoint() // scanned twice per iteration
@@ -505,11 +508,44 @@ object Classify {
             .cast("long")).as("wm"))
         .localCheckpoint() // truncate the K-round lineage
     }
+    (px, w)
+  }
+
+  def mlLogregBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = trainBatch(spark, dir)
     w.select(col("f").as("feature"), round(col("wm") / 1e6, 6).as("weight"))
       .orderBy("feature")
   }
 
-  private val logregBatchOracle: String = {
+  /** Calibration report (reliability diagram) for the batch-GD model:
+    * score the training corpus with the final weights, decile-bucket
+    * the grid-quantized probabilities, and compare mean predicted
+    * probability to the empirical positive rate per bucket — the
+    * standard eval table behind "is the classifier over-confident".
+    * Probabilities are exact grid integers, buckets exact integer
+    * division, counts exact — one double division at the very edge. */
+  def mlCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (px, w) = trainBatch(spark, dir)
+    val g = ProbGrid.toLong
+    px.join(w, "f")
+      .groupBy("doc_id")
+      .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
+      .select(col("is_spam"),
+        floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
+          .cast("long").as("p"))
+      .withColumn("bucket", floor(col("p") * 10 / (g + 1)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p")) / count(lit(1)) / ProbGrid, 6).as("mean_pred"),
+        round(sum(when(col("is_spam"), 1L).otherwise(0L)) / count(lit(1)).cast("double"), 6)
+          .as("frac_pos"))
+      .orderBy("bucket")
+  }
+
+  /** Shared CTE chain: instances → unrolled batch-GD rounds →
+    * w$BatchIters final micro weights (consumed by the weight report
+    * AND the calibration oracle). */
+  private val batchCtes: String = {
     val iterCtes = (1 to BatchIters).map { k =>
       s"""s$k AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
                 FROM px p JOIN w${k - 1} w USING (f) GROUP BY 1),
@@ -523,7 +559,7 @@ object Classify {
                        w.wm - CAST(floor(g.g * ($BatchLr * 1e6) / (n.nn * $ProbGrid) + 0.5) AS BIGINT) AS wm
                 FROM w${k - 1} w JOIN g$k g USING (f), n)"""
     }.mkString(",\n          ")
-    s"""WITH inst AS MATERIALIZED (
+    s"""inst AS MATERIALIZED (
           SELECT doc_id, doc_id % 3 = 0 AS is_spam,
                  list_sort(list_distinct(list_transform(string_split(text, ' '),
                    t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace AS INT)))) AS features
@@ -531,13 +567,30 @@ object Classify {
           n AS (SELECT count(*) AS nn FROM inst),
           px AS MATERIALIZED (SELECT doc_id, is_spam, unnest(features) AS f FROM inst),
           w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wm FROM px),
-          $iterCtes
+          $iterCtes"""
+  }
+
+  private val logregBatchOracle: String =
+    s"""WITH $batchCtes
         SELECT f AS feature, round(wm / 1e6, 6) AS weight
         FROM w$BatchIters ORDER BY feature"""
-  }
+
+  private val calibrationOracle: String =
+    s"""WITH $batchCtes,
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                 FROM px p JOIN w$BatchIters w USING (f) GROUP BY 1),
+          pr AS (SELECT is_spam,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT) AS p
+                 FROM sc)
+        SELECT CAST(floor(p * 10 / ${ProbGrid.toLong + 1}) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(sum(p) / count(*) / $ProbGrid, 6) AS mean_pred,
+               round(sum(CASE WHEN is_spam THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS frac_pos
+        FROM pr GROUP BY 1 ORDER BY bucket"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
+    QueryDef("ml_calibration", mlCalibration, Some(calibrationOracle)),
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),
     QueryDef("ml_linear_reg", mlLinearReg, Some(linearRegOracle)),
     QueryDef("spam_train_shuffled", trainShuffled, Some(trainOracle(ShuffledOrder))),

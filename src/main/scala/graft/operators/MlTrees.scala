@@ -228,8 +228,80 @@ object MlTrees {
         $sel ORDER BY round"""
   }
 
+  /** Bivariate OLS (price-cents ~ quantity + discount) via exact
+    * integer normal equations — ml_linear_reg generalized to two
+    * regressors: ten order-free decimal(38) moments, then Cramer's
+    * rule on the 3×3 system as ONE shared SQL formula string that
+    * both engines evaluate verbatim (identical operand order by
+    * construction — the formula text IS the contract). One pass,
+    * zero extra shuffles, moments merge by addition. */
+  def mlLinearReg2(spark: SparkSession, dir: String): DataFrame = {
+    // y = discounted revenue (exact cents), regressors price + disc:
+    // the TRUE law y = price·(1−disc/100) is bilinear, so the linear
+    // fit recovers b1 ≈ 1−E[disc]/100, b2 ≈ −E[price]/100 with the
+    // interaction residual left in 1−r² — a real approximation
+    // quality measurement, not an identity
+    val b = Tables.lineitem(spark, dir).select(
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+        .cast("long").as("y"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x1"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s = b.agg(count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val cast = reg2Moments.map(m => expr(s"CAST($m AS DOUBLE) AS $m"))
+    s.select(cast: _*).selectExpr("n" +: reg2Formula: _*)
+      .select(col("n").cast("long").as("n"), col("b0"), col("b1"), col("b2"), col("r2"))
+  }
+
+  /** The ten moment names and the closed-form solution — ONE text,
+    * two engines. */
+  private val reg2Moments =
+    Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+  private val reg2Formula: Seq[String] = {
+    val d = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+    val d0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+    val d1 = "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+    val d2 = "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+    val sse = s"(syy - 2*(($d0/$d)*sy + ($d1/$d)*s1y + ($d2/$d)*s2y)" +
+      s" + (($d0/$d)*($d0/$d)*n + ($d1/$d)*($d1/$d)*s11 + ($d2/$d)*($d2/$d)*s22" +
+      s" + 2*($d0/$d)*($d1/$d)*s1 + 2*($d0/$d)*($d2/$d)*s2 + 2*($d1/$d)*($d2/$d)*s12))"
+    val sst = "(syy - sy*sy/n)"
+    Seq(
+      s"round($d0/$d, 4) AS b0",
+      s"round($d1/$d, 4) AS b1",
+      s"round($d2/$d, 4) AS b2",
+      s"round(1 - $sse/$sst, 8) AS r2")
+  }
+
+  private val reg2Oracle: String = {
+    s"""WITH base AS (
+            SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS y,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x1,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+            FROM lineitem),
+          s AS (SELECT count(*) AS n,
+                       sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                       sum(x1::HUGEINT*x1) AS s11, sum(x1::HUGEINT*x2) AS s12,
+                       sum(x2::HUGEINT*x2) AS s22, sum(x1::HUGEINT*y) AS s1y,
+                       sum(x2::HUGEINT*y) AS s2y, sum(y::HUGEINT*y) AS syy
+                FROM base),
+          sd AS (SELECT ${reg2Moments.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")} FROM s)
+        SELECT CAST(n AS BIGINT) AS n,
+               ${reg2Formula.mkString(",\n               ")}
+        FROM sd"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_tree_stump", mlTreeStump, Some(stumpOracle)),
     QueryDef("ml_gbt_stumps", mlGbtStumps, Some(gbtOracle)),
+    QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
   )
 }

@@ -156,6 +156,52 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("graph_ktruss: the fixed-round peel reaches its fixpoint and every edge is truss-supported") {
+    val rows = Truss.graphKtruss(spark, sf).collect()
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(r.getLong(2) >= Truss.TrussK - 2, "surviving edge below support bar")
+    }
+    // fixpoint: recompute support INSIDE the surviving subgraph — every
+    // edge must still close >= k-2 triangles there (one more round
+    // would change nothing)
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    edges.foreach { case (a, b) =>
+      val tri = verts.count(c => c != a && c != b &&
+        edges.contains((math.min(a, c), math.max(a, c))) &&
+        edges.contains((math.min(b, c), math.max(b, c))))
+      assert(tri >= Truss.TrussK - 2,
+        s"edge ($a,$b) has only $tri surviving triangles")
+    }
+  }
+
+  test("ml_calibration: buckets partition the corpus and probabilities are coherent") {
+    val rows = Classify.mlCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val docs = Classify.instances(spark, sf)
+      .filter(size(col("features")) > 0).count()
+    assert(total == docs, s"bucket counts $total != scored docs $docs")
+    rows.foreach { r =>
+      val (b, mp, fp) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(b >= 0 && b <= 9)
+      assert(mp >= b / 10.0 - 1e-6 && mp <= (b + 1) / 10.0 + 1e-6,
+        s"bucket $b mean_pred $mp outside its decile")
+      assert(fp >= 0 && fp <= 1)
+    }
+  }
+
+  test("ml_linear_reg2: recovers the bilinear revenue law to first order") {
+    val r = MlTrees.mlLinearReg2(spark, sf).collect().head
+    val (b1, b2, r2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    // y = price(1 - disc/100): b1 ≈ 1 - E[disc]/100 ∈ (0.9, 1),
+    // b2 ≈ -E[price cents]/100 < 0, fit near-perfect but NOT exact
+    // (the interaction residual stays in 1 - r²)
+    assert(b1 > 0.9 && b1 < 1.0, s"b1 $b1")
+    assert(b2 < 0, s"b2 $b2")
+    assert(r2 > 0.99 && r2 < 1.0, s"r2 $r2")
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
