@@ -95,7 +95,54 @@ object Curation {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Overlapping passage chunking (the retrieval/RAG prep step):
+    * ChunkLen-token windows at Stride-token steps over each doc,
+    * entirely IN-ROW (sequence → transform → explode — codegen'd,
+    * ZERO shuffle; the one at-scale shape for a pure per-doc
+    * restructuring). A trailing start whose remainder is already
+    * fully inside the previous chunk (n − start ≤ overlap) is
+    * skipped — no chunk is a suffix of its predecessor. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+  def chunkPassages(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = ChunkLen - ChunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""filter(
+              transform(sequence(0, greatest(CAST(ceil(n / $ChunkStride) AS INT) - 1, 0)),
+                i -> struct(i AS chunk_id,
+                            slice(toks, i * $ChunkStride + 1,
+                                  least($ChunkLen, n - i * $ChunkStride)) AS ch)),
+              c -> c.chunk_id * $ChunkStride < n AND
+                   (c.chunk_id = 0 OR n - c.chunk_id * $ChunkStride > $overlap))"""))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+        size(col("c.ch")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c.ch")).as("passage"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkOracle: String = {
+    val overlap = ChunkLen - ChunkStride
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+          ch AS (SELECT doc_id, u.i AS chunk_id,
+                        toks[u.i * $ChunkStride + 1 :
+                             u.i * $ChunkStride + least($ChunkLen, n - u.i * $ChunkStride)] AS ck
+                 FROM d, unnest(generate_series(0, greatest(CAST(ceil(n / $ChunkStride) AS INT) - 1, 0))) u(i)
+                 WHERE u.i * $ChunkStride < n AND
+                       (u.i = 0 OR n - u.i * $ChunkStride > $overlap))
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(ck) AS BIGINT) AS n_tokens,
+               array_to_string(ck, ' ') AS passage
+        FROM ch ORDER BY doc_id, chunk_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_chunk_passages", chunkPassages, Some(chunkOracle)),
     QueryDef("cur_sample_hash", sampleDocs, Some(
       s"""SELECT doc_id, n_chars FROM documents
           WHERE $hashSql % 100 < $SamplePct ORDER BY doc_id""")),

@@ -38,7 +38,7 @@ object Forecast {
   /** Trailing weights as shortest-round-trip literals: the SAME double
     * constants reach Spark (lit) and DuckDB (literal text re-parsed to
     * the nearest — identical — double). */
-  private val weights: Seq[Double] =
+  val weights: Seq[Double] =
     Iterator.iterate(1.0)(_ * (1 - Alpha)).take(EwmaK).toSeq
 
   /** Daily value series per event type (exact cents), EWMA-smoothed. */

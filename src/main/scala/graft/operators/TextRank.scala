@@ -295,21 +295,31 @@ object TextRank {
     * dim-table sized against any corpus. */
   val KnDiscount = 0.75
   val KnMinPair = 2
-  def textKneserNey(spark: SparkSession, dir: String): DataFrame = {
-    val pair = Tables.documents(spark, dir)
-      .select(split(col("text"), " ").as("toks"))
+
+  /** (per-doc bigram instances, joined KN model) — model columns
+    * (w1, w2, c12, c1, n1f, n1b, bt); shared by the model report and
+    * the per-doc perplexity scorer. */
+  private def knModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docBig = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // feeds the model aggs AND the scorer join
+    val pair = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint() // consumed 4x (hist, fanouts, type count, base)
     val hist = pair.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val back = pair.groupBy("w2").agg(count(lit(1)).as("n1b"))
     val types = pair.agg(count(lit(1)).as("bt"))
-    pair.filter(col("c12") >= KnMinPair)
-      .join(hist, "w1").join(back, "w2").crossJoin(broadcast(types))
+    val model = pair.join(hist, "w1").join(back, "w2").crossJoin(broadcast(types))
+    (docBig, model)
+  }
+
+  def textKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val (_, model) = knModel(spark, dir)
+    model.filter(col("c12") >= KnMinPair)
       .withColumn("pkn", round(
         greatest(col("c12") - KnDiscount, lit(0.0)) / col("c1") +
           lit(KnDiscount) * col("n1f") / col("c1") * (col("n1b") / col("bt")), 6))
@@ -317,19 +327,74 @@ object TextRank {
       .orderBy("w1", "w2")
   }
 
-  private val kneserNeyOracle: String =
-    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
-          db AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+  /** Per-doc KN-LM quality scoring (the CCNet/Gopher perplexity-filter
+    * shape with the corpus' own bigram model): average interpolated-KN
+    * log-probability per doc, the ONE libm call (ln) floored onto a
+    * 1e-9 integer grid so the per-doc aggregation is an exact
+    * order-free integer sum (the js_divergence discipline). Docs with
+    * no bigrams anchor at 0 and are never kept. Scale: the model is
+    * vocab²-bounded (broadcastable); scoring is one join + groupBy
+    * over the corpus bigram relation. */
+  val KnKeepLp = -6.0
+  def curPerplexityKn(spark: SparkSession, dir: String): DataFrame = {
+    val (docBig, model) = knModel(spark, dir)
+    val scored = docBig.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        floor(log(
+          greatest(col("c12") - KnDiscount, lit(0.0)) / col("c1") +
+            lit(KnDiscount) * col("n1f") / col("c1") * (col("n1b") / col("bt"))) * 1e9)
+          .cast("long").as("lpn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpn")).as("s"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("s") / col("n_bigrams") / 1e9, lit(0.0)), 6).as("avg_lp"),
+        coalesce(col("s") / col("n_bigrams") / 1e9 >= KnKeepLp, lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: knCtes/pknSql are declared further down the file
+  private lazy val perplexityKnOracle: String =
+    s"""WITH $knCtes,
+          sc AS (SELECT dbd.doc_id,
+                        CAST(floor(ln($pknSql) * 1000000000.0) AS BIGINT) AS lpn
+                 FROM dbd JOIN pair ON dbd.w1 = pair.w1 AND dbd.w2 = pair.w2
+                      JOIN hist ON pair.w1 = hist.w1
+                      JOIN back ON pair.w2 = back.w2, t),
+          agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpn) AS s
+                  FROM sc GROUP BY 1)
+        SELECT d2.doc_id,
+               coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+               round(coalesce(agg.s / agg.n_bigrams / 1e9, 0.0), 6) AS avg_lp,
+               coalesce(agg.s / agg.n_bigrams / 1e9 >= $KnKeepLp, FALSE) AS kept
+        FROM (SELECT doc_id FROM documents) d2 LEFT JOIN agg USING (doc_id)
+        ORDER BY d2.doc_id"""
+
+  /** Shared CTE chain for the KN model — also consumed by the per-doc
+    * perplexity scorer. `dbd` keeps doc_id on each bigram instance. */
+  private val knCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          dbd AS MATERIALIZED (SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
                  FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
                                  for i in generate_series(1, len(toks) - 1)]) AS u(b)
                  WHERE len(toks) >= 2),
-          pair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+          pair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM dbd GROUP BY 1, 2),
           hist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM pair GROUP BY 1),
           back AS (SELECT w2, count(*) AS n1b FROM pair GROUP BY 1),
-          t AS (SELECT count(*) AS bt FROM pair)
+          t AS (SELECT count(*) AS bt FROM pair)"""
+
+  /** The interpolated-KN probability as one shared expression over the
+    * model columns (identical operand order on both engines). */
+  private val pknSql: String =
+    s"""greatest(pair.c12 - $KnDiscount, 0.0) / hist.c1 +
+                     $KnDiscount * hist.n1f / hist.c1 * (back.n1b / CAST(t.bt AS DOUBLE))"""
+
+  private val kneserNeyOracle: String =
+    s"""WITH $knCtes
         SELECT pair.w1, pair.w2, pair.c12, hist.c1::BIGINT AS c1,
-               round(greatest(pair.c12 - $KnDiscount, 0.0) / hist.c1 +
-                     $KnDiscount * hist.n1f / hist.c1 * (back.n1b / CAST(t.bt AS DOUBLE)), 6) AS pkn
+               round($pknSql, 6) AS pkn
         FROM pair JOIN hist ON pair.w1 = hist.w1
                   JOIN back ON pair.w2 = back.w2, t
         WHERE pair.c12 >= $KnMinPair
@@ -337,6 +402,7 @@ object TextRank {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_kneser_ney", textKneserNey, Some(kneserNeyOracle)),
+    QueryDef("cur_perplexity_kn", curPerplexityKn, Some(perplexityKnOracle)),
     QueryDef("text_textrank", textTextrank, Some(textrankOracle)),
     QueryDef("text_rake", textRake, Some(rakeOracle)),
     QueryDef("text_lm_score", textLmScore, Some(

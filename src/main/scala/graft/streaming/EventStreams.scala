@@ -603,6 +603,126 @@ object EventStreams {
       .toDF("window_ms", "rnk", "event_type", "cnt")
   }
 
+  // ---- streaming EWMA (per-type hourly smoothed metric) ----
+
+  /** Batch mirror of the streaming EWMA: hourly cent-exact value sums
+    * per event type, smoothed over the trailing Forecast.EwmaK hourly
+    * observations (row-lag semantics, weights renormalized over the
+    * present lags — exactly q50_ewma's discipline at streaming
+    * granularity). The stream arm keeps (ring of last K−1 x's, open
+    * window accumulator) per type in the state store — the smoothed
+    * ops-metric at ingest time with |types|-sized state. */
+  def ewmaBatch(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(ts_us div $HourUs) * $HourMs").as("window_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "window_ms")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .withColumn("x", col("c").cast("double") / 100)
+    val w = Window.partitionBy("event_type").orderBy("window_ms")
+    val lags = (0 until graft.operators.Forecast.EwmaK)
+      .map(k => lag(col("x"), k).over(w))
+    val num = lags.zip(graft.operators.Forecast.weights)
+      .map { case (l, wt) => coalesce(l * lit(wt), lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = lags.zip(graft.operators.Forecast.weights)
+      .map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    hourly
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_type"), col("window_ms"), col("n"), col("x"), col("ewma"))
+      .orderBy("event_type", "window_ms")
+  }
+
+  private lazy val ewmaOracle: String = {
+    val ws = graft.operators.Forecast.weights
+    val nums = ws.zipWithIndex
+      .map { case (wt, k) => s"coalesce(lag(x, $k) OVER tw * $wt, 0)" }
+      .mkString("(", "\n                 + ", ")")
+    val dens = ws.zipWithIndex
+      .map { case (wt, k) =>
+        s"CASE WHEN lag(x, $k) OVER tw IS NOT NULL THEN $wt ELSE 0 END" }
+      .mkString("(", "\n                 + ", ")")
+    s"""WITH hourly AS (
+          SELECT event_type, (epoch_us(ts) // $HourUs) * $HourMs AS window_ms,
+                 count(*) AS n,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, window_ms, n, c::DOUBLE / 100 AS x,
+               round($nums
+                     / $dens, 6) AS ewma
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY window_ms)
+        ORDER BY event_type, window_ms"""
+  }
+
+  def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ewmaCore(readEvents(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[(Long, String, Long, Double)])
+  }
+
+  /** Stateful EWMA core. State per type: (ring of last K−1 finalized
+    * x's, open window index, its count, its exact cent sum). Rows fold
+    * in (ts, event_id) order; a window finalizes when a later window's
+    * first event arrives. The still-open tail window is emitted
+    * PROVISIONALLY at the end of each invocation (without committing
+    * it to state) so a drained stream matches the batch mirror row for
+    * row; the float fold adds terms newest-lag-first in exactly the
+    * batch plan's reduceLeft order, so the doubles are bit-identical. */
+  def ewmaCore(evs: org.apache.spark.sql.Dataset[(Long, String, Long, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val ws = graft.operators.Forecast.weights
+    val keep = graft.operators.Forecast.EwmaK - 1
+    def smooth(ring: Vector[Double], x: Double): Double = {
+      val xs = ring :+ x // oldest..newest
+      var num = 0.0
+      var den = 0.0
+      for (k <- ws.indices) {
+        val idx = xs.size - 1 - k
+        if (idx >= 0) { num += xs(idx) * ws(k); den += ws(k) }
+        else { num += 0.0; den += 0.0 } // mirror the batch coalesce terms
+      }
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    evs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Vector[Double], Long, Long, Long),
+        (String, Long, Long, Double, Double)](OM.Append(), GroupStateTimeout.NoTimeout) {
+        (typ: String,
+         rows: Iterator[(Long, String, Long, Double)],
+         state: GroupState[(Vector[Double], Long, Long, Long)]) =>
+          var (ring, curWin, curN, curC) =
+            state.getOption.getOrElse((Vector.empty[Double], -1L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Double, Double)]
+          def closeWindow(): Unit = if (curWin >= 0) {
+            val x = curC.toDouble / 100
+            out += ((typ, curWin * HourMs, curN, x, smooth(ring, x)))
+            ring = (ring :+ x).takeRight(keep)
+            curN = 0; curC = 0
+          }
+          rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (_, _, ts, v) =>
+            val win = ts / HourUs
+            if (win != curWin) { closeWindow(); curWin = win }
+            curN += 1
+            curC += math.floor(v * 100 + 0.5).toLong
+          }
+          state.update((ring, curWin, curN, curC))
+          // provisional tail (not committed): a drained stream reports
+          // the open window exactly as the batch mirror does
+          if (curWin >= 0) {
+            val x = curC.toDouble / 100
+            out += ((typ, curWin * HourMs, curN, x, smooth(ring, x)))
+          }
+          out.iterator
+      }
+      .toDF("event_type", "window_ms", "n", "x", "ewma")
+  }
+
   // ---- streaming near-dup detection (minhash bands through state) ----
 
   /** In-row banded minhash of a (doc_id, text) relation: each signature
@@ -709,6 +829,7 @@ object EventStreams {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_minhash_dedup", minhashDedupBatch, Some(minhashDedupOracle)),
+    QueryDef("stream_ewma", ewmaBatch, Some(ewmaOracle)),
     QueryDef("stream_topk", topkBatch, Some(
       s"""WITH w AS (SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
                             event_type, count(*) AS cnt

@@ -202,6 +202,66 @@ class Round10Spec extends SparkSpec {
     assert(r2 > 0.99 && r2 < 1.0, s"r2 $r2")
   }
 
+  test("stream_ewma: the stateful streaming core converges to the batch mirror") {
+    val ss = spark
+    import ss.implicits._
+    val batch = graft.streaming.EventStreams.ewmaBatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[(Long, String, Long, Double)]
+    val streamed = graft.streaming.EventStreams.ewmaCore(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("cur_perplexity_kn: scores are negative log-probs, kept docs score higher") {
+    val rows = TextRank.curPerplexityKn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (kept, dropped) = rows.filter(_.getLong(1) > 0).partition(_.getBoolean(3))
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getDouble(2) < 0, "bigram log-prob must be negative")
+    }
+    if (kept.nonEmpty && dropped.nonEmpty)
+      assert(kept.map(_.getDouble(2)).min >= dropped.map(_.getDouble(2)).max,
+        "keep flag must be a threshold on avg_lp")
+    rows.filter(_.getLong(1) == 0).foreach(r => assert(!r.getBoolean(3)))
+  }
+
+  test("cur_chunk_passages: chunks tile each doc with the declared overlap") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val rows = Curation.chunkPassages(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every doc must produce chunks")
+    byDoc.foreach { case (d, chunks) =>
+      val toks = docs(d)
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.foreach { c =>
+        val (cid, n, passage) = (c.getLong(1).toInt, c.getLong(2), c.getString(3))
+        val start = cid * Curation.ChunkStride
+        val expected = toks.slice(start, start + math.min(Curation.ChunkLen, toks.length - start))
+        assert(passage == expected.mkString(" "), s"doc $d chunk $cid content mismatch")
+        assert(n == expected.length)
+      }
+      // coverage: the union of chunks reaches the last token
+      val last = sorted.last
+      assert(last.getLong(1).toInt * Curation.ChunkStride + last.getLong(2) == toks.length,
+        s"doc $d tail not covered")
+      // no chunk is a suffix of its predecessor
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) == a.getLong(1) + 1)
+          assert(b.getLong(2) > Curation.ChunkLen - Curation.ChunkStride ||
+            b.getLong(1) == 0)
+        case _ =>
+      }
+    }
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)

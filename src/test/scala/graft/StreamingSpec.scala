@@ -141,6 +141,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stateful EWMA stream converges to the batch hourly smoothing") {
+    runToMemory(EventStreams.ewmaStream(spark, sf), "sewma", OutputMode.Append())
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("window_ms")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("x"), r.getAs[Double]("ewma"))
+    val streamed = spark.table("sewma").collect().map(key).toMap
+    val batch = EventStreams.ewmaBatch(spark, sf).collect().map(key).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
