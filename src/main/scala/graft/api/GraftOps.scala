@@ -1968,6 +1968,34 @@ object GraftOps {
       .limit(topN)
   }
 
+  /** Order-preserving global rank (ties equal, rank = #smaller + 1) of
+    * the key columns WITHOUT a global single-partition window: range
+    * partition → local row_number → per-partition offsets (the
+    * distributed zipWithIndex) → min row-number per key group. The
+    * partition ids are MATERIALIZED before the plan forks into
+    * local/offs — spark_partition_id() is nondeterministic and AQE
+    * may coalesce re-executed subtrees differently, which would
+    * silently drop rows at the join back. rank = #strictly-smaller+1
+    * falls out independent of where the range partitioner cut ties,
+    * so the result is partitioning-invariant. Adds `rankCol`. */
+  def globalRank(df: DataFrame, keys: Seq[String], rankCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val parted = df.repartitionByRange(kcols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = parted.withColumn("__ln",
+      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn("__rowno", col("__ln") + col("__off"))
+      .withColumn(rankCol, min(col("__rowno")).over(Window.partitionBy(kcols: _*)))
+      .drop("__pid", "__ln", "__off", "__rowno")
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over the same
     * capped bipartite wedge join as [[neighborhoodJaccard]]: candidate
     * pair score = Σ_z 1/ln(deg z) over shared items z — rare shared

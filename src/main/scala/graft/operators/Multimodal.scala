@@ -231,7 +231,94 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  /** Perceptual-hash near-dup detection over the binary payloads — the
+    * blockhash discipline (Yang et al. / blockhash.org): the payload's
+    * byte stream is cut into 64 equal blocks; bit j = "block j's byte
+    * sum exceeds the payload mean" (compared as blocksum·64 > total —
+    * EXACT integer arithmetic, no division). Similar payloads share
+    * most block statistics, so near-identical media collide in hash
+    * space — the production image-dedup shape, on the stub payloads.
+    *
+    * Candidate generation is the dedup_simhash pigeonhole: 8 bands of
+    * 8 bits; hamming ≤ 7 GUARANTEES a shared band, so the banded join
+    * is an exact candidate filter at shuffle cost 8·N, never N². The
+    * whole hash computes IN-ROW (codegen'd transform/slice/aggregate
+    * — zero shuffle before the band explode). */
+  val PhashBands = 8
+  val PhashBits = 8
+  val PhashMaxHamming: Long = PhashBands - 1L
+  def mmDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until PhashBands).map { b =>
+      val bits = (0 until PhashBits).map { k =>
+        val j = PhashBits * b + k
+        s"""(CASE WHEN aggregate(slice(cs, CAST(($j * n) div 64 AS INT) + 1,
+                     CAST((${j + 1} * n) div 64 AS INT) - CAST(($j * n) div 64 AS INT)),
+                   0L, (a, x) -> a + x) * 64 > total THEN ${1L << k} ELSE 0 END)"""
+      }.mkString("(", " + ", ")")
+      expr(bits).as(s"band$b")
+    }
+    val codes = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("cs", expr("transform(split(text, ''), c -> CAST(ascii(c) AS LONG))"))
+      .withColumn("total", expr("aggregate(slice(cs, 1, CAST(n AS INT)), 0L, (a, x) -> a + x)"))
+      .select(col("doc_id") +: bandCols: _*)
+      .localCheckpoint() // feeds the band explode AND both verify sides
+    val cand = (0 until PhashBands).map(b =>
+        codes.select(col("doc_id"), lit(b).as("bj"), col(s"band$b").as("bv")))
+      .reduce(_ unionAll _)
+    val pairs = cand.as("x").join(cand.as("y"),
+        col("x.bj") === col("y.bj") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val ham = (0 until PhashBands)
+      .map(b => bit_count(expr(s"ca$b ^ cb$b")).cast("long"))
+      .reduceLeft(_ + _)
+    val ca = codes.select(col("doc_id").as("a") +:
+      (0 until PhashBands).map(b => col(s"band$b").as(s"ca$b")): _*)
+    val cb = codes.select(col("doc_id").as("b") +:
+      (0 until PhashBands).map(b => col(s"band$b").as(s"cb$b")): _*)
+    pairs.join(ca, "a").join(cb, "b")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  private lazy val phashOracle: String = {
+    val bandSql = (0 until PhashBands).map { b =>
+      val bits = (0 until PhashBits).map { k =>
+        val j = PhashBits * b + k
+        s"""(CASE WHEN coalesce(list_sum(cs[($j * n) // 64 + 1 : (${j + 1} * n) // 64]), 0) * 64 > total
+                  THEN ${1L << k} ELSE 0 END)"""
+      }.mkString("(", " + ", ")")
+      s"$bits AS band$b"
+    }.mkString(",\n                 ")
+    val bandUnion = (0 until PhashBands)
+      .map(b => s"SELECT doc_id, $b AS bj, band$b AS bv FROM codes")
+      .mkString("\n                 UNION ALL ")
+    val hamSql = (0 until PhashBands)
+      .map(b => s"bit_count(xor(ca.band$b, cb.band$b))")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, length(text) AS n,
+                          [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
+                   FROM documents),
+          t AS (SELECT doc_id, n, cs, list_sum(cs) AS total FROM d),
+          codes AS MATERIALIZED (SELECT doc_id,
+                 $bandSql
+                 FROM t),
+          cand AS ($bandUnion),
+          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM cand x JOIN cand y ON x.bj = y.bj AND x.bv = y.bv
+                    WHERE x.doc_id < y.doc_id)
+        SELECT p.a, p.b, CAST($hamSql AS BIGINT) AS hamming
+        FROM pairs p JOIN codes ca ON p.a = ca.doc_id JOIN codes cb ON p.b = cb.doc_id
+        WHERE $hamSql <= $PhashMaxHamming
+        ORDER BY p.a, p.b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_dedup_phash", mmDedupPhash, Some(phashOracle)),
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineOracle)),
     // Oracle covers the deterministic stub arithmetic; the decode seam
     // itself is the part a real codec would replace.

@@ -371,7 +371,63 @@ object Relational2 {
         FROM pairs p JOIN items ia ON p.a = ia.pk JOIN items ib ON p.b = ib.pk, n
         ORDER BY a, b"""
 
+  /** RFM customer segmentation — the classic warehouse scoring: per
+    * purchasing customer, Recency (days since last order vs the
+    * data-derived anchor), Frequency (order count), Monetary (exact
+    * cent total), each quintile-scored 1–5 and combined into the
+    * 3-digit segment. Quintiles come from GraftOps.globalRank (the
+    * distributed sample-sort rank — NO single-partition ntile window)
+    * with min-rank tie semantics, so equal metrics always share a
+    * score and the oracle's rank() window replays it exactly;
+    * quintile index = ((rank−1)·5) div n in exact integer arithmetic. */
+  def q52Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      unix_micros(col("o_orderdate")).as("us"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val anchor = o.agg(max(col("us")).as("mx"))
+    val rfm = o.groupBy("o_custkey")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        expr("(mx - last_us) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint() // three rank passes + the size scalar read it
+    val n = rfm.crossJoin(broadcast(rfm.agg(count(lit(1)).as("nn"))))
+    val ranked = Seq(("recency_days", "rr"), ("frequency", "fr"), ("monetary", "mr"))
+      .foldLeft(n) { case (df, (m, r)) => graft.api.GraftOps.globalRank(df, Seq(m), r) }
+    ranked.select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        (lit(5L) - expr("((rr - 1) * 5) div nn")).as("r_score"),
+        (expr("((fr - 1) * 5) div nn") + 1L).as("f_score"),
+        (expr("((mr - 1) * 5) div nn") + 1L).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  private val rfmOracle: String =
+    s"""WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+          a AS (SELECT max(us) AS mx FROM o),
+          rfm AS (SELECT o_custkey, (a.mx - max(us)) // 86400000000 AS recency_days,
+                         count(*) AS frequency, sum(cents)::BIGINT AS monetary
+                  FROM o, a GROUP BY o_custkey, a.mx),
+          r AS (SELECT *, rank() OVER (ORDER BY recency_days) AS rr,
+                       rank() OVER (ORDER BY frequency) AS fr,
+                       rank() OVER (ORDER BY monetary) AS mr,
+                       count(*) OVER () AS n
+                FROM rfm)
+        SELECT o_custkey, recency_days, frequency, monetary,
+               5 - ((rr - 1) * 5 // n) AS r_score,
+               ((fr - 1) * 5 // n) + 1 AS f_score,
+               ((mr - 1) * 5 // n) + 1 AS m_score,
+               (5 - ((rr - 1) * 5 // n)) * 100 + (((fr - 1) * 5 // n) + 1) * 10
+                 + (((mr - 1) * 5 // n) + 1) AS segment
+        FROM r ORDER BY o_custkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),
     QueryDef("q47_assoc_rules", q47AssocRules, Some(assocOracle)),
     QueryDef("q19_pivot", q19Pivot, Some(
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,

@@ -51,34 +51,11 @@ object SuffixArray {
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   def reset(): Unit = memo.clear()
 
-  /** Order-preserving rank (ties equal, rank = #smaller + 1) of the
-    * key columns, computed WITHOUT a global window: range partition →
-    * local row_number → per-partition offsets (partitions-sized, the
-    * one driver-trivial window) → min row-number per key group. */
-  private def rankByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val kcols = keys.map(col)
-    // MATERIALIZE the partition ids before the plan forks into
-    // local/offs: spark_partition_id() is nondeterministic, and the
-    // two subtrees would otherwise re-run the range shuffle
-    // independently (AQE may even coalesce them differently) — the
-    // inner join back on __pid then silently drops rows. The
-    // checkpoint is also the honest distributed-sample-sort shape:
-    // sorted runs are written once, then ranked.
-    val parted = df.repartitionByRange(kcols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("__ln",
-      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
-    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum(col("__n")).over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offs), "__pid")
-      .withColumn("__rowno", col("__ln") + col("__off"))
-      .withColumn("__r", min(col("__rowno")).over(Window.partitionBy(kcols: _*)))
-      .drop("__pid", "__ln", "__off", "__rowno")
-  }
+  /** Order-preserving rank of the key columns — GraftOps.globalRank
+    * (the distributed-sample-sort rank; see its scaladoc for the
+    * materialize-before-fork correctness note). */
+  private def rankByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    graft.api.GraftOps.globalRank(df, keys, "__r")
 
   /** (doc_id, pos, suf64, sa_rank): the suffix array of the sampled
     * corpus — sa_rank is the 1-based lexicographic position, ties

@@ -262,6 +262,73 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q52_rfm: quintile scores are monotone in their metrics and ties share scores") {
+    val rows = Relational2.q52Rfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def check(metric: Int, score: Int, ascending: Boolean): Unit = {
+      val pairs = rows.map(r => (r.getLong(metric), r.getLong(score)))
+      pairs.groupBy(_._1).foreach { case (m, ss) =>
+        assert(ss.map(_._2).distinct.length == 1, s"tied metric $m got differing scores")
+      }
+      val sorted = pairs.sortBy(_._1)
+      val dir = sorted.map(_._2)
+      dir.zip(dir.tail).foreach { case (a, b) =>
+        if (ascending) assert(b >= a) else assert(b <= a)
+      }
+      assert(pairs.map(_._2).forall(s => s >= 1 && s <= 5))
+    }
+    check(metric = 1, score = 4, ascending = false) // recency: more days → lower score
+    check(metric = 2, score = 5, ascending = true)  // frequency
+    check(metric = 3, score = 6, ascending = true)  // monetary
+    rows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+    }
+  }
+
+  test("mm_dedup_phash: reported hamming is the true blockhash distance; exact pairs collide at 0") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def code(text: String): Seq[Int] = {
+      val cs = text.map(_.toInt.toLong)
+      val n = cs.length
+      val total = cs.sum
+      (0 until 64).map { j =>
+        val lo = (j * n / 64).toInt
+        val hi = ((j + 1) * n / 64).toInt
+        if (cs.slice(lo, hi).sum * 64 > total) 1 else 0
+      }
+    }
+    val rows = Multimodal.mmDedupPhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val trueH = code(docs(a)).zip(code(docs(b))).count { case (x, y) => x != y }
+      assert(h == trueH, s"pair ($a,$b) hamming $h != recomputed $trueH")
+      assert(h <= Multimodal.PhashMaxHamming)
+    }
+    // identical payloads MUST be found at hamming 0 (the pigeonhole
+    // guarantee at its extreme)
+    val exactDups = docs.groupBy(_._2).values.filter(_.size > 1)
+    exactDups.foreach { g =>
+      val ids = g.keys.toSeq.sorted
+      ids.combinations(2).foreach { case Seq(x, y) =>
+        assert(rows.exists(r => r.getLong(0) == x && r.getLong(1) == y && r.getLong(2) == 0),
+          s"exact dup pair ($x,$y) missing")
+      }
+    }
+  }
+
+  test("cur_chunk_passages plans with zero Exchange (pure in-row restructuring)") {
+    val plan = Curation.chunkPassages(spark, sf).queryExecution.executedPlan
+    def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(countEx).sum
+    // the single orderBy for presentation is the only allowed exchange
+    assert(countEx(plan) <= 1, s"unexpected shuffles in:\n$plan")
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
