@@ -82,6 +82,90 @@ object CurationQuality {
         w = ShingleW, threshold = ContamThreshold)
       .orderBy("doc_id")
 
+  /** Bloom-filter contamination screen — the BOUNDED-MEMORY sibling of
+    * cur_contamination: the benchmark's shingle set is folded into a
+    * fixed 2¹⁸-bit Bloom filter (K=3 md5-derived positions per
+    * shingle, bits packed 63 per BIGINT word — the sign bit is left
+    * unused so shift/AND semantics can't differ across engines), and
+    * candidates probe the broadcast filter instead of joining the full
+    * shingle set. At a 100 TB corpus vs a benchmark-suite of ANY size
+    * this is a constant ~32 KB broadcast and a pure scan — the memory
+    * path where the exact op's broadcast grows with the benchmark.
+    * False positives are possible (≈(1−e^(−Kn/M))^K), false negatives
+    * are not; the whole filter is deterministic, so the oracle replays
+    * bit-for-bit and the spec certifies hits ⊇ exact hits. */
+  val BloomBits = 262144L
+  val BloomK = 3
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("is_bench",
+        TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor)
+    val sh = base.select(col("doc_id"), col("is_bench"),
+        explode(array_distinct(TextFns.shingles("toks", ShingleW))).as("sh"))
+    val pos = sh.select(col("doc_id"), col("is_bench"), col("sh"),
+        explode(array((0 until BloomK).map(lit): _*)).as("j"))
+      .withColumn("pos",
+        TextFns.hash32(concat(col("sh"), lit("#"), col("j").cast("string"))) % BloomBits)
+      .withColumn("word", expr("pos div 63"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
+      .localCheckpoint() // feeds the filter build AND the probe side
+    val bloom = pos.filter(col("is_bench"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    val probe = pos.filter(!col("is_bench"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy("doc_id", "sh")
+      .agg(min(when((col("bits").bitwiseAND(col("mask"))) === col("mask"), 1L)
+        .otherwise(0L)).as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
+    base.filter(!col("is_bench")).select(col("doc_id"))
+      .join(probe, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hits") / col("n_shingles"), 6)))
+      .withColumn("flagged", col("ratio") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
+  private lazy val contaminationBloomOracle: String = {
+    val js = (0 until BloomK).mkString(", ")
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          $hashSql % 100 >= $BenchPctFloor AS is_bench
+                   FROM documents),
+          sh AS (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                 FROM b WHERE len(toks) >= $ShingleW),
+          pos AS MATERIALIZED (
+            SELECT doc_id, is_bench, sh,
+                   ('0x' || substr(md5(sh || '#' || u.j), 1, 8))::BIGINT % $BloomBits AS pos
+            FROM sh, unnest([$js]) u(j)),
+          bloom AS MATERIALIZED (
+            SELECT pos // 63 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+            FROM pos WHERE is_bench GROUP BY 1),
+          probe AS (SELECT p.doc_id, p.sh,
+                           min(CASE WHEN (bl.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)))
+                                      = (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))
+                                    THEN 1 ELSE 0 END) AS hit
+                    FROM pos p LEFT JOIN bloom bl ON bl.word = p.pos // 63
+                    WHERE NOT p.is_bench GROUP BY 1, 2),
+          tot AS (SELECT doc_id, count(*) AS n_shingles, sum(hit) AS n_hits
+                  FROM probe GROUP BY 1),
+          cand AS (SELECT doc_id FROM b WHERE NOT is_bench)
+        SELECT c.doc_id,
+               coalesce(t.n_shingles, 0)::BIGINT AS n_shingles,
+               coalesce(t.n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN coalesce(t.n_shingles, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(t.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) END AS ratio,
+               CASE WHEN coalesce(t.n_shingles, 0) = 0 THEN FALSE
+                    ELSE round(coalesce(t.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) >= $ContamThreshold END AS flagged
+        FROM cand c LEFT JOIN tot t USING (doc_id)
+        ORDER BY c.doc_id"""
+  }
+
   /** PII scan: match counts per class + md5 of the redacted text.
     * (This corpus is synthetic lowercase prose, so counts are 0 here;
     * the ScalaTest spec drives crafted rows through the same exprs.) */
@@ -622,6 +706,7 @@ object CurationQuality {
           SELECT doc_id, n_toks, distinct_ratio, stop_ratio, mean_len, reasons,
                  reasons = '' AS keep
           FROM r ORDER BY doc_id""")),
+    QueryDef("cur_contamination_bloom", contaminationBloom, Some(contaminationBloomOracle)),
     QueryDef("cur_contamination", contamination, Some(
       s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks,
                             $hashSql % 100 >= $BenchPctFloor AS is_bench

@@ -329,6 +329,23 @@ class Round10Spec extends SparkSpec {
     assert(countEx(plan) <= 1, s"unexpected shuffles in:\n$plan")
   }
 
+  test("cur_contamination_bloom: never under-counts the exact scan (no false negatives)") {
+    val exact = CurationQuality.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = CurationQuality.contaminationBloom(spark, sf).collect()
+    assert(bloom.nonEmpty)
+    bloom.foreach { r =>
+      val (doc, n, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(h >= exact(doc), s"doc $doc: bloom $h < exact ${exact(doc)} — impossible")
+      assert(h <= n)
+    }
+    // at this load factor (|bench shingles| << 2^18 bits) the filter
+    // should be near-exact; allow a small FP budget
+    val fp = bloom.map(r => r.getLong(2) - exact(r.getLong(0))).sum
+    assert(fp <= math.max(1L, bloom.map(_.getLong(1)).sum / 100),
+      s"false-positive mass $fp exceeds 1% of probes")
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
