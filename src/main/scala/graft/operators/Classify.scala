@@ -588,7 +588,64 @@ object Classify {
                round(sum(CASE WHEN is_spam THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS frac_pos
         FROM pr GROUP BY 1 ORDER BY bucket"""
 
+  /** Precision/recall curve for the batch-GD model at nine grid
+    * thresholds — the eval table behind threshold selection, next to
+    * ml_calibration's reliability diagram. "p ≥ k/10" is decided as
+    * p·10 ≥ k·G in EXACT integer arithmetic (p is already a grid
+    * integer), so every tp/fp/fn count is exact and only the final
+    * precision/recall/F1 divisions are (deterministic) doubles.
+    * One pass: the scored corpus cross-joins the 9-row threshold
+    * spine and aggregates per threshold — counts are map-side
+    * combined, the spine broadcasts. */
+  def mlPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (px, w) = trainBatch(spark, dir)
+    val g = ProbGrid.toLong
+    val scored = px.join(w, "f")
+      .groupBy("doc_id")
+      .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
+      .select(col("is_spam"),
+        floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
+          .cast("long").as("p"))
+    val spine = spark.range(1, 10).select(col("id").as("k"))
+    scored.crossJoin(broadcast(spine))
+      .withColumn("pred", col("p") * 10 >= col("k") * g)
+      .groupBy("k")
+      .agg(
+        sum(when(col("pred") && col("is_spam"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("is_spam"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("is_spam"), 1L).otherwise(0L)).as("fn"))
+      .select(col("k"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp") / (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp") / (col("tp") + col("fn")), 6)).as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"))
+      .orderBy("k")
+  }
+
+  private val prCurveOracle: String =
+    s"""WITH $batchCtes,
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                 FROM px p JOIN w$BatchIters w USING (f) GROUP BY 1),
+          pr AS (SELECT is_spam,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT) AS p
+                 FROM sc),
+          ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+          agg AS (SELECT ks.k,
+                         sum(CASE WHEN pr.p * 10 >= ks.k * ${ProbGrid.toLong} AND pr.is_spam THEN 1 ELSE 0 END)::BIGINT AS tp,
+                         sum(CASE WHEN pr.p * 10 >= ks.k * ${ProbGrid.toLong} AND NOT pr.is_spam THEN 1 ELSE 0 END)::BIGINT AS fp,
+                         sum(CASE WHEN pr.p * 10 < ks.k * ${ProbGrid.toLong} AND pr.is_spam THEN 1 ELSE 0 END)::BIGINT AS fn
+                  FROM pr, ks GROUP BY 1)
+        SELECT CAST(k AS BIGINT) AS k, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN 0.0 ELSE round(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+               CASE WHEN tp + fn = 0 THEN 0.0 ELSE round(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+               CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+                    ELSE round(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+        FROM agg ORDER BY k"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_pr_curve", mlPrCurve, Some(prCurveOracle)),
     QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
     QueryDef("ml_calibration", mlCalibration, Some(calibrationOracle)),
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),

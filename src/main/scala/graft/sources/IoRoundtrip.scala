@@ -64,7 +64,59 @@ object IoRoundtrip {
         FROM a, (VALUES $fmts) f(fmt) ORDER BY format"""
   }
 
+  /** Schema-evolution read: two parquet epochs of the events feed —
+    * epoch 1 written BEFORE a column existed (event_id, user_id,
+    * value), epoch 2 with the later-added event_type — read back as
+    * ONE table via mergeSchema. The query reports per-epoch row
+    * counts, how many rows carry the evolved column, and the exact
+    * cent sum — proving old files surface NULLs (not errors, not
+    * dropped rows) under the evolved schema. Epoch split is the
+    * deterministic event_id % 2. mergeSchema is the one-line fix
+    * every long-lived 100 TB table eventually needs; its cost
+    * (footer-merge across files) is the documented trade. */
+  private val evoMemo = scala.collection.concurrent.TrieMap[String, String]()
+  private def evolutionRoot(spark: SparkSession, dir: String): String =
+    evoMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft-evo", key).toString
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "cents")
+        .write.mode("overwrite").parquet(s"$root/epoch=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$root/epoch=2")
+      root
+    })
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = evolutionRoot(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", root).parquet(s"$root/epoch=1", s"$root/epoch=2")
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("event_type").isNotNull, 1L).otherwise(0L)).as("n_typed"),
+        sum(col("cents")).as("cents"))
+      .select(col("epoch").cast("long").as("epoch"),
+        col("n_rows"), col("n_typed"), col("cents"))
+      .orderBy("epoch")
+  }
+
+  private val schemaEvolutionOracle: String =
+    """WITH e AS (SELECT event_id, event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS epoch
+                  FROM events)
+       SELECT CAST(epoch AS BIGINT) AS epoch, count(*) AS n_rows,
+              sum(CASE WHEN epoch = 2 THEN 1 ELSE 0 END)::BIGINT AS n_typed,
+              sum(cents)::BIGINT AS cents
+       FROM e GROUP BY 1 ORDER BY epoch"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_format_roundtrip", roundtrip, Some(roundtripOracle)),
+    QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
   )
 }

@@ -603,6 +603,57 @@ object EventStreams {
       .toDF("window_ms", "rnk", "event_type", "cnt")
   }
 
+  // ---- stream-static enrichment join (dimension lookup at ingest) ----
+
+  /** Batch mirror of the stream-static enrichment: events joined to
+    * the customer dimension (user_id = c_custkey), hourly revenue per
+    * nation in exact cents. The streaming arm joins the SAME static
+    * DataFrame into the stream before the windowed agg — Structured
+    * Streaming's stream-static join re-broadcasts the dim per
+    * micro-batch; state is only the windowed aggregate. The classic
+    * "enrich at ingest" pattern: the dim is a broadcast, the stream
+    * never shuffles except for the window keys. */
+  def enrichBatch(spark: SparkSession, dir: String): DataFrame =
+    enrichCore(events(spark, dir), spark, dir)
+
+  private def enrichCore(ev: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey").as("nation"))
+    ev.select(col("user_id"),
+        expr(s"(ts_us div $HourUs) * $HourMs").as("window_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(dim), "user_id")
+      .groupBy("nation", "window_ms")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("nation", "window_ms")
+  }
+
+  private val enrichOracle: String =
+    s"""WITH e AS (SELECT user_id, (epoch_us(ts) // $HourUs) * $HourMs AS window_ms,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+          dim AS (SELECT c_custkey AS user_id, c_nationkey AS nation FROM customer)
+        SELECT d.nation, e.window_ms, count(*) AS n, sum(e.cents)::BIGINT AS cents
+        FROM e JOIN dim d USING (user_id)
+        GROUP BY 1, 2 ORDER BY nation, window_ms"""
+
+  /** The real streaming plan: readStream → static-dim join → watermark
+    * → windowed agg (Complete mode in the spec's memory sink). */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey").as("nation"))
+    readEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), "user_id")
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy(col("nation"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(col("nation"), unix_micros(col("w.start")).*(lit(1L)).as("us"),
+        col("n"), col("cents"))
+      .select(col("nation"), expr("us div 1000").as("window_ms"), col("n"), col("cents"))
+  }
+
   // ---- streaming EWMA (per-type hourly smoothed metric) ----
 
   /** Batch mirror of the streaming EWMA: hourly cent-exact value sums
@@ -830,6 +881,7 @@ object EventStreams {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_minhash_dedup", minhashDedupBatch, Some(minhashDedupOracle)),
     QueryDef("stream_ewma", ewmaBatch, Some(ewmaOracle)),
+    QueryDef("stream_enrich", enrichBatch, Some(enrichOracle)),
     QueryDef("stream_topk", topkBatch, Some(
       s"""WITH w AS (SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
                             event_type, count(*) AS cnt

@@ -346,6 +346,36 @@ class Round10Spec extends SparkSpec {
       s"false-positive mass $fp exceeds 1% of probes")
   }
 
+  test("ml_pr_curve: monotone threshold behavior and exact confusion totals") {
+    val rows = Classify.mlPrCurve(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length == 9)
+    val total = Classify.instances(spark, sf)
+      .filter(size(col("features")) > 0).count()
+    val positives = Classify.instances(spark, sf)
+      .filter(size(col("features")) > 0 && col("is_spam")).count()
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp + fn == positives, "tp+fn must equal the positive count")
+      assert(tp + fp <= total)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    val preds = rows.map(r => r.getLong(1) + r.getLong(2))
+    preds.zip(preds.tail).foreach { case (a, b) => assert(b <= a) }
+    // recall is non-increasing in the threshold
+    val recalls = rows.map(_.getDouble(5))
+    recalls.zip(recalls.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+  }
+
+  test("io_schema_evolution: old-epoch rows survive with NULLs in the evolved column") {
+    val rows = graft.sources.IoRoundtrip.schemaEvolution(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L)._2 == 0, "epoch-1 files predate the column: all NULL")
+    assert(rows(2L)._2 == rows(2L)._1, "epoch-2 rows all carry the column")
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows(1L)._1 + rows(2L)._1 == total, "no rows lost in the merged read")
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)

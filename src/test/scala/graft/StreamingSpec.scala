@@ -152,6 +152,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment join converges to the batch mirror") {
+    runToMemory(EventStreams.enrichStream(spark, sf), "senr")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Number]("nation").longValue(), r.getAs[Long]("window_ms")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))
+    val streamed = spark.table("senr").collect().map(key).toMap
+    val batch = EventStreams.enrichBatch(spark, sf).collect().map(key).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
