@@ -451,6 +451,103 @@ object CurationQuality {
       .orderBy("split")
   }
 
+  /** v5 — the EIGHT-stage corpus build: v4's chain (quality gate →
+    * benchmark decontamination → Gopher repetition gate → DSIR
+    * importance gate → MinHash near-dup collapse → √-temperature
+    * language mixing → hash split) with the KN-LM PERPLEXITY gate
+    * (cur_perplexity_kn's reference-LM discipline — model trained on
+    * the FULL corpus, gate applied to the current pool) inserted
+    * after the repetition gate. Every stage's core is an
+    * independently-verified operator; the oracle replays the entire
+    * chain end-to-end. */
+  def pipelineV5(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+      .select("doc_id", "text", "lang").localCheckpoint()
+    val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
+      isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
+      w = ShingleW, threshold = ContamThreshold)
+    val clean = qdocs
+      .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val calm = clean.join(
+        Repetition.signals(clean.select(col("doc_id"), col("text")))
+          .filter(!col("repetitive")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val fluent = calm
+      .join(TextRank.knKeep(spark, dir, calm.select(col("doc_id"), col("text"))), "doc_id")
+      .localCheckpoint()
+    val dsirKeep = Mixing.dsirWeights(fluent.select(col("doc_id"), col("lang"), col("text")))
+      .filter(col("w_micro") > 0).select("doc_id")
+    val pool = fluent.join(dsirKeep, "doc_id").localCheckpoint()
+    val pairs = graft.api.GraftOps.minhashCandidates(pool, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = pool
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mixed = Mixing.temperatureFilter(
+        kept.select(col("doc_id"), col("lang")), "lang", "doc_id")
+      .select("doc_id")
+    Curation.splitHash(kept.join(mixed, "doc_id"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  private lazy val pipelineV5Oracle: String =
+    s"""WITH qdocs AS MATERIALIZED (
+            SELECT doc_id, text, lang, toks
+            FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+            WHERE $qualityPassSql
+          ),
+          cb AS MATERIALIZED (SELECT doc_id, toks,
+                 $hashSql % 100 >= $BenchPctFloor AS is_bench FROM qdocs),
+          csh AS MATERIALIZED (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
+                 FROM (SELECT * FROM cb WHERE len(toks) >= $ShingleW)),
+          bench AS (SELECT DISTINCT sh FROM csh WHERE is_bench),
+          ctot AS (SELECT doc_id, count(*) AS n FROM csh WHERE NOT is_bench GROUP BY 1),
+          chit AS (SELECT s.doc_id, count(*) AS h FROM csh s JOIN bench USING (sh)
+                   WHERE NOT s.is_bench GROUP BY 1),
+          clean AS MATERIALIZED (
+            SELECT q.doc_id, q.text, q.lang
+            FROM cb b JOIN qdocs q USING (doc_id)
+            LEFT JOIN ctot t USING (doc_id) LEFT JOIN chit h USING (doc_id)
+            WHERE NOT b.is_bench AND
+              (CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(h.h, 0) / CAST(t.n AS DOUBLE), 6) END)
+                < $ContamThreshold),
+          ${Repetition.repetitionCtesFrom("clean")},
+          calm AS MATERIALIZED (
+            SELECT c.doc_id, c.text, c.lang FROM clean c
+            JOIN rep r ON c.doc_id = r.doc_id WHERE NOT r.repetitive),
+          ${TextRank.knScoreCtesFrom("calm")},
+          fluent AS MATERIALIZED (
+            SELECT c.doc_id, c.text, c.lang FROM calm c
+            JOIN knkeep USING (doc_id)),
+          ${Mixing.dsirCtesFrom("fluent")},
+          pool AS MATERIALIZED (
+            SELECT c.doc_id, c.text, c.lang FROM fluent c
+            JOIN dsirw w USING (doc_id) WHERE w.w_micro > 0),
+          ${Dedup.minhashPairCtesFrom("pool")},
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
+          kept AS MATERIALIZED (SELECT c.doc_id, c.text, c.lang FROM pool c
+                 LEFT JOIN l${Dedup.ClusterIters} l ON c.doc_id = l.v
+                 WHERE c.doc_id = coalesce(l.comp, c.doc_id)),
+          ${Mixing.mixTempCtesFrom("kept")},
+          mixed AS (SELECT k.doc_id, k.text FROM kept k JOIN tkeep USING (doc_id))
+        SELECT CASE WHEN $hashSql % 100 < ${Curation.TrainUpper} THEN 'train'
+                    WHEN $hashSql % 100 < ${Curation.ValUpper} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM mixed GROUP BY 1 ORDER BY split"""
+
   private lazy val pipelineV4Oracle: String =
     s"""WITH qdocs AS MATERIALIZED (
             SELECT doc_id, text, lang, toks
@@ -742,6 +839,7 @@ object CurationQuality {
     QueryDef("cur_pipeline_v2", pipelineV2, Some(pipelineV2Oracle)),
     QueryDef("cur_pipeline_v3", pipelineV3, Some(pipelineV3Oracle)),
     QueryDef("cur_pipeline_v4", pipelineV4, Some(pipelineV4Oracle)),
+    QueryDef("cur_pipeline_v5", pipelineV5, Some(pipelineV5Oracle)),
     QueryDef("cur_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),

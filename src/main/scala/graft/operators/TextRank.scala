@@ -356,6 +356,60 @@ object TextRank {
   }
 
   // lazy: knCtes/pknSql are declared further down the file
+  /** Composable form for pipelines: kept doc_ids of an arbitrary docs
+    * frame under the corpus-trained KN model (the reference-LM
+    * discipline — the model always trains on the FULL corpus, the
+    * gate applies to the pipeline's current pool ⊆ corpus). */
+  def knKeep(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val (_, model) = knModel(spark, dir)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(model, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        floor(log(
+          greatest(col("c12") - KnDiscount, lit(0.0)) / col("c1") +
+            lit(KnDiscount) * col("n1f") / col("c1") * (col("n1b") / col("bt"))) * 1e9)
+          .cast("long").as("lpn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), sum(col("lpn")).as("s"))
+      .filter(col("s") / col("nb") / 1e9 >= KnKeepLp)
+      .select("doc_id")
+  }
+
+  /** kn-prefixed CTE chain scoring `$rel` under the corpus-trained KN
+    * model; final CTE `knkeep(doc_id)` = rows passing the gate. The
+    * prefixes keep it composable into the multi-stage pipeline oracles
+    * without colliding with their CTE names. */
+  def knScoreCtesFrom(rel: String): String =
+    s"""knd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          kndbd AS MATERIALIZED (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM knd, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                 for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+          knpair AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM kndbd GROUP BY 1, 2),
+          knhist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM knpair GROUP BY 1),
+          knback AS (SELECT w2, count(*) AS n1b FROM knpair GROUP BY 1),
+          knt AS (SELECT count(*) AS bt FROM knpair),
+          knrb AS (SELECT r.doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel) r,
+                      unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                              for i in generate_series(1, len(toks) - 1)]) AS u(b)
+                 WHERE len(toks) >= 2),
+          knsc AS (SELECT knrb.doc_id,
+                        CAST(floor(ln(greatest(knpair.c12 - $KnDiscount, 0.0) / knhist.c1 +
+                     $KnDiscount * knhist.n1f / knhist.c1 * (knback.n1b / CAST(knt.bt AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT) AS lpn
+                 FROM knrb JOIN knpair ON knrb.w1 = knpair.w1 AND knrb.w2 = knpair.w2
+                      JOIN knhist ON knpair.w1 = knhist.w1
+                      JOIN knback ON knpair.w2 = knback.w2, knt),
+          knkeep AS MATERIALIZED (
+            SELECT doc_id FROM (SELECT doc_id, count(*) AS nb, sum(lpn) AS s
+                                FROM knsc GROUP BY 1)
+            WHERE s / nb / 1e9 >= $KnKeepLp)"""
+
   private lazy val perplexityKnOracle: String =
     s"""WITH $knCtes,
           sc AS (SELECT dbd.doc_id,

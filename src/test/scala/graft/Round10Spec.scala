@@ -376,6 +376,24 @@ class Round10Spec extends SparkSpec {
     assert(rows(1L)._1 + rows(2L)._1 == total, "no rows lost in the merged read")
   }
 
+  test("cur_pipeline_v5: the added perplexity gate can only shrink v4's corpus") {
+    val v4 = CurationQuality.pipelineV4(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v5 = CurationQuality.pipelineV5(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v5.nonEmpty)
+    // when the KN gate passes the whole corpus (true on this uniformly
+    // self-fluent synthetic text), v5 must equal v4 EXACTLY — the
+    // composition is provably a pass-through; a downstream-stage drift
+    // would surface here. (Keeper counts are NOT monotone in the pool
+    // in general — removing a chain-link doc can split a dup cluster —
+    // so the conditional identity is the strong checkable property.)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val withBigrams = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    val knPass = TextRank.knKeep(spark, sf, docs).count()
+    if (knPass == withBigrams) assert(v5 == v4, "KN gate passed everything but v5 != v4")
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
