@@ -524,15 +524,21 @@ object Classify {
     * standard eval table behind "is the classifier over-confident".
     * Probabilities are exact grid integers, buckets exact integer
     * division, counts exact — one double division at the very edge. */
-  def mlCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** (is_spam, p) per scored doc — the grid-exact probability table
+    * shared by calibration, the PR curve and the AUC. */
+  private def scoredGrid(spark: SparkSession, dir: String): DataFrame = {
     val (px, w) = trainBatch(spark, dir)
-    val g = ProbGrid.toLong
     px.join(w, "f")
       .groupBy("doc_id")
       .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
       .select(col("is_spam"),
         floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
           .cast("long").as("p"))
+  }
+
+  def mlCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val g = ProbGrid.toLong
+    scoredGrid(spark, dir)
       .withColumn("bucket", floor(col("p") * 10 / (g + 1)).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -598,16 +604,9 @@ object Classify {
     * spine and aggregates per threshold — counts are map-side
     * combined, the spine broadcasts. */
   def mlPrCurve(spark: SparkSession, dir: String): DataFrame = {
-    val (px, w) = trainBatch(spark, dir)
     val g = ProbGrid.toLong
-    val scored = px.join(w, "f")
-      .groupBy("doc_id")
-      .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
-      .select(col("is_spam"),
-        floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
-          .cast("long").as("p"))
     val spine = spark.range(1, 10).select(col("id").as("k"))
-    scored.crossJoin(broadcast(spine))
+    scoredGrid(spark, dir).crossJoin(broadcast(spine))
       .withColumn("pred", col("p") * 10 >= col("k") * g)
       .groupBy("k")
       .agg(
@@ -644,7 +643,57 @@ object Classify {
                     ELSE round(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
         FROM agg ORDER BY k"""
 
+  /** Exact ROC-AUC by the rank statistic: over distinct grid scores
+    * ascending, AUC·2n⁺n⁻ = Σ_s (2·n⁺(s)·negBelow(s) + n⁺(s)·n⁻(s)) —
+    * concordant pairs plus half-credit ties, ALL in exact integer
+    * arithmetic (decimal(38) accumulators: n⁺·n⁻ outgrows int64 at
+    * corpus scale); ONE final division. The cumulative window runs
+    * over DISTINCT scores — bounded by the 2²⁰+1 grid cardinality, a
+    * CONSTANT independent of corpus size, so the single-partition
+    * window never grows with the data. */
+  def mlAuc(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byScore = scoredGrid(spark, dir)
+      .groupBy("p")
+      .agg(sum(when(col("is_spam"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("is_spam"), 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(dec(col("np"))).as("npos"), sum(dec(col("nn"))).as("nneg"),
+        sum(dec(col("np")) * dec(col("neg_below")) * 2 + dec(col("np")) * dec(col("nn")))
+          .as("num2"))
+      .select(col("npos").cast("long").as("n_pos"), col("nneg").cast("long").as("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("npos").cast("double") * col("nneg").cast("double")), 8).as("auc"))
+  }
+
+  private val aucOracle: String =
+    s"""WITH $batchCtes,
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                 FROM px p JOIN w$BatchIters w USING (f) GROUP BY 1),
+          pr AS (SELECT is_spam,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT) AS p
+                 FROM sc),
+          bys AS (SELECT p,
+                         sum(CASE WHEN is_spam THEN 1 ELSE 0 END)::BIGINT AS np,
+                         sum(CASE WHEN is_spam THEN 0 ELSE 1 END)::BIGINT AS nn
+                  FROM pr GROUP BY 1),
+          cum AS (SELECT p, np, nn,
+                         coalesce(sum(nn) OVER (ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+                  FROM bys),
+          agg AS (SELECT sum(np) AS npos, sum(nn) AS nneg,
+                         sum(np::HUGEINT * neg_below * 2 + np::HUGEINT * nn) AS num2
+                  FROM cum)
+        SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+               round(CAST(num2 AS DOUBLE) /
+                     (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 8) AS auc
+        FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_auc", mlAuc, Some(aucOracle)),
     QueryDef("ml_pr_curve", mlPrCurve, Some(prCurveOracle)),
     QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
     QueryDef("ml_calibration", mlCalibration, Some(calibrationOracle)),

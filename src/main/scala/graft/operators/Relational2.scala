@@ -426,7 +426,47 @@ object Relational2 {
                  + (((mr - 1) * 5 // n) + 1) AS segment
         FROM r ORDER BY o_custkey"""
 
+  /** Per-group MODE (most frequent value, ties → smallest value — a
+    * deterministic rule both engines implement identically) next to
+    * the exact interpolated median — the two order statistics q25's
+    * percentile family doesn't cover. Mode = one (group, value)
+    * histogram + a per-group argmax window (PARTITIONED window, never
+    * global); median reuses the exact `percentile` ≡ DuckDB
+    * quantile_cont discipline. */
+  def q53ModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+    val hist = li.groupBy("g", "qty").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("g").orderBy(col("cnt").desc, col("qty"))
+    val mode = hist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("qty").as("mode_qty"), col("cnt").as("mode_count"))
+    val med = li.groupBy("g")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        count(lit(1)).as("n"))
+    mode.join(med, "g")
+      .select(col("g").as("returnflag"), col("mode_qty"), col("mode_count"),
+        col("median_price"), col("n"))
+      .orderBy("returnflag")
+  }
+
+  private val modeMedianOracle: String =
+    """WITH li AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS qty,
+                          l_extendedprice FROM lineitem),
+          hist AS (SELECT g, qty, count(*) AS cnt FROM li GROUP BY 1, 2),
+          mode AS (SELECT g, qty AS mode_qty, cnt AS mode_count FROM (
+                SELECT g, qty, cnt,
+                       row_number() OVER (PARTITION BY g ORDER BY cnt DESC, qty) AS rn
+                FROM hist) WHERE rn = 1),
+          med AS (SELECT g, round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+                         count(*) AS n
+                  FROM li GROUP BY 1)
+        SELECT m.g AS returnflag, m.mode_qty, m.mode_count, d.median_price, d.n
+        FROM mode m JOIN med d USING (g) ORDER BY returnflag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),
     QueryDef("q47_assoc_rules", q47AssocRules, Some(assocOracle)),
     QueryDef("q19_pivot", q19Pivot, Some(

@@ -1087,6 +1087,76 @@ object Similarity {
     * per table) inlined as literal DOUBLE[] rows — the bucket collisions,
     * candidate union and final ranking are verified bit-for-bit, same
     * technique as Dedup.embLshOracle. */
+  /** Recall@K of the LSH ANN tier against the exact brute-force
+    * ground truth, as an OPERATOR (eval-as-query — the number a
+    * retrieval pipeline monitors in production, not just a spec
+    * assertion): per-query overlap of the two verified top-K sets
+    * plus a mean row (qid = −1). Both sides are the registered
+    * operators' own plans; the oracle recomputes BOTH from scratch
+    * and intersects, so the recall itself is value-verified. */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(spark, dir).select(col("qid"), col("neighbor"))
+      .localCheckpoint()
+    val ann = annLsh(spark, dir).select(col("qid"), col("neighbor"))
+    val hits = exact.join(ann, Seq("qid", "neighbor"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    val perQ = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .localCheckpoint() // consumed by the per-query rows AND the mean
+    val mean = perQ.agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+      .select(lit(-1L).as("qid"), col("n_exact"), col("n_hit"))
+    perQ.unionAll(mean)
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .orderBy("qid")
+  }
+
+  private lazy val recallReportOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          xq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+          xc AS (SELECT xq.qid, e.vec_id AS neighbor,
+                        list_dot_product(xq.qv, e.v) /
+                          (sqrt(list_dot_product(xq.qv, xq.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+                 FROM xq, e WHERE e.vec_id <> xq.qid),
+          xr AS MATERIALIZED (SELECT qid, neighbor FROM (
+                SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, neighbor) AS rnk FROM xc) WHERE rnk <= $TopK),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id
+                   FROM buck bq JOIN buck bc ON bq.t = bc.t AND bq.bv = bc.bv
+                   WHERE bq.vec_id < $NumQueries AND bc.vec_id <> bq.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            list_dot_product(eq.v, ec.v) /
+                              (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          ar AS MATERIALIZED (SELECT qid, vec_id AS neighbor FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rnk FROM scored) WHERE rnk <= $TopK),
+          hits AS (SELECT x.qid, count(*) AS n_hit
+                   FROM xr x JOIN ar a ON x.qid = a.qid AND x.neighbor = a.neighbor
+                   GROUP BY 1),
+          perq AS MATERIALIZED (
+            SELECT x.qid, count(*) AS n_exact, coalesce(any_value(h.n_hit), 0) AS n_hit
+            FROM xr x LEFT JOIN hits h ON x.qid = h.qid GROUP BY 1),
+          allr AS (SELECT qid, n_exact, n_hit FROM perq
+                   UNION ALL
+                   SELECT -1, sum(n_exact), sum(n_hit) FROM perq)
+        SELECT qid, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+               round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+        FROM allr ORDER BY qid"""
+  }
+
   private lazy val annLshOracle: String = {
     val planeRows = (0 until NumTables).flatMap { t =>
       val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
@@ -1673,6 +1743,7 @@ object Similarity {
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
+    QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),

@@ -394,6 +394,62 @@ class Round10Spec extends SparkSpec {
     if (knPass == withBigrams) assert(v5 == v4, "KN gate passed everything but v5 != v4")
   }
 
+  test("ml_auc: matches the brute-force pairwise statistic exactly") {
+    val r = Classify.mlAuc(spark, sf).collect().head
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(auc >= 0 && auc <= 1)
+    // recompute over all (pos, neg) pairs from the raw grid scores
+    val w = Classify.mlLogregBatch(spark, sf).collect()
+      .map(x => x.getInt(0) -> math.rint(x.getDouble(1) * 1e6).toLong).toMap
+    val scored = Classify.instances(spark, sf).collect()
+      .filter(_.getSeq[Int](2).nonEmpty)
+      .map { x =>
+        val sc = x.getSeq[Int](2).map(f => w.getOrElse(f, 0L)).sum
+        val p = math.floor(1.0 / (1.0 + math.exp(-(sc / 1e6))) * Classify.ProbGrid + 0.5).toLong
+        (x.getBoolean(1), p)
+      }
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filter(!_._1).map(_._2)
+    assert(pos.length == nPos && neg.length == nNeg)
+    val num2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val brute = num2.toDouble / (2.0 * nPos * nNeg)
+    assert(math.abs(auc - brute) < 5e-9, s"auc $auc != brute $brute")
+  }
+
+  test("q53_mode_median: the mode really is the most frequent value") {
+    val hist = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+    Relational2.q53ModeMedian(spark, sf).collect().foreach { r =>
+      val (g, mq, mc) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rows = hist(g).map(x => (x.getLong(1), x.getLong(2)))
+      assert(rows.map(_._2).max == mc, s"group $g: mode count $mc not maximal")
+      assert(rows.filter(_._2 == mc).map(_._1).min == mq, s"group $g: tie not broken to smallest")
+      val med = r.getDouble(3)
+      assert(med >= rows.map(_._1).min && r.getLong(4) == rows.map(_._2).sum)
+    }
+  }
+
+  test("sim_recall_report: per-query rows intersect the two registered operators exactly") {
+    val exact = Similarity.cosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val ann = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val rows = Similarity.simRecallReport(spark, sf).collect()
+    val perQ = rows.filter(_.getLong(0) >= 0)
+    perQ.foreach { r =>
+      val q = r.getLong(0)
+      val expHits = exact(q).map(_._2).toSet
+        .intersect(ann.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet).size
+      assert(r.getLong(2) == expHits, s"query $q hit count mismatch")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+    val mean = rows.filter(_.getLong(0) == -1L).head
+    assert(mean.getLong(1) == perQ.map(_.getLong(1)).sum)
+    assert(mean.getLong(2) == perQ.map(_.getLong(2)).sum)
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
