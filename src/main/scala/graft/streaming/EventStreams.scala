@@ -654,6 +654,71 @@ object EventStreams {
       .select(col("nation"), expr("us div 1000").as("window_ms"), col("n"), col("cents"))
   }
 
+  // ---- streaming CDC (latest-wins materialized state) ----
+
+  /** Batch mirror of the CDC view: each user's LATEST event (max
+    * (ts, event_id) — the deterministic total order) is their current
+    * state; the registered query summarizes the materialized state
+    * table per type with exact cents. The streaming arm is the
+    * upsert-at-ingest shape: ONE (ts, eid, type, cents) tuple of
+    * state per key, updated monotonically — the materialized-view
+    * maintenance every CDC sink (Debezium-style latest-wins) runs. */
+  def cdcBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  private val cdcOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        SELECT event_type, count(*) AS n_users, sum(cents)::BIGINT AS cents
+        FROM r WHERE rn = 1 GROUP BY 1 ORDER BY event_type"""
+
+  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cdcCore(readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)])
+  }
+
+  /** Latest-wins state core: state per user = (ts, eid, type, cents)
+    * of the winning event; rows fold through a max on (ts, eid).
+    * Emits each user's CURRENT state at the end of every invocation
+    * (provisional until the stream drains — the ewmaCore discipline),
+    * so a drained stream materializes exactly the batch mirror's
+    * per-user state table. */
+  def cdcCore(evs: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    evs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long, String, Long),
+        (Long, String, Long)](OM.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, Long, String, Long)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L))
+          rows.foreach { case (eid, _, ts, typ, v) =>
+            if (ts > cur._1 || (ts == cur._1 && eid > cur._2))
+              cur = (ts, eid, typ, math.floor(v * 100 + 0.5).toLong)
+          }
+          state.update(cur)
+          Iterator.single((user, cur._3, cur._4))
+      }
+      .toDF("user_id", "event_type", "cents")
+  }
+
   // ---- streaming EWMA (per-type hourly smoothed metric) ----
 
   /** Batch mirror of the streaming EWMA: hourly cent-exact value sums
@@ -882,6 +947,7 @@ object EventStreams {
     QueryDef("stream_minhash_dedup", minhashDedupBatch, Some(minhashDedupOracle)),
     QueryDef("stream_ewma", ewmaBatch, Some(ewmaOracle)),
     QueryDef("stream_enrich", enrichBatch, Some(enrichOracle)),
+    QueryDef("stream_cdc", cdcBatch, Some(cdcOracle)),
     QueryDef("stream_topk", topkBatch, Some(
       s"""WITH w AS (SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
                             event_type, count(*) AS cnt

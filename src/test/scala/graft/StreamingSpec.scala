@@ -163,6 +163,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("latest-wins CDC state converges to the batch materialized view") {
+    runToMemory(EventStreams.cdcStream(spark, sf), "scdc", OutputMode.Append())
+    val streamed = spark.table("scdc").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cents")))
+      .groupBy(_._1).view.mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val batch = EventStreams.cdcBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
