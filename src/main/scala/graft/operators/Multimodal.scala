@@ -285,7 +285,13 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
-  private lazy val phashOracle: String = {
+  private lazy val phashHamSql: String = (0 until PhashBands)
+    .map(b => s"bit_count(xor(ca.band$b, cb.band$b))")
+    .mkString(" + ")
+
+  /** Shared CTE chain up to the banded candidate `pairs` — consumed by
+    * the pair report and the cluster-resolution oracle. */
+  private lazy val phashCtes: String = {
     val bandSql = (0 until PhashBands).map { b =>
       val bits = (0 until PhashBits).map { k =>
         val j = PhashBits * b + k
@@ -297,10 +303,7 @@ object Multimodal {
     val bandUnion = (0 until PhashBands)
       .map(b => s"SELECT doc_id, $b AS bj, band$b AS bv FROM codes")
       .mkString("\n                 UNION ALL ")
-    val hamSql = (0 until PhashBands)
-      .map(b => s"bit_count(xor(ca.band$b, cb.band$b))")
-      .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, length(text) AS n,
+    s"""d AS (SELECT doc_id, length(text) AS n,
                           [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
                    FROM documents),
           t AS (SELECT doc_id, n, cs, list_sum(cs) AS total FROM d),
@@ -310,15 +313,51 @@ object Multimodal {
           cand AS ($bandUnion),
           pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                     FROM cand x JOIN cand y ON x.bj = y.bj AND x.bv = y.bv
-                    WHERE x.doc_id < y.doc_id)
-        SELECT p.a, p.b, CAST($hamSql AS BIGINT) AS hamming
+                    WHERE x.doc_id < y.doc_id)"""
+  }
+
+  private lazy val phashOracle: String =
+    s"""WITH $phashCtes
+        SELECT p.a, p.b, CAST($phashHamSql AS BIGINT) AS hamming
         FROM pairs p JOIN codes ca ON p.a = ca.doc_id JOIN codes cb ON p.b = cb.doc_id
-        WHERE $hamSql <= $PhashMaxHamming
+        WHERE $phashHamSql <= $PhashMaxHamming
         ORDER BY p.a, p.b"""
+
+  /** End-to-end media near-dup RESOLUTION: the blockhash pairs
+    * collapsed to clusters (min-label CC) with one keeper each — the
+    * mm-tier mirror of dedup_cluster (pairs alone don't dedup; a
+    * payload chained A≈B≈C must collapse even when A,C never pair
+    * directly). Singletons keep themselves. */
+  val PhashCcIters = 8
+  def mmPhashCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mmDedupPhash(spark, dir).select("a", "b")
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", PhashCcIters)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("is_keep", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val phashClusterOracle: String = {
+    s"""WITH $phashCtes,
+          hpairs AS MATERIALIZED (
+            SELECT p.a, p.b
+            FROM pairs p JOIN codes ca ON p.a = ca.doc_id JOIN codes cb ON p.b = cb.doc_id
+            WHERE $phashHamSql <= $PhashMaxHamming),
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM hpairs
+                    UNION ALL SELECT b, a FROM hpairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(PhashCcIters)}
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster,
+               (d.doc_id = coalesce(l.comp, d.doc_id)) AS is_keep
+        FROM documents d LEFT JOIN l$PhashCcIters l ON d.doc_id = l.v
+        ORDER BY d.doc_id"""
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_dedup_phash", mmDedupPhash, Some(phashOracle)),
+    QueryDef("mm_phash_cluster", mmPhashCluster, Some(phashClusterOracle)),
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineOracle)),
     // Oracle covers the deterministic stub arithmetic; the decode seam
     // itself is the part a real codec would replace.

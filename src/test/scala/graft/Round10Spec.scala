@@ -318,6 +318,25 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("mm_phash_cluster: clusters are closed over the pair graph with min-id keepers") {
+    val pairs = Multimodal.mmDedupPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Multimodal.mmPhashCluster(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"paired payloads $a/$b in different clusters")
+    }
+    rows.foreach { r =>
+      val (d, c, keep) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(c <= d, "cluster label must be the min member id")
+      assert(keep == (d == c))
+    }
+    // every cluster keeps exactly one
+    rows.groupBy(_.getLong(1)).foreach { case (_, g) =>
+      assert(g.count(_.getBoolean(2)) == 1)
+    }
+  }
+
   test("cur_chunk_passages plans with zero Exchange (pure in-row restructuring)") {
     val plan = Curation.chunkPassages(spark, sf).queryExecution.executedPlan
     def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int =
