@@ -309,7 +309,37 @@ object EventAnalytics {
         GROUP BY 1, 2, 3
         ORDER BY a, b, c"""
 
+  /** Distinct users per trailing 7-day window — the windowed
+    * COUNT DISTINCT every growth dashboard runs, in its at-scale
+    * decomposition: sliding distinct does NOT merge by addition, so
+    * the plan dedups to (day, user) first (the big reduction, map-side
+    * combined), then EXPLODES each day-user into the ≤7 windows it
+    * serves and counts distinct per window — shuffle ∝ 7·|day-users|,
+    * never 7·|events|. Windows anchor on days present in the data. */
+  val SlideDays = 7
+  def q54SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds the window explode AND the day spine
+    val days = du.select(col("day").as("wday")).distinct()
+    du.join(days,
+        col("wday") >= col("day") && col("wday") < col("day") + SlideDays)
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("wday")
+  }
+
+  private val slidingDistinctOracle: String =
+    s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+                    FROM events),
+          days AS (SELECT DISTINCT day AS wday FROM du)
+        SELECT d.wday, count(DISTINCT du.user_id) AS n_users
+        FROM du JOIN days d ON d.wday >= du.day AND d.wday < du.day + $SlideDays
+        GROUP BY 1 ORDER BY wday"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_sliding_distinct", q54SlidingDistinct, Some(slidingDistinctOracle)),
     QueryDef("q51_seq_support", q51SeqSupport, Some(seqSupportOracle)),
     QueryDef("q48_markov_transitions", q48MarkovTransitions, Some(markovOracle)),
     QueryDef("q49_session_funnel", q49SessionFunnel, Some(sessionFunnelOracle)),

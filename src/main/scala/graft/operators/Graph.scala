@@ -1121,9 +1121,9 @@ object Graph {
         FROM l$SccChainLen l JOIN sz ON l.level = sz.level ORDER BY scc"""
   }
 
-  /** Shared CTE body of the SCC oracles: graph construction, recursive
-    * closure, mutual pairs, labels. */
-  private lazy val sccCtes: String =
+  /** Just the directed-graph construction CTEs (ending in `edges`) —
+    * shared by the SCC oracles and graph_reciprocity. */
+  private lazy val sccEdgeCtes: String =
     s"""seq AS MATERIALIZED (
             SELECT o_orderkey AS k, o_custkey AS c,
                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
@@ -1138,7 +1138,12 @@ object Graph {
                      AND ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000 < $SccBackPct),
           edges AS MATERIALIZED (
             SELECT src, dst FROM chain WHERE dst IS NOT NULL
-            UNION SELECT src, dst FROM back),
+            UNION SELECT src, dst FROM back)"""
+
+  /** Shared CTE body of the SCC oracles: graph construction, recursive
+    * closure, mutual pairs, labels. */
+  private lazy val sccCtes: String =
+    s"""$sccEdgeCtes,
           verts AS MATERIALIZED (SELECT DISTINCT v FROM
             (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
           reach(src, dst) AS (
@@ -1363,6 +1368,62 @@ object Graph {
         FROM h$HitsIters h JOIN a$HitsIters a USING (v) ORDER BY v"""
   }
 
+  /** Edge reciprocity of the directed order graph (chain + back
+    * edges): the fraction of edges whose reverse also exists — "do
+    * relationships point both ways", the first-order directed-graph
+    * shape statistic. One self-join on the swapped key; exact counts,
+    * one division. A back edge k→head is reciprocated exactly when k
+    * is the run head's immediate successor, so the measured value has
+    * a closed-form expectation the spec sanity-bounds. */
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = sccEdges(spark, dir).distinct().localCheckpoint()
+    val recip = e.as("x").join(e.as("y"),
+      col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        round(col("n_recip") / col("n_edges"), 6).as("reciprocity"))
+  }
+
+  private lazy val reciprocityOracle: String =
+    s"""WITH $sccEdgeCtes,
+          r AS (SELECT count(*) AS n_recip
+                FROM edges x JOIN edges y ON x.src = y.dst AND x.dst = y.src),
+          t AS (SELECT count(*) AS n_edges FROM edges)
+        SELECT t.n_edges, r.n_recip,
+               round(r.n_recip / CAST(t.n_edges AS DOUBLE), 6) AS reciprocity
+        FROM t, r"""
+
+  /** Log₂-binned degree histogram of the symmetric supplier↔part
+    * graph — the power-law diagnostic read before choosing hub
+    * mitigations (salting thresholds, caps). The bin index is the
+    * BINARY LENGTH of the integer degree minus one (length(bin(d))−1
+    * ≡ ⌊log₂ d⌋ with NO libm call — exact at every power-of-two
+    * boundary where a float log would flip). One degree aggregate +
+    * one tiny groupBy. */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = liPairs(spark, dir).select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst"))
+    val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .withColumn("bin", (length(expr("bin(d)")) - 1).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .withColumn("bin_lo", expr("CAST(pow(2, bin) AS BIGINT)"))
+      .select(col("bin"), col("bin_lo"), col("n_nodes"), col("min_deg"), col("max_deg"))
+      .orderBy("bin")
+  }
+
+  private lazy val degreeHistOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+          binned AS (SELECT d, length(bin(d)) - 1 AS bin FROM deg)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(pow(2, bin) AS BIGINT) AS bin_lo,
+               count(*) AS n_nodes, min(d) AS min_deg, max(d) AS max_deg
+        FROM binned GROUP BY bin ORDER BY bin"""
+
   /** Adamic–Adar link prediction between suppliers over shared parts
     * (GraftOps.adamicAdar): the weighted sibling of graph_jaccard —
     * shared RARE parts score higher than shared hub parts. Same capped
@@ -1542,6 +1603,8 @@ object Graph {
     QueryDef("graph_butterflies", graphButterflies, Some(butterfliesOracle)),
     QueryDef("graph_jaccard", graphJaccard, Some(jaccardOracle)),
     QueryDef("graph_adamic_adar", graphAdamicAdar, Some(adamicAdarOracle)),
+    QueryDef("graph_reciprocity", graphReciprocity, Some(reciprocityOracle)),
+    QueryDef("graph_degree_hist", graphDegreeHist, Some(degreeHistOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_betweenness", graphBetweenness, Some(betweennessOracle)),

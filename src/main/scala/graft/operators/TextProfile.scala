@@ -98,6 +98,80 @@ object TextProfile {
       floor(log(col("cnt").cast("double")) * ZipfGrid).cast("long").as("y")))
   }
 
+  /** Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β, the companion
+    * law to Zipf: distinct BIGRAM-type count vs tokens seen at ten
+    * doc-id-ordered corpus prefixes, fit log-log through the shared
+    * exact-moment linearFit core (logs on the 1e-6 grid). The
+    * synthetic corpus has a CLOSED ~31-word unigram vocabulary (and a
+    * near-saturated bigram space) — zero/low variance, unfittable — so
+    * the law is measured on TRIGRAM types, whose 31³-sized space the
+    * corpus never exhausts; the estimator is identical either way. A type's FIRST doc (one
+    * min-groupBy) makes every prefix a filtered count — no per-prefix
+    * rescan, the one-pass way to draw the whole growth curve. */
+  val HeapsDeciles = 10
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("size(filter(toks, t -> t <> ''))").cast("long").as("nt"),
+        col("toks"))
+      .localCheckpoint() // feeds token totals, first-docs, and the spine
+    val nDocs = docs.agg(max(col("doc_id")).as("mx"))
+    val spine = spark.range(1, HeapsDeciles + 1).select(col("id").as("p"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("p"), expr(s"CAST(ceil((mx + 1) * p / $HeapsDeciles.0) AS BIGINT)").as("cut"))
+    val toksSeen = docs.crossJoin(broadcast(spine))
+      .filter(col("doc_id") < col("cut"))
+      .groupBy("p").agg(sum(col("nt")).as("tokens"))
+    val firstDoc = docs
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
+    val vocabSeen = firstDoc.crossJoin(broadcast(spine))
+      .filter(col("fd") < col("cut"))
+      .groupBy("p").agg(count(lit(1)).as("vocab"))
+    Classify.linearFit(toksSeen.join(vocabSeen, "p").select(
+      floor(log(col("tokens").cast("double")) * ZipfGrid).cast("long").as("x"),
+      floor(log(col("vocab").cast("double")) * ZipfGrid).cast("long").as("y")))
+  }
+
+  private val heapsOracle: String =
+    s"""WITH docs AS (SELECT doc_id,
+                          len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+          mxd AS (SELECT max(doc_id) AS mx FROM docs),
+          spine AS (SELECT u.p, CAST(ceil((mxd.mx + 1) * u.p / $HeapsDeciles.0) AS BIGINT) AS cut
+                    FROM mxd, unnest(generate_series(1, $HeapsDeciles)) u(p)),
+          ts AS (SELECT s.p, sum(d.nt) AS tokens FROM docs d, spine s
+                 WHERE d.doc_id < s.cut GROUP BY 1),
+          fd AS (SELECT w, min(doc_id) AS fd FROM (
+                   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS w
+                   FROM docs, unnest(generate_series(1, len(toks) - 2)) u(i)
+                   WHERE len(toks) >= 3)
+                 GROUP BY 1),
+          vs AS (SELECT s.p, count(*) AS vocab FROM fd, spine s
+                 WHERE fd.fd < s.cut GROUP BY 1),
+          b AS (SELECT CAST(floor(ln(ts.tokens::DOUBLE) * $ZipfGrid) AS BIGINT) AS x,
+                       CAST(floor(ln(vs.vocab::DOUBLE) * $ZipfGrid) AS BIGINT) AS y
+                FROM ts JOIN vs USING (p)),
+          s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                FROM b)
+        SELECT n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+               round((sy::DOUBLE -
+                      ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                     / n::DOUBLE, 4) AS intercept,
+               round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+                      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)) /
+                     ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 8) AS r2
+        FROM s"""
+
   private val zipfOracle: String =
     s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -196,6 +270,7 @@ object TextProfile {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_js_divergence", jsDivergence, Some(jsOracle)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfOracle)),
+    QueryDef("text_heaps_fit", heapsFit, Some(heapsOracle)),
     QueryDef("text_langid", langId, Some(
       s"""SELECT doc_id, lang,
                  round(len(list_filter(string_split(text, ' '), t -> $stopPredSql))

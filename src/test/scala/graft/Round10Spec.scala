@@ -469,6 +469,53 @@ class Round10Spec extends SparkSpec {
     assert(mean.getLong(2) == perQ.map(_.getLong(2)).sum)
   }
 
+  test("q54_sliding_distinct: every window equals the brute-force distinct count") {
+    val du = graft.sources.Tables.events(spark, sf)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = EventAnalytics.q54SlidingDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, n) = (r.getLong(0), r.getLong(1))
+      val expect = du.filter { case (d, _) => d <= w && d > w - EventAnalytics.SlideDays }
+        .map(_._2).distinct.length
+      assert(n == expect, s"window $w: $n != brute $expect")
+    }
+  }
+
+  test("graph_reciprocity: matches the brute-force reverse-edge count") {
+    val e = Graph.sccEdges(spark, sf).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val es = e.toSet
+    val r = Graph.graphReciprocity(spark, sf).collect().head
+    assert(r.getLong(0) == e.length)
+    assert(r.getLong(1) == e.count { case (a, b) => es.contains((b, a)) })
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+  }
+
+  test("graph_degree_hist: bins partition the vertex set with power-of-two bounds") {
+    val rows = Graph.graphDegreeHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, lo, _, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(lo == (1L << bin))
+      assert(mn >= lo && mx < 2 * lo, s"bin $bin bounds violated: [$mn,$mx] vs [$lo,${2 * lo})")
+    }
+    val nVerts = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .select(explode(array(col("l_suppkey"), col("l_partkey") + Graph.PartOffset)).as("v"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nVerts, "bins must partition the vertex set")
+  }
+
+  test("text_heaps_fit: a real sublinear growth law on this corpus") {
+    val r = TextProfile.heapsFit(spark, sf).collect().head
+    val (slope, r2) = (r.getDouble(1), r.getDouble(3))
+    assert(slope > 0 && slope <= 1, s"Heaps beta $slope outside (0,1]")
+    assert(r2 >= 0 && r2 <= 1)
+  }
+
   test("ml_dbscan: core/border/noise labels are consistent with the candidate graph") {
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", Dbscan.DbEps)
