@@ -30,9 +30,11 @@ object Dbscan {
     * counts the point itself; minPts = DbMinNb + 1). */
   val DbEps = 0.35
   val DbMinNb = 3
-  /** Label-propagation rounds for the core-subgraph CC — candidate
-    * clusters here are tiny chains; 8 min-label rounds reach any
-    * component of diameter ≤ 2⁸ the way dedup_cluster's do. */
+  /** Label-propagation rounds for the core-subgraph CC — plain
+    * min-label propagation moves labels 1 hop per round, so DbCcIters
+    * rounds cover components of diameter ≤ DbCcIters (the fixed-round
+    * discipline the other CC users document); candidate clusters here
+    * are tiny chains well inside that bound. */
   val DbCcIters = 8
 
   def mlDbscan(spark: SparkSession, dir: String): DataFrame = {

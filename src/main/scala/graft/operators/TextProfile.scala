@@ -99,7 +99,7 @@ object TextProfile {
   }
 
   /** Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β, the companion
-    * law to Zipf: distinct BIGRAM-type count vs tokens seen at ten
+    * law to Zipf: distinct TRIGRAM-type count vs tokens seen at ten
     * doc-id-ordered corpus prefixes, fit log-log through the shared
     * exact-moment linearFit core (logs on the 1e-6 grid). The
     * synthetic corpus has a CLOSED ~31-word unigram vocabulary (and a

@@ -28,14 +28,14 @@ import graft.sources.Tables
   * the k-NN construction). */
 object Truss {
   /** k = 4 (every surviving edge in ≥ 2 surviving triangles) over a
-    * DENSER K=6 neighbor graph than sim_knn_graph's K=3: at k = 3 the
+    * DENSER K=TrussKnnK neighbor graph than sim_knn_graph's K=3: at k = 3 the
     * peel is provably cascade-free (every triangle self-supports), so
     * the denser base is what makes truss pruning actually iterate. */
   val TrussK = 4
   val TrussKnnK = 10
   val FixedRounds = 4
 
-  /** The K=6 LSH k-NN edge set — sim_knn_graph's construction with
+  /** The K=TrussKnnK LSH k-NN edge set — sim_knn_graph's construction with
     * the truss' own K (the shared NumTables×BitsPerTable candidate
     * generation; exact cosine only within buckets). */
   private def knnEdges(spark: SparkSession, dir: String): DataFrame = {

@@ -27,6 +27,11 @@ object IoRoundtrip {
 
   private val memo = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Drop the memoized written roots (both the format-roundtrip and
+    * schema-evolution layouts) so a timed pass pays the full
+    * write+read cost (benchmark harnesses call this between passes). */
+  def reset(): Unit = { memo.clear(); evoMemo.clear() }
+
   private def writtenRoot(spark: SparkSession, dir: String): String =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
       val key = java.security.MessageDigest.getInstance("MD5")

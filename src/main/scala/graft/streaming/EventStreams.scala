@@ -697,7 +697,16 @@ object EventStreams {
     * Emits each user's CURRENT state at the end of every invocation
     * (provisional until the stream drains — the ewmaCore discipline),
     * so a drained stream materializes exactly the batch mirror's
-    * per-user state table. */
+    * per-user state table.
+    *
+    * MULTI-BATCH CAVEAT: under OutputMode.Append every invocation
+    * re-emits every touched key, so a run split across micro-batches
+    * appends one provisional row per (key, batch) to the sink; the
+    * batch-equivalence property holds for the LAST emission per key
+    * (dedup the sink on key taking the final batch, or replay in a
+    * single batch as the specs do). The production alternative —
+    * emit only on state change and close on watermark — trades this
+    * simplicity for an event-time column in the state tuple. */
   def cdcCore(evs: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)]): DataFrame = {
     import evs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
@@ -787,7 +796,10 @@ object EventStreams {
     * PROVISIONALLY at the end of each invocation (without committing
     * it to state) so a drained stream matches the batch mirror row for
     * row; the float fold adds terms newest-lag-first in exactly the
-    * batch plan's reduceLeft order, so the doubles are bit-identical. */
+    * batch plan's reduceLeft order, so the doubles are bit-identical.
+    * Multi-micro-batch runs re-emit the provisional tail each batch —
+    * see cdcCore's MULTI-BATCH CAVEAT (same discipline, same sink
+    * dedup remedy). */
   def ewmaCore(evs: org.apache.spark.sql.Dataset[(Long, String, Long, Double)]): DataFrame = {
     import evs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
