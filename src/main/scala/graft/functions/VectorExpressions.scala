@@ -208,6 +208,64 @@ object MatVec {
       "built-in")
 }
 
+/** Multiprobe probe-bucket set for random-hyperplane LSH (Lv et al.,
+  * VLDB'07 — query-directed probing restricted to single-bit flips):
+  * the [[LshBucket]] base bucket plus the `nprobe` buckets reached by
+  * flipping the bits whose hyperplane margin |v·wⱼ| is SMALLEST (ties
+  * by bit index ascending) — exactly the buckets a near-miss neighbor
+  * most likely hashed into. Query-side only: the corpus is still
+  * hashed once per table, so recall rises at ZERO extra tables and
+  * zero extra corpus shuffle; only the (tiny) query side fans out
+  * 1+nprobe rows per table. Margins accumulate element-sequentially,
+  * so a SQL oracle ranking DuckDB's list_dot_product margins makes
+  * the identical flip choices bit-for-bit. */
+case class LshProbes(child: Expression, numPlanes: Int, dims: Int,
+                     seed: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_probes"
+
+  @transient lazy val planes: Array[Array[Double]] = LshBucket.planes(numPlanes, dims, seed)
+
+  override def nullSafeEval(a: Any): Any =
+    LshProbes.probes(planes, a.asInstanceOf[ArrayData], dims, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshProbes$$.MODULE$$.probes($p, $a, $dims, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshProbes = copy(child = c)
+}
+
+object LshProbes {
+  def probes(planes: Array[Array[Double]], v: ArrayData, dims: Int,
+             nprobe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val numPlanes = planes.length
+    val n = math.min(dims, v.numElements())
+    val margin = new Array[Double](numPlanes)
+    var bucket = 0
+    var j = 0
+    while (j < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getDouble(d) * planes(j)(d); d += 1 }
+      if (dot > 0) bucket |= (1 << j)
+      margin(j) = math.abs(dot)
+      j += 1
+    }
+    val k = math.min(nprobe, numPlanes)
+    val order = (0 until numPlanes).sortBy(j => (margin(j), j))
+    val out = new Array[Int](1 + k)
+    out(0) = bucket
+    var i = 0
+    while (i < k) { out(i + 1) = bucket ^ (1 << order(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object LshBucket {
   /** ±1 plane components from md5("plane_<seed>_<j>_<d>") — the same
     * derivation a SQL oracle can reproduce with md5/substr/hex-cast. */
@@ -246,6 +304,11 @@ object VectorExpressions {
     LshBucket(asDoubleArray(exprs.head),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
       if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0)
+
+  private[graft] def lshProbesBuilder(exprs: Seq[Expression]): Expression =
+    LshProbes(asDoubleArray(exprs.head),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int], exprs(4).eval().asInstanceOf[Int])
 
   private[graft] def vintPackBuilder(exprs: Seq[Expression]): Expression = {
     val arr = exprs.head.dataType match {
@@ -291,6 +354,8 @@ object VectorExpressions {
       "dot_product", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", lshBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_probes", lshProbesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

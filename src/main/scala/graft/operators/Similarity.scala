@@ -159,6 +159,89 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Multiprobe LSH ANN (Lv et al., VLDB'07): [[annLsh]]'s tables and
+    * corpus hashing unchanged, but each QUERY additionally probes, per
+    * table, the [[MultiProbe]] buckets reached by flipping its
+    * lowest-margin sign bits (the native `lsh_probes` expression) —
+    * the buckets a just-missed neighbor most likely fell into. Recall
+    * rises at ZERO extra tables: the corpus side is hashed and
+    * shuffled exactly once per table as before, and only the
+    * NumQueries-sized query side fans out 1+MultiProbe rows per
+    * table (still broadcast). The candidate set grows ≈(1+MultiProbe)×
+    * — the at-scale trade VLDB'07 demonstrates: probes are cheaper
+    * than tables because tables cost corpus-sized memory/shuffle.
+    * AnnVariantsSpec measures the recall win vs [[annLsh]] at the
+    * identical table budget. */
+  val MultiProbe = 2
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(spark, dir)
+    val buckets = (0 until NumTables).map(t =>
+      expr(s"lsh_bucket(v, $BitsPerTable, 64, $t)").as(s"b$t"))
+    val e = e0.select(col("vec_id") +: buckets: _*)
+    val q0 = e0.filter(col("vec_id") < NumQueries)
+    val ids = (0 until NumTables).map { t =>
+      val qp = q0.select(col("vec_id").as("qid"),
+        explode(expr(s"lsh_probes(v, $BitsPerTable, 64, $t, $MultiProbe)")).as("bv"))
+      e.select(col("vec_id"), col(s"b$t").as("bv"))
+        .join(broadcast(qp), Seq("bv"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+    }.reduce(_ unionAll _).distinct()
+    val scored = ids
+      .join(broadcast(q0.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .join(e0, Seq("vec_id"))
+      .select(col("qid"), expr("cosine_sim(qv, v)").as("cos"), col("vec_id"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "cos", payloadCol = "vec_id", k = TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB mirror of annLshMultiprobe: the annLshOracle chain with
+    * per-(query, table) margins ranked |dot| asc (ties by bit index)
+    * picking the MultiProbe flipped buckets — the identical flip
+    * choices, since both engines accumulate the dot element-
+    * sequentially. */
+  private lazy val annLshMultiprobeOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          proj AS (SELECT e.vec_id, p.t, p.j,
+                          list_dot_product(e.v, p.w) AS dot
+                   FROM e, planes p),
+          buck AS MATERIALIZED (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS bv
+            FROM proj GROUP BY 1, 2),
+          qflip AS (SELECT vec_id, t, j FROM (
+                      SELECT vec_id, t, j,
+                             row_number() OVER (PARTITION BY vec_id, t
+                               ORDER BY abs(dot), j) AS rn
+                      FROM proj WHERE vec_id < $NumQueries)
+                    WHERE rn <= $MultiProbe),
+          qprobe AS (SELECT vec_id, t, bv FROM buck WHERE vec_id < $NumQueries
+                     UNION
+                     SELECT f.vec_id, f.t, xor(b.bv, CAST(1 << f.j AS BIGINT)) AS bv
+                     FROM qflip f JOIN buck b ON f.vec_id = b.vec_id AND f.t = b.t),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
+                   FROM qprobe q JOIN buck c ON q.t = c.t AND q.bv = c.bv
+                   WHERE c.vec_id <> q.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+        SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+  }
+
   /** k-NN GRAPH over the whole corpus (every vector is a query) — the
     * backbone structure for diversity sampling, graph-based dedup
     * clustering, and NN-descent-style refinement in a training-data
@@ -1743,6 +1826,7 @@ object Similarity {
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
+    QueryDef("sim_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeOracle)),
     QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
