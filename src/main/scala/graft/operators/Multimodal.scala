@@ -9,15 +9,52 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: treat media as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so `StubDecoder` is a
-  * clearly-marked deterministic fake; the Spark-side plumbing — schema,
-  * binary column, per-partition batched decode via mapPartitions, typed
-  * output Encoder — is real and tested, and is exactly where a JNI/
-  * native decoder would plug in. Batch shape matters at scale: the
-  * decode loop amortizes per-batch setup (model load, codec init)
-  * across a whole partition instead of per-row.
+  * The container ships no media FILES, so payloads are synthesized
+  * deterministically from each document's text bytes as multi-frame
+  * binary P6 PPM images ([[PpmPayload.build]] — a real, public image
+  * format). The decode path is then an honest byte-format parse:
+  * [[PpmDecoder]] walks magic / ASCII dimensions / maxval / pixel
+  * planes frame by frame and would reject malformed bytes, and
+  * [[PpmFeatureExtractor]] computes its features from the PARSED
+  * pixel values, not from the construction recipe. The oracle never
+  * parses — it recomputes the expected stats from the (public)
+  * synthesis arithmetic, so the parser is verified against an
+  * independent derivation. The Spark-side batch shape — binary
+  * column, per-partition init() via mapPartitions, typed output
+  * Encoder — is where a JPEG/audio codec would plug in unchanged.
   */
 object Multimodal {
+
+  /** Deterministic payload synthesis: `1 + n%4` concatenated binary
+    * P6 PPM frames (header `P6\n<w> <h>\n255\n`, then w·h·3 pixel
+    * bytes), w = 8 + n%9, h = 8 + n%7, with frame f's pixel k set to
+    * text byte (f + k) mod n — real image bytes whose pixel stats a
+    * SQL oracle can recompute in closed form (cycle counts + prefix
+    * sums) without a parser. */
+  object PpmPayload {
+    def dims(n: Int): (Int, Int, Int) = (8 + n % 9, 8 + n % 7, 1 + n % 4)
+
+    def build(text: Array[Byte]): Array[Byte] = {
+      val n = text.length
+      val (w, h, frames) = dims(n)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val npix = w * h * 3
+      val out = new Array[Byte](frames * (header.length + npix))
+      var pos = 0
+      var f = 0
+      while (f < frames) {
+        System.arraycopy(header, 0, out, pos, header.length)
+        pos += header.length
+        var k = 0
+        while (k < npix) {
+          out(pos) = if (n == 0) 0 else text((f + k) % n)
+          pos += 1; k += 1
+        }
+        f += 1
+      }
+      out
+    }
+  }
 
   /** Decoder contract. A real implementation would wrap e.g. a JPEG or
     * audio codec; init() is called once per PARTITION (not per row). */
@@ -26,13 +63,40 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (Int, Int, Int) // (width, height, frames)
   }
 
-  /** STUB: deterministic fake decode derived from the byte length only.
-    * Replace with a real codec when one is available in the runtime. */
-  object StubDecoder extends Decoder {
+  /** REAL byte-format parse of (possibly multi-frame) binary P6 PPM:
+    * validates the magic, reads the ASCII dimensions and maxval,
+    * skips each frame's pixel plane, requires consistent dimensions
+    * across frames and an exact byte count — malformed input throws
+    * rather than returning garbage. */
+  object PpmDecoder extends Decoder {
     def init(): Unit = ()
+
+    private[operators] def readInt(b: Array[Byte], start: Int): (Int, Int) = {
+      var p = start; var v = 0
+      require(p < b.length && b(p) >= '0' && b(p) <= '9', s"expected digit at $p")
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+      (v, p)
+    }
+
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
-      val n = bytes.length
-      (n % 640, n % 480, n % 16)
+      var pos = 0; var frames = 0; var w0 = 0; var h0 = 0
+      while (pos < bytes.length) {
+        require(pos + 3 <= bytes.length &&
+          bytes(pos) == 'P' && bytes(pos + 1) == '6' && bytes(pos + 2) == '\n',
+          s"bad PPM magic at $pos")
+        val (w, p1) = readInt(bytes, pos + 3)
+        require(p1 < bytes.length && bytes(p1) == ' ', "bad dims separator")
+        val (h, p2) = readInt(bytes, p1 + 1)
+        require(p2 < bytes.length && bytes(p2) == '\n', "bad dims terminator")
+        val (mx, p3) = readInt(bytes, p2 + 1)
+        require(mx == 255 && p3 < bytes.length && bytes(p3) == '\n', "bad maxval")
+        pos = p3 + 1 + w * h * 3
+        require(pos <= bytes.length, "truncated pixel plane")
+        if (frames == 0) { w0 = w; h0 = h }
+        else require(w == w0 && h == h0, "inconsistent frame dims")
+        frames += 1
+      }
+      (w0, h0, frames)
     }
   }
 
@@ -43,9 +107,11 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("frames", IntegerType)))
 
-  /** Binary-column pipeline: text bytes stand in for media payloads. */
+  /** Binary-column pipeline: synthesized PPM payloads, REALLY parsed.
+    * Payload construction and decode both happen partition-local (one
+    * pass, no shuffle); the decoder sees only bytes. */
   def metadata(spark: SparkSession, dir: String,
-               decoder: Decoder = StubDecoder): DataFrame = {
+               decoder: Decoder = PpmDecoder): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val bin = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -53,14 +119,14 @@ object Multimodal {
       decoder.init() // once per partition: codec/model setup amortized
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes = PpmPayload.build(r.getAs[Array[Byte]](1))
         val (w, h, f) = decoder.decode(bytes)
         Row(id, bytes.length.toLong, w, h, f)
       }
     }(enc).orderBy("doc_id")
   }
 
-  /** Frame sampling: expand each payload into its (stub-)decoded frame
+  /** Frame sampling: expand each payload into its parsed frame
     * rows with a stable per-frame key — the one-to-many media expansion
     * (video → frames, audio → chunks) a training pipeline feeds to
     * feature extraction. In-row `sequence` + `explode`: no shuffle. */
@@ -75,8 +141,8 @@ object Multimodal {
 
   /** Feature-extractor contract: init() once per partition (model
     * load), extract() per payload — the mapPartitions batch shape that
-    * amortizes setup at 100 TB. The stub derives a deterministic
-    * 8-dim vector from md5 so the oracle reproduces it exactly. */
+    * amortizes setup at 100 TB. [[PpmFeatureExtractor]] computes an
+    * 8-dim pixel-statistic vector from the parsed payload. */
   trait FeatureExtractor extends Serializable {
     def init(): Unit
     def extract(bytes: Array[Byte]): Array[Double]
@@ -84,22 +150,51 @@ object Multimodal {
 
   val FeatureDims = 8
 
-  /** STUB: feature j = round(int(md5(md5(payload) ++ "_j")[0:8]) / 2^32, 6).
-    * Replace with a real (e.g. image-embedding) kernel; everything
-    * around it — batching, schema, explode shape — stays. */
-  object StubFeatureExtractor extends FeatureExtractor {
+  /** REAL pixel-statistic features from the PARSED first frame: the
+    * pixel plane splits into [[FeatureDims]] contiguous slices and
+    * feature j = round((mean(slice j) − mean(frame)) / 255, 6) — the
+    * centered slice-luminance profile, a classic cheap image
+    * descriptor (centering keeps the vectors directional instead of
+    * all-positive-near-parallel, so cosine discriminates). Everything
+    * derives from pixel bytes the parser read, never from the payload
+    * recipe; the oracle recomputes the same stats in closed form from
+    * the synthesis arithmetic, so parse bugs surface as value
+    * mismatches. HALF_UP on the exact decimal expansion == DuckDB
+    * round() (half away from zero); rint would be half-even. */
+  object PpmFeatureExtractor extends FeatureExtractor {
     def init(): Unit = ()
-    private def md5hex(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(b).map("%02x".format(_)).mkString
     def extract(bytes: Array[Byte]): Array[Double] = {
-      val h = md5hex(bytes)
+      // parse frame-0 header with the shared reader
+      require(bytes.length >= 3 && bytes(0) == 'P' && bytes(1) == '6' && bytes(2) == '\n',
+        "bad PPM magic")
+      val (w, p1) = PpmDecoder.readInt(bytes, 3)
+      require(bytes(p1) == ' ', "bad dims separator")
+      val (h, p2) = PpmDecoder.readInt(bytes, p1 + 1)
+      require(bytes(p2) == '\n', "bad dims terminator")
+      val (mx, p3) = PpmDecoder.readInt(bytes, p2 + 1)
+      require(mx == 255 && bytes(p3) == '\n', "bad maxval")
+      val base = p3 + 1
+      val npix = w * h * 3
+      require(base + npix <= bytes.length, "truncated pixel plane")
+      val sums = new Array[Long](FeatureDims)
+      var all = 0L
+      var j = 0
+      while (j < FeatureDims) {
+        val s = j * npix / FeatureDims
+        val e = (j + 1) * npix / FeatureDims
+        var k = s
+        var acc = 0L
+        while (k < e) { acc += bytes(base + k) & 0xff; k += 1 }
+        sums(j) = acc; all += acc
+        j += 1
+      }
+      val g = all.toDouble / npix
       Array.tabulate(FeatureDims) { j =>
-        val hj = md5hex(s"${h}_$j".getBytes("UTF-8")).substring(0, 8)
-        val v = java.lang.Long.parseLong(hj, 16) / 4294967296.0
-        // HALF_UP on the exact decimal expansion == DuckDB round()
-        // (half away from zero for positives); rint would be half-even
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val s = j * npix / FeatureDims
+        val e = (j + 1) * npix / FeatureDims
+        val mean = sums(j).toDouble / (e - s)
+        BigDecimal((mean - g) / 255.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
   }
@@ -112,7 +207,7 @@ object Multimodal {
   /** Batched feature extraction over the binary column, exploded to
     * (doc_id, feat_no, value) scalar rows. */
   def features(spark: SparkSession, dir: String,
-               fx: FeatureExtractor = StubFeatureExtractor): DataFrame = {
+               fx: FeatureExtractor = PpmFeatureExtractor): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featSchema)
     val bin = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -120,7 +215,7 @@ object Multimodal {
       fx.init()
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val fs = fx.extract(r.getAs[Array[Byte]](1))
+        val fs = fx.extract(PpmPayload.build(r.getAs[Array[Byte]](1)))
         fs.iterator.zipWithIndex.map { case (v, j) => Row(id, j, v) }
       }
     }(enc).orderBy("doc_id", "feat_no")
@@ -146,12 +241,12 @@ object Multimodal {
 
   /** COMPOSED multimodal near-dup pipeline — the mm analog of
     * cur_pipeline: binary payloads → per-partition batched feature
-    * extraction (the StubFeatureExtractor seam, as vectors) →
+    * extraction (the PpmFeatureExtractor seam, as vectors) →
     * LSH-bucketed cosine near-dup pairs over the 8-dim feature space
     * (GraftOps.embeddingNearDupPairs — 8 tables × 4 sign bits, exact
     * cosine only within buckets) → connected components on the pair
     * graph → min-id keeper per cluster. ONE oracle replays the whole
-    * chain: stub features, plane projections, bucket collisions,
+    * chain: closed-form features, plane projections, bucket collisions,
     * cosine filter, CC rounds, keepers. */
   val MmThreshold = 0.97
   val MmTables = 8
@@ -167,13 +262,13 @@ object Multimodal {
 
   /** Feature vectors per payload (the array form of `features`). */
   def featureVectors(spark: SparkSession, dir: String,
-                     fx: FeatureExtractor = StubFeatureExtractor): DataFrame = {
+                     fx: FeatureExtractor = PpmFeatureExtractor): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(vecSchema)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .mapPartitions { rows =>
         fx.init() // once per partition: model load amortized
-        rows.map(r => Row(r.getLong(0), fx.extract(r.getAs[Array[Byte]](1))))
+        rows.map(r => Row(r.getLong(0), fx.extract(PpmPayload.build(r.getAs[Array[Byte]](1)))))
       }(enc)
   }
 
@@ -193,6 +288,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Closed-form recomputation of the PPM slice features — NO parser:
+    * frame-0 pixel k is text byte k mod n, so every slice sum is
+    * (full cycles)·total + a prefix sum, and the oracle derives the
+    * identical doubles the parser-side extractor produced from the
+    * actual pixel bytes. Ends with `f` (doc_id, j, v). */
+  private lazy val featCtes: String =
+    s"""fd AS (SELECT doc_id, octet_length(text::BLOB) AS n,
+                 [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
+          FROM documents),
+          ft AS (SELECT doc_id, n, cs, list_sum(cs) AS total,
+                 (8 + n % 9) * (8 + n % 7) * 3 AS npix FROM fd),
+          fs AS (SELECT doc_id, n, cs, total, npix, j,
+                 (j * npix) // $FeatureDims AS sj,
+                 ((j + 1) * npix) // $FeatureDims AS ej
+          FROM ft, unnest(generate_series(0, ${FeatureDims - 1})) AS u(j)),
+          fv0 AS (SELECT doc_id, j,
+                 ((ej // n) * total + coalesce(list_sum(cs[1 : ej % n]), 0)) -
+                 ((sj // n) * total + coalesce(list_sum(cs[1 : sj % n]), 0)) AS sum_j,
+                 ej - sj AS cnt,
+                 (npix // n) * total + coalesce(list_sum(cs[1 : npix % n]), 0) AS sum_all,
+                 npix
+          FROM fs),
+          f AS MATERIALIZED (SELECT doc_id, j,
+                 round((sum_j::DOUBLE / cnt - sum_all::DOUBLE / npix) / 255.0, 6) AS v
+          FROM fv0)"""
+
   private lazy val mmPipelineOracle: String = {
     val planeRows = (0 until MmTables).flatMap { t =>
       val ps = graft.functions.LshBucket.planes(MmBits, FeatureDims, t)
@@ -200,12 +321,8 @@ object Multimodal {
         s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
       }
     }.mkString(",\n            ")
-    s"""WITH f AS MATERIALIZED (
-            SELECT doc_id, CAST(j AS INT) AS feat_no,
-                   round(('0x' || substr(md5(md5(text) || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
-                         / 4294967296.0, 6) AS v
-            FROM documents, unnest(generate_series(0, ${FeatureDims - 1})) AS u(j)),
-          vec AS MATERIALIZED (SELECT doc_id, list(v ORDER BY feat_no) AS fv FROM f GROUP BY 1),
+    s"""WITH $featCtes,
+          vec AS MATERIALIZED (SELECT doc_id, list(v ORDER BY j) AS fv FROM f GROUP BY 1),
           planes(t, j, w) AS (VALUES
             $planeRows),
           proj AS (SELECT vec.doc_id, p.t,
@@ -237,7 +354,7 @@ object Multimodal {
     * sum exceeds the payload mean" (compared as blocksum·64 > total —
     * EXACT integer arithmetic, no division). Similar payloads share
     * most block statistics, so near-identical media collide in hash
-    * space — the production image-dedup shape, on the stub payloads.
+    * space — the production image-dedup shape, on the synthesized payloads.
     *
     * Candidate generation is the dedup_simhash pigeonhole: 8 bands of
     * 8 bits; hamming ≤ 7 GUARANTEES a shared band, so the banded join
@@ -359,31 +476,32 @@ object Multimodal {
     QueryDef("mm_dedup_phash", mmDedupPhash, Some(phashOracle)),
     QueryDef("mm_phash_cluster", mmPhashCluster, Some(phashClusterOracle)),
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineOracle)),
-    // Oracle covers the deterministic stub arithmetic; the decode seam
-    // itself is the part a real codec would replace.
+    // Oracles recompute the expected values from the public payload-
+    // synthesis arithmetic (never by parsing), so the Spark side's
+    // REAL byte-format parse is verified against an independent
+    // derivation.
     QueryDef("mm_metadata", (s, d) => metadata(s, d), Some(
-      """SELECT doc_id,
-                CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
-                CAST(octet_length(text::BLOB) % 640 AS INT) AS width,
-                CAST(octet_length(text::BLOB) % 480 AS INT) AS height,
-                CAST(octet_length(text::BLOB) % 16 AS INT) AS frames
-         FROM documents ORDER BY doc_id""")),
+      """WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS n FROM documents),
+             d AS (SELECT doc_id, 8 + n % 9 AS w, 8 + n % 7 AS h, 1 + n % 4 AS nf FROM m)
+         SELECT doc_id,
+                CAST(nf * (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w * h * 3) AS BIGINT) AS byte_len,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(nf AS INT) AS frames
+         FROM d ORDER BY doc_id""")),
     QueryDef("mm_frames", (s, d) => frames(s, d), Some(
       """SELECT doc_id, f AS frame_no,
                 md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f AS VARCHAR)) AS frame_key
-         FROM (SELECT doc_id, octet_length(text::BLOB) % 16 AS nf FROM documents),
+         FROM (SELECT doc_id, 1 + octet_length(text::BLOB) % 4 AS nf FROM documents),
               unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS u(f)
          ORDER BY doc_id, frame_no""")),
     QueryDef("mm_features", (s, d) => features(s, d), Some(
-      s"""SELECT doc_id, CAST(j AS INT) AS feat_no,
-                 round(('0x' || substr(md5(md5(text) || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
-                       / 4294967296.0, 6) AS value
-          FROM documents, unnest(generate_series(0, ${FeatureDims - 1})) AS u(j)
-          ORDER BY doc_id, feat_no""")),
+      s"""WITH $featCtes
+          SELECT doc_id, CAST(j AS INT) AS feat_no, v AS value
+          FROM f ORDER BY doc_id, feat_no""")),
     QueryDef("mm_resize", (s, d) => resizePlan(s, d), Some(
       s"""WITH m AS (SELECT doc_id,
-                            CAST(octet_length(text::BLOB) % 640 AS INT) AS width,
-                            CAST(octet_length(text::BLOB) % 480 AS INT) AS height
+                            CAST(8 + octet_length(text::BLOB) % 9 AS INT) AS width,
+                            CAST(8 + octet_length(text::BLOB) % 7 AS INT) AS height
                      FROM documents)
           SELECT doc_id, width, height,
                  CAST(width * $ResizeTarget // greatest(width, height) AS INT) AS out_w,

@@ -325,7 +325,7 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
-  test("multimodal resize preserves aspect ratio; features are 8 per doc in [0,1)") {
+  test("multimodal resize preserves aspect ratio; centered pixel features are 8 per doc in (-1,1)") {
     val rs = operators.Multimodal.resizePlan(spark, sf).collect()
     assert(rs.nonEmpty)
     rs.foreach { r =>
@@ -340,13 +340,48 @@ class OperatorsSpec extends SparkSpec {
     val fs = operators.Multimodal.features(spark, sf).collect()
     val perDoc = fs.groupBy(_.getLong(0)).values.map(_.length).toSet
     assert(perDoc == Set(operators.Multimodal.FeatureDims))
-    assert(fs.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    // centered slice-mean features live in (−1, 1) and each doc's
+    // slice deviations weight-sum to ~0 (slices partition the frame)
+    assert(fs.forall(r => math.abs(r.getDouble(2)) < 1.0))
   }
 
-  test("multimodal metadata matches payload byte lengths") {
-    val bad = Multimodal.metadata(spark, sf)
-      .join(sources.Tables.documents(spark, sf), "doc_id")
-      .filter(length(col("text")) =!= col("byte_len"))
-    assert(bad.count() == 0)
+  test("multimodal metadata matches the synthesized payload byte lengths and PPM dims") {
+    val n2len = (n: Long) => {
+      val (w, h, f) = Multimodal.PpmPayload.dims(n.toInt)
+      f.toLong * (9 + w.toString.length + h.toString.length + w * h * 3)
+    }
+    val rows = Multimodal.metadata(spark, sf)
+      .join(sources.Tables.documents(spark, sf).select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n")), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val (w, h, f) = Multimodal.PpmPayload.dims(n.toInt)
+      assert(r.getAs[Long]("byte_len") == n2len(n))
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h &&
+        r.getAs[Int]("frames") == f)
+    }
+  }
+
+  test("PpmDecoder is a real parser: round-trips build(), rejects malformed bytes") {
+    val text = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    val payload = Multimodal.PpmPayload.build(text)
+    val (w, h, f) = Multimodal.PpmPayload.dims(text.length)
+    assert(Multimodal.PpmDecoder.decode(payload) == ((w, h, f)))
+    // header checks actually fire
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmDecoder.decode("P5\n8 8\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel plane
+      Multimodal.PpmDecoder.decode(payload.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // wrong maxval
+      Multimodal.PpmDecoder.decode("P6\n2 2\n254\n".getBytes("US-ASCII") ++ new Array[Byte](12))
+    }
+    // features derive from parsed pixels: a payload with uniform pixels
+    // has zero deviation in every slice
+    val flat = "P6\n8 8\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](8 * 8 * 3)(65)
+    assert(Multimodal.PpmFeatureExtractor.extract(flat).forall(_ == 0.0))
   }
 }
