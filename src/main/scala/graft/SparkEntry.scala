@@ -10,7 +10,7 @@ object SparkEntry {
     Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs ++ Dedup.defs ++ SuffixArray.defs ++
       Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ MlTrees.defs ++ Dbscan.defs ++ Multimodal.defs ++
       Graph.defs ++ Truss.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
-      EventAnalytics.defs ++ Forecast.defs ++
+      EventAnalytics.defs ++ Forecast.defs ++ QuantileSketch.defs ++
       graft.sources.IoRoundtrip.defs ++
       graft.streaming.EventStreams.defs
 
