@@ -22,6 +22,34 @@ import graft.functions.HashingScheme._
   */
 object GraftOps {
 
+  /** Config key: when "true", iterative cores truncate lineage with
+    * RELIABLE `checkpoint()` (to the SparkContext's checkpoint dir,
+    * which the caller must have set) instead of `localCheckpoint()`. */
+  val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
+
+  /** Lineage truncation for iterative state. Default is
+    * `localCheckpoint()`: blocks live on executors — fast, no
+    * distributed-FS round trip, and exactly right on local[n].
+    * On a 1000-executor cluster an executor loss discards its blocks
+    * and, because the lineage was TRUNCATED, they are unrecoverable —
+    * the whole job dies. Setting [[ReliableCheckpointKey]]=true (plus
+    * `sc.setCheckpointDir` on durable storage) switches every
+    * iterative core — PageRank loops, CC/SCC sweeps, MST contraction,
+    * coreness peeling, Louvain, BFS — to reliable `checkpoint()`:
+    * each round's state persists to the checkpoint dir and survives
+    * any executor failure, at the cost of one DFS write per
+    * truncation. Same plans, same results (CheckpointToggleSpec
+    * proves bit-identity); purely a durability trade. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableCheckpointKey).contains("true"))
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  /** `.truncated()` — chainable [[truncate]]. */
+  private[graft] implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
+    def truncated(): DataFrame = truncate(df)
+  }
+
   /** (id, shingle) distinct pairs for n-gram shingling of a text column.
     * Docs shorter than n tokens yield no shingles (the CASE guard
     * matters: Spark's sequence(1, 0) is the DESCENDING [1, 0], not
@@ -43,7 +71,7 @@ object GraftOps {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // consumed 3× (sizes + both join sides); materialized once
-    val sh = shingleSet(df, id, text, n).localCheckpoint()
+    val sh = shingleSet(df, id, text, n).truncated()
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
     sh.select(col(id).as("a"), col("sh"))
       .join(sh.select(col(id).as("b"), col("sh")), Seq("sh"))
@@ -67,7 +95,7 @@ object GraftOps {
     * the candidate set comes from the LSH tiers first. */
   def containmentPairs(df: DataFrame, id: String, text: String,
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSet(df, id, text, n).localCheckpoint()
+    val sh = shingleSet(df, id, text, n).truncated()
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
     sh.select(col(id).as("a"), col("sh"))
       .join(sh.select(col(id).as("b"), col("sh")), Seq("sh"))
@@ -154,7 +182,7 @@ object GraftOps {
         // pair SET is unchanged (each hot pair found at its a-side
         // slot; cross-band duplicates collapse in the distinct).
         val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
-          .localCheckpoint()
+          .truncated()
         val tagged = cand.join(counts, Seq("bj", "bv"))
         def sided(as: String) =
           tagged.select(col(id).as(as), col("bj"), col("bv"), col("__n"))
@@ -178,7 +206,7 @@ object GraftOps {
     * pair-join sides), exploded to (id, band index, band value). */
   private def bandedSignatures(df: DataFrame, id: String, text: String, n: Int,
                                bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val sigs = minhashSignatures(df, id, text, n).localCheckpoint()
+    val sigs = minhashSignatures(df, id, text, n).truncated()
     (sigs, bandCandidates(sigs, id, bands, rowsPerBand))
   }
 
@@ -272,7 +300,7 @@ object GraftOps {
     // a larger radius would silently drop in-radius pairs
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-band exhaustive search, got $maxHamming")
-    val sigs = simhashSignatures(df, id, text).localCheckpoint()
+    val sigs = simhashSignatures(df, id, text).truncated()
     val bands = (0 until 4).map(j =>
       sigs.selectExpr(id, s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
       .reduce(_ unionAll _)
@@ -310,10 +338,10 @@ object GraftOps {
     // every leg re-runs the source scan + cast + bucket projection
     val e = df.select(col(id),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
-      .localCheckpoint()
+      .truncated()
     val buckets = (0 until tables).map(t =>
       expr(s"lsh_bucket(v, $bits, $dims, $t)").as(s"b$t"))
-    val banded = e.select(col(id) +: buckets: _*).localCheckpoint()
+    val banded = e.select(col(id) +: buckets: _*).truncated()
     val cand = (0 until tables).map(t =>
       banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
       .reduce(_ unionAll _)
@@ -370,7 +398,7 @@ object GraftOps {
                   k: Int = 4, w: Int = 4,
                   minShared: Long = 2, maxDf: Long = 100): DataFrame = {
     // the sketch feeds the df-cap count AND both join sides
-    val fps = winnowFingerprints(df, id, text, k, w).localCheckpoint()
+    val fps = winnowFingerprints(df, id, text, k, w).truncated()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val kept = fps.join(rare, "fp")
@@ -444,7 +472,7 @@ object GraftOps {
     var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
       .limit(k)
       .select(col("__kid").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
+      .truncated()
     for (_ <- 1 to iters) {
       val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
       val assigned = e.crossJoin(broadcast(centArr))
@@ -457,7 +485,7 @@ object GraftOps {
       cents = cents.select(col("cid"), col("cv").as("__old"))
         .join(updated, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv"), col("__old")).as("cv"))
-        .localCheckpoint()
+        .truncated()
     }
     cents
   }
@@ -515,14 +543,14 @@ object GraftOps {
     val e = df.select(col(id).as("__kid"),
         expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"),
         (graft.functions.TextFns.hash32(col(id).cast("string")) % batches).as("__b"))
-      .localCheckpoint() // consumed once per batch round
+      .truncated() // consumed once per batch round
     var cents = e.orderBy(md5(col("__kid").cast("string")), col("__kid"))
       .limit(k)
       .select(col("__kid").as("cid"), col("v").as("cv"), lit(0L).as("cnt"))
-      .localCheckpoint()
+      .truncated()
     for (b <- 0 until batches) {
       cents = miniBatchStep(cents, e.filter(col("__b") === b), "__kid", "v")
-        .localCheckpoint() // k rows; flattens the per-batch lineage
+        .truncated() // k rows; flattens the per-batch lineage
     }
     cents.select(col("cid"), col("cnt").as("n_seen"),
         round(element_at(col("cv"), 1), 6).as("c0"))
@@ -688,7 +716,7 @@ object GraftOps {
     // consumed every round (plus the node build): materialize once —
     // without this each round re-runs the upstream edge derivation
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     connectedComponentsSym(edges, iters)
   }
 
@@ -731,7 +759,7 @@ object GraftOps {
   def connectedComponentsIncremental(baseLabels: DataFrame, deltaUnd: DataFrame,
                                      u: String, v: String): DataFrame = {
     val lbl = baseLabels.select(col("v").as("__v"), col("comp").as("__c"))
-      .localCheckpoint() // consumed 3×: both endpoint maps + the new-vertex anti-join
+      .truncated() // consumed 3×: both endpoint maps + the new-vertex anti-join
     val mapped = deltaUnd.select(col(u).as("a"), col(v).as("b"))
       .join(lbl, col("a") === col("__v"), "left")
       .select(coalesce(col("__c"), col("a")).as("ca"), col("b"))
@@ -844,7 +872,7 @@ object GraftOps {
         .select(col("v"),
           (lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) + col("m") * col("jump0")) +
            lit(alpha) * col("jump0")).as("r"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0) ranks = ranks.truncated()
     }
     ranks
   }
@@ -888,7 +916,7 @@ object GraftOps {
         .select(col("v"),
           (lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) + col("m") * col("jump0")) +
            lit(alpha) * col("jump0")).as("r"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0) ranks = ranks.truncated()
     }
     ranks
   }
@@ -965,7 +993,7 @@ object GraftOps {
             .otherwise(col("mx") + log(
               exp(col("t1") - col("mx")) + exp(col("t2") - col("mx")) +
                 exp(col("t3") - col("mx")))).as("lr"))
-      if (i % 3 == 0) lranks = lranks.localCheckpoint()
+      if (i % 3 == 0) lranks = lranks.truncated()
     }
     lranks
   }
@@ -1005,14 +1033,14 @@ object GraftOps {
     // self-loop edges must still receive a label (self-loops are
     // filtered from the contraction, not from the graph)
     val allNodes = und.select(col(u).as("n"))
-      .unionAll(und.select(col(v).as("n"))).distinct().localCheckpoint()
+      .unionAll(und.select(col(v).as("n"))).distinct().truncated()
     val init = und.select(col(u).as("u"), col(v).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().truncated()
     var cur = init
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      val next = star(star(cur, large = true), large = false).truncated()
       // single-action set equality: next/cur are distinct, so per-pair
       // tag-sum 3 ⟺ in both; sets equal ⟺ every union pair is in both
       val eq = next.select(col("u"), col("v"), lit(1).as("side"))
@@ -1046,9 +1074,9 @@ object GraftOps {
                      numSeeds: Int = 3, probeRounds: Int = 6): Boolean = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).localCheckpoint()
+      .filter(col("src") =!= col("dst")).truncated()
     val seeds = edges.select(col("src").as("n")).distinct()
-      .orderBy(xxhash64(col("n")), col("n")).limit(numSeeds).localCheckpoint()
+      .orderBy(xxhash64(col("n")), col("n")).limit(numSeeds).truncated()
     var visited = seeds
     var frontier = seeds
     var exhausted = false
@@ -1056,9 +1084,9 @@ object GraftOps {
     while (r < probeRounds && !exhausted) {
       frontier = edges.join(frontier, edges("src") === frontier("n"))
         .select(col("dst").as("n")).distinct()
-        .join(visited, Seq("n"), "left_anti").localCheckpoint()
+        .join(visited, Seq("n"), "left_anti").truncated()
       exhausted = frontier.isEmpty
-      visited = visited.unionAll(frontier).localCheckpoint() // disjoint by the anti-join
+      visited = visited.unionAll(frontier).truncated() // disjoint by the anti-join
       r += 1
     }
     exhausted
@@ -1085,9 +1113,9 @@ object GraftOps {
       return connectedComponentsLogN(und, u, v)
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v")).localCheckpoint()
+      .withColumn("comp", col("v")).truncated()
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var round = 0
@@ -1098,7 +1126,7 @@ object GraftOps {
       // round anyway, and it keeps the dynamic-length lineage flat
       labels = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .truncated()
       // monotone convergence witness: equal sum ⟺ no label changed
       // (decimal(38,0): immune to long overflow on huge id sums;
       // null sum = empty graph = trivially converged)
@@ -1125,12 +1153,12 @@ object GraftOps {
                        k: Int, rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     val sources = edges.select(col("src").as("n")).distinct()
       .orderBy(md5(col("n").cast("string")), col("n")).limit(k)
       .select(col("n").as("s"))
     var dist = sources.select(col("s"), col("s").as("v"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .truncated()
     var frontier = dist
     var i = 0
     var settled = false
@@ -1143,7 +1171,7 @@ object GraftOps {
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).as("d2"),
           (col("dist").isNull).as("__chg")) // unit weights: first reach is final
-        .localCheckpoint()
+        .truncated()
       frontier = joined.filter(col("__chg"))
         .select(col("s"), col("v"), col("d2").as("dist"))
       dist = joined.select(col("s"), col("v"), col("d2").as("dist"))
@@ -1178,7 +1206,7 @@ object GraftOps {
                          k: Int, rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     val sources = edges.select(col("src").as("n")).distinct()
       .orderBy(md5(col("n").cast("string")), col("n")).limit(k)
       .select(col("n").as("s"))
@@ -1187,27 +1215,27 @@ object GraftOps {
     // table, where re-unioning the level checkpoints each round would
     // cost O(L²) scans of them over the whole phase
     var level = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .truncated()
     var levels = Vector(level)
-    var seen = level.select(col("s"), col("v")).localCheckpoint()
+    var seen = level.select(col("s"), col("v")).truncated()
     var r = 0
     var done = false
     while (r < rounds && !done) {
       val nxt = edges.join(level, edges("src") === level("v"))
         .groupBy(col("s"), edges("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
         .join(seen, Seq("s", "v"), "left_anti")
-        .localCheckpoint()
+        .truncated()
       if (nxt.isEmpty) done = true
       else {
         levels :+= nxt; level = nxt
-        seen = seen.unionAll(nxt.select(col("s"), col("v"))).localCheckpoint()
+        seen = seen.unionAll(nxt.select(col("s"), col("v"))).truncated()
       }
       r += 1
     }
     // backward: δ per (s, v), deepest level first; each step is one
     // edge join between adjacent levels + a groupBy on the pred
     var delta = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
-      .localCheckpoint()
+      .truncated()
     var acc = delta
     for (lev <- levels.size - 2 to 0 by -1) {
       val succ = levels(lev + 1)
@@ -1220,7 +1248,7 @@ object GraftOps {
         .agg(round(coalesce(sum(col("sigma") / col("sw") * (lit(1.0) + col("dw"))),
           lit(0.0)), 9).as("delta"))
         .select(col("s"), col("v"), col("sigma"), col("delta"))
-        .localCheckpoint()
+        .truncated()
       acc = acc.unionAll(delta.select(col("s"), col("v"), col("delta")))
     }
     // sources contribute no dependency to themselves: drop (s, v = s)
@@ -1260,7 +1288,7 @@ object GraftOps {
                                   maxOuter: Int = 20, maxSweep: Int = 40,
                                   maxTrim: Int = 8): DataFrame = {
     val e0 = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().truncated()
     // Priority UNIQUENESS is a soundness requirement, not a tuning knob:
     // if an ancestor and a descendant of v (not mutually reachable)
     // shared a priority, fm == bm could match and merge v into a wrong
@@ -1270,12 +1298,12 @@ object GraftOps {
     // oracle is an independent transitive closure, so the salt never
     // needs replaying.
     val vset = e0.select(col("src").as("v")).unionAll(e0.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().truncated()
     def withPrio(s: Int): DataFrame = {
       val base = if (s == 0) col("v").cast("string")
                  else concat(col("v").cast("string"), lit("#" + s))
       vset.withColumn("p",
-        conv(substring(md5(base), 1, 15), 16, 10).cast("long")).localCheckpoint()
+        conv(substring(md5(base), 1, 15), 16, 10).cast("long")).truncated()
     }
     var salt = 0
     var verts = withPrio(salt)
@@ -1305,7 +1333,7 @@ object GraftOps {
     // broadcasts them once small). Empty frontier ⟺ fixpoint.
     def sweepBoth(vs: DataFrame, es: DataFrame): DataFrame = {
       var lab = vs.select(col("v"), col("p").as("fm"), col("p").as("fx"),
-        col("p").as("bm"), col("p").as("bx")).localCheckpoint()
+        col("p").as("bm"), col("p").as("bx")).truncated()
       var frontier = lab
       var r = 0
       var converged = false
@@ -1328,7 +1356,7 @@ object GraftOps {
               col("bm") =!= col("ubm") || col("bx") =!= col("ubx")).as("__chg"))
           .withColumnsRenamed(Map("fm2" -> "fm", "fx2" -> "fx",
             "bm2" -> "bm", "bx2" -> "bx"))
-          .localCheckpoint()
+          .truncated()
         frontier = next.filter(col("__chg")).drop("__chg")
         lab = next.drop("__chg")
         converged = frontier.isEmpty // cheap scan of the checkpoint
@@ -1365,7 +1393,7 @@ object GraftOps {
         val keep = verts
           .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
           .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi")
-          .localCheckpoint()
+          .truncated()
         val m = keep.count()
         if (m == n) quiet = true
         else {
@@ -1373,7 +1401,7 @@ object GraftOps {
           edges = edges
             .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
             .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-            .select(col("src"), col("dst")).localCheckpoint()
+            .select(col("src"), col("dst")).truncated()
           n = m
         }
         r += 1
@@ -1399,16 +1427,16 @@ object GraftOps {
           .select(col("v"),
             when(col("fm") === col("bm"), concat(lit("n"), col("fm")))
               .otherwise(concat(lit("x"), col("fx"))).as("g"))
-          .localCheckpoint()
+          .truncated()
         out = out.unionAll(
           lab.join(lab.groupBy("g").agg(min(col("v")).as("scc")), "g")
             .select(col("v"), col("scc")))
-        verts = verts.join(lab, Seq("v"), "left_anti").localCheckpoint()
+        verts = verts.join(lab, Seq("v"), "left_anti").truncated()
         nv = verts.count() // fresh checkpoint — a cheap scan
         edges = edges
           .join(verts.select(col("v").as("src")), Seq("src"), "left_semi")
           .join(verts.select(col("v").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")).localCheckpoint()
+          .select(col("src"), col("dst")).truncated()
       }
       outer += 1
     }
@@ -1446,14 +1474,14 @@ object GraftOps {
         when(ordA < ordB, col("a")).otherwise(col("b")).as("src"),
         when(ordA < ordB, col("b")).otherwise(col("a")).as("dst"),
         when(ordA < ordB, ordB).otherwise(ordA).as("odst"))
-      .localCheckpoint()
+      .truncated()
   }
 
   def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
     // localCheckpoint, not cache(): cache() survives in the CacheManager
     // keyed by canonicalized plan, so a later identical invocation (e.g.
     // a second bench pass) silently reuses it
-    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val und = und0.select(col(u).as("a"), col(v).as("b")).truncated()
     val or = orientEdges(und)
     val wedges = or.as("e1")
       .join(or.as("e2"),
@@ -1477,7 +1505,7 @@ object GraftOps {
     * a 3×T explode into a map-side-combinable groupBy; degrees join
     * back keyed on node. */
   def clusteringCoeff(und0: DataFrame, u: String, v: String): DataFrame = {
-    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val und = und0.select(col(u).as("a"), col(v).as("b")).truncated()
     val or = orientEdges(und)
     val tris = or.as("e1")
       .join(or.as("e2"),
@@ -1521,7 +1549,7 @@ object GraftOps {
     val cut = math.round(p * 10000).toInt
     require(cut > 0 && math.abs(cut / 10000.0 - p) < 1e-9,
       s"sampling rate $p must be a positive multiple of 1e-4 (hash-bucket resolution)")
-    val und = und0.select(col(u).as("a"), col(v).as("b")).localCheckpoint()
+    val und = und0.select(col(u).as("a"), col(v).as("b")).truncated()
     val or = orientEdges(und)
     val totalWedges = or.groupBy("src").agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
@@ -1530,12 +1558,12 @@ object GraftOps {
     val e2 = or.filter(graft.functions.TextFns.hash32(
       concat(lit("w_"), col("src").cast("string"), lit("_"),
         col("dst").cast("string"))) % 10000 < cut)
-      .localCheckpoint() // ~p·|E| rows, read by the join build side
+      .truncated() // ~p·|E| rows, read by the join build side
     val sampled = or.as("e1")
       .join(e2.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
       .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
-      .localCheckpoint() // consumed by the sample count AND the closure
+      .truncated() // consumed by the sample count AND the closure
     val closed = sampled
       .join(or.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_closed"))
@@ -1592,9 +1620,9 @@ object GraftOps {
   def hits(edges0: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 5): DataFrame = {
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().truncated()
     val nodes = edges.select(col("src").as("v"))
-      .unionAll(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
+      .unionAll(edges.select(col("dst").as("v"))).distinct().truncated()
     var hub = nodes.withColumn("h", lit(1.0))
     var auth = nodes.withColumn("a", lit(1.0))
     for (_ <- 1 to iters) {
@@ -1607,7 +1635,7 @@ object GraftOps {
           .groupBy(edges("src").as("v")).agg(sum(col("a")).as("h")),
         Seq("v"), "left")
         .select(col("v"), coalesce(col("h"), lit(0.0)).as("h"))
-        .localCheckpoint()
+        .truncated()
       hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("__s"))))
         .select(col("v"), (col("h") / col("__s")).as("h"))
       val a0 = nodes.join(
@@ -1615,7 +1643,7 @@ object GraftOps {
           .groupBy(edges("dst").as("v")).agg(sum(col("h")).as("a")),
         Seq("v"), "left")
         .select(col("v"), coalesce(col("a"), lit(0.0)).as("a"))
-        .localCheckpoint()
+        .truncated()
       auth = a0.crossJoin(broadcast(a0.agg(sum(col("a")).as("__s"))))
         .select(col("v"), (col("a") / col("__s")).as("a"))
     }
@@ -1638,7 +1666,7 @@ object GraftOps {
                        rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (i <- 1 to rounds) {
@@ -1649,9 +1677,136 @@ object GraftOps {
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("lbl"))
-      if (i % 2 == 0) labels = labels.localCheckpoint()
+      if (i % 2 == 0) labels = labels.truncated()
     }
     labels.select(col("v"), col("lbl").as("comm"))
+  }
+
+  /** One Louvain LEVEL (Blondel et al. 2008, phase 1): `rounds`
+    * synchronized local-move sweeps over a WEIGHTED undirected graph
+    * (`edges` (a,b,w) with a≠b, plus per-node self-loop weight table
+    * `selfs` (v,sw) — nonempty only on aggregated levels). Every node
+    * starts in its own community; each round every node evaluates, for
+    * each community c among its neighbors' plus its own, the standard
+    * gain comparator k_{v,c} − k_v·Σtot'_c/(2m) (Σtot'_c = the
+    * community's incident-weight sum EXCLUDING v when c is v's current
+    * community — so "stay" competes on equal terms) and adopts the
+    * argmax, ties → smallest community label. Moves are PARITY-GATED:
+    * in round r only nodes with v % 2 == r % 2 may move, the rest
+    * keep their label — fully synchronous sweeps two-color a bipartite
+    * graph (each side adopts the other's labels every round, ending
+    * with ~all edges cross-community, Q ≈ −0.5); alternating
+    * half-sweeps are the standard distributed desynchronization and
+    * cost only 2× the rounds. Gated + fixed rounds + deterministic
+    * tie-break = a SQL oracle replays every sweep exactly; the
+    * comparator doubles are built from exact integer weights in a
+    * pinned operation order, so both engines make bit-identical
+    * argmax choices.
+    *
+    * Scale: per round one |E| join (neighbor-community weights), one
+    * |V| join chain (k, Σtot, current label — all map-side-combine
+    * groupBys), one bounded argmax aggregation. m rides along as a
+    * broadcast 1-row aggregate. Nothing holds the vertex set in one
+    * task. */
+  private def louvainLevel(edges: DataFrame, selfs: DataFrame,
+                           rounds: Int): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .truncated()
+    val inc = sym.groupBy(col("src").as("v")).agg(sum(col("w")).as("kw"))
+    val sl = selfs.groupBy("v").agg(sum(col("sw")).as("sw"))
+    // k_v counts each incident edge once and a self-loop twice (the
+    // degree convention under which Σ k_v = 2m)
+    val k = inc.join(sl, Seq("v"), "full")
+      .select(col("v"),
+        (coalesce(col("kw"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L))).as("kv"))
+      .truncated()
+    // m is LOOP-INVARIANT: one driver-side scalar fetch here replaces
+    // re-evaluating the same 1-row aggregate inside every round's DAG
+    // (12 redundant scans of the checkpointed edge set at 8+4 rounds).
+    // Exact integer sum cast double — the oracle's m CTE computes the
+    // identical value.
+    val mVal: Double = {
+      val me = edges.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
+      val ms = selfs.agg(coalesce(sum(col("sw")), lit(0L))).head.getLong(0)
+      (me + ms).toDouble
+    }
+    var labels = k.select(col("v"), col("v").as("lbl"))
+    for (i <- 1 to rounds) {
+      // one |comms|-sized stats table per round: incident-weight sum
+      // (Σtot) AND member count, in a single groupBy
+      val stats = labels.join(k, Seq("v"))
+        .groupBy(col("lbl").as("c"))
+        .agg(sum(col("kv")).as("sig"), count(lit(1)).as("cnt"))
+      val kvc = sym.join(labels.select(col("v").as("dst"), col("lbl").as("c")), Seq("dst"))
+        .groupBy(col("src").as("v"), col("c")).agg(sum(col("w")).as("wc"))
+      val cand = kvc
+        .unionAll(labels.select(col("v"), col("lbl").as("c"), lit(0L).as("wc")))
+        .groupBy("v", "c").agg(sum(col("wc")).as("wc"))
+        .filter(pmod(col("v"), lit(2L)) === lit(i % 2.toLong))
+      val scored = cand
+        .join(labels, Seq("v"))
+        .join(k, Seq("v"))
+        .join(stats, Seq("c"))
+        .join(stats.select(col("c").as("lbl"), col("cnt").as("cur_cnt")), Seq("lbl"))
+        // Grappolo's singleton ordering (Lu et al. 2015): a singleton
+        // may merge into another singleton only toward the SMALLER
+        // label — otherwise two lone adjacent movers adopt each other
+        // and the sweep churns instead of agglomerating
+        .filter(!(col("cur_cnt") === 1L && col("cnt") === 1L && col("c") > col("lbl")))
+        .withColumn("sig_adj",
+          col("sig") - when(col("c") === col("lbl"), col("kv")).otherwise(lit(0L)))
+        .withColumn("score",
+          col("wc").cast("double") -
+            (col("kv").cast("double") * col("sig_adj").cast("double")) /
+              (lit(2.0) * lit(mVal)))
+      labels = scored.groupBy("v")
+        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("mx"))
+        .select(col("v"), (-col("mx.nc")).as("lbl"))
+        .unionAll(labels.filter(pmod(col("v"), lit(2L)) =!= lit(i % 2.toLong)))
+      if (i % 2 == 0) labels = labels.truncated()
+    }
+    labels
+  }
+
+  /** Louvain community detection (Blondel et al. 2008): TWO levels of
+    * [[louvainLevel]] local-move sweeps with a community-graph
+    * aggregation between them — level 1 on the unit-weight input
+    * graph, then communities contract to supernodes (inter-community
+    * weights summed, internal weights becoming self-loops) and level 2
+    * re-sweeps the contracted graph, whose m and Σ k are unchanged by
+    * construction. Final labels compose the two levels and are
+    * canonicalized to each community's minimum member vertex id. The
+    * modularity-OPTIMIZING counterpart to [[labelPropagation]], which
+    * honestly collapses bipartite corpus graphs to one community
+    * (Q = 0); ModularitySpec measures Q(louvain) > Q(LPA) on both the
+    * planted and corpus graphs.
+    *
+    * Scale: the aggregation is two |E| label joins + a groupBy on
+    * community pairs; level 2 runs on the (much smaller) community
+    * graph. Everything else is louvainLevel's per-round bound. */
+  def louvain(und: DataFrame, u: String, v: String,
+              l1Rounds: Int, l2Rounds: Int): DataFrame = {
+    val e1 = und.select(col(u).as("a"), col(v).as("b"), lit(1L).as("w"))
+    val noSelf = e1.select(col("a").as("v"), lit(0L).as("sw")).limit(0)
+    val lbl1 = louvainLevel(e1, noSelf, l1Rounds).truncated()
+    val ec = e1
+      .join(lbl1.select(col("v").as("a"), col("lbl").as("ca")), Seq("a"))
+      .join(lbl1.select(col("v").as("b"), col("lbl").as("cb")), Seq("b"))
+      .select(col("ca"), col("cb"), col("w"))
+    val e2 = ec.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    val self2 = ec.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("v")).agg(sum(col("w")).as("sw"))
+    val lbl2 = louvainLevel(e2, self2, l2Rounds)
+    val comp = lbl1
+      .join(lbl2.select(col("v").as("c1"), col("lbl").as("c2")),
+        col("lbl") === col("c1"), "left")
+      .select(col("v"), coalesce(col("c2"), col("lbl")).as("c"))
+    val canon = comp.groupBy("c").agg(min(col("v")).as("comm"))
+    comp.join(canon, Seq("c")).select(col("v"), col("comm"))
   }
 
   /** Newman modularity per community over an UNDIRECTED edge list and a
@@ -1706,7 +1861,7 @@ object GraftOps {
               rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     relaxRounds(edges.withColumn("w", lit(1L)), und.sparkSession, sources, rounds)
   }
 
@@ -1733,7 +1888,7 @@ object GraftOps {
                    sources: Seq[Long], rounds: Int): DataFrame = {
     val edges = edges0.select(col(src).as("src"), col(dst).as("dst"),
         col(cost).cast("long").as("w"))
-      .localCheckpoint()
+      .truncated()
     relaxRounds(edges, edges0.sparkSession, sources, rounds)
   }
 
@@ -1759,7 +1914,7 @@ object GraftOps {
     * (min-label propagation IS Bellman-Ford on zero-cost edges). */
   private def relaxRoundsFrom(edges: DataFrame, init: DataFrame,
                               rounds: Int): DataFrame = {
-    var dist = init.localCheckpoint()
+    var dist = init.truncated()
     var frontier = dist
     var i = 0
     var settled = false
@@ -1773,7 +1928,7 @@ object GraftOps {
             coalesce(col("nd"), col("dist"))).as("d2"),
           (col("dist").isNull ||
             (col("nd").isNotNull && col("nd") < col("dist"))).as("__chg"))
-        .localCheckpoint()
+        .truncated()
       frontier = joined.filter(col("__chg")).select(col("v"), col("d2").as("dist"))
       dist = joined.select(col("v"), col("d2").as("dist"))
       settled = frontier.isEmpty // cheap scan of the checkpoint
@@ -1809,7 +1964,7 @@ object GraftOps {
   def coreness(und: DataFrame, u: String, v: String, rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     var labels = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("c"))
     for (i <- 1 to rounds) {
       val vals = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
@@ -1818,7 +1973,7 @@ object GraftOps {
         org.apache.spark.sql.expressions.Window.partitionBy("v").orderBy(col("nc").desc)))
       labels = ranked.groupBy("v")
         .agg(max(least(col("rn").cast("long"), col("nc"))).as("c"))
-      if (i % 2 == 0) labels = labels.localCheckpoint()
+      if (i % 2 == 0) labels = labels.truncated()
     }
     labels
   }
@@ -1827,7 +1982,7 @@ object GraftOps {
             rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     var edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncated()
     var prevEdges = -1L
     var r = 0
     // peeling is deterministic in the current edge set, so an unchanged
@@ -1840,14 +1995,14 @@ object GraftOps {
       }) {
       val alive = edges.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("src").as("__av"))
-        .localCheckpoint()
+        .truncated()
       // checkpoint the (shrinking) edge set every round: the next
       // round's degree groupBy and both semi-joins all consume it
       edges = edges
         .join(alive, col("src") === col("__av"), "left_semi")
         .join(alive.select(col("__av").as("__av2")),
           col("dst") === col("__av2"), "left_semi")
-        .localCheckpoint()
+        .truncated()
       r += 1
     }
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_degree"))
@@ -1881,11 +2036,11 @@ object GraftOps {
     graft.functions.VectorExpressions.register(und.sparkSession)
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().truncated()
     val xv = conv(substring(md5(col("v").cast("string")), 1, 8), 16, 10)
       .cast("long") + lit(1L) // [1, 2³²] — never 0, the estimator divides
     var sk = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), array(xv).as("sk")).localCheckpoint()
+      .select(col("v"), array(xv).as("sk")).truncated()
     // per-vertex micro-estimate: exact m·10⁶ while unsaturated, else
     // round((k−1)·2³²·10⁶ / x_k); x_k = the sketch's LAST (= largest)
     // element. Integer micro-units make the hop sum order-independent.
@@ -1915,11 +2070,11 @@ object GraftOps {
         // shuffle every neighbor sketch in full and sort it
         val merged = nbr.unionAll(sk).groupBy("v")
           .agg(expr(s"kmin_distinct(sk, $k)").as("sk"))
-          .localCheckpoint()
+          .truncated()
         frontier = merged
           .join(sk.select(col("v"), col("sk").as("__old")), Seq("v"))
           .filter(col("sk") =!= col("__old"))
-          .select(col("v"), col("sk")).localCheckpoint()
+          .select(col("v"), col("sk")).truncated()
         sk = merged
         settled = frontier.isEmpty
       }
@@ -1982,7 +2137,7 @@ object GraftOps {
     val kcols = keys.map(col)
     val parted = df.repartitionByRange(kcols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .truncated()
     val local = parted.withColumn("__ln",
       row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
     val offs = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
@@ -2096,7 +2251,7 @@ object GraftOps {
     val base = df.select(col(domain), col(id),
       graft.functions.TextFns.hash32(col(id).cast("string")).as("__h"))
       .withColumn("__b", expr(s"__h div ${1L << 20}"))
-      .localCheckpoint()
+      .truncated()
     val hist = base.groupBy(col(domain), col("__b")).agg(count(lit(1)).as("__c"))
     val counts = hist.groupBy(domain).agg(sum(col("__c")).as("__n"))
       .withColumn("__p", weight)

@@ -953,6 +953,93 @@ object Graph {
     graft.api.GraftOps.modularity(und, "s", "p", lbl).orderBy("comm")
   }
 
+  /** Louvain communities (GraftOps.louvain — Blondel et al. 2008) on
+    * the same supplier↔part graph as graph_lpa: two levels of
+    * synchronized local-move sweeps with a community-graph contraction
+    * between them, labels canonicalized to min member id. The
+    * modularity-OPTIMIZING answer where LPA honestly collapses this
+    * bipartite graph to one community (Q = 0) — ModularitySpec
+    * measures the Q win. Output matches graph_lpa's shape:
+    * (v, comm, comm_size). Oracle: both levels fully unrolled
+    * (the graph_coreness discipline), every local-move comparator
+    * replayed bit-for-bit from exact integer weights. */
+  val LouvainL1Rounds = 8
+  val LouvainL2Rounds = 4
+  def graphLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    val lbl = graft.api.GraftOps.louvain(und, "s", "p",
+      LouvainL1Rounds, LouvainL2Rounds)
+    lbl.join(lbl.groupBy(col("comm")).agg(count(lit(1)).as("comm_size")), "comm")
+      .select(col("v"), col("comm"), col("comm_size"))
+      .orderBy("v")
+  }
+
+  /** One unrolled Louvain LEVEL as CTE text: requires `{p}edges`
+    * (a,b,w — undirected, a≠b) and `{p}selfs` (v,sw) CTEs upstream;
+    * emits `{p}l<rounds>` as the level's final (v, lbl) table. Mirrors
+    * GraftOps.louvainLevel round for round: Σtot per community, per-
+    * (node, neighbor-community) weights, the stay-candidate union, the
+    * parity gate (only v % 2 = r % 2 nodes move in round r), the
+    * singleton-merge ordering guard, the gain comparator with v's k
+    * excluded from its own community's Σtot, argmax with smallest-c
+    * tie-break. */
+  private def louvainLevelCtes(p: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${p}st$r AS MATERIALIZED (SELECT l.lbl AS c, sum(k.kv) AS sig, count(*) AS cnt
+                FROM ${p}l${r - 1} l JOIN ${p}k k USING (v) GROUP BY 1),
+          ${p}cand$r AS (SELECT v, c, sum(wc) AS wc FROM (
+                SELECT s.src AS v, l.lbl AS c, sum(s.w) AS wc
+                FROM ${p}sym s JOIN ${p}l${r - 1} l ON s.dst = l.v GROUP BY 1, 2
+                UNION ALL SELECT v, lbl AS c, 0 FROM ${p}l${r - 1}) GROUP BY 1, 2
+                HAVING v % 2 = ${r % 2}),
+          ${p}sc$r AS (SELECT cd.v, cd.c,
+                cd.wc::DOUBLE - (k.kv::DOUBLE *
+                  (g.sig - CASE WHEN cd.c = l.lbl THEN k.kv ELSE 0 END)::DOUBLE) /
+                  (2.0 * m.m) AS score
+                FROM ${p}cand$r cd JOIN ${p}l${r - 1} l USING (v)
+                JOIN ${p}k k USING (v) JOIN ${p}st$r g ON cd.c = g.c
+                JOIN ${p}st$r zl ON l.lbl = zl.c, ${p}m m
+                WHERE NOT (zl.cnt = 1 AND g.cnt = 1 AND cd.c > l.lbl)),
+          ${p}l$r AS MATERIALIZED (SELECT v, c AS lbl FROM (
+                SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC, c) AS rn
+                FROM ${p}sc$r) WHERE rn = 1
+                UNION ALL
+                SELECT v, lbl FROM ${p}l${r - 1} WHERE v % 2 <> ${r % 2})"""
+    }.mkString(",\n          ")
+    s"""${p}sym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ${p}edges
+              UNION ALL SELECT b, a, w FROM ${p}edges),
+          ${p}k AS MATERIALIZED (SELECT coalesce(i.v, s.v) AS v,
+                coalesce(i.kw, 0) + 2 * coalesce(s.sw, 0) AS kv
+              FROM (SELECT src AS v, sum(w) AS kw FROM ${p}sym GROUP BY 1) i
+              FULL JOIN (SELECT v, sum(sw) AS sw FROM ${p}selfs GROUP BY 1) s ON i.v = s.v),
+          ${p}m AS (SELECT ((SELECT coalesce(sum(w), 0) FROM ${p}edges) +
+                            (SELECT coalesce(sum(sw), 0) FROM ${p}selfs))::DOUBLE AS m),
+          ${p}l0 AS MATERIALIZED (SELECT v, v AS lbl FROM ${p}k),
+          $roundCtes"""
+  }
+
+  private lazy val louvainOracle: String = {
+    val l1 = LouvainL1Rounds; val l2 = LouvainL2Rounds
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          a_edges AS MATERIALIZED (SELECT s AS a, p AS b, CAST(1 AS BIGINT) AS w FROM li),
+          a_selfs AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS sw WHERE 1 = 0),
+          ${louvainLevelCtes("a_", l1)},
+          b_ec AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb, e.w FROM a_edges e
+                JOIN a_l$l1 la ON e.a = la.v JOIN a_l$l1 lb ON e.b = lb.v),
+          b_edges AS MATERIALIZED (SELECT least(ca, cb) AS a, greatest(ca, cb) AS b, sum(w) AS w
+                FROM b_ec WHERE ca <> cb GROUP BY 1, 2),
+          b_selfs AS MATERIALIZED (SELECT ca AS v, sum(w) AS sw FROM b_ec WHERE ca = cb GROUP BY 1),
+          ${louvainLevelCtes("b_", l2)},
+          comp AS MATERIALIZED (SELECT la.v, coalesce(lb.lbl, la.lbl) AS c
+                FROM a_l$l1 la LEFT JOIN b_l$l2 lb ON la.lbl = lb.v),
+          canon AS (SELECT c, min(v) AS comm FROM comp GROUP BY 1),
+          lbl AS MATERIALIZED (SELECT comp.v, canon.comm FROM comp JOIN canon USING (c)),
+          sz AS (SELECT comm, count(*) AS comm_size FROM lbl GROUP BY 1)
+        SELECT lbl.v, lbl.comm, sz.comm_size FROM lbl JOIN sz USING (comm)
+        ORDER BY lbl.v"""
+  }
+
   /** HITS hubs & authorities (GraftOps.hits) on the DIRECTED
     * supplier→part graph: suppliers score as hubs (they point at
     * parts), parts as authorities — the natural bipartite reading.
@@ -1584,6 +1671,7 @@ object Graph {
           SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY degree""")),
     QueryDef("graph_hits", graphHits, Some(hitsOracle)),
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
+    QueryDef("graph_louvain", graphLouvain, Some(louvainOracle)),
     QueryDef("graph_modularity", graphModularity, Some(modularityOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),

@@ -159,8 +159,75 @@ object SuffixArray {
         FROM l WHERE lcp >= $MinRep
         ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT $RepTopK"""
 
+  /** INCREMENTAL exact substring dedup — the dedup_minhash_incremental
+    * discipline for the suffix tier: a DELTA batch of new documents
+    * (the disjoint doc_id % SampleMod == DeltaResidue slice) is
+    * checked for ≥ MinRep-char literal overlap against the ALREADY-
+    * BUILT corpus suffix layout (the memoized [[suffixRanks]] table —
+    * its expensive explode + doubling ranks are NOT redone; only
+    * delta-sized suffix generation plus the match join run).
+    *
+    * The join is a MinRep-char PREFIX equi-join: any base/delta suffix
+    * pair with LCP ≥ MinRep must agree on its first MinRep chars, so
+    * prefix equality is a complete, shuffle-bounded candidate filter —
+    * the banded-join shape (shuffle ∝ matches + |delta|, never
+    * |base|×|delta|), with exact LCP computed only within buckets.
+    * At 100 TB the base side is the persisted shard layout and each
+    * arriving delta batch pays only its own size. The oracle
+    * recomputes the identical pairs INDEPENDENTLY from the raw texts
+    * (no suffix array at all) — construction and specification meet
+    * only at the answer, like the SA oracle itself. */
+  val DeltaResidue = 1
+  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = suffixRanks(spark, dir)
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("suf").as("sufa"), substring(col("suf"), 1, MinRep).as("pfx"))
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % SampleMod === DeltaResidue)
+      .select(col("doc_id"), col("text"), posexplode(split(col("text"), "")))
+      .filter(col("col") =!= "")
+      .select(col("doc_id").as("doc_b"), (col("pos") + 1).cast("long").as("pos_b"),
+        expr(s"substring(text, pos + 1, $LcpCap)").as("sufb"))
+      .withColumn("pfx", substring(col("sufb"), 1, MinRep))
+      .filter(length(col("pfx")) === MinRep) // shorter tails can't reach MinRep
+    delta.join(base, "pfx")
+      .withColumn("lcp", expr(
+        s"size(filter(sequence(1, $LcpCap), j -> j <= least(length(sufa), length(sufb))" +
+          " AND substring(sufa, 1, j) = substring(sufb, 1, j)))")
+        .cast("long"))
+      .filter(col("lcp") >= MinRep)
+      .withColumn("snippet", expr("substring(sufa, 1, CAST(least(lcp, 40) AS INT))"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("lcp"), col("snippet"))
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+      .limit(RepTopK)
+  }
+
+  private val incOracle: String =
+    s"""WITH bd AS (SELECT doc_id, text FROM documents WHERE doc_id % $SampleMod = 0),
+          dd AS (SELECT doc_id, text FROM documents WHERE doc_id % $SampleMod = $DeltaResidue),
+          bs AS MATERIALIZED (SELECT doc_id AS doc_a, u.i AS pos_a,
+                 substr(text, u.i, $LcpCap) AS sufa
+               FROM bd, unnest(generate_series(1, length(text))) u(i)),
+          ds AS MATERIALIZED (SELECT doc_id AS doc_b, u.i AS pos_b,
+                 substr(text, u.i, $LcpCap) AS sufb
+               FROM dd, unnest(generate_series(1, length(text))) u(i)
+               WHERE length(substr(text, u.i, $MinRep)) = $MinRep),
+          j AS (SELECT doc_a, pos_a, doc_b, pos_b, sufa, sufb
+                FROM ds JOIN bs ON substr(sufb, 1, $MinRep) = substr(sufa, 1, $MinRep)),
+          l AS (SELECT doc_a, pos_a, doc_b, pos_b, sufa,
+                       CAST(len(list_filter(generate_series(1, $LcpCap),
+                         j -> j <= least(length(sufa), length(sufb))
+                              AND substr(sufa, 1, j) = substr(sufb, 1, j))) AS BIGINT) AS lcp
+                FROM j)
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp,
+               substr(sufa, 1, CAST(least(lcp, 40) AS INT)) AS snippet
+        FROM l WHERE lcp >= $MinRep
+        ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT $RepTopK"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_suffix_array", textSuffixArray, Some(saOracle)),
     QueryDef("dedup_substring_sa", dedupSubstringSa, Some(repOracle)),
+    QueryDef("dedup_substring_incremental", dedupSubstringIncremental, Some(incOracle)),
   )
 }

@@ -55,6 +55,62 @@ class ModularitySpec extends SparkSpec {
     assert(q > 0.4, s"two planted cliques should score Q > 0.4, got $q")
   }
 
+  test("Louvain recovers the planted bridged cliques at full modularity") {
+    val und = edgeDf(bridged)
+    val lbl = GraftOps.louvain(und, "s", "p", l1Rounds = 8, l2Rounds = 4)
+    // exactly two communities, each one clique, canonical min-member labels
+    val comms = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comms.values.toSet.size == 2, s"expected 2 communities, got $comms")
+    assert(cliqueA.map(comms).toSet.size == 1 && cliqueB.map(comms).toSet.size == 1)
+    val q = GraftOps.modularity(und, "s", "p", lbl)
+      .agg(sum(col("q_term"))).collect()(0).getDouble(0)
+    assert(q > 0.44 && q < 0.46, s"Louvain Q $q off the hand-computed optimum")
+  }
+
+  test("Louvain recovers planted BIPARTITE blocks (communities span both sides) at Q ≥ LPA's") {
+    // two complete-bipartite 5×5 blocks + one bridge — the stylized
+    // corpus shape: a community is a supplier+part cluster, which a
+    // purely synchronous sweep would two-color instead
+    val blocks =
+      (for (a <- 0L to 4L; b <- 100L to 104L) yield (a, b)) ++
+        (for (a <- 10L to 14L; b <- 110L to 114L) yield (a, b)) :+ (4L -> 110L)
+    val und = edgeDf(blocks)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraftOps.modularity(und, "s", "p", labels)
+        .agg(sum(col("q_term"))).collect()(0).getDouble(0)
+    val lbl = GraftOps.louvain(und, "s", "p", l1Rounds = 8, l2Rounds = 4)
+    val comms = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comms.values.toSet == Set(0L, 10L), s"expected blocks {0, 10}, got $comms")
+    assert((0L to 4L).forall(comms(_) == 0L) && (100L to 104L).forall(comms(_) == 0L))
+    assert((10L to 14L).forall(comms(_) == 10L) && (110L to 114L).forall(comms(_) == 10L))
+    val qLouvain = q(lbl)
+    val qLpa = q(GraftOps.labelPropagation(und, "s", "p", rounds = 4))
+    info(f"planted bipartite blocks: lpa Q $qLpa%.4f, louvain Q $qLouvain%.4f")
+    assert(qLouvain >= qLpa && qLouvain > 0.45)
+  }
+
+  test("Louvain finds positive Q on the corpus supplier↔part graph where LPA collapses to 0") {
+    val dir = "/root/testdata/sf0.01"
+    val und = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"),
+        (col("l_partkey") + graft.operators.Graph.PartOffset).as("p"))
+      .distinct()
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraftOps.modularity(und, "s", "p", labels)
+        .agg(sum(col("q_term"))).collect()(0).getDouble(0)
+    val qLpa = q(GraftOps.labelPropagation(und, "s", "p", rounds = 4))
+    val qLouvain = q(GraftOps.louvain(und, "s", "p", l1Rounds = 8, l2Rounds = 4))
+    // honest calibration: this near-random bipartite graph's Louvain
+    // ceiling is small — networkx louvain_communities reaches Q ≈
+    // 0.046, a converged sequential local-move Q ≈ 0.029 — so any
+    // solidly positive Q is structure found, where LPA's one giant
+    // community scores exactly 0
+    info(f"corpus Q: lpa $qLpa%.4f, louvain $qLouvain%.4f (nx ceiling ≈ 0.046)")
+    assert(qLouvain > qLpa,
+      s"Louvain Q $qLouvain did not beat LPA Q $qLpa on the corpus graph")
+    assert(qLouvain > 0.005, s"Louvain Q $qLouvain found no structure at all")
+  }
+
   test("single community scores Q ≈ 0 (the null case)") {
     val und = edgeDf(clique(cliqueA))
     val labels = edgeDf(cliqueA.map((_, 7L)))
