@@ -137,6 +137,14 @@ object Relational {
       .orderBy("priority", "rnk")
 
   /** Snowflake join: 1996 revenue per region (5-way join, dims broadcast). */
+  /** Snowflake revenue rollup. The two dim broadcasts are EXPLICIT
+    * here for oracle determinism, but are not load-bearing: CboSpec
+    * proves the identical plan shape (broadcast dims, no cartesian,
+    * exact same answer) falls out of `ANALYZE TABLE … FOR ALL
+    * COLUMNS` + spark.sql.cbo with ZERO hints, even from a scrambled
+    * dims-first join order — the 100 TB posture, where you analyze
+    * the warehouse once and let stats drive join order and build-side
+    * choice instead of hand-hinting every query. */
   def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(to_date(col("o_orderdate")).between(lit("1996-01-01"), lit("1996-12-31")))
