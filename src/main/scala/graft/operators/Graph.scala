@@ -965,14 +965,34 @@ object Graph {
     * replayed bit-for-bit from exact integer weights. */
   val LouvainL1Rounds = 8
   val LouvainL2Rounds = 4
+
+  /** Louvain labels memoized per (session, dir): graph_louvain and its
+    * modularity scoring share one 12-round run (the sccLabels
+    * discipline). */
+  private def louvainLabels(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":louvain:" + dir,
+      graft.api.GraftOps.louvain(
+        liPairs(spark, dir)
+          .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p")),
+        "s", "p", LouvainL1Rounds, LouvainL2Rounds).localCheckpoint())
+
   def graphLouvain(spark: SparkSession, dir: String): DataFrame = {
-    val und = liPairs(spark, dir)
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-    val lbl = graft.api.GraftOps.louvain(und, "s", "p",
-      LouvainL1Rounds, LouvainL2Rounds)
+    val lbl = louvainLabels(spark, dir)
     lbl.join(lbl.groupBy(col("comm")).agg(count(lit(1)).as("comm_size")), "comm")
       .select(col("v"), col("comm"), col("comm_size"))
       .orderBy("v")
+  }
+
+  /** Newman modularity of the LOUVAIN communities — graph_modularity's
+    * exact aggregation over [[louvainLabels]]: the registered,
+    * value-verified evidence that the optimizer finds positive-Q
+    * structure (Σ q_term > 0) where the LPA scoring's Q is exactly 0
+    * on this corpus graph. */
+  def graphLouvainQ(spark: SparkSession, dir: String): DataFrame = {
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    graft.api.GraftOps.modularity(und, "s", "p", louvainLabels(spark, dir))
+      .orderBy("comm")
   }
 
   /** One unrolled Louvain LEVEL as CTE text: requires `{p}edges`
@@ -1019,9 +1039,12 @@ object Graph {
           $roundCtes"""
   }
 
-  private lazy val louvainOracle: String = {
+  /** Both louvain levels + composition + canonicalization as a CTE
+    * prefix ending with `lbl` (v, comm) — shared by the label output
+    * and the modularity scoring, like lpaCtePrefix. */
+  private lazy val louvainCtePrefix: String = {
     val l1 = LouvainL1Rounds; val l2 = LouvainL2Rounds
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
           a_edges AS MATERIALIZED (SELECT s AS a, p AS b, CAST(1 AS BIGINT) AS w FROM li),
           a_selfs AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS sw WHERE 1 = 0),
           ${louvainLevelCtes("a_", l1)},
@@ -1034,11 +1057,38 @@ object Graph {
           comp AS MATERIALIZED (SELECT la.v, coalesce(lb.lbl, la.lbl) AS c
                 FROM a_l$l1 la LEFT JOIN b_l$l2 lb ON la.lbl = lb.v),
           canon AS (SELECT c, min(v) AS comm FROM comp GROUP BY 1),
-          lbl AS MATERIALIZED (SELECT comp.v, canon.comm FROM comp JOIN canon USING (c)),
+          lbl AS MATERIALIZED (SELECT comp.v, canon.comm FROM comp JOIN canon USING (c))"""
+  }
+
+  private lazy val louvainOracle: String =
+    s"""WITH $louvainCtePrefix,
           sz AS (SELECT comm, count(*) AS comm_size FROM lbl GROUP BY 1)
         SELECT lbl.v, lbl.comm, sz.comm_size FROM lbl JOIN sz USING (comm)
         ORDER BY lbl.v"""
-  }
+
+  /** The louvain chain, then graph_modularity's exact aggregation
+    * (same shape as modularityOracle, labels from `lbl`). */
+  private lazy val louvainQOracle: String =
+    s"""WITH $louvainCtePrefix,
+          m AS (SELECT count(*) AS m FROM li),
+          ec AS MATERIALIZED (SELECT ls.comm AS cs, lp.comm AS cp FROM li
+                JOIN lbl ls ON li.s = ls.v
+                JOIN lbl lp ON li.p = lp.v),
+          internal AS (SELECT cs AS comm, count(*) AS internal_edges
+                       FROM ec WHERE cs = cp GROUP BY 1),
+          degsum AS (SELECT comm, count(*) AS degree_sum FROM (
+                       SELECT cs AS comm FROM ec UNION ALL SELECT cp FROM ec)
+                     GROUP BY 1),
+          nodes AS (SELECT comm, count(*) AS n_nodes FROM lbl GROUP BY 1)
+        SELECT n.comm, n.n_nodes,
+               coalesce(i.internal_edges, 0) AS internal_edges,
+               coalesce(d.degree_sum, 0) AS degree_sum,
+               round((4.0 * m.m::DOUBLE * coalesce(i.internal_edges, 0)::DOUBLE -
+                      coalesce(d.degree_sum, 0)::DOUBLE * coalesce(d.degree_sum, 0)::DOUBLE) /
+                     (4.0 * m.m::DOUBLE * m.m::DOUBLE), 8) AS q_term
+        FROM nodes n LEFT JOIN internal i ON n.comm = i.comm
+        LEFT JOIN degsum d ON n.comm = d.comm, m
+        ORDER BY n.comm"""
 
   /** HITS hubs & authorities (GraftOps.hits) on the DIRECTED
     * supplier→part graph: suppliers score as hubs (they point at
@@ -1672,6 +1722,7 @@ object Graph {
     QueryDef("graph_hits", graphHits, Some(hitsOracle)),
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_louvain", graphLouvain, Some(louvainOracle)),
+    QueryDef("graph_louvain_q", graphLouvainQ, Some(louvainQOracle)),
     QueryDef("graph_modularity", graphModularity, Some(modularityOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),

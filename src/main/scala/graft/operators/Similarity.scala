@@ -1177,10 +1177,20 @@ object Similarity {
     * plus a mean row (qid = −1). Both sides are the registered
     * operators' own plans; the oracle recomputes BOTH from scratch
     * and intersects, so the recall itself is value-verified. */
-  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame =
+    recallReportOf(annLsh(spark, dir))(spark, dir)
+
+  /** sim_recall_report for the MULTIPROBE tier — the same value-
+    * verified eval-as-query over [[annLshMultiprobe]], registering the
+    * recall LIFT (0.44 → mean ≈ 0.6+ at the identical table budget)
+    * as a first-class monitored number, not just a spec assertion. */
+  def simRecallReportMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    recallReportOf(annLshMultiprobe(spark, dir))(spark, dir)
+
+  private def recallReportOf(annDf: DataFrame)(spark: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopk(spark, dir).select(col("qid"), col("neighbor"))
       .localCheckpoint()
-    val ann = annLsh(spark, dir).select(col("qid"), col("neighbor"))
+    val ann = annDf.select(col("qid"), col("neighbor"))
     val hits = exact.join(ann, Seq("qid", "neighbor"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     val perQ = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
@@ -1222,6 +1232,66 @@ object Similarity {
           scored AS (SELECT c.qid, c.vec_id,
                             list_dot_product(eq.v, ec.v) /
                               (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          ar AS MATERIALIZED (SELECT qid, vec_id AS neighbor FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rnk FROM scored) WHERE rnk <= $TopK),
+          hits AS (SELECT x.qid, count(*) AS n_hit
+                   FROM xr x JOIN ar a ON x.qid = a.qid AND x.neighbor = a.neighbor
+                   GROUP BY 1),
+          perq AS MATERIALIZED (
+            SELECT x.qid, count(*) AS n_exact, coalesce(any_value(h.n_hit), 0) AS n_hit
+            FROM xr x LEFT JOIN hits h ON x.qid = h.qid GROUP BY 1),
+          allr AS (SELECT qid, n_exact, n_hit FROM perq
+                   UNION ALL
+                   SELECT -1, sum(n_exact), sum(n_hit) FROM perq)
+        SELECT qid, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+               round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+        FROM allr ORDER BY qid"""
+  }
+
+  /** recallReportOracle with the MULTIPROBE candidate chain swapped in
+    * (proj keeps the raw dots, qflip ranks margins, qprobe XORs the
+    * flips — identical to annLshMultiprobeOracle's candidate CTEs). */
+  private lazy val recallReportMultiprobeOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          xq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+          xc AS (SELECT xq.qid, e.vec_id AS neighbor,
+                        ${cosSql("xq.qv", "e.v")} AS cos
+                 FROM xq, e WHERE e.vec_id <> xq.qid),
+          xr AS MATERIALIZED (SELECT qid, neighbor FROM (
+                SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, neighbor) AS rnk FROM xc) WHERE rnk <= $TopK),
+          proj AS (SELECT e.vec_id, p.t, p.j,
+                          list_dot_product(e.v, p.w) AS dot
+                   FROM e, planes p),
+          buck AS MATERIALIZED (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS bv
+            FROM proj GROUP BY 1, 2),
+          qflip AS (SELECT vec_id, t, j FROM (
+                      SELECT vec_id, t, j,
+                             row_number() OVER (PARTITION BY vec_id, t
+                               ORDER BY abs(dot), j) AS rn
+                      FROM proj WHERE vec_id < $NumQueries)
+                    WHERE rn <= $MultiProbe),
+          qprobe AS (SELECT vec_id, t, bv FROM buck WHERE vec_id < $NumQueries
+                     UNION
+                     SELECT f.vec_id, f.t, xor(b.bv, CAST(1 << f.j AS BIGINT)) AS bv
+                     FROM qflip f JOIN buck b ON f.vec_id = b.vec_id AND f.t = b.t),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
+                   FROM qprobe q JOIN buck c ON q.t = c.t AND q.bv = c.bv
+                   WHERE c.vec_id <> q.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
                      FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
           ar AS MATERIALIZED (SELECT qid, vec_id AS neighbor FROM (
                 SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
@@ -1828,6 +1898,8 @@ object Similarity {
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
     QueryDef("sim_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeOracle)),
     QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
+    QueryDef("sim_recall_report_multiprobe", simRecallReportMultiprobe,
+      Some(recallReportMultiprobeOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
