@@ -142,6 +142,52 @@ object EventStreams {
         kmvEstimate(col("sk")).as("approx_users"))
   }
 
+  /** Streaming quantiles per 1 h window — q55's bottom-K signature
+    * sample through the state store: per-window state is EXACTLY
+    * [[QuantK]] (signature, cents) pairs no matter how many events
+    * arrive (an exact windowed percentile holds every value), and the
+    * sample is a pure function of the keys, so any micro-batch split
+    * partial-merges to the identical sketch (q55's split-merge
+    * identity IS the state-store merge). Readout: quantile q at rank
+    * ⌈q·m⌉ of the value-sorted sample. `streamQuantileStream` is the
+    * watermarked front-end; StreamingSpec proves a drained stream
+    * matches this batch mirror row for row. */
+  val QuantK = 64
+  val QuantQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  private def quantSig: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
+      col("ts_us").cast("string"))), 1, 13), 16, 10).cast("long")
+
+  private def quantReadout(sk: DataFrame): DataFrame =
+    sk.withColumn("vals", expr("array_sort(transform(sk, e -> e.payload))"))
+      .withColumn("m", size(col("vals")))
+      .select(col("window_ms"), col("vals"), col("m"),
+        explode(array(QuantQs.map(lit(_)): _*)).as("q"))
+      .select(col("window_ms"), col("q"),
+        expr("element_at(vals, CAST(ceil(q * m) AS INT))").as("est_cents"))
+      .orderBy("window_ms", "q")
+
+  def streamQuantileBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    quantReadout(events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .select(col("window_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"), quantSig.as("sig"))
+      .groupBy("window_ms")
+      .agg(expr(s"top_k_pairs(-CAST(sig AS DOUBLE), cents, $QuantK)").as("sk")))
+  }
+
+  def streamQuantileStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    quantReadout(readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"), quantSig.as("sig"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"top_k_pairs(-CAST(sig AS DOUBLE), cents, $QuantK)").as("sk"))
+      .select(unix_millis(col("window.start")).as("window_ms"), col("sk")))
+  }
+
   /** Per-window heavy hitters by count-min sketch — the BOUNDED-STATE
     * sibling of `stream_topk` exactly as `stream_approx_users` is to
     * exact distinct: the streaming half maintains only the sparse
@@ -997,6 +1043,26 @@ object EventStreams {
                  CASE WHEN m < $KmvUsersK THEN m::DOUBLE
                       ELSE round($c / xk::DOUBLE, 4) END AS approx_users
           FROM kk ORDER BY window_ms"""
+    }),
+    QueryDef("stream_quantile", streamQuantileBatch, Some {
+      val qList = QuantQs.mkString("[", ", ", "]")
+      s"""WITH x AS (SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||
+                                       CAST(epoch_us(ts) AS VARCHAR)), 1, 13))::BIGINT AS h
+            FROM events),
+            bk AS MATERIALIZED (SELECT window_ms, cents FROM (
+                  SELECT window_ms, cents,
+                         row_number() OVER (PARTITION BY window_ms ORDER BY h, cents) AS rn
+                  FROM x) WHERE rn <= $QuantK),
+            srt AS (SELECT window_ms, cents,
+                   row_number() OVER (PARTITION BY window_ms ORDER BY cents) AS vr,
+                   count(*) OVER (PARTITION BY window_ms) AS m
+            FROM bk),
+            qs AS (SELECT unnest($qList::DOUBLE[]) AS q)
+          SELECT s.window_ms, q.q, s.cents AS est_cents
+          FROM srt s JOIN qs q ON s.vr = CAST(ceil(q.q * s.m) AS BIGINT)
+          ORDER BY s.window_ms, q.q"""
     }),
     QueryDef("stream_heavy_hitters", heavyHittersBatch, Some {
       val chunks = (0 until CmsStreamD).map(j =>

@@ -37,6 +37,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming bottom-K quantile sketch converges to the batch mirror exactly") {
+    // q55's mergeable sample through the state store: the micro-batch
+    // partial merges ARE the sketch's split-merge identity, so the
+    // drained stream's per-window quantiles must be bit-identical
+    runToMemory(EventStreams.streamQuantileStream(spark, sf), "sqt")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("window_ms"), r.getAs[Double]("q"))
+    val streamed = spark.table("sqt").collect()
+      .map(r => key(r) -> r.getAs[Long]("est_cents")).toMap
+    val batch = EventStreams.streamQuantileBatch(spark, sf).collect()
+      .map(r => key(r) -> r.getAs[Long]("est_cents")).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming CMS counters converge to the batch counter grid exactly") {
     // the heavy-hitter sketch's streaming half: per-window sparse
     // counter cells must partial-merge through the state store to the
