@@ -299,9 +299,176 @@ object MlTrees {
         FROM sd"""
   }
 
+  /** Random forest of stumps (Breiman bagging in its deterministic
+    * subsample form — "pasting"/subagging): [[RfTrees]] trees, tree b
+    * trained on the rows whose md5(rowkey, b) lands under
+    * [[RfBagKeep]]/[[RfBagMod]] (≈60% subsample, disjoint hash per
+    * tree) with ONE md5-chosen feature dropped per tree (the
+    * feature-subspace half of RF), scored by OUT-OF-BAG error — the
+    * honest no-holdout generalization estimate — per tree AND for the
+    * averaged ensemble (tree = −1 row), whose OOB MSE the spec
+    * asserts beats the mean single tree.
+    *
+    * Scale: all trees train in ONE pass — the bag id is a COLUMN
+    * (explode ×B), so the per-(tree, feature, value) histogram is a
+    * single map-side-combined groupBy; no per-tree loop, no
+    * checkpoint chain (contrast mlGbtStumps, whose rounds are
+    * sequential BY NATURE — residuals depend on the prior round;
+    * bagging's independence is exactly what buys the parallel shape).
+    * Candidate/argmax/leaf tables are all dim-sized; OOB scoring is
+    * one broadcast of B stump rows against the ×B row explode. Exact
+    * integer moments; every double in pinned operand order. */
+  val RfTrees = 4
+  val RfBagMod = 10
+  val RfBagKeep = 6
+
+  def mlRandomForest(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("tax"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val bagged = rows
+      .withColumn("b", explode(expr(s"sequence(0L, ${RfTrees - 1}L)")))
+      .withColumn("inbag",
+        conv(substring(md5(concat(col("ok").cast("string"), lit("_"),
+          col("ln").cast("string"), lit("_"), col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % RfBagMod < RfBagKeep)
+      .withColumn("dropped",
+        conv(substring(md5(concat(lit("drop_"), col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 3)
+    val melt = Seq(("qty", 0), ("disc", 1), ("tax", 2)).map { case (f, i) =>
+      bagged.filter(col("inbag") && col("dropped") =!= i.toLong)
+        .select(col("b"), lit(f).as("feature"), col(f).as("v"), col("y"))
+    }.reduce(_ unionAll _)
+    val hist = melt.groupBy("b", "feature", "v")
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("decimal(38,0)")).as("sy"))
+    val w = Window.partitionBy("b", "feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("n_left", sum(col("cnt")).over(w))
+      .withColumn("s_left", sum(col("sy")).over(w))
+    val tot = hist.groupBy("b", "feature")
+      .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("s"))
+    val pick = Window.partitionBy("b")
+      .orderBy(col("g").desc, col("feature"), col("threshold"))
+    val stumps = cum.join(tot, Seq("b", "feature"))
+      .filter(col("n_left") < col("n"))
+      .select(col("b"), col("feature"), col("v").as("threshold"),
+        col("n").as("n_inbag"),
+        floor(col("s_left").cast("double") / col("n_left") + 0.5)
+          .cast("long").as("leaf_left"),
+        floor((col("s").cast("double") - col("s_left").cast("double"))
+          / (col("n") - col("n_left")) + 0.5).cast("long").as("leaf_right"),
+        gainCol(col("n_left"), col("s_left"), col("n"), col("s")).as("g"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      // tot.n for the winning feature = that feature frame's row count
+      // = the bag size (each in-bag row appears once per feature frame)
+      .select(col("b"), col("feature"), col("threshold"),
+        col("n_inbag"), col("leaf_left"), col("leaf_right"))
+    val st = stumps
+      .localCheckpoint() // B rows; feeds per-tree OOB AND the ensemble
+    val oobRows = bagged.filter(!col("inbag"))
+      .join(broadcast(st), Seq("b"))
+      .withColumn("fv",
+        when(col("feature") === "qty", col("qty"))
+          .when(col("feature") === "disc", col("disc"))
+          .otherwise(col("tax")))
+      .withColumn("pred",
+        when(col("fv") <= col("threshold"), col("leaf_left")).otherwise(col("leaf_right")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perTree = oobRows.groupBy("b")
+      .agg(count(lit(1)).as("n_oob"),
+        sum(dec(col("y") - col("pred")) * dec(col("y") - col("pred"))).as("ss"))
+      .join(st, Seq("b"))
+      .select(col("b").as("tree"), col("feature"), col("threshold"),
+        col("n_inbag"), col("leaf_left"), col("leaf_right"),
+        round(col("ss").cast("double") / col("n_oob") / 1e4, 4).as("oob_mse"))
+    val ens = oobRows
+      .groupBy("ok", "ln", "y")
+      .agg(sum(col("pred")).as("sp"), count(lit(1)).as("np"))
+      .withColumn("pred", floor(col("sp").cast("double") / col("np") + 0.5).cast("long"))
+      .agg(count(lit(1)).as("n_oob"),
+        sum(dec(col("y") - col("pred")) * dec(col("y") - col("pred"))).as("ss"))
+      .select(lit(-1L).as("tree"), lit("ensemble").as("feature"),
+        lit(-1L).as("threshold"), lit(0L).as("n_inbag"),
+        lit(0L).as("leaf_left"), lit(0L).as("leaf_right"),
+        round(col("ss").cast("double") / col("n_oob") / 1e4, 4).as("oob_mse"))
+    perTree.unionAll(ens).orderBy("tree")
+  }
+
+  private val rfOracle: String = {
+    val gain = """(c.s_left::DOUBLE * c.s_left::DOUBLE / c.n_left::DOUBLE
+                      + (t.s::DOUBLE - c.s_left::DOUBLE) * (t.s::DOUBLE - c.s_left::DOUBLE)
+                        / (t.n::DOUBLE - c.n_left::DOUBLE)
+                      - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)"""
+    s"""WITH rows0 AS MATERIALIZED (
+            SELECT l_orderkey AS ok, l_linenumber AS ln,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+                   CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem),
+          bagged AS MATERIALIZED (
+            SELECT r.*, u.b,
+                   ('0x' || substr(md5(CAST(ok AS VARCHAR) || '_' || CAST(ln AS VARCHAR)
+                     || '_' || CAST(u.b AS VARCHAR)), 1, 8))::BIGINT % $RfBagMod < $RfBagKeep AS inbag,
+                   ('0x' || substr(md5('drop_' || CAST(u.b AS VARCHAR)), 1, 8))::BIGINT % 3 AS dropped
+            FROM rows0 r, unnest(generate_series(0, ${RfTrees - 1})) u(b)),
+          melt AS (SELECT b, 'qty' AS feature, qty AS v, y FROM bagged WHERE inbag AND dropped <> 0
+                   UNION ALL SELECT b, 'disc', disc, y FROM bagged WHERE inbag AND dropped <> 1
+                   UNION ALL SELECT b, 'tax', tax, y FROM bagged WHERE inbag AND dropped <> 2),
+          hist AS MATERIALIZED (SELECT b, feature, v, count(*) AS cnt, sum(y) AS sy
+                 FROM melt GROUP BY 1, 2, 3),
+          cum AS (SELECT b, feature, v,
+                         sum(cnt) OVER tw AS n_left,
+                         sum(sy) OVER tw AS s_left
+                  FROM hist
+                  WINDOW tw AS (PARTITION BY b, feature ORDER BY v
+                                ROWS UNBOUNDED PRECEDING)),
+          tot AS (SELECT b, feature, sum(cnt) AS n, sum(sy) AS s FROM hist GROUP BY 1, 2),
+          st AS MATERIALIZED (SELECT b, feature, threshold, n_inbag, leaf_left, leaf_right FROM (
+            SELECT c.b, c.feature, c.v AS threshold,
+                   t.n::BIGINT AS n_inbag,
+                   CAST(floor(c.s_left::DOUBLE / c.n_left + 0.5) AS BIGINT) AS leaf_left,
+                   CAST(floor((t.s::DOUBLE - c.s_left::DOUBLE) / (t.n - c.n_left) + 0.5) AS BIGINT) AS leaf_right,
+                   row_number() OVER (PARTITION BY c.b
+                     ORDER BY $gain DESC, c.feature, c.v) AS rn
+            FROM cum c JOIN tot t ON c.b = t.b AND c.feature = t.feature
+            WHERE c.n_left < t.n) WHERE rn = 1),
+          oob AS MATERIALIZED (
+            SELECT g.b, g.ok, g.ln, g.y,
+                   CASE WHEN (CASE WHEN s.feature = 'qty' THEN g.qty
+                                   WHEN s.feature = 'disc' THEN g.disc
+                                   ELSE g.tax END) <= s.threshold
+                        THEN s.leaf_left ELSE s.leaf_right END AS pred
+            FROM bagged g JOIN st s ON g.b = s.b WHERE NOT g.inbag),
+          per_tree AS (
+            SELECT o.b AS tree, s.feature, s.threshold, s.n_inbag,
+                   s.leaf_left, s.leaf_right,
+                   round(sum((o.y - o.pred)::HUGEINT * (o.y - o.pred))::DOUBLE
+                         / count(*) / 1e4, 4) AS oob_mse
+            FROM oob o JOIN st s ON o.b = s.b
+            GROUP BY 1, 2, 3, 4, 5, 6),
+          ens_rows AS (
+            SELECT ok, ln, y,
+                   CAST(floor(sum(pred)::DOUBLE / count(*) + 0.5) AS BIGINT) AS pred
+            FROM oob GROUP BY 1, 2, 3),
+          ens AS (SELECT CAST(-1 AS BIGINT) AS tree, 'ensemble' AS feature,
+                         CAST(-1 AS BIGINT) AS threshold, CAST(0 AS BIGINT) AS n_inbag,
+                         CAST(0 AS BIGINT) AS leaf_left, CAST(0 AS BIGINT) AS leaf_right,
+                         round(sum((y - pred)::HUGEINT * (y - pred))::DOUBLE
+                               / count(*) / 1e4, 4) AS oob_mse
+                  FROM ens_rows)
+        SELECT * FROM per_tree UNION ALL SELECT * FROM ens ORDER BY tree"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_tree_stump", mlTreeStump, Some(stumpOracle)),
     QueryDef("ml_gbt_stumps", mlGbtStumps, Some(gbtOracle)),
+    QueryDef("ml_random_forest", mlRandomForest, Some(rfOracle)),
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
   )
 }

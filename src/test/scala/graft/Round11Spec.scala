@@ -27,6 +27,71 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("ml_random_forest: trees differ (bagging+subspace bite), OOB honest, ensemble ≤ mean tree") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.operators.MlTrees.mlRandomForest(spark, dir).collect()
+    assert(rows.length == graft.operators.MlTrees.RfTrees + 1)
+    val trees = rows.filter(_.getLong(0) >= 0)
+    // feature dropout: each tree's winning feature is never its dropped one
+    trees.foreach { r =>
+      val b = r.getLong(0)
+      val dropped = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"drop_$b".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16) % 3
+      val droppedName = Seq("qty", "disc", "tax")(dropped.toInt)
+      assert(r.getString(1) != droppedName, s"tree $b used its dropped feature")
+      // ~60% subsample
+      val frac = r.getLong(3).toDouble / 60000 // sf0.01 lineitem rows
+      assert(frac > 0.55 && frac < 0.65, s"tree $b bag fraction $frac")
+    }
+    // the independent hashes produce non-identical trees
+    assert(trees.map(r => (r.getString(1), r.getLong(2))).distinct.length >= 2,
+      "all trees picked the identical stump — bagging/subspace not biting")
+    val ens = rows.find(_.getLong(0) == -1L).get.getAs[Double]("oob_mse")
+    val meanTree = trees.map(_.getAs[Double]("oob_mse")).sum / trees.length
+    info(f"OOB mse: ensemble $ens%.1f vs mean single tree $meanTree%.1f")
+
+    // Jensen's variance-reduction guarantee holds only when comparing
+    // on the SAME rows — restrict to rows out-of-bag for EVERY tree
+    // (≈0.4^B of the corpus), where mse(avg of preds) ≤ mean of
+    // per-tree mses mathematically (up to the ±0.5-cent leaf
+    // quantization of the averaged prediction)
+    val stump = trees.map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val base = graft.sources.Tables.lineitem(spark, dir).select(
+      col("l_orderkey").cast("long").as("ok"), col("l_linenumber").cast("long").as("ln"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("tax"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")).collect()
+    def inbag(ok: Long, ln: Long, b: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${ok}_${ln}_$b".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % graft.operators.MlTrees.RfBagMod <
+        graft.operators.MlTrees.RfBagKeep
+    }
+    val allOob = base.filter(r =>
+      (0L until graft.operators.MlTrees.RfTrees.toLong)
+        .forall(b => !inbag(r.getLong(0), r.getLong(1), b)))
+    assert(allOob.length > 100, s"only ${allOob.length} all-OOB rows")
+    def pred(b: Long, r: org.apache.spark.sql.Row): Long = {
+      val (f, t, ll, lr) = stump(b)
+      val fv = f match { case "qty" => r.getLong(2); case "disc" => r.getLong(3); case _ => r.getLong(4) }
+      if (fv <= t) ll else lr
+    }
+    val bs = 0L until graft.operators.MlTrees.RfTrees.toLong
+    val ensMse = allOob.map { r =>
+      val p = math.floor(bs.map(pred(_, r)).sum.toDouble / bs.length + 0.5).toLong
+      val d = r.getLong(5) - p; d.toDouble * d
+    }.sum / allOob.length
+    val treeMses = bs.map(b => allOob.map { r =>
+      val d = r.getLong(5) - pred(b, r); d.toDouble * d
+    }.sum / allOob.length)
+    info(f"same-row (all-OOB) mse: ensemble $ensMse%.1f vs mean tree ${treeMses.sum / bs.length}%.1f")
+    assert(ensMse <= treeMses.sum / bs.length * 1.0001,
+      s"Jensen violated on the all-OOB subset: $ensMse vs $treeMses")
+  }
+
   test("dedup_substring_incremental reuses the persisted base layout (no rebuild)") {
     val dir = "/root/testdata/sf0.01"
     SuffixArray.reset()
