@@ -85,7 +85,89 @@ object Forecast {
         ORDER BY event_type, day"""
   }
 
+  /** Holt double exponential smoothing (level + linear trend) — the
+    * trend-aware upgrade of q50's EWMA, with a 1-step-ahead forecast
+    * (ℓ + b): the alerting baseline that tracks ramping metrics
+    * instead of lagging them. The recurrence
+    *   ℓₜ = α·xₜ + (1−α)(ℓₜ₋₁ + bₜ₋₁);  bₜ = β(ℓₜ − ℓₜ₋₁) + (1−β)bₜ₋₁
+    * is sequential BY NATURE, so each row restarts it over its own
+    * [[HoltK]] trailing lags from the standard init (ℓ = oldest x,
+    * b = first difference) — the q50 row-lag discipline, truncation
+    * error ∝ ((1−α)(1+β))ᴷ. The K−1 steps are emitted as ONE ordered
+    * SELECT list using lateral column aliases (each lⱼ/bⱼ references
+    * the just-defined lⱼ₊₁/bⱼ₊₁), and the SAME formula strings are
+    * evaluated verbatim by Spark and DuckDB — the reg2Formula
+    * discipline: the text is the contract, so the doubles agree
+    * bit-for-bit.
+    *
+    * Scale: identical shape to q50 — one map-side-combined daily
+    * rollup, then a window over each type's own day series. */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.3
+  val HoltK = 8
+
+  /** The init + unrolled steps, oldest-first — one text, two engines. */
+  private def holtFormulas: Seq[String] = {
+    val a = HoltAlpha; val b = HoltBeta
+    val init = Seq(
+      s"x${HoltK - 1} AS l${HoltK - 1}",
+      s"x${HoltK - 2} - x${HoltK - 1} AS b${HoltK - 1}")
+    val steps = (HoltK - 2 to 0 by -1).flatMap { j =>
+      Seq(
+        s"$a * x$j + ${1 - a} * (l${j + 1} + b${j + 1}) AS l$j",
+        s"$b * (l$j - l${j + 1}) + ${1 - b} * b${j + 1} AS b$j")
+    }
+    init ++ steps
+  }
+
+  /** Holt over any (part, ord, x) daily series — the spec feeds
+    * synthetic linear ramps through this same core. */
+  def holtSmooth(daily: DataFrame, partCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(ordCol)
+    var df = daily
+    for (k <- 0 until HoltK) df = df.withColumn(s"x$k", lag(col("x"), k).over(w))
+    df.filter(col(s"x${HoltK - 1}").isNotNull)
+      .selectExpr(Seq(partCol, ordCol, "x") ++ holtFormulas: _*)
+      .selectExpr(partCol, ordCol, "x",
+        "round(l0, 6) AS level", "round(b0, 6) AS trend",
+        "round(l0 + b0, 6) AS forecast1")
+  }
+
+  def q56Holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_us div 86400000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("c"))
+      .withColumn("x", col("c").cast("double") / 100)
+      .select("event_type", "day", "x")
+    holtSmooth(daily, "event_type", "day")
+      .orderBy("event_type", "day")
+  }
+
+  private val holtOracle: String = {
+    val lagCols = (0 until HoltK)
+      .map(k => s"lag(x, $k) OVER tw AS x$k").mkString(",\n                 ")
+    s"""WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS x
+          FROM events GROUP BY 1, 2),
+          lagged AS (SELECT event_type, day, x,
+                 $lagCols
+          FROM daily
+          WINDOW tw AS (PARTITION BY event_type ORDER BY day)),
+          holt AS (SELECT event_type, day, x,
+                 ${holtFormulas.mkString(",\n                 ")}
+          FROM lagged WHERE x${HoltK - 1} IS NOT NULL)
+        SELECT event_type, day, x,
+               round(l0, 6) AS level, round(b0, 6) AS trend,
+               round(l0 + b0, 6) AS forecast1
+        FROM holt ORDER BY event_type, day"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_ewma", q50Ewma, Some(ewmaOracle)),
+    QueryDef("q56_holt", q56Holt, Some(holtOracle)),
   )
 }

@@ -92,6 +92,27 @@ class Round11Spec extends SparkSpec {
       s"Jensen violated on the all-OOB subset: $ensMse vs $treeMses")
   }
 
+  test("q56_holt: on a perfect linear ramp the level tracks x exactly and the trend IS the slope") {
+    // ℓ=x_old, b=first-difference init on a line makes every step
+    // exact: ℓ+b = next x ⇒ ℓ' = x, b' = slope — a closed-form truth
+    // the recurrence must reproduce bit-for-bit
+    val ss = spark; import ss.implicits._
+    val ramp = (0 until 30).map(t => ("up", t.toLong, 10.0 + 3.25 * t)) ++
+      (0 until 30).map(t => ("down", t.toLong, 500.0 - 1.5 * t))
+    val out = graft.operators.Forecast
+      .holtSmooth(ramp.toDF("event_type", "day", "x"), "event_type", "day")
+      .collect()
+    assert(out.length == 2 * (30 - graft.operators.Forecast.HoltK + 1))
+    out.foreach { r =>
+      val (x, level, trend, f1) = (r.getAs[Double]("x"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast1"))
+      val slope = if (r.getString(0) == "up") 3.25 else -1.5
+      assert(math.abs(level - x) < 1e-6, s"level $level drifted from x $x")
+      assert(math.abs(trend - slope) < 1e-6, s"trend $trend off slope $slope")
+      assert(math.abs(f1 - (x + slope)) < 1e-6, "forecast1 is not level + trend")
+    }
+  }
+
   test("dedup_substring_incremental reuses the persisted base layout (no rebuild)") {
     val dir = "/root/testdata/sf0.01"
     SuffixArray.reset()
