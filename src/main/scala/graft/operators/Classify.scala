@@ -486,13 +486,20 @@ object Classify {
 
   /** (px, final micro-weight table (f, wm)) — shared by the weight
     * report and the calibration consumer. */
-  private[operators] def trainBatch(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val inst = instances(spark, dir).localCheckpoint()
+  private[operators] def trainBatch(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainBatchOn(instances(spark, dir))
+
+  /** The batch-GD core over ANY (doc_id, is_spam, features) instance
+    * table — cur_quality_classifier feeds weak heuristic labels
+    * through the same grid-exact trainer. */
+  private[operators] def trainBatchOn(instances0: DataFrame,
+                                      iters: Int = BatchIters): (DataFrame, DataFrame) = {
+    val inst = instances0.localCheckpoint()
     val px = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f"))
       .localCheckpoint() // scanned twice per iteration
     val nDf = inst.agg(count(lit(1)).as("nn"))
     var w = px.select("f").distinct().withColumn("wm", lit(0L)).localCheckpoint()
-    for (_ <- 1 to BatchIters) {
+    for (_ <- 1 to iters) {
       val scored = px.join(w, "f")
         .groupBy("doc_id")
         .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
@@ -551,8 +558,17 @@ object Classify {
   /** Shared CTE chain: instances → unrolled batch-GD rounds →
     * w$BatchIters final micro weights (consumed by the weight report
     * AND the calibration oracle). */
-  private val batchCtes: String = {
-    val iterCtes = (1 to BatchIters).map { k =>
+  /** [[batchCtes]] with the instance LABEL parameterized — the weak-
+    * supervision quality classifier trains the identical unrolled
+    * chain over heuristic labels. */
+  private[operators] val tokenFeaturesSql: String =
+    s"list_transform(string_split(text, ' '), " +
+      s"t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace AS INT))"
+
+  private[operators] def batchCtesFor(labelSql: String,
+                                      iters: Int = BatchIters,
+                                      featuresSql: String = tokenFeaturesSql): String = {
+    val iterCtes = (1 to iters).map { k =>
       s"""s$k AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
                 FROM px p JOIN w${k - 1} w USING (f) GROUP BY 1),
           e$k AS (SELECT doc_id,
@@ -566,15 +582,16 @@ object Classify {
                 FROM w${k - 1} w JOIN g$k g USING (f), n)"""
     }.mkString(",\n          ")
     s"""inst AS MATERIALIZED (
-          SELECT doc_id, doc_id % 3 = 0 AS is_spam,
-                 list_sort(list_distinct(list_transform(string_split(text, ' '),
-                   t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $FeatureSpace AS INT)))) AS features
+          SELECT doc_id, $labelSql AS is_spam,
+                 list_sort(list_distinct($featuresSql)) AS features
           FROM documents),
           n AS (SELECT count(*) AS nn FROM inst),
           px AS MATERIALIZED (SELECT doc_id, is_spam, unnest(features) AS f FROM inst),
           w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wm FROM px),
           $iterCtes"""
   }
+
+  private val batchCtes: String = batchCtesFor("doc_id % 3 = 0")
 
   private val logregBatchOracle: String =
     s"""WITH $batchCtes

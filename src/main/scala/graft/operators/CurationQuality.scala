@@ -785,7 +785,93 @@ object CurationQuality {
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
       "for i in generate_series(1, len(toks) - 2)])"
 
+  /** WEAK-SUPERVISION quality classifier — the CCNet/fastText move a
+    * production corpus pipeline makes once hard rules exist: the
+    * Gopher-rule verdicts ([[qualityFilter]]'s `keep`) become weak
+    * labels, Classify's grid-exact batch-GD logistic trainer fits
+    * hashed-token weights to them, and every document gets a LEARNED
+    * low-quality probability — which generalizes past the rules
+    * (smooth scores where rules are binary, signal on docs near the
+    * thresholds). Output: per-doc weak label, grid-exact p(low), and
+    * the classifier's verdict; the spec measures agreement with the
+    * weak labels (the classifier must learn its teacher) and shows
+    * the scores are graded, not a rule copy.
+    *
+    * Scale: exactly ml_logreg_batch's shape — BatchIters corpus
+    * passes, each one |tokens| join + two groupBys, weights a
+    * FeatureSpace-sized table; the label derivation is the pure
+    * per-row qualityFilter expression fused into the instance scan. */
+  val QcIters = 20
+
+  /** The student's feature map: hashed tokens PLUS quantized
+    * heuristic-bucket tokens ("len#4", "dr#6", "sr#1", "ml#9" →
+    * hashed into the same space) — the fastText-style trick that
+    * makes threshold rules LINEARLY representable: the weak "low"
+    * label fires at BOTH length extremes (U-shaped in token count),
+    * which no linear bag-of-tokens score can express, but per-bucket
+    * weights are a step function and can. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val qf = qualityFilter(spark, dir)
+      .select(col("doc_id"), (!col("keep")).as("is_spam"),
+        col("n_toks"), col("distinct_ratio"), col("stop_ratio"), col("mean_len"))
+    def h(e: String): String =
+      s"CAST(CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT) % ${Classify.FeatureSpace} AS INT)"
+    val inst = Tables.documents(spark, dir)
+      .join(qf, "doc_id")
+      .select(col("doc_id"), col("is_spam"),
+        expr("array_sort(array_distinct(concat(" +
+          s"transform(split(text, ' '), t -> ${h("t")}), " +
+          s"array(${h("concat('len#', CAST(n_toks div 10 AS STRING))")}, " +
+          s"${h("concat('dr#', CAST(CAST(floor(distinct_ratio * 10) AS BIGINT) AS STRING))")}, " +
+          s"${h("concat('sr#', CAST(CAST(floor(stop_ratio * 10) AS BIGINT) AS STRING))")}, " +
+          s"${h("concat('ml#', CAST(CAST(floor(mean_len * 2) AS BIGINT) AS STRING))")}))))")
+          .as("features"))
+    val (px, w) = Classify.trainBatchOn(inst, iters = QcIters)
+    val g = Classify.ProbGrid
+    px.join(w, "f")
+      .groupBy("doc_id")
+      .agg(first(col("is_spam")).as("weak_low"), sum(col("wm")).as("sc"))
+      .withColumn("p",
+        floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * g + 0.5).cast("long"))
+      .select(col("doc_id"), col("weak_low"),
+        round(col("p") / g, 6).as("p_low"),
+        (col("p") > lit((g / 2).toLong)).as("pred_low"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val qualityClassifierOracle: String = {
+    val toks = "string_split(text, ' ')"
+    val nt = s"CAST(len($toks) AS BIGINT)"
+    val dr = s"round(len(list_distinct($toks)) / CAST(len($toks) AS DOUBLE), 6)"
+    val sr = s"round(len(list_filter($toks, t -> t = 'the' OR t = 'a')) / CAST(len($toks) AS DOUBLE), 6)"
+    val ml = s"round(list_sum(list_transform($toks, t -> length(t))) / CAST(len($toks) AS DOUBLE), 6)"
+    val lowSql =
+      s"""(($nt < $MinToks OR $nt > $MaxToks)
+           OR $dr < $MinDistinctRatio
+           OR $sr > $MaxStopRatio
+           OR $ml < $MinMeanLen OR $ml > $MaxMeanLen)"""
+    def h(e: String): String =
+      s"CAST(('0x' || substr(md5($e), 1, 8))::BIGINT % ${Classify.FeatureSpace} AS INT)"
+    val featuresSql =
+      s"""list_transform($toks, t -> ${h("t")}) ||
+                 [${h(s"'len#' || CAST($nt // 10 AS VARCHAR)")},
+                  ${h(s"'dr#' || CAST(CAST(floor($dr * 10) AS BIGINT) AS VARCHAR)")},
+                  ${h(s"'sr#' || CAST(CAST(floor($sr * 10) AS BIGINT) AS VARCHAR)")},
+                  ${h(s"'ml#' || CAST(CAST(floor($ml * 2) AS BIGINT) AS VARCHAR)")}]"""
+    val g = Classify.ProbGrid
+    s"""WITH ${Classify.batchCtesFor(lowSql, iters = QcIters, featuresSql = featuresSql)},
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS weak_low, sum(w.wm) AS sc
+                 FROM px p JOIN w$QcIters w USING (f) GROUP BY 1),
+          pr AS (SELECT doc_id, weak_low,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $g + 0.5) AS BIGINT) AS p
+                 FROM sc)
+        SELECT doc_id, weak_low, round(p / $g, 6) AS p_low,
+               p > ${(g / 2).toLong} AS pred_low
+        FROM pr ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     QueryDef("cur_ccnet_buckets", ccnetBuckets, Some(ccnetOracle)),
     QueryDef("cur_quality_filter", qualityFilter, Some(
       s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

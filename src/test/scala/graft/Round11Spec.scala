@@ -113,6 +113,23 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("cur_quality_classifier: the student learns its weak teacher, scores are graded") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.operators.CurationQuality.qualityClassifier(spark, dir).collect()
+    val base = rows.count(_.getBoolean(1)).toDouble / rows.length
+    val agree = rows.count(r => r.getBoolean(1) == r.getBoolean(3)).toDouble / rows.length
+    info(f"base low-rate $base%.3f, student/teacher agreement $agree%.3f")
+    // must beat always-majority by a wide margin (the pure-token model
+    // CAN'T: the low label is U-shaped in doc length — the quantized
+    // heuristic-bucket features are what make it linearly learnable)
+    assert(agree > math.max(base, 1 - base) + 0.2,
+      s"agreement $agree does not beat the majority baseline ${math.max(base, 1 - base)}")
+    // graded probabilities, not a binary rule copy
+    val ps = rows.map(_.getDouble(2)).distinct
+    assert(ps.length > 50 && ps.min < 0.3 && ps.max > 0.7,
+      s"scores not graded: ${ps.length} distinct in [${ps.min}, ${ps.max}]")
+  }
+
   test("dedup_substring_incremental reuses the persisted base layout (no rebuild)") {
     val dir = "/root/testdata/sf0.01"
     SuffixArray.reset()
