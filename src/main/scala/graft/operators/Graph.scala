@@ -1039,6 +1039,57 @@ object Graph {
           $roundCtes"""
   }
 
+  /** LEIDEN-STYLE connectivity refinement of the Louvain communities
+    * (Traag et al. 2019's headline defect fix): Louvain can emit
+    * communities that are internally DISCONNECTED — vertices glued by
+    * label adoption with no intra-community path — and splitting such
+    * a community into its connected components strictly increases Q
+    * (each split removes cross-component degree-product penalty while
+    * losing zero internal edges). Refinement = connected components
+    * over the INTRA-community edge subgraph (cross-community edges
+    * dropped, so min-label CC can never leak a label across
+    * communities); vertices with no intra-community edge become
+    * singletons. Output: (v, comm, rcomm, rcomm_size); ModularitySpec
+    * asserts Q(refined) ≥ Q(louvain) and that every refined community
+    * IS connected. Shuffle: two label joins on |E| + the CC rounds on
+    * the (smaller) intra subgraph. */
+  val LouvainRefineCcIters = 8
+  def graphLouvainRefined(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = louvainLabels(spark, dir)
+    val und = liPairs(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+    val intra = und
+      .join(lbl.select(col("v").as("s"), col("comm").as("cs")), Seq("s"))
+      .join(lbl.select(col("v").as("p"), col("comm").as("cp")), Seq("p"))
+      .filter(col("cs") === col("cp"))
+      .select(col("s"), col("p"))
+    val cc = graft.api.GraftOps.connectedComponents(intra, "s", "p", LouvainRefineCcIters)
+    val refined = lbl
+      .join(cc, Seq("v"), "left")
+      .select(col("v"), col("comm"), coalesce(col("comp"), col("v")).as("rcomm"))
+    refined
+      .join(refined.groupBy("rcomm").agg(count(lit(1)).as("rcomm_size")), "rcomm")
+      .select(col("v"), col("comm"), col("rcomm"), col("rcomm_size"))
+      .orderBy("v")
+  }
+
+  private lazy val louvainRefinedOracle: String =
+    s"""WITH $louvainCtePrefix,
+          intra AS MATERIALIZED (
+            SELECT li.s, li.p FROM li
+            JOIN lbl ls ON li.s = ls.v JOIN lbl lp ON li.p = lp.v
+            WHERE ls.comm = lp.comm),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM intra
+                UNION ALL SELECT p, s FROM intra),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${ccUnrolledCtes(LouvainRefineCcIters)},
+          ref AS MATERIALIZED (
+            SELECT b.v, b.comm, coalesce(c.comp, b.v) AS rcomm
+            FROM lbl b LEFT JOIN l$LouvainRefineCcIters c ON b.v = c.v),
+          rsz AS (SELECT rcomm, count(*) AS rcomm_size FROM ref GROUP BY 1)
+        SELECT ref.v, ref.comm, ref.rcomm, rsz.rcomm_size
+        FROM ref JOIN rsz USING (rcomm) ORDER BY ref.v"""
+
   /** Both louvain levels + composition + canonicalization as a CTE
     * prefix ending with `lbl` (v, comm) — shared by the label output
     * and the modularity scoring, like lpaCtePrefix. */
@@ -1723,6 +1774,7 @@ object Graph {
     QueryDef("graph_lpa", graphLpa, Some(lpaOracle)),
     QueryDef("graph_louvain", graphLouvain, Some(louvainOracle)),
     QueryDef("graph_louvain_q", graphLouvainQ, Some(louvainQOracle)),
+    QueryDef("graph_louvain_refined", graphLouvainRefined, Some(louvainRefinedOracle)),
     QueryDef("graph_modularity", graphModularity, Some(modularityOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),

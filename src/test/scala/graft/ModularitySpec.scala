@@ -111,6 +111,36 @@ class ModularitySpec extends SparkSpec {
     assert(qLouvain > 0.005, s"Louvain Q $qLouvain found no structure at all")
   }
 
+  test("Leiden refinement: every refined community is connected; Q never decreases") {
+    val dir = "/root/testdata/sf0.01"
+    val und = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"),
+        (col("l_partkey") + graft.operators.Graph.PartOffset).as("p"))
+      .distinct().localCheckpoint()
+    val ref = graft.operators.Graph.graphLouvainRefined(spark, dir).localCheckpoint()
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraftOps.modularity(und, "s", "p", labels)
+        .agg(sum(col("q_term"))).collect()(0).getDouble(0)
+    val qBefore = q(ref.select(col("v"), col("comm")))
+    val qAfter = q(ref.select(col("v"), col("rcomm").as("comm")))
+    info(f"Q before refinement $qBefore%.4f, after $qAfter%.4f")
+    assert(qAfter >= qBefore - 1e-9,
+      s"splitting disconnected communities lowered Q: $qBefore -> $qAfter")
+    // connectivity: within each refined community, CC over its own
+    // edges must find ONE component (checked via a fresh min-label run
+    // on the refined-intra subgraph at generous depth)
+    val intra = und
+      .join(ref.select(col("v").as("s"), col("rcomm").as("ra")), Seq("s"))
+      .join(ref.select(col("v").as("p"), col("rcomm").as("rb")), Seq("p"))
+      .filter(col("ra") === col("rb")).select("s", "p")
+    val cc = GraftOps.connectedComponents(intra, "s", "p", 16)
+    val split = ref.join(cc, Seq("v"), "left")
+      .select(col("rcomm"), coalesce(col("comp"), col("v")).as("c2"))
+      .groupBy("rcomm").agg(countDistinct(col("c2")).as("nc"))
+      .filter(col("nc") > 1)
+    assert(split.count() == 0, "a refined community is still disconnected")
+  }
+
   test("single community scores Q ≈ 0 (the null case)") {
     val und = edgeDf(clique(cliqueA))
     val labels = edgeDf(cliqueA.map((_, 7L)))
