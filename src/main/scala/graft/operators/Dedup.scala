@@ -363,6 +363,54 @@ object Dedup {
   // object body (a strict val here would still be null at that point)
   private lazy val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
+  /** Recall of the minhash-LSH candidate generation vs the EXACT
+    * n-gram-Jaccard pairs, per jaccard band — the banding s-curve as a
+    * VALUE-VERIFIED operator (the sim_recall_report discipline brought
+    * to the dedup tier): the number a corpus pipeline monitors to know
+    * what its near-dup pass is missing, not just a spec assertion
+    * (LshSweepSpec measures the same curve in-test). Both sides are
+    * the registered operators' own plans; the oracle recomputes both
+    * from one shared shingle relation and intersects. Band b covers
+    * jaccard [b/10, (b+1)/10) (0.9+ capped into band 9); band −1 is
+    * the corpus total. */
+  def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir).select(col("a"), col("b"), col("jaccard"))
+      .localCheckpoint()
+    val cand = dedupMinhash(spark, dir).select(col("a"), col("b"))
+    val marked = exact.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("band"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .localCheckpoint() // feeds the per-band rows AND the total
+    val per = marked.groupBy("band")
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+    val tot = marked.agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+      .select(lit(-1L).as("band"), col("n_exact"), col("n_hit"))
+    per.unionAll(tot)
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .orderBy("band")
+  }
+
+  private lazy val dedupRecallOracle: String =
+    s"""WITH $minhashPairCtes,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          exact AS MATERIALIZED (
+            SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= $JaccardThreshold),
+          mk AS MATERIALIZED (
+            SELECT least(CAST(floor(e.jaccard * 10) AS BIGINT), 9) AS band,
+                   CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM exact e LEFT JOIN pairs p ON e.a = p.a AND e.b = p.b),
+          per AS (SELECT band, count(*) AS n_exact, sum(hit) AS n_hit FROM mk GROUP BY 1),
+          allr AS (SELECT band, n_exact, n_hit FROM per
+                   UNION ALL SELECT -1, count(*), sum(hit) FROM mk)
+        SELECT band, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+               round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+        FROM allr ORDER BY band"""
+
   private val minhashOracle: String = {
     val matchSum = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -498,6 +546,7 @@ object Dedup {
           WHERE a.name < b.name AND levenshtein(a.name, b.name) <= $FuzzK
           ORDER BY a, b""")),
     QueryDef("dedup_minhash", dedupMinhash, Some(minhashOracle)),
+    QueryDef("dedup_recall_report", dedupRecallReport, Some(dedupRecallOracle)),
     QueryDef("dedup_minhash_incremental", dedupMinhashIncremental,
       Some(minhashIncrementalOracle)),
     QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
