@@ -107,7 +107,7 @@ object Forecast {
   val HoltK = 8
 
   /** The init + unrolled steps, oldest-first — one text, two engines. */
-  private def holtFormulas: Seq[String] = {
+  private[graft] def holtFormulas: Seq[String] = {
     val a = HoltAlpha; val b = HoltBeta
     val init = Seq(
       s"x${HoltK - 1} AS l${HoltK - 1}",
@@ -128,9 +128,14 @@ object Forecast {
     for (k <- 0 until HoltK) df = df.withColumn(s"x$k", lag(col("x"), k).over(w))
     df.filter(col(s"x${HoltK - 1}").isNotNull)
       .selectExpr(Seq(partCol, ordCol, "x") ++ holtFormulas: _*)
+      // floor(x·1e6 + 0.5)/1e6 instead of round(): DuckDB's double
+      // round() and Spark's BigDecimal HALF_UP disagree on values a
+      // hair below a 6-dp boundary (observed on the hourly series);
+      // explicit IEEE floor arithmetic is bit-identical by construction
       .selectExpr(partCol, ordCol, "x",
-        "round(l0, 6) AS level", "round(b0, 6) AS trend",
-        "round(l0 + b0, 6) AS forecast1")
+        "floor(l0 * 1000000 + 0.5) / 1000000 AS level",
+        "floor(b0 * 1000000 + 0.5) / 1000000 AS trend",
+        "floor((l0 + b0) * 1000000 + 0.5) / 1000000 AS forecast1")
   }
 
   def q56Holt(spark: SparkSession, dir: String): DataFrame = {
@@ -161,8 +166,9 @@ object Forecast {
                  ${holtFormulas.mkString(",\n                 ")}
           FROM lagged WHERE x${HoltK - 1} IS NOT NULL)
         SELECT event_type, day, x,
-               round(l0, 6) AS level, round(b0, 6) AS trend,
-               round(l0 + b0, 6) AS forecast1
+               floor(l0 * 1000000 + 0.5) / 1000000 AS level,
+               floor(b0 * 1000000 + 0.5) / 1000000 AS trend,
+               floor((l0 + b0) * 1000000 + 0.5) / 1000000 AS forecast1
         FROM holt ORDER BY event_type, day"""
   }
 

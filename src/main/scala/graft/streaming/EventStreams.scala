@@ -897,6 +897,102 @@ object EventStreams {
       .toDF("event_type", "window_ms", "n", "x", "ewma")
   }
 
+  // ---- streaming Holt (level + trend through the state store) ----
+
+  /** Batch mirror of the streaming Holt smoother: hourly cent-exact
+    * value sums per event type through Forecast.holtSmooth — q56's
+    * level/trend/1-step-forecast at streaming granularity. The stream
+    * arm keeps (ring of last HoltK−1 finalized x's, open window
+    * accumulator) per type — ewmaCore's state shape with the Holt
+    * recurrence as the readout; rows emit only once a full K-window
+    * history exists, matching the batch mirror's lag filter. */
+  def holtBatch(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(ts_us div $HourUs) * $HourMs").as("window_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "window_ms")
+      .agg(sum(col("cents")).as("c"))
+      .withColumn("x", col("c").cast("double") / 100)
+      .select("event_type", "window_ms", "x")
+    graft.operators.Forecast.holtSmooth(hourly, "event_type", "window_ms")
+      .orderBy("event_type", "window_ms")
+  }
+
+  def holtStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    holtCore(readEvents(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[(Long, String, Long, Double)])
+  }
+
+  /** Stateful Holt core — ewmaCore's windowing discipline (fold rows
+    * in (ts, id) order, finalize a window when a later one opens, emit
+    * the open tail PROVISIONALLY; multi-micro-batch runs re-emit the
+    * tail — see cdcCore's MULTI-BATCH CAVEAT) with the q56 recurrence
+    * as readout: the Scala fold performs the IDENTICAL IEEE ops, in
+    * the identical order, with the identical printed-and-reparsed
+    * (1−α)/(1−β) constants as the lateral-alias formula text both
+    * batch engines evaluate — so a drained stream matches the batch
+    * mirror bit-for-bit (StreamingSpec proves it). State per type:
+    * HoltK−1 doubles + the open accumulator. */
+  def holtCore(evs: org.apache.spark.sql.Dataset[(Long, String, Long, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val K = graft.operators.Forecast.HoltK
+    val a = graft.operators.Forecast.HoltAlpha
+    val be = graft.operators.Forecast.HoltBeta
+    val oneMa = 1 - a
+    val oneMb = 1 - be
+    val keep = K - 1
+    // explicit IEEE quantization — identical ops to the batch SQL's
+    // floor(x*1e6 + 0.5)/1e6 (see Forecast.holtSmooth's rationale)
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    // xs oldest..newest, size K — the x_{K-1}..x_0 lag aliases
+    def holt(xs: Vector[Double]): (Double, Double, Double) = {
+      var l = xs(0)
+      var b = xs(1) - xs(0)
+      var j = K - 2
+      while (j >= 0) {
+        val x = xs(K - 1 - j)
+        val l1 = a * x + oneMa * (l + b)
+        b = be * (l1 - l) + oneMb * b
+        l = l1
+        j -= 1
+      }
+      (r6(l), r6(b), r6(l + b))
+    }
+    evs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Vector[Double], Long, Long),
+        (String, Long, Double, Double, Double, Double)](OM.Append(), GroupStateTimeout.NoTimeout) {
+        (typ: String,
+         rows: Iterator[(Long, String, Long, Double)],
+         state: GroupState[(Vector[Double], Long, Long)]) =>
+          var (ring, curWin, curC) =
+            state.getOption.getOrElse((Vector.empty[Double], -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Double, Double, Double)]
+          def emit(provisional: Boolean): Unit = if (curWin >= 0) {
+            val x = curC.toDouble / 100
+            if (ring.size == keep) {
+              val (l, b, f) = holt(ring :+ x)
+              out += ((typ, curWin * HourMs, x, l, b, f))
+            }
+            if (!provisional) { ring = (ring :+ x).takeRight(keep); curC = 0 }
+          }
+          rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (_, _, ts, v) =>
+            val win = ts / HourUs
+            if (win != curWin) { emit(provisional = false); curWin = win }
+            curC += math.floor(v * 100 + 0.5).toLong
+          }
+          state.update((ring, curWin, curC))
+          emit(provisional = true)
+          out.iterator
+      }
+      .toDF("event_type", "window_ms", "x", "level", "trend", "forecast1")
+  }
+
   // ---- streaming near-dup detection (minhash bands through state) ----
 
   /** In-row banded minhash of a (doc_id, text) relation: each signature
@@ -1043,6 +1139,27 @@ object EventStreams {
                  CASE WHEN m < $KmvUsersK THEN m::DOUBLE
                       ELSE round($c / xk::DOUBLE, 4) END AS approx_users
           FROM kk ORDER BY window_ms"""
+    }),
+    QueryDef("stream_holt", holtBatch, Some {
+      val k = graft.operators.Forecast.HoltK
+      val lagCols = (0 until k)
+        .map(j => s"lag(x, $j) OVER tw AS x$j").mkString(",\n                 ")
+      s"""WITH daily AS (
+            SELECT event_type, (epoch_us(ts) // $HourUs) * $HourMs AS window_ms,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS x
+            FROM events GROUP BY 1, 2),
+            lagged AS (SELECT event_type, window_ms, x,
+                   $lagCols
+            FROM daily
+            WINDOW tw AS (PARTITION BY event_type ORDER BY window_ms)),
+            holt AS (SELECT event_type, window_ms, x,
+                   ${graft.operators.Forecast.holtFormulas.mkString(",\n                   ")}
+            FROM lagged WHERE x${k - 1} IS NOT NULL)
+          SELECT event_type, window_ms, x,
+                 floor(l0 * 1000000 + 0.5) / 1000000 AS level,
+                 floor(b0 * 1000000 + 0.5) / 1000000 AS trend,
+                 floor((l0 + b0) * 1000000 + 0.5) / 1000000 AS forecast1
+          FROM holt ORDER BY event_type, window_ms"""
     }),
     QueryDef("stream_quantile", streamQuantileBatch, Some {
       val qList = QuantQs.mkString("[", ", ", "]")

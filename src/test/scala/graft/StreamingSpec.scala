@@ -37,6 +37,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming Holt level/trend converges to the batch mirror bit-for-bit") {
+    // the Scala fold's IEEE ops match the lateral-alias formula text's
+    // exactly (same order, same printed-and-reparsed constants), so a
+    // drained stream must reproduce every (level, trend, forecast1)
+    runToMemory(EventStreams.holtStream(spark, sf), "sht", OutputMode.Append())
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("window_ms"))
+    val streamed = spark.table("sht").collect()
+      .map(r => key(r) -> (r.getAs[Double]("x"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast1"))).toMap
+    val batch = EventStreams.holtBatch(spark, sf).collect()
+      .map(r => key(r) -> (r.getAs[Double]("x"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast1"))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming bottom-K quantile sketch converges to the batch mirror exactly") {
     // q55's mergeable sample through the state store: the micro-batch
     // partial merges ARE the sketch's split-merge identity, so the
