@@ -338,7 +338,62 @@ object EventAnalytics {
         FROM du JOIN days d ON d.wday >= du.day AND d.wday < du.day + $SlideDays
         GROUP BY 1 ORDER BY wday"""
 
+  /** LAST-TOUCH attribution (q57): every purchase is credited to the
+    * user's most recent preceding touch (view/click) within a 24 h
+    * lookback, else 'none' — the marketing-analytics standard the
+    * funnel family lacks (funnels ask "did the journey complete";
+    * attribution asks "which touch gets the credit/revenue"). One
+    * per-user ordered window with an IGNORE-NULLS running last over
+    * rows strictly BEFORE the current (same-timestamp touches don't
+    * self-attribute; ties ordered by event_id), then a |touch-types|-
+    * sized rollup of counts + cent-exact revenue.
+    *
+    * Scale: the single window partitions by user — the sessionize
+    * shape (per-user event counts are bounded); everything after is a
+    * 3-row aggregate. No self-join, no as-of join needed: the running
+    * last IS the as-of. */
+  val AttrLookbackUs: Long = 24L * 3600 * 1000000
+  def q57Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+    val touchTs = when(col("event_type").isin("view", "click"), col("ts_us"))
+    ev
+      .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lt_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        when(col("lt_ts").isNotNull && col("lt_ts") >= col("ts_us") - AttrLookbackUs,
+          col("lt_type")).otherwise(lit("none")))
+      .groupBy(col("attributed").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy("touch_type")
+  }
+
+  private val attributionOracle: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+          lt AS (SELECT *,
+                 last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                            IGNORE NULLS) OVER tw AS lt_type,
+                 last_value(CASE WHEN event_type IN ('view', 'click') THEN ts_us END
+                            IGNORE NULLS) OVER tw AS lt_ts
+          FROM ev
+          WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          p AS (SELECT CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts_us - $AttrLookbackUs
+                            THEN lt_type ELSE 'none' END AS touch_type, cents
+                FROM lt WHERE event_type = 'purchase')
+        SELECT touch_type, count(*) AS n_purchases, sum(cents)::BIGINT AS cents
+        FROM p GROUP BY 1 ORDER BY touch_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q57_attribution", q57Attribution, Some(attributionOracle)),
     QueryDef("q54_sliding_distinct", q54SlidingDistinct, Some(slidingDistinctOracle)),
     QueryDef("q51_seq_support", q51SeqSupport, Some(seqSupportOracle)),
     QueryDef("q48_markov_transitions", q48MarkovTransitions, Some(markovOracle)),
