@@ -1709,7 +1709,8 @@ object GraftOps {
     * broadcast 1-row aggregate. Nothing holds the vertex set in one
     * task. */
   private def louvainLevel(edges: DataFrame, selfs: DataFrame,
-                           rounds: Int): DataFrame = {
+                           rounds: Int,
+                           init: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .truncated()
@@ -1731,7 +1732,14 @@ object GraftOps {
       val ms = selfs.agg(coalesce(sum(col("sw")), lit(0L))).head.getLong(0)
       (me + ms).toDouble
     }
-    var labels = k.select(col("v"), col("v").as("lbl"))
+    // cold start: every node its own community; warm start: adopt the
+    // supplied labels, unseen nodes fall back to singleton
+    var labels = init match {
+      case None => k.select(col("v"), col("v").as("lbl"))
+      case Some(l0) => k.select(col("v"))
+        .join(l0.select(col("v"), col("lbl")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+    }
     for (i <- 1 to rounds) {
       // one |comms|-sized stats table per round: incident-weight sum
       // (Σtot) AND member count, in a single groupBy
@@ -1760,8 +1768,14 @@ object GraftOps {
           col("wc").cast("double") -
             (col("kv").cast("double") * col("sig_adj").cast("double")) /
               (lit(2.0) * lit(mVal)))
+      // argmax tie-break: STAY beats any equal-scoring move (without
+      // this, zero-gain ties resolve toward smaller labels and a
+      // SETTLED solution mass-migrates — measured Q 0.013 → −0.11 on
+      // two no-delta warm sweeps), then smallest community label
       labels = scored.groupBy("v")
-        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("mx"))
+        .agg(max(struct(col("score"),
+          (col("c") === col("lbl")).cast("int").as("stay"),
+          (-col("c")).as("nc"))).as("mx"))
         .select(col("v"), (-col("mx.nc")).as("lbl"))
         .unionAll(labels.filter(pmod(col("v"), lit(2L)) =!= lit(i % 2.toLong)))
       if (i % 2 == 0) labels = labels.truncated()
@@ -1807,6 +1821,54 @@ object GraftOps {
       .select(col("v"), coalesce(col("c2"), col("lbl")).as("c"))
     val canon = comp.groupBy("c").agg(min(col("v")).as("comm"))
     comp.join(canon, Seq("c")).select(col("v"), col("comm"))
+  }
+
+  /** INCREMENTAL Louvain: warm-start local moves from an existing
+    * label table — the dedup_minhash_incremental / CC-incremental
+    * discipline for communities. When a delta batch of edges arrives,
+    * a full 8+4-round re-optimization from singletons is wasted work:
+    * the previous run's communities are already near-optimal, so
+    * `rounds` (typically 2 — one round per parity) gated sweeps over
+    * the UPDATED graph, initialized from `baseLabels` (new vertices
+    * start as singletons), re-place moved/new nodes while settled
+    * structure stays put. Labels canonicalize to min member id.
+    * LouvainIncrementalSpec shows the warm path reaches the cold
+    * run's Q at a sixth of the rounds. */
+  /** Order-free integer modularity score of a labeling: Σ over
+    * communities of floor(q_term·10⁸ + 0.5) as a BIGINT sum — float
+    * summation order can flip a raw Σ q_term comparison across
+    * engines/partitionings; the quantized integer sum cannot. */
+  private def qScore(und: DataFrame, u: String, v: String,
+                     labels: DataFrame): Long =
+    modularity(und, u, v, labels)
+      .agg(coalesce(sum(
+        floor(col("q_term") * 1e8 + 0.5).cast("long")), lit(0L)))
+      .head.getLong(0)
+
+  def louvainWarm(und: DataFrame, u: String, v: String,
+                  baseLabels: DataFrame, rounds: Int): DataFrame = {
+    val e1 = und.select(col(u).as("a"), col(v).as("b"), lit(1L).as("w"))
+    val noSelf = e1.select(col("a").as("v"), lit(0L).as("sw")).limit(0)
+    val lbl = louvainLevel(e1, noSelf, rounds,
+      init = Some(baseLabels.select(col("v"), col("comm").as("lbl"))))
+    val canon = lbl.groupBy(col("lbl")).agg(min(col("v")).as("comm"))
+    val warm = lbl.join(canon, Seq("lbl")).select(col("v"), col("comm"))
+      .truncated() // scored AND possibly returned
+    // base labels extended to the updated graph (new vertices
+    // singleton), re-canonicalized
+    val nodes = e1.select(col("a").as("v")).unionAll(e1.select(col("b").as("v"))).distinct()
+    val ext = nodes.join(baseLabels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comm"), col("v")).as("lbl"))
+    val extCanon = ext.groupBy(col("lbl")).agg(min(col("v")).as("comm"))
+    val base = ext.join(extCanon, Seq("lbl")).select(col("v"), col("comm"))
+      .truncated()
+    // HILL-CLIMB GUARD: synchronized sweeps on a non-fixpoint state
+    // can jointly overshoot (measured: two no-delta sweeps took Q from
+    // +0.013 to −0.11); keep the warm result only if its (order-free
+    // integer) modularity is at least the carried-forward base's. The
+    // guard costs two |E| scoring passes — model-sized scalars, the
+    // k-center argmax discipline — and makes warm restart monotone.
+    if (qScore(und, u, v, warm) >= qScore(und, u, v, base)) warm else base
   }
 
   /** Newman modularity per community over an UNDIRECTED edge list and a

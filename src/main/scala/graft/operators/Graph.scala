@@ -1004,7 +1004,8 @@ object Graph {
     * singleton-merge ordering guard, the gain comparator with v's k
     * excluded from its own community's Σtot, argmax with smallest-c
     * tie-break. */
-  private def louvainLevelCtes(p: String, rounds: Int): String = {
+  private def louvainLevelCtes(p: String, rounds: Int,
+                               initCte: Option[String] = None): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""${p}st$r AS MATERIALIZED (SELECT l.lbl AS c, sum(k.kv) AS sig, count(*) AS cnt
                 FROM ${p}l${r - 1} l JOIN ${p}k k USING (v) GROUP BY 1),
@@ -1013,7 +1014,7 @@ object Graph {
                 FROM ${p}sym s JOIN ${p}l${r - 1} l ON s.dst = l.v GROUP BY 1, 2
                 UNION ALL SELECT v, lbl AS c, 0 FROM ${p}l${r - 1}) GROUP BY 1, 2
                 HAVING v % 2 = ${r % 2}),
-          ${p}sc$r AS (SELECT cd.v, cd.c,
+          ${p}sc$r AS (SELECT cd.v, cd.c, l.lbl,
                 cd.wc::DOUBLE - (k.kv::DOUBLE *
                   (g.sig - CASE WHEN cd.c = l.lbl THEN k.kv ELSE 0 END)::DOUBLE) /
                   (2.0 * m.m) AS score
@@ -1022,7 +1023,8 @@ object Graph {
                 JOIN ${p}st$r zl ON l.lbl = zl.c, ${p}m m
                 WHERE NOT (zl.cnt = 1 AND g.cnt = 1 AND cd.c > l.lbl)),
           ${p}l$r AS MATERIALIZED (SELECT v, c AS lbl FROM (
-                SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC, c) AS rn
+                SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC,
+                  CASE WHEN c = lbl THEN 1 ELSE 0 END DESC, c) AS rn
                 FROM ${p}sc$r) WHERE rn = 1
                 UNION ALL
                 SELECT v, lbl FROM ${p}l${r - 1} WHERE v % 2 <> ${r % 2})"""
@@ -1035,9 +1037,91 @@ object Graph {
               FULL JOIN (SELECT v, sum(sw) AS sw FROM ${p}selfs GROUP BY 1) s ON i.v = s.v),
           ${p}m AS (SELECT ((SELECT coalesce(sum(w), 0) FROM ${p}edges) +
                             (SELECT coalesce(sum(sw), 0) FROM ${p}selfs))::DOUBLE AS m),
-          ${p}l0 AS MATERIALIZED (SELECT v, v AS lbl FROM ${p}k),
+          ${p}l0 AS MATERIALIZED (${initCte match {
+            case None => s"SELECT v, v AS lbl FROM ${p}k"
+            case Some(init) =>
+              s"""SELECT k.v, coalesce(i.comm, k.v) AS lbl
+                FROM ${p}k k LEFT JOIN $init i ON k.v = i.v"""
+          }}),
           $roundCtes"""
   }
+
+  /** INCREMENTAL Louvain (GraftOps.louvainWarm): base communities from
+    * the 80% graph (l_orderkey % 10 < IncCut — the CC-incremental
+    * split), then the full graph's delta edges land and TWO warm
+    * parity-gated sweeps (one per parity: every node gets one move
+    * chance) re-place moved/new nodes from the base labels instead of
+    * re-running 8+4 rounds from singletons. The delta-ingest path a
+    * daily community job runs. LouvainIncrementalSpec measures the Q
+    * the warm path retains vs the cold full run. */
+  val LouvainWarmRounds = 2
+  def graphLouvainIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+    def pairs(f: DataFrame => DataFrame) = f(li)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      .distinct()
+    val base = pairs(_.filter(col("l_orderkey") % 10 < IncCut))
+    val full = pairs(identity)
+    val baseLbl = graft.api.GraftOps.louvain(base, "s", "p",
+      LouvainL1Rounds, LouvainL2Rounds)
+    val lbl = graft.api.GraftOps.louvainWarm(full, "s", "p", baseLbl, LouvainWarmRounds)
+    lbl.join(lbl.groupBy(col("comm")).agg(count(lit(1)).as("comm_size")), "comm")
+      .select(col("v"), col("comm"), col("comm_size"))
+      .orderBy("v")
+  }
+
+  /** Order-free integer modularity score of the `lblRel` labeling over
+    * `pairsRel` (s, p): the modularityOracle aggregation with q_term
+    * quantized via floor(q·10⁸ + 0.5) and summed as BIGINT — so the
+    * warm-vs-base comparison cannot flip under float summation order.
+    * Ends with `${p}qs` (one row, column qs). */
+  private def qScoreCtes(pairsRel: String, lblRel: String, mRel: String,
+                         p: String): String =
+    s"""${p}ec AS MATERIALIZED (SELECT ls.comm AS cs, lp.comm AS cp FROM $pairsRel li
+                JOIN $lblRel ls ON li.s = ls.v JOIN $lblRel lp ON li.p = lp.v),
+          ${p}int AS (SELECT cs AS comm, count(*) AS internal_edges
+                FROM ${p}ec WHERE cs = cp GROUP BY 1),
+          ${p}deg AS (SELECT comm, count(*) AS degree_sum FROM (
+                SELECT cs AS comm FROM ${p}ec UNION ALL SELECT cp FROM ${p}ec) GROUP BY 1),
+          ${p}nds AS (SELECT comm FROM $lblRel GROUP BY 1),
+          ${p}qt AS (SELECT n.comm,
+                round((4.0 * m.m::DOUBLE * coalesce(i.internal_edges, 0)::DOUBLE -
+                       coalesce(d.degree_sum, 0)::DOUBLE * coalesce(d.degree_sum, 0)::DOUBLE) /
+                      (4.0 * m.m::DOUBLE * m.m::DOUBLE), 8) AS q_term
+                FROM ${p}nds n LEFT JOIN ${p}int i ON n.comm = i.comm
+                LEFT JOIN ${p}deg d ON n.comm = d.comm, $mRel m),
+          ${p}qs AS (SELECT coalesce(sum(CAST(floor(q_term * 1e8 + 0.5) AS BIGINT)), 0) AS qs
+                FROM ${p}qt)"""
+
+  private lazy val louvainIncrementalOracle: String =
+    s"""WITH ${louvainChainCtes(
+        s"SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem WHERE l_orderkey % 10 < $IncCut",
+        "z")},
+          wli AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          w_edges AS MATERIALIZED (SELECT s AS a, p AS b, CAST(1 AS BIGINT) AS w FROM wli),
+          w_selfs AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS sw WHERE 1 = 0),
+          ${louvainLevelCtes("w_", LouvainWarmRounds, initCte = Some("zlbl"))},
+          wcanon AS (SELECT lbl AS l, min(v) AS comm FROM w_l$LouvainWarmRounds GROUP BY 1),
+          wl AS MATERIALIZED (SELECT w.v, c.comm
+                FROM w_l$LouvainWarmRounds w JOIN wcanon c ON w.lbl = c.l),
+          wnodes AS (SELECT s AS v FROM wli UNION SELECT p FROM wli),
+          blx AS (SELECT n.v, coalesce(z.comm, n.v) AS lbl
+                FROM wnodes n LEFT JOIN zlbl z ON n.v = z.v),
+          blc AS (SELECT lbl, min(v) AS comm FROM blx GROUP BY 1),
+          bl AS MATERIALIZED (SELECT blx.v, blc.comm FROM blx JOIN blc USING (lbl)),
+          qm AS (SELECT count(*) AS m FROM wli),
+          ${qScoreCtes("wli", "wl", "qm", "qw_")},
+          ${qScoreCtes("wli", "bl", "qm", "qb_")},
+          fin AS MATERIALIZED (
+            SELECT v, comm FROM wl
+            WHERE (SELECT qs FROM qw_qs) >= (SELECT qs FROM qb_qs)
+            UNION ALL
+            SELECT v, comm FROM bl
+            WHERE (SELECT qs FROM qw_qs) < (SELECT qs FROM qb_qs)),
+          fsz AS (SELECT comm, count(*) AS comm_size FROM fin GROUP BY 1)
+        SELECT fin.v, fin.comm, fsz.comm_size FROM fin JOIN fsz USING (comm)
+        ORDER BY fin.v"""
 
   /** LEIDEN-STYLE connectivity refinement of the Louvain communities
     * (Traag et al. 2019's headline defect fix): Louvain can emit
@@ -1093,23 +1177,30 @@ object Graph {
   /** Both louvain levels + composition + canonicalization as a CTE
     * prefix ending with `lbl` (v, comm) — shared by the label output
     * and the modularity scoring, like lpaCtePrefix. */
-  private lazy val louvainCtePrefix: String = {
+  /** The full two-level chain over an arbitrary edge-pair relation
+    * body (columns s, p), every CTE name prefixed — ends with
+    * `${p}lbl` (v, comm). */
+  private def louvainChainCtes(pairsSql: String, p: String): String = {
     val l1 = LouvainL1Rounds; val l2 = LouvainL2Rounds
-    s"""li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
-          a_edges AS MATERIALIZED (SELECT s AS a, p AS b, CAST(1 AS BIGINT) AS w FROM li),
-          a_selfs AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS sw WHERE 1 = 0),
-          ${louvainLevelCtes("a_", l1)},
-          b_ec AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb, e.w FROM a_edges e
-                JOIN a_l$l1 la ON e.a = la.v JOIN a_l$l1 lb ON e.b = lb.v),
-          b_edges AS MATERIALIZED (SELECT least(ca, cb) AS a, greatest(ca, cb) AS b, sum(w) AS w
-                FROM b_ec WHERE ca <> cb GROUP BY 1, 2),
-          b_selfs AS MATERIALIZED (SELECT ca AS v, sum(w) AS sw FROM b_ec WHERE ca = cb GROUP BY 1),
-          ${louvainLevelCtes("b_", l2)},
-          comp AS MATERIALIZED (SELECT la.v, coalesce(lb.lbl, la.lbl) AS c
-                FROM a_l$l1 la LEFT JOIN b_l$l2 lb ON la.lbl = lb.v),
-          canon AS (SELECT c, min(v) AS comm FROM comp GROUP BY 1),
-          lbl AS MATERIALIZED (SELECT comp.v, canon.comm FROM comp JOIN canon USING (c))"""
+    s"""${p}li AS MATERIALIZED ($pairsSql),
+          ${p}a_edges AS MATERIALIZED (SELECT s AS a, p AS b, CAST(1 AS BIGINT) AS w FROM ${p}li),
+          ${p}a_selfs AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS sw WHERE 1 = 0),
+          ${louvainLevelCtes(s"${p}a_", l1)},
+          ${p}b_ec AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb, e.w FROM ${p}a_edges e
+                JOIN ${p}a_l$l1 la ON e.a = la.v JOIN ${p}a_l$l1 lb ON e.b = lb.v),
+          ${p}b_edges AS MATERIALIZED (SELECT least(ca, cb) AS a, greatest(ca, cb) AS b, sum(w) AS w
+                FROM ${p}b_ec WHERE ca <> cb GROUP BY 1, 2),
+          ${p}b_selfs AS MATERIALIZED (SELECT ca AS v, sum(w) AS sw FROM ${p}b_ec WHERE ca = cb GROUP BY 1),
+          ${louvainLevelCtes(s"${p}b_", l2)},
+          ${p}comp AS MATERIALIZED (SELECT la.v, coalesce(lb.lbl, la.lbl) AS c
+                FROM ${p}a_l$l1 la LEFT JOIN ${p}b_l$l2 lb ON la.lbl = lb.v),
+          ${p}canon AS (SELECT c, min(v) AS comm FROM ${p}comp GROUP BY 1),
+          ${p}lbl AS MATERIALIZED (SELECT c0.v, cn.comm
+                FROM ${p}comp c0 JOIN ${p}canon cn USING (c))"""
   }
+
+  private lazy val louvainCtePrefix: String = louvainChainCtes(
+    s"SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem", "")
 
   private lazy val louvainOracle: String =
     s"""WITH $louvainCtePrefix,
@@ -1775,6 +1866,7 @@ object Graph {
     QueryDef("graph_louvain", graphLouvain, Some(louvainOracle)),
     QueryDef("graph_louvain_q", graphLouvainQ, Some(louvainQOracle)),
     QueryDef("graph_louvain_refined", graphLouvainRefined, Some(louvainRefinedOracle)),
+    QueryDef("graph_louvain_incremental", graphLouvainIncremental, Some(louvainIncrementalOracle)),
     QueryDef("graph_modularity", graphModularity, Some(modularityOracle)),
     QueryDef("graph_bfs", graphBfs, Some(bfsOracle)),
     QueryDef("graph_anf", graphAnf, Some(anfOracle)),
