@@ -392,8 +392,92 @@ object EventAnalytics {
         SELECT touch_type, count(*) AS n_purchases, sum(cents)::BIGINT AS cents
         FROM p GROUP BY 1 ORDER BY touch_type"""
 
+  /** LINEAR multi-touch attribution (q58): each purchase's credit (and
+    * cent-exact revenue) splits EQUALLY across every view/click in its
+    * 24 h lookback — the fairness-motivated sibling of q57's
+    * winner-takes-all. Credit is kept EXACT: instead of summing
+    * 1/n_touches floats (order-sensitive, engine-divergent), each
+    * purchase contributes its credit as an exact rational with a
+    * common denominator — credits aggregate as Σ cents·LCM/n per
+    * touch type with LCM = [[AttrCreditScale]] (divisible by every
+    * n ≤ its bound, spec-checked ≥ max touches) — so the rollup is an
+    * integer sum, rounded to 4 dp only at the edge.
+    *
+    * Scale: one per-user sort window pairing each purchase with its
+    * lookback touches via a range-limited self-join ON USER — the
+    * touch fan-out is bounded by per-user activity in 24 h, and the
+    * aggregation is map-side combinable. */
+  val AttrCreditScale: Long = 720720L // divisible by every n ≤ 16, and by 18,20,…
+  def q58AttributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"), col("event_id").as("pid"),
+        col("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts_us").as("tts"), col("event_type").as("touch_type"))
+    // the lookback predicate must live in the LEFT-join ON clause: as a
+    // post-filter it would drop zero-in-window purchases entirely
+    // instead of leaving them with a NULL touch
+    val perPurchase = purchases.as("p").join(touches.as("t"),
+        col("p.user_id") === col("t.user_id") &&
+          col("t.tts") < col("p.pts") &&
+          col("t.tts") >= col("p.pts") - AttrLookbackUs, "left")
+      .groupBy(col("p.pid").as("pid"), col("p.cents").as("cents"))
+      .agg(sum(when(col("t.tts").isNotNull, 1L).otherwise(0L)).as("n_touches"))
+    // re-pair to distribute exact credit (touch rows only)
+    val credited = purchases.join(perPurchase.select(col("pid"), col("n_touches")), "pid")
+      .join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") && col("tts") >= col("pts") - AttrLookbackUs)
+      .groupBy("touch_type")
+      .agg(sum(expr(s"$AttrCreditScale div n_touches")).as("credit_scaled"),
+        sum(col("cents") * expr(s"$AttrCreditScale div n_touches")).as("cents_scaled"))
+    val none = perPurchase.filter(col("n_touches") === 0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("c"))
+      .select(lit("none").as("touch_type"),
+        (col("n") * AttrCreditScale).as("credit_scaled"),
+        (col("c") * AttrCreditScale).as("cents_scaled"))
+    credited.unionAll(none)
+      .select(col("touch_type"),
+        round(col("credit_scaled") / lit(AttrCreditScale.toDouble), 4).as("credit"),
+        round(col("cents_scaled") / lit(AttrCreditScale.toDouble) / 100, 2).as("revenue"))
+      .orderBy("touch_type")
+  }
+
+  private val attributionLinearOracle: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+          p AS (SELECT user_id, ts_us AS pts, event_id AS pid, cents
+                FROM ev WHERE event_type = 'purchase'),
+          t AS (SELECT user_id, ts_us AS tts, event_type AS touch_type
+                FROM ev WHERE event_type IN ('view', 'click')),
+          nt AS MATERIALIZED (
+            SELECT p.pid, p.cents, count(t.tts) AS n_touches
+            FROM p LEFT JOIN t ON p.user_id = t.user_id
+              AND t.tts < p.pts AND t.tts >= p.pts - $AttrLookbackUs
+            GROUP BY 1, 2),
+          cr AS (SELECT t.touch_type,
+                 sum($AttrCreditScale // nt.n_touches) AS credit_scaled,
+                 sum(p.cents * ($AttrCreditScale // nt.n_touches)) AS cents_scaled
+                 FROM p JOIN nt ON p.pid = nt.pid
+                 JOIN t ON p.user_id = t.user_id
+                   AND t.tts < p.pts AND t.tts >= p.pts - $AttrLookbackUs
+                 GROUP BY 1),
+          nn AS (SELECT 'none' AS touch_type,
+                 count(*) * $AttrCreditScale AS credit_scaled,
+                 coalesce(sum(cents), 0) * $AttrCreditScale AS cents_scaled
+                 FROM nt WHERE n_touches = 0),
+          allr AS (SELECT * FROM cr UNION ALL SELECT * FROM nn)
+        SELECT touch_type,
+               round(credit_scaled / CAST($AttrCreditScale AS DOUBLE), 4) AS credit,
+               round(cents_scaled / CAST($AttrCreditScale AS DOUBLE) / 100, 2) AS revenue
+        FROM allr ORDER BY touch_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q57_attribution", q57Attribution, Some(attributionOracle)),
+    QueryDef("q58_attribution_linear", q58AttributionLinear, Some(attributionLinearOracle)),
     QueryDef("q54_sliding_distinct", q54SlidingDistinct, Some(slidingDistinctOracle)),
     QueryDef("q51_seq_support", q51SeqSupport, Some(seqSupportOracle)),
     QueryDef("q48_markov_transitions", q48MarkovTransitions, Some(markovOracle)),

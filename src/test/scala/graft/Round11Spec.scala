@@ -130,6 +130,22 @@ class Round11Spec extends SparkSpec {
       s"scores not graded: ${ps.length} distinct in [${ps.min}, ${ps.max}]")
   }
 
+  test("attribution conservation: q58 linear credits sum to the purchase count; q57 counts too") {
+    val dir = "/root/testdata/sf0.01"
+    val purchases = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    val q57 = graft.operators.EventAnalytics.q57Attribution(spark, dir).collect()
+    assert(q57.map(_.getAs[Long]("n_purchases")).sum == purchases,
+      "last-touch attribution lost or double-counted purchases")
+    val q58 = graft.operators.EventAnalytics.q58AttributionLinear(spark, dir).collect()
+    val totalCredit = q58.map(_.getAs[Double]("credit")).sum
+    // each purchase's credit splits exactly across its touches (exact
+    // rational arithmetic) — the rollup must conserve the total up to
+    // the 4-dp edge rounding
+    assert(math.abs(totalCredit - purchases) < 0.01,
+      s"linear credits $totalCredit do not conserve the $purchases purchases")
+  }
+
   test("dedup_substring_incremental reuses the persisted base layout (no rebuild)") {
     val dir = "/root/testdata/sf0.01"
     SuffixArray.reset()
