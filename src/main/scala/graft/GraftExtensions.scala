@@ -22,9 +22,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       graft.functions.VectorExpressions.cosineBuilder _))
     e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      graft.functions.VectorExpressions.dotBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[graft.functions.VecSum].getName, "vec_sum"),
+      graft.functions.VectorExpressions.vecSumBuilder _))
+    e.injectFunction((
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "lsh_bucket"),
       graft.functions.VectorExpressions.lshBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("lsh_probes"),
+      new ExpressionInfo(classOf[graft.functions.LshProbes].getName, "lsh_probes"),
+      graft.functions.VectorExpressions.lshProbesBuilder _))
     e.injectFunction((
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "top_k_pairs"),
