@@ -1187,6 +1187,92 @@ object Similarity {
   def simRecallReportMultiprobe(spark: SparkSession, dir: String): DataFrame =
     recallReportOf(annLshMultiprobe(spark, dir))(spark, dir)
 
+  /** NDCG@K of the LSH ANN ranking vs the exact top-K — recall's
+    * position-sensitive sibling (a hit at rank 1 is worth more than a
+    * hit at rank 5): relevance of a returned neighbor = K+1 − its
+    * EXACT rank (0 if outside the exact top-K), discounted by
+    * 1/log₂(i+1) at its returned position. Everything is EXACT
+    * integer arithmetic until the final division: the log discounts
+    * are micro-quantized Scala constants inlined as literals in both
+    * engines (a live log₂ call would be a cross-libm ulp risk, and a
+    * float DCG sum would be order-sensitive), so DCG/IDCG are integer
+    * sums and ndcg is one int/int division rounded at the edge. Mean
+    * row (qid = −1) averages micro-quantized per-query ndcg as
+    * integers — order-free. */
+  val NdcgWeightsMicro: Seq[Long] = (1 to TopK).map(i =>
+    math.floor(1e6 / (math.log(i + 1) / math.log(2)) + 0.5).toLong)
+  val NdcgIdealMicro: Long =
+    NdcgWeightsMicro.zipWithIndex.map { case (w, i) => (TopK - i) * w }.sum
+
+  def simNdcgReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(spark, dir)
+      .select(col("qid"), col("neighbor"), col("rnk").as("erank"))
+      .localCheckpoint()
+    val wArr = array(NdcgWeightsMicro.map(lit): _*)
+    val perQ = annLsh(spark, dir)
+      .select(col("qid"), col("neighbor"), col("rnk"))
+      .join(exact, Seq("qid", "neighbor"), "left")
+      .select(col("qid"),
+        (when(col("erank").isNotNull, lit(TopK + 1L) - col("erank")).otherwise(lit(0L)) *
+          element_at(wArr, col("rnk").cast("int"))).as("g"))
+      .groupBy("qid").agg(sum(col("g")).as("dcg_micro"))
+      .select(col("qid"),
+        round(col("dcg_micro") / lit(NdcgIdealMicro.toDouble), 6).as("ndcg"))
+      .localCheckpoint() // per-query rows AND the mean
+    val mean = perQ
+      .agg(sum(floor(col("ndcg") * 1e6 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(lit(-1L).as("qid"),
+        round(col("s") / col("n") / 1e6, 6).as("ndcg"))
+    perQ.unionAll(mean).orderBy("qid")
+  }
+
+  private lazy val ndcgOracle: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    val wList = NdcgWeightsMicro.mkString("[", ", ", "]")
+    s"""WITH planes(t, j, w) AS (VALUES
+            $planeRows),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          xq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+          xc AS (SELECT xq.qid, e.vec_id AS neighbor,
+                        ${cosSql("xq.qv", "e.v")} AS cos
+                 FROM xq, e WHERE e.vec_id <> xq.qid),
+          xr AS MATERIALIZED (SELECT qid, neighbor, rnk AS erank FROM (
+                SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, neighbor) AS rnk FROM xc) WHERE rnk <= $TopK),
+          proj AS (SELECT e.vec_id, p.t,
+                          CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
+                   FROM e, planes p),
+          buck AS (SELECT vec_id, t, sum(bit) AS bv FROM proj GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id
+                   FROM buck bq JOIN buck bc ON bq.t = bc.t AND bq.bv = bc.bv
+                   WHERE bq.vec_id < $NumQueries AND bc.vec_id <> bq.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ${cosSql("eq.v", "ec.v")} AS cos
+                     FROM cand c JOIN e eq ON c.qid = eq.vec_id JOIN e ec ON c.vec_id = ec.vec_id),
+          ar AS MATERIALIZED (SELECT qid, vec_id AS neighbor, rnk FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rnk FROM scored) WHERE rnk <= $TopK),
+          perq AS MATERIALIZED (
+            SELECT a.qid,
+                   round(sum((CASE WHEN x.erank IS NOT NULL
+                                   THEN ${TopK + 1} - x.erank ELSE 0 END) *
+                             ($wList::BIGINT[])[a.rnk])
+                         / CAST($NdcgIdealMicro AS DOUBLE), 6) AS ndcg
+            FROM ar a LEFT JOIN xr x ON a.qid = x.qid AND a.neighbor = x.neighbor
+            GROUP BY 1),
+          allr AS (SELECT qid, ndcg FROM perq
+                   UNION ALL
+                   SELECT -1, round(sum(CAST(floor(ndcg * 1e6 + 0.5) AS BIGINT))
+                                    / count(*) / 1e6, 6) FROM perq)
+        SELECT qid, ndcg FROM allr ORDER BY qid"""
+  }
+
   private def recallReportOf(annDf: DataFrame)(spark: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopk(spark, dir).select(col("qid"), col("neighbor"))
       .localCheckpoint()
@@ -1900,6 +1986,7 @@ object Similarity {
     QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
     QueryDef("sim_recall_report_multiprobe", simRecallReportMultiprobe,
       Some(recallReportMultiprobeOracle)),
+    QueryDef("sim_ndcg_report", simNdcgReport, Some(ndcgOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
     QueryDef("ml_knn_classify", mlKnnClassify, Some(knnClassifyOracle)),
