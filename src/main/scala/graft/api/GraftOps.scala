@@ -1746,12 +1746,19 @@ object GraftOps {
       val stats = labels.join(k, Seq("v"))
         .groupBy(col("lbl").as("c"))
         .agg(sum(col("kv")).as("sig"), count(lit(1)).as("cnt"))
-      val kvc = sym.join(labels.select(col("v").as("dst"), col("lbl").as("c")), Seq("dst"))
+      // the parity gate is pushed INTO the |E| join input: only the
+      // movable half's incident edges are joined and aggregated (the
+      // other half's candidates would be discarded anyway — filtering
+      // after the groupBy would pay the full corpus-sized shuffle
+      // every round for rows that cannot move)
+      val movable = pmod(col("v"), lit(2L)) === lit(i % 2.toLong)
+      val kvc = sym.filter(pmod(col("src"), lit(2L)) === lit(i % 2.toLong))
+        .join(labels.select(col("v").as("dst"), col("lbl").as("c")), Seq("dst"))
         .groupBy(col("src").as("v"), col("c")).agg(sum(col("w")).as("wc"))
       val cand = kvc
-        .unionAll(labels.select(col("v"), col("lbl").as("c"), lit(0L).as("wc")))
+        .unionAll(labels.filter(movable)
+          .select(col("v"), col("lbl").as("c"), lit(0L).as("wc")))
         .groupBy("v", "c").agg(sum(col("wc")).as("wc"))
-        .filter(pmod(col("v"), lit(2L)) === lit(i % 2.toLong))
       val scored = cand
         .join(labels, Seq("v"))
         .join(k, Seq("v"))
