@@ -993,6 +993,76 @@ object EventStreams {
       .toDF("event_type", "window_ms", "x", "level", "trend", "forecast1")
   }
 
+  // ---- streaming last-touch attribution (per-user state) ----
+
+  /** Batch mirror of the streaming attribution: q57's per-purchase
+    * detail BEFORE the rollup — every purchase with the touch type
+    * credited by the 24 h last-touch rule (the running-last window
+    * form; see EventAnalytics.q57Attribution). The stream arm keeps
+    * ONE (ts, type) pair per user in the state store — attribution at
+    * ingest time with |users|-sized state, no window, no join. */
+  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val look = graft.operators.EventAnalytics.AttrLookbackUs
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+    val touchTs = when(col("event_type").isin("view", "click"), col("ts_us"))
+    ev
+      .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lt_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("cents"),
+        when(col("lt_ts").isNotNull && col("lt_ts") >= col("ts_us") - look,
+          col("lt_type")).otherwise(lit("none")).as("touch_type"))
+      .orderBy("purchase_id")
+  }
+
+  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    attributionCore(readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)])
+  }
+
+  /** Stateful attribution core: state per user = the latest touch's
+    * (ts, type) — ONE pair, regardless of event volume. Rows fold in
+    * (ts, id) order; purchases emit their credit immediately
+    * (committed rows, not provisional — attribution is final the
+    * moment the purchase arrives, so multi-micro-batch runs do NOT
+    * re-emit; the cdcCore caveat does not apply here). */
+  def attributionCore(evs: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val look = graft.operators.EventAnalytics.AttrLookbackUs
+    evs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, String),
+        (Long, Long, Long, String)](OM.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, String)]) =>
+          var (ltTs, ltType) = state.getOption.getOrElse((Long.MinValue, ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, ts, typ, v) =>
+            typ match {
+              case "view" | "click" => ltTs = ts; ltType = typ
+              case "purchase" =>
+                val credit =
+                  if (ltTs != Long.MinValue && ltTs >= ts - look) ltType else "none"
+                out += ((eid, user, math.floor(v * 100 + 0.5).toLong, credit))
+              case _ => ()
+            }
+          }
+          state.update((ltTs, ltType))
+          out.iterator
+      }
+      .toDF("purchase_id", "user_id", "cents", "touch_type")
+  }
+
   // ---- streaming near-dup detection (minhash bands through state) ----
 
   /** In-row banded minhash of a (doc_id, text) relation: each signature
@@ -1139,6 +1209,25 @@ object EventStreams {
                  CASE WHEN m < $KmvUsersK THEN m::DOUBLE
                       ELSE round($c / xk::DOUBLE, 4) END AS approx_users
           FROM kk ORDER BY window_ms"""
+    }),
+    QueryDef("stream_attribution", attributionBatch, Some {
+      val look = graft.operators.EventAnalytics.AttrLookbackUs
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+            lt AS (SELECT *,
+                   last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                              IGNORE NULLS) OVER tw AS lt_type,
+                   last_value(CASE WHEN event_type IN ('view', 'click') THEN ts_us END
+                              IGNORE NULLS) OVER tw AS lt_ts
+            FROM ev
+            WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          SELECT event_id AS purchase_id, user_id, cents,
+                 CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts_us - $look
+                      THEN lt_type ELSE 'none' END AS touch_type
+          FROM lt WHERE event_type = 'purchase'
+          ORDER BY purchase_id"""
     }),
     QueryDef("stream_holt", holtBatch, Some {
       val k = graft.operators.Forecast.HoltK

@@ -37,6 +37,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming last-touch attribution converges to the batch window form") {
+    // per-user state is ONE (ts, type) pair; purchases emit final
+    // (non-provisional) credits at ingest — the drained stream must
+    // equal q57's running-last window, row for row
+    runToMemory(EventStreams.attributionStream(spark, sf), "sat", OutputMode.Append())
+    val streamed = spark.table("sat").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("cents"), r.getAs[String]("touch_type"))).toMap
+    val batch = EventStreams.attributionBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("cents"), r.getAs[String]("touch_type"))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming Holt level/trend converges to the batch mirror bit-for-bit") {
     // the Scala fold's IEEE ops match the lateral-alias formula text's
     // exactly (same order, same printed-and-reparsed constants), so a
