@@ -497,6 +497,76 @@ object CurationQuality {
       .orderBy("split")
   }
 
+  /** cur_pipeline_v6 — the v5 corpus build with the LEARNED quality
+    * gate: stage 1 keeps the docs the weak-supervision classifier
+    * ([[qualityClassifier]]) scores as NOT low-quality, instead of the
+    * hard Gopher rules that taught it. The distillation payoff in the
+    * composed build: the learned gate generalizes past the thresholds
+    * (graded scores admit borderline docs the binary rules reject, and
+    * vice versa) while every downstream stage — contamination,
+    * repetition, KN fluency, DSIR, minhash-CC dedup, temperature mix,
+    * split — is unchanged and already verified. The oracle replays the
+    * ENTIRE chain including all 20 GD training rounds. */
+  def pipelineV6(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityClassifier(spark, dir)
+      .filter(!col("pred_low")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+      .select("doc_id", "text", "lang").localCheckpoint()
+    val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
+      isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
+      w = ShingleW, threshold = ContamThreshold)
+    val clean = qdocs
+      .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val calm = clean.join(
+        Repetition.signals(clean.select(col("doc_id"), col("text")))
+          .filter(!col("repetitive")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val fluent = calm
+      .join(TextRank.knKeep(spark, dir, calm.select(col("doc_id"), col("text"))), "doc_id")
+      .localCheckpoint()
+    val dsirKeep = Mixing.dsirWeights(fluent.select(col("doc_id"), col("lang"), col("text")))
+      .filter(col("w_micro") > 0).select("doc_id")
+    val pool = fluent.join(dsirKeep, "doc_id").localCheckpoint()
+    val pairs = graft.api.GraftOps.minhashCandidates(pool, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = pool
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mixed = Mixing.temperatureFilter(
+        kept.select(col("doc_id"), col("lang")), "lang", "doc_id")
+      .select("doc_id")
+    Curation.splitHash(kept.join(mixed, "doc_id"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  /** The v5 oracle with its rule-gate qdocs head swapped for the full
+    * classifier chain (20 unrolled GD rounds + scoring + the keep
+    * gate) — everything downstream of qdocs is spliced verbatim from
+    * pipelineV5Oracle, so the two builds cannot drift. */
+  private lazy val pipelineV6Oracle: String = {
+    val (lowSql, featuresSql) = qcSqlParts
+    val g = Classify.ProbGrid
+    val head =
+      s"""${Classify.batchCtesFor(lowSql, iters = QcIters, featuresSql = featuresSql)},
+          qsc AS (SELECT p.doc_id, sum(w.wm) AS sc
+                  FROM px p JOIN w$QcIters w USING (f) GROUP BY 1),
+          qpred AS MATERIALIZED (SELECT doc_id FROM qsc
+                  WHERE CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $g + 0.5) AS BIGINT)
+                        <= ${(g / 2).toLong}),
+          qdocs AS MATERIALIZED (
+            SELECT d.doc_id, d.text, d.lang, string_split(d.text, ' ') AS toks
+            FROM documents d JOIN qpred USING (doc_id))"""
+    val tail = pipelineV5Oracle.substring(pipelineV5Oracle.indexOf("cb AS MATERIALIZED"))
+    s"""WITH $head,
+          $tail"""
+  }
+
   private lazy val pipelineV5Oracle: String =
     s"""WITH qdocs AS MATERIALIZED (
             SELECT doc_id, text, lang, toks
@@ -839,7 +909,7 @@ object CurationQuality {
       .orderBy("doc_id")
   }
 
-  private lazy val qualityClassifierOracle: String = {
+  private lazy val qcSqlParts: (String, String) = {
     val toks = "string_split(text, ' ')"
     val nt = s"CAST(len($toks) AS BIGINT)"
     val dr = s"round(len(list_distinct($toks)) / CAST(len($toks) AS DOUBLE), 6)"
@@ -858,6 +928,11 @@ object CurationQuality {
                   ${h(s"'dr#' || CAST(CAST(floor($dr * 10) AS BIGINT) AS VARCHAR)")},
                   ${h(s"'sr#' || CAST(CAST(floor($sr * 10) AS BIGINT) AS VARCHAR)")},
                   ${h(s"'ml#' || CAST(CAST(floor($ml * 2) AS BIGINT) AS VARCHAR)")}]"""
+    (lowSql, featuresSql)
+  }
+
+  private lazy val qualityClassifierOracle: String = {
+    val (lowSql, featuresSql) = qcSqlParts
     val g = Classify.ProbGrid
     s"""WITH ${Classify.batchCtesFor(lowSql, iters = QcIters, featuresSql = featuresSql)},
           sc AS (SELECT p.doc_id, any_value(p.is_spam) AS weak_low, sum(w.wm) AS sc
@@ -926,6 +1001,7 @@ object CurationQuality {
     QueryDef("cur_pipeline_v3", pipelineV3, Some(pipelineV3Oracle)),
     QueryDef("cur_pipeline_v4", pipelineV4, Some(pipelineV4Oracle)),
     QueryDef("cur_pipeline_v5", pipelineV5, Some(pipelineV5Oracle)),
+    QueryDef("cur_pipeline_v6", pipelineV6, Some(pipelineV6Oracle)),
     QueryDef("cur_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),
