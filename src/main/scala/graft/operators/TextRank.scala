@@ -454,7 +454,80 @@ object TextRank {
         WHERE pair.c12 >= $KnMinPair
         ORDER BY pair.w1, pair.w2"""
 
+  /** Document-pair cosine similarity THROUGH THE INVERTED INDEX — the
+    * classic sparse-vector IR computation (pairwise similarity search
+    * by postings self-join, Elsayed et al. 2008 style): candidate
+    * pairs are docs sharing ≥1 indexed TRIGRAM SHINGLE (the unit the
+    * dedup family uses — this closed-vocabulary corpus saturates
+    * unigrams, making every word a stopword), the dot product
+    * accumulates tf·tf per shared shingle, and cosine divides by the
+    * premultiplied norms. Everything before the two sqrt/divide ops
+    * is EXACT integer arithmetic (raw shingle-tf vectors — no
+    * log-idf, whose libm call would be a cross-engine ulp hazard), so
+    * the doubles are bit-deterministic.
+    *
+    * Scale: the postings self-join shuffles Σ df² pairs per term —
+    * the hot-term quadratic everyone hits; terms with df >
+    * [[DocCosDfCap]] are EXCLUDED from the candidate/dot stage (the
+    * graph_jaccard hub-cap discipline: high-df terms are stopwords
+    * carrying ~no discrimination, and the cap is replayed by the
+    * oracle so the answer is still exact-by-definition). Norms use
+    * the FULL vectors. Top-[[DocCosTopK]] by (cos, a, b). */
+  val DocCosDfCap = 64L
+  val DocCosMin = 0.5
+  val DocCosTopK = 200
+  def textDocCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+          "i -> array_join(slice(toks, i, 3), ' ')) ELSE array() END")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, norms AND both join sides
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val rare = tf.join(
+      tf.groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") <= DocCosDfCap)
+        .select("t"), Seq("t"))
+    val dots = rare.as("x").join(rare.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb")), Seq("b"))
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .filter(col("cos") >= DocCosMin)
+      .select(col("a"), col("b"), col("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(DocCosTopK)
+  }
+
+  private lazy val docCosineOracle: String =
+    s"""WITH tf AS MATERIALIZED (
+            SELECT doc_id, t, count(*) AS tf
+            FROM (SELECT doc_id,
+                         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                 for i in generate_series(1, len(toks) - 2)]) AS t
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                  WHERE len(toks) >= 3)
+            GROUP BY 1, 2),
+          norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+          rare AS MATERIALIZED (
+            SELECT tf.* FROM tf
+            JOIN (SELECT t FROM tf GROUP BY t HAVING count(*) <= $DocCosDfCap) r USING (t)),
+          dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.tf * y.tf) AS dot
+                   FROM rare x JOIN rare y ON x.t = y.t AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+          sc AS (SELECT d.a, d.b,
+                        round(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
+                 FROM dots d JOIN norms na ON d.a = na.doc_id
+                 JOIN norms nb ON d.b = nb.doc_id)
+        SELECT a, b, cos FROM sc WHERE cos >= $DocCosMin
+        ORDER BY cos DESC, a, b LIMIT $DocCosTopK"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_doc_cosine", textDocCosine, Some(docCosineOracle)),
     QueryDef("text_kneser_ney", textKneserNey, Some(kneserNeyOracle)),
     QueryDef("cur_perplexity_kn", curPerplexityKn, Some(perplexityKnOracle)),
     QueryDef("text_textrank", textTextrank, Some(textrankOracle)),
