@@ -350,7 +350,57 @@ object ScaleOps {
       .orderBy("status")
   }
 
+  /** q59: transitive reachability via WITH RECURSIVE — Spark 4's
+    * recursive CTEs (SPARK-24497) exercised end-to-end on the
+    * per-customer order chains (the sccEdges `chain` construction:
+    * runs of ≤ [[Graph.SccChainLen]] next-order edges — ACYCLIC with
+    * depth < run length, so UNION ALL recursion provably terminates).
+    * Output: reachable-pair count per path depth. ONE SQL text drives
+    * BOTH engines (the reg2Formula discipline) — only the integer-
+    * division token (`div` vs `//`) and the table name are
+    * substituted, so the recursion logic cannot drift.
+    *
+    * Scale: Spark executes the recursion as iterative frontier
+    * unions — each step shuffles only the previous depth's frontier
+    * against the chain edges, the same per-round bound as the
+    * hand-written BFS loop, now declared in pure SQL. */
+  def q59RecursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    val view = "graft_rec_orders"
+    Tables.orders(spark, dir).createOrReplaceTempView(view)
+    spark.sql(recursiveReachSql(view, "div"))
+  }
+
+  /** One text, two engines: `rel` = orders relation name, `idiv` =
+    * the engine's integer-division operator. */
+  private def recursiveReachSql(rel: String, idiv: String): String =
+    s"""WITH RECURSIVE reach(src, dst, depth) AS (
+            SELECT src, dst, CAST(1 AS BIGINT) AS depth FROM (
+              SELECT k AS src,
+                     lead(k) OVER (PARTITION BY c, grp ORDER BY k) AS dst
+              FROM (SELECT k, c, ((rn - 1) $idiv ${Graph.SccChainLen}) AS grp
+                    FROM (SELECT o_orderkey AS k, o_custkey AS c,
+                                 row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey) AS rn
+                          FROM $rel)))
+            WHERE dst IS NOT NULL
+          UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM reach r JOIN (
+              SELECT src, dst FROM (
+                SELECT k AS src,
+                       lead(k) OVER (PARTITION BY c, grp ORDER BY k) AS dst
+                FROM (SELECT k, c, ((rn - 1) $idiv ${Graph.SccChainLen}) AS grp
+                      FROM (SELECT o_orderkey AS k, o_custkey AS c,
+                                   row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderkey) AS rn
+                            FROM $rel)))
+              WHERE dst IS NOT NULL) e ON r.dst = e.src)
+        SELECT depth, count(*) AS n_pairs
+        FROM reach GROUP BY depth ORDER BY depth"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_recursive_reach", q59RecursiveReach,
+      Some(recursiveReachSql("orders", "//"))),
     QueryDef("q32_bucketed_join", q32BucketedJoin, Some(
       """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
