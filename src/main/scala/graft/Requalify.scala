@@ -27,6 +27,7 @@ object Requalify {
     (1 to n).foreach { i =>
       graft.operators.Graph.reset(); graft.operators.SuffixArray.reset()
       graft.operators.Classify.reset(); graft.sources.IoRoundtrip.reset()
+      graft.operators.Similarity.reset(); graft.operators.Bpe.reset()
       spark.catalog.clearCache()
       val ctl = Bench.controlOnly(spark)
       val t0 = System.nanoTime()

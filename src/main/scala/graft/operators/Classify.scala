@@ -494,11 +494,15 @@ object Classify {
     * through the same grid-exact trainer. */
   private[operators] def trainBatchOn(instances0: DataFrame,
                                       iters: Int = BatchIters): (DataFrame, DataFrame) = {
-    val inst = instances0.localCheckpoint()
-    val px = inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f"))
-      .localCheckpoint() // scanned twice per iteration
+    // lineage truncations route through GraftOps.truncate so the
+    // reliable-checkpoint toggle covers this iterative core too
+    val inst = graft.api.GraftOps.truncate(instances0)
+    val px = graft.api.GraftOps.truncate(
+      inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f"))
+    ) // scanned twice per iteration
     val nDf = inst.agg(count(lit(1)).as("nn"))
-    var w = px.select("f").distinct().withColumn("wm", lit(0L)).localCheckpoint()
+    var w = graft.api.GraftOps.truncate(
+      px.select("f").distinct().withColumn("wm", lit(0L)))
     for (_ <- 1 to iters) {
       val scored = px.join(w, "f")
         .groupBy("doc_id")
@@ -513,7 +517,7 @@ object Classify {
         .select(col("f"),
           (col("wm") - floor(col("g") * (BatchLr * 1e6) / (col("nn") * ProbGrid) + 0.5)
             .cast("long")).as("wm"))
-        .localCheckpoint() // truncate the K-round lineage
+      w = graft.api.GraftOps.truncate(w) // truncate the K-round lineage
     }
     (px, w)
   }
