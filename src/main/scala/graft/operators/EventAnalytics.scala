@@ -397,11 +397,13 @@ object EventAnalytics {
     * 24 h lookback — the fairness-motivated sibling of q57's
     * winner-takes-all. Credit is kept EXACT: instead of summing
     * 1/n_touches floats (order-sensitive, engine-divergent), each
-    * purchase contributes its credit as an exact rational with a
-    * common denominator — credits aggregate as Σ cents·LCM/n per
-    * touch type with LCM = [[AttrCreditScale]] (divisible by every
-    * n ≤ its bound, spec-checked ≥ max touches) — so the rollup is an
-    * integer sum, rounded to 4 dp only at the edge.
+    * purchase contributes its credit in integer micro-units of
+    * 1/[[AttrCreditScale]]: each touch gets ⌊scale/n⌋ units and the
+    * remainder scale mod n goes one unit apiece to the EARLIEST
+    * (tts, event_id)-ordered touches — so Σ units per purchase equals
+    * scale EXACTLY for every n (not only the n dividing the scale),
+    * credit is conserved bit-exactly at any fan-out, and the rollup
+    * is an integer sum, rounded to 4 dp only at the edge.
     *
     * Scale: one per-user sort window pairing each purchase with its
     * lookback touches via a range-limited self-join ON USER — the
@@ -416,7 +418,8 @@ object EventAnalytics {
       .select(col("user_id"), col("ts_us").as("pts"), col("event_id").as("pid"),
         col("cents"))
     val touches = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("ts_us").as("tts"), col("event_type").as("touch_type"))
+      .select(col("user_id"), col("ts_us").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("touch_type"))
     // the lookback predicate must live in the LEFT-join ON clause: as a
     // post-filter it would drop zero-in-window purchases entirely
     // instead of leaving them with a NULL touch
@@ -426,13 +429,20 @@ object EventAnalytics {
           col("t.tts") >= col("p.pts") - AttrLookbackUs, "left")
       .groupBy(col("p.pid").as("pid"), col("p.cents").as("cents"))
       .agg(sum(when(col("t.tts").isNotNull, 1L).otherwise(0L)).as("n_touches"))
-    // re-pair to distribute exact credit (touch rows only)
+    // re-pair to distribute exact credit (touch rows only): unit share
+    // ⌊scale/n⌋ plus one extra micro-unit to the first scale%n touches
+    // in (tts, event_id) order — per-purchase units sum to scale exactly
+    import org.apache.spark.sql.expressions.Window
     val credited = purchases.join(perPurchase.select(col("pid"), col("n_touches")), "pid")
       .join(touches, Seq("user_id"))
       .filter(col("tts") < col("pts") && col("tts") >= col("pts") - AttrLookbackUs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))))
+      .withColumn("unit", expr(s"$AttrCreditScale div n_touches") +
+        when(col("rn") <= expr(s"$AttrCreditScale % n_touches"), 1L).otherwise(0L))
       .groupBy("touch_type")
-      .agg(sum(expr(s"$AttrCreditScale div n_touches")).as("credit_scaled"),
-        sum(col("cents") * expr(s"$AttrCreditScale div n_touches")).as("cents_scaled"))
+      .agg(sum(col("unit")).as("credit_scaled"),
+        sum(col("cents") * col("unit")).as("cents_scaled"))
     val none = perPurchase.filter(col("n_touches") === 0)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("c"))
       .select(lit("none").as("touch_type"),
@@ -451,20 +461,25 @@ object EventAnalytics {
           FROM events),
           p AS (SELECT user_id, ts_us AS pts, event_id AS pid, cents
                 FROM ev WHERE event_type = 'purchase'),
-          t AS (SELECT user_id, ts_us AS tts, event_type AS touch_type
+          t AS (SELECT user_id, ts_us AS tts, event_id, event_type AS touch_type
                 FROM ev WHERE event_type IN ('view', 'click')),
           nt AS MATERIALIZED (
             SELECT p.pid, p.cents, count(t.tts) AS n_touches
             FROM p LEFT JOIN t ON p.user_id = t.user_id
               AND t.tts < p.pts AND t.tts >= p.pts - $AttrLookbackUs
             GROUP BY 1, 2),
-          cr AS (SELECT t.touch_type,
-                 sum($AttrCreditScale // nt.n_touches) AS credit_scaled,
-                 sum(p.cents * ($AttrCreditScale // nt.n_touches)) AS cents_scaled
+          tc AS (SELECT t.touch_type, p.cents, nt.n_touches,
+                 row_number() OVER (PARTITION BY p.pid
+                                    ORDER BY t.tts, t.event_id) AS rn
                  FROM p JOIN nt ON p.pid = nt.pid
                  JOIN t ON p.user_id = t.user_id
-                   AND t.tts < p.pts AND t.tts >= p.pts - $AttrLookbackUs
-                 GROUP BY 1),
+                   AND t.tts < p.pts AND t.tts >= p.pts - $AttrLookbackUs),
+          cr AS (SELECT touch_type,
+                 sum(($AttrCreditScale // n_touches) +
+                     CASE WHEN rn <= $AttrCreditScale % n_touches THEN 1 ELSE 0 END) AS credit_scaled,
+                 sum(cents * (($AttrCreditScale // n_touches) +
+                     CASE WHEN rn <= $AttrCreditScale % n_touches THEN 1 ELSE 0 END)) AS cents_scaled
+                 FROM tc GROUP BY 1),
           nn AS (SELECT 'none' AS touch_type,
                  count(*) * $AttrCreditScale AS credit_scaled,
                  coalesce(sum(cents), 0) * $AttrCreditScale AS cents_scaled

@@ -414,6 +414,83 @@ object Relational {
         ORDER BY returnflag"""
   }
 
+  /** DETERMINISTIC-REGISTER HyperLogLog distinct counts per returnflag
+    * — q13's native-HLL half re-expressed with the q43/KMV discipline
+    * so the SKETCH ITSELF is oracle-replayable (Flajolet et al. 2007):
+    * register index j = top HllP bits of the 32-bit md5 key hash,
+    * register value M_j = max over keys of ρ(w) (leading-zero run of
+    * the low 20 hash bits, +1). max is ORDER-FREE, so unlike Spark's
+    * native HLL++ merge state the register file is a pure function of
+    * the key SET — any arrival order, any partitioning, any engine
+    * produces the identical m=4096 registers. The harmonic-mean
+    * denominator Σ 2^(−M_j) is kept EXACT as the integer Σ 2^(21−M_j)
+    * (BIGINT — every term ≥ 1, no float summation order anywhere);
+    * the only float ops are the final α·m²·2²¹ / S division and the
+    * small-range linear-counting branch m·ln(m/V) — one scalar op
+    * each, bit-identical across engines, rounded to 4 dp. Scale:
+    * sketch state is ≤ m registers per group with map-side max
+    * combine — never ∝ n — the production cardinality shape at
+    * 100 TB, now with a value-verified register file. */
+  val HllP = 12
+  val HllM = 1 << HllP            // 4096 registers
+  val HllWBits = 32 - HllP        // 20 low bits feed ρ
+  private val HllAlphaNum: Double = // α_m · m² · 2^(WBits+1)
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
+      (1L << (HllWBits + 1)).toDouble
+  def q60HllDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val wMod = 1L << HllWBits
+    val rhoMax = HllWBits + 1
+    def estimate(key: String, out: String): DataFrame = {
+      val h = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10).cast("long")
+      val regs = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("returnflag"),
+          shiftright(h, HllWBits).as("j"), (h % wMod).as("w"))
+        .select(col("returnflag"), col("j"),
+          when(col("w") === 0L, lit(rhoMax))
+            .otherwise(lit(rhoMax) - length(conv(col("w"), 10, 2))).as("rho"))
+        .groupBy("returnflag", "j").agg(max(col("rho")).as("mj"))
+      val agg = regs.groupBy("returnflag").agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - mj)")).as("sp"),
+        count(lit(1)).as("np"))
+      val st = col("sp") + (lit(HllM.toLong) - col("np")) * lit(1L << rhoMax)
+      val vz = lit(HllM.toLong) - col("np")
+      val raw = lit(HllAlphaNum) / st
+      agg.select(col("returnflag"),
+        round(when(raw <= lit(2.5 * HllM) && vz > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / vz))
+          .otherwise(raw), 4).as(out))
+    }
+    estimate("l_orderkey", "hll_orders")
+      .join(estimate("l_partkey", "hll_parts"), "returnflag")
+      .orderBy("returnflag")
+  }
+
+  private lazy val hllOracleSql: String = {
+    val (m, wMod, rhoMax) = (HllM, 1L << HllWBits, HllWBits + 1)
+    // Double.toString is the shortest decimal that roundtrips — DuckDB
+    // parses it back to the identical IEEE754 value Spark's literal holds
+    val aNum = HllAlphaNum.toString
+    def est(key: String, out: String) =
+      s"""(SELECT rf, round(CASE WHEN ($aNum / st) <= ${2.5 * m} AND vz > 0
+                 THEN $m.0 * ln($m.0 / vz) ELSE $aNum / st END, 4) AS $out FROM (
+            SELECT rf, sp + ($m - np) * ${1L << rhoMax} AS st, $m - np AS vz FROM (
+              SELECT rf, sum((CAST(1 AS BIGINT) << ($rhoMax - mj))) AS sp,
+                     count(*) AS np FROM (
+                SELECT rf, j, max(rho) AS mj FROM (
+                  SELECT rf, h // $wMod AS j,
+                         CASE WHEN h % $wMod = 0 THEN $rhoMax
+                              ELSE $rhoMax - length(bin(h % $wMod)) END AS rho
+                  FROM (SELECT l_returnflag AS rf,
+                          ('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT AS h
+                        FROM lineitem))
+                GROUP BY rf, j)
+              GROUP BY rf)))"""
+    s"""SELECT o.rf AS returnflag, o.hll_orders, p.hll_parts
+        FROM ${est("l_orderkey", "hll_orders")} o
+        JOIN ${est("l_partkey", "hll_parts")} p ON o.rf = p.rf
+        ORDER BY returnflag"""
+  }
+
   /** Count-min sketch heavy hitters — the third classic sketch next to
     * the KMV (distinct) and HLL (q13) tiers: CmsD×CmsW bounded counters
     * (md5 row-hashes), per-key estimate = min over rows of its counter,
@@ -636,6 +713,7 @@ object Relational {
     QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
       "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
     QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
+    QueryDef("q60_hll_deterministic", q60HllDeterministic, Some(hllOracleSql)),
     QueryDef("q44_heavy_hitters", q44HeavyHitters, Some(cmsOracleSql)),
     QueryDef("q45_approx_percentile", q45ApproxPercentile, Some(pctOracleSql)),
     QueryDef("q46_sketch_setops", q46SketchSetops, Some(setopsOracleSql)),

@@ -139,10 +139,11 @@ class Round11Spec extends SparkSpec {
       "last-touch attribution lost or double-counted purchases")
     val q58 = graft.operators.EventAnalytics.q58AttributionLinear(spark, dir).collect()
     val totalCredit = q58.map(_.getAs[Double]("credit")).sum
-    // each purchase's credit splits exactly across its touches (exact
-    // rational arithmetic) — the rollup must conserve the total up to
-    // the 4-dp edge rounding
-    assert(math.abs(totalCredit - purchases) < 0.01,
+    // each purchase's credit splits exactly across its touches — the
+    // remainder micro-units go to the earliest touches, so conservation
+    // is EXACT for every fan-out n (not only n dividing the scale); the
+    // only slack is the 4-dp edge rounding of the three output rows
+    assert(math.abs(totalCredit - purchases) < 0.001,
       s"linear credits $totalCredit do not conserve the $purchases purchases")
   }
 

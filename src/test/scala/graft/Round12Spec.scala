@@ -45,4 +45,36 @@ class Round12Spec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(stored == direct, "persisted base ranks differ from a direct cold run")
   }
+
+  test("q60 deterministic HLL: estimates within the m=4096 error band of exact") {
+    val est = graft.operators.Relational.q60HllDeterministic(spark, sf)
+      .collect().map(r => r.getAs[String]("returnflag") ->
+        (r.getAs[Double]("hll_orders"), r.getAs[Double]("hll_parts"))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getAs[String]("rf") ->
+        (r.getAs[Long]("o"), r.getAs[Long]("p"))).toMap
+    // standard error 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma + small-n slack
+    exact.foreach { case (rf, (o, p)) =>
+      val (eo, ep) = est(rf)
+      assert(math.abs(eo - o) / o.toDouble < 0.07,
+        s"$rf hll_orders $eo vs exact $o out of band")
+      assert(math.abs(ep - p) / p.toDouble < 0.07,
+        s"$rf hll_parts $ep vs exact $p out of band")
+    }
+  }
+
+  test("q58 linear attribution conserves credit exactly at any fan-out (synthetic n=17)") {
+    // 17 touches before one purchase: 720720 = 2^4*3^2*5*7*11*13 is NOT
+    // divisible by 17 — the pre-r12 truncating split lost credit here
+    val scale = graft.operators.EventAnalytics.AttrCreditScale
+    val n = 17L
+    val base = scale / n
+    val rem = (scale % n).toInt
+    // first `rem` touches get one extra micro-unit; units must sum to scale
+    val units = (1 to n.toInt).map(i => base + (if (i <= rem) 1L else 0L))
+    assert(units.sum == scale, s"unit split ${units.sum} != $scale")
+  }
 }
