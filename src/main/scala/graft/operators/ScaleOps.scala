@@ -109,6 +109,49 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  /** Calendar dim over the day-partitioned layout's distinct days
+    * (day, dow = day mod 7), written once per (session, dir) as a
+    * parquet FILE source — dynamic partition pruning needs a real
+    * build-side relation (a local relation's filter constant-folds
+    * away before the pruning rule sees it) whose key column carries
+    * the layout's EXACT inferred partition type (a cast on the
+    * partition side defeats the rule). */
+  private val calDimMemo = scala.collection.concurrent.TrieMap[String, String]()
+  def calendarDimPath(spark: SparkSession, dir: String): String =
+    calDimMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val (path, _) = partitionedEvents(spark, dir)
+      val dimPath = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_events_cal${dirKey(dir)}").toString
+      spark.read.parquet(path).select(col("day")).distinct()
+        .withColumn("dow", pmod(col("day").cast("long"), lit(7L)).cast("int"))
+        .write.mode("overwrite").parquet(dimPath)
+      dimPath
+    })
+
+  /** DYNAMIC partition pruning — q34's sibling where the day slice
+    * arrives via a dim-table JOIN instead of a literal: the calendar
+    * dim filters to one day-of-week, and Spark's DPP rule turns the
+    * broadcast build side into a runtime partition filter
+    * (DynamicPruningExpression on the scan — PlanSpec asserts it), so
+    * the fact scan opens ~1/7 of the directories even though no
+    * literal day predicate exists in the query text. This is the
+    * second half of the 100 TB pruning story: static literals prune
+    * at plan time (q34), dim-driven slices prune at RUN time with
+    * zero extra cost when the dim is already broadcast. The dow
+    * literal derives from cached layout metadata exactly like q34's
+    * day literal; the oracle replays day % 7 = (min(day)+3) % 7. */
+  def q61DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (path, minDay) = partitionedEvents(spark, dir)
+    val dim = spark.read.parquet(calendarDimPath(spark, dir))
+      .filter(col("dow") === lit(((minDay + 3) % 7).toInt))
+    spark.read.parquet(path)
+      .join(broadcast(dim.select("day")), Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Incremental view maintenance: a 90% "base" aggregate state plus a
     * 10% delta batch merged via GraftOps.mergeAggState — the oracle
     * recomputes the full aggregate from scratch, proving merge(state,
@@ -414,6 +457,11 @@ object ScaleOps {
       """WITH ev AS (SELECT event_type, value, epoch_us(ts) // 86400000000 AS day FROM events)
          SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM ev WHERE day = (SELECT min(day) + 3 FROM ev)
+         GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q61_dpp_join", q61DppJoin, Some(
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) // 86400000000 AS day FROM events)
+         SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM ev WHERE day % 7 = (SELECT (min(day) + 3) % 7 FROM ev)
          GROUP BY 1 ORDER BY 1""")),
     QueryDef("q41_zorder_box", q41ZorderBox, Some(zorderOracleSql)),
     QueryDef("q42_zorder3_box", q42Zorder3Box, Some(zorder3OracleSql)),

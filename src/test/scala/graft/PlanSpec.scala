@@ -102,6 +102,20 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
   }
 
+  test("q61: DynamicPruningExpression lands on the registered query's fact scan") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    // tiny-SF stats under-estimate the pruning benefit; the production
+    // posture (real partition counts) doesn't need the toggle
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val plan = graft.operators.ScaleOps.q61DppJoin(spark, sf)
+        .queryExecution.sparkPlan.toString.toLowerCase
+      assert(plan.contains("dynamicpruning"),
+        s"registered q61 plans without dynamic partition pruning:\n${plan.take(1500)}")
+    } finally conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
+  }
+
   test("similarity tier ranks through the heap aggregate, not a per-query window") {
     // a Window.partitionBy(qid) would collapse the scored 100 TB stream
     // onto |Q| tasks and fully sort each; the top_k_pairs form shuffles
