@@ -173,7 +173,19 @@ object Similarity {
     * AnnVariantsSpec measures the recall win vs [[annLsh]] at the
     * identical table budget. */
   val MultiProbe = 2
-  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+  /** All-bit probe budget: flipping EVERY single bit per table (6 extra
+    * probes at BitsPerTable = 6) captures the entire Hamming-1 shell —
+    * the per-table hit probability rises from p^b (+2 guided flips) to
+    * p^b + b·p^(b−1)(1−p), which at the corpus's cos ≈ 0.45 neighbor
+    * band puts 8-table recall ≥ 0.9 at still-zero extra corpus shuffle
+    * (the corpus is hashed once per table; only the |Q|-row query side
+    * fans out 7 rows per table, still broadcast). */
+  val MultiProbeWide = BitsPerTable
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiprobeOf(MultiProbe)(spark, dir)
+  def annLshMultiprobeWide(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiprobeOf(MultiProbeWide)(spark, dir)
+  private def annLshMultiprobeOf(nprobe: Int)(spark: SparkSession, dir: String): DataFrame = {
     val e0 = emb(spark, dir)
     val buckets = (0 until NumTables).map(t =>
       expr(s"lsh_bucket(v, $BitsPerTable, 64, $t)").as(s"b$t"))
@@ -181,7 +193,7 @@ object Similarity {
     val q0 = e0.filter(col("vec_id") < NumQueries)
     val ids = (0 until NumTables).map { t =>
       val qp = q0.select(col("vec_id").as("qid"),
-        explode(expr(s"lsh_probes(v, $BitsPerTable, 64, $t, $MultiProbe)")).as("bv"))
+        explode(expr(s"lsh_probes(v, $BitsPerTable, 64, $t, $nprobe)")).as("bv"))
       e.select(col("vec_id"), col(s"b$t").as("bv"))
         .join(broadcast(qp), Seq("bv"))
         .filter(col("vec_id") =!= col("qid"))
@@ -1187,6 +1199,15 @@ object Similarity {
   def simRecallReportMultiprobe(spark: SparkSession, dir: String): DataFrame =
     recallReportOf(annLshMultiprobe(spark, dir))(spark, dir)
 
+  /** sim_recall_report for the WIDE (all-single-bit-flip) multiprobe
+    * tier — the registered, value-verified proof that the recall target
+    * (≥ 0.85 at sf0.1) is reachable at the SAME 8-table budget by
+    * probing the full Hamming-1 shell: candidate cost grows ~7× on the
+    * query side only (still broadcast), corpus hash/shuffle unchanged.
+    * Round12Spec asserts the mean-recall floor. */
+  def simRecallReportWide(spark: SparkSession, dir: String): DataFrame =
+    recallReportOf(annLshMultiprobeWide(spark, dir))(spark, dir)
+
   /** NDCG@K of the LSH ANN ranking vs the exact top-K — recall's
     * position-sensitive sibling (a hit at rank 1 is worth more than a
     * hit at rank 5): relevance of a returned neighbor = K+1 − its
@@ -1209,15 +1230,21 @@ object Similarity {
       .select(col("qid"), col("neighbor"), col("rnk").as("erank"))
       .localCheckpoint()
     val wArr = array(NdcgWeightsMicro.map(lit): _*)
-    val perQ = annLsh(spark, dir)
+    val dcg = annLsh(spark, dir)
       .select(col("qid"), col("neighbor"), col("rnk"))
       .join(exact, Seq("qid", "neighbor"), "left")
       .select(col("qid"),
         (when(col("erank").isNotNull, lit(TopK + 1L) - col("erank")).otherwise(lit(0L)) *
           element_at(wArr, col("rnk").cast("int"))).as("g"))
       .groupBy("qid").agg(sum(col("g")).as("dcg_micro"))
+    // anchor per-query rows on the EXACT top-K query set (left join +
+    // coalesce 0): a query whose buckets produced zero ANN candidates
+    // contributes ndcg = 0 to the monitored mean instead of silently
+    // vanishing — the recallReportOf discipline
+    val perQ = exact.select(col("qid")).distinct()
+      .join(dcg, Seq("qid"), "left")
       .select(col("qid"),
-        round(col("dcg_micro") / lit(NdcgIdealMicro.toDouble), 6).as("ndcg"))
+        round(coalesce(col("dcg_micro"), lit(0L)) / lit(NdcgIdealMicro.toDouble), 6).as("ndcg"))
       .localCheckpoint() // per-query rows AND the mean
     val mean = perQ
       .agg(sum(floor(col("ndcg") * 1e6 + 0.5).cast("long")).as("s"),
@@ -1258,14 +1285,17 @@ object Similarity {
           ar AS MATERIALIZED (SELECT qid, vec_id AS neighbor, rnk FROM (
                 SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
                   ORDER BY cos DESC, vec_id) AS rnk FROM scored) WHERE rnk <= $TopK),
-          perq AS MATERIALIZED (
-            SELECT a.qid,
-                   round(sum((CASE WHEN x.erank IS NOT NULL
-                                   THEN ${TopK + 1} - x.erank ELSE 0 END) *
-                             ($wList::BIGINT[])[a.rnk])
-                         / CAST($NdcgIdealMicro AS DOUBLE), 6) AS ndcg
+          dcg AS (SELECT a.qid,
+                   sum((CASE WHEN x.erank IS NOT NULL
+                             THEN ${TopK + 1} - x.erank ELSE 0 END) *
+                       ($wList::BIGINT[])[a.rnk]) AS dcg_micro
             FROM ar a LEFT JOIN xr x ON a.qid = x.qid AND a.neighbor = x.neighbor
             GROUP BY 1),
+          perq AS MATERIALIZED (
+            SELECT q.qid, round(coalesce(d.dcg_micro, 0)
+                         / CAST($NdcgIdealMicro AS DOUBLE), 6) AS ndcg
+            FROM (SELECT DISTINCT qid FROM xr) q
+            LEFT JOIN dcg d ON q.qid = d.qid),
           allr AS (SELECT qid, ndcg FROM perq
                    UNION ALL
                    SELECT -1, round(sum(CAST(floor(ndcg * 1e6 + 0.5) AS BIGINT))
@@ -1339,7 +1369,11 @@ object Similarity {
   /** recallReportOracle with the MULTIPROBE candidate chain swapped in
     * (proj keeps the raw dots, qflip ranks margins, qprobe XORs the
     * flips — identical to annLshMultiprobeOracle's candidate CTEs). */
-  private lazy val recallReportMultiprobeOracle: String = {
+  private lazy val recallReportMultiprobeOracle: String =
+    recallReportMultiprobeOracleOf(MultiProbe)
+  private lazy val recallReportWideOracle: String =
+    recallReportMultiprobeOracleOf(MultiProbeWide)
+  private def recallReportMultiprobeOracleOf(nprobe: Int): String = {
     val planeRows = (0 until NumTables).flatMap { t =>
       val ps = graft.functions.LshBucket.planes(BitsPerTable, 64, t)
       (0 until BitsPerTable).map { j =>
@@ -1368,7 +1402,7 @@ object Similarity {
                              row_number() OVER (PARTITION BY vec_id, t
                                ORDER BY abs(dot), j) AS rn
                       FROM proj WHERE vec_id < $NumQueries)
-                    WHERE rn <= $MultiProbe),
+                    WHERE rn <= $nprobe),
           qprobe AS (SELECT vec_id, t, bv FROM buck WHERE vec_id < $NumQueries
                      UNION
                      SELECT f.vec_id, f.t, xor(b.bv, CAST(1 << f.j AS BIGINT)) AS bv
@@ -1986,6 +2020,8 @@ object Similarity {
     QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
     QueryDef("sim_recall_report_multiprobe", simRecallReportMultiprobe,
       Some(recallReportMultiprobeOracle)),
+    QueryDef("sim_recall_report_wide", simRecallReportWide,
+      Some(recallReportWideOracle)),
     QueryDef("sim_ndcg_report", simNdcgReport, Some(ndcgOracle)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfOracle)),
     QueryDef("ml_kmeans", mlKmeans, Some(mlKmeansOracle)),
