@@ -562,9 +562,8 @@ object CurationQuality {
           qdocs AS MATERIALIZED (
             SELECT d.doc_id, d.text, d.lang, string_split(d.text, ' ') AS toks
             FROM documents d JOIN qpred USING (doc_id))"""
-    val tail = pipelineV5Oracle.substring(pipelineV5Oracle.indexOf("cb AS MATERIALIZED"))
     s"""WITH $head,
-          $tail"""
+          $pipelineV5TailSql"""
   }
 
   private lazy val pipelineV5Oracle: String =
@@ -573,7 +572,14 @@ object CurationQuality {
             FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
             WHERE $qualityPassSql
           ),
-          cb AS MATERIALIZED (SELECT doc_id, toks,
+          $pipelineV5TailSql"""
+
+  /** Everything downstream of the qdocs gate, shared VERBATIM by the
+    * v5 and v6 oracles (v6 swaps only the gate) — a named constant
+    * instead of the previous substring splice, so a rename/reformat of
+    * the first CTE can no longer silently malform the v6 query. */
+  private lazy val pipelineV5TailSql: String =
+    s"""cb AS MATERIALIZED (SELECT doc_id, toks,
                  $hashSql % 100 >= $BenchPctFloor AS is_bench FROM qdocs),
           csh AS MATERIALIZED (SELECT doc_id, is_bench, unnest($shingleSql) AS sh
                  FROM (SELECT * FROM cb WHERE len(toks) >= $ShingleW)),
