@@ -740,19 +740,17 @@ object EventStreams {
 
   /** Latest-wins state core: state per user = (ts, eid, type, cents)
     * of the winning event; rows fold through a max on (ts, eid).
-    * Emits each user's CURRENT state at the end of every invocation
-    * (provisional until the stream drains — the ewmaCore discipline),
-    * so a drained stream materializes exactly the batch mirror's
-    * per-user state table.
-    *
-    * MULTI-BATCH CAVEAT: under OutputMode.Append every invocation
-    * re-emits every touched key, so a run split across micro-batches
-    * appends one provisional row per (key, batch) to the sink; the
-    * batch-equivalence property holds for the LAST emission per key
-    * (dedup the sink on key taking the final batch, or replay in a
-    * single batch as the specs do). The production alternative —
-    * emit only on state change and close on watermark — trades this
-    * simplicity for an event-time column in the state tuple. */
+    * Emits a key's state ONLY when the winning event CHANGED in this
+    * invocation — the CDC changelog contract (r12, closing the r11
+    * multi-batch caveat): a micro-batch that touches a key without
+    * changing its winner appends NOTHING, so multi-batch runs
+    * accumulate one row per actual state transition instead of one
+    * per (key, batch). A single-batch drain still emits every key
+    * exactly once (state starts absent, so the first fold is always
+    * a change), which is what the batch-equivalence spec replays; the
+    * multi-batch spec asserts the changelog property: final row per
+    * key equals the batch mirror and a no-change redelivery appends
+    * zero rows. */
   def cdcCore(evs: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)]): DataFrame = {
     import evs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
@@ -763,13 +761,15 @@ object EventStreams {
         (user: Long,
          rows: Iterator[(Long, Long, Long, String, Double)],
          state: GroupState[(Long, Long, String, Long)]) =>
-          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L))
+          val prev = state.getOption
+          var cur = prev.getOrElse((Long.MinValue, Long.MinValue, "", 0L))
           rows.foreach { case (eid, _, ts, typ, v) =>
             if (ts > cur._1 || (ts == cur._1 && eid > cur._2))
               cur = (ts, eid, typ, math.floor(v * 100 + 0.5).toLong)
           }
           state.update(cur)
-          Iterator.single((user, cur._3, cur._4))
+          if (prev.contains(cur)) Iterator.empty
+          else Iterator.single((user, cur._3, cur._4))
       }
       .toDF("user_id", "event_type", "cents")
   }
@@ -895,6 +895,126 @@ object EventStreams {
           out.iterator
       }
       .toDF("event_type", "window_ms", "n", "x", "ewma")
+  }
+
+  /** WATERMARK-CLOSE EWMA — the multi-micro-batch production path
+    * (r12, closing the r11 provisional-tail caveat): windows emit
+    * EXACTLY ONCE, either when a later window's first event arrives
+    * (the ewmaCore close) or when the event-time watermark passes the
+    * window end (EventTimeTimeout at winEnd−1 ms — after that no
+    * non-late event can land in the window, so the emission is final).
+    * No provisional tail: a drained stream materializes precisely the
+    * windows whose end ≤ the final watermark (= max event time at 0 s
+    * delay), each once, so a run split across ANY number of
+    * time-ordered micro-batches equals the batch mirror's closed-
+    * window restriction with NO sink dedup. Late rows (window already
+    * closed) are dropped — the same contract as Spark's watermarked
+    * window aggregation. */
+  def ewmaCoreWm(evs: org.apache.spark.sql.Dataset[(Long, String, Long, Double)]): DataFrame = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val ws = graft.operators.Forecast.weights
+    val keep = graft.operators.Forecast.EwmaK - 1
+    def smooth(ring: Vector[Double], x: Double): Double = {
+      val xs = ring :+ x
+      var num = 0.0
+      var den = 0.0
+      for (k <- ws.indices) {
+        val idx = xs.size - 1 - k
+        if (idx >= 0) { num += xs(idx) * ws(k); den += ws(k) }
+      }
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    evs.toDF("event_id", "event_type", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      // the watermark-tagged ts column must SURVIVE into the grouped
+      // Dataset — projecting it away detaches the watermark and the
+      // event-time timeout is rejected at analysis
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"), col("ts"))
+      .as[(Long, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Vector[Double], Long, Long, Long),
+        (String, Long, Long, Double, Double)](OM.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (typ: String,
+         rows: Iterator[(Long, String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[(Vector[Double], Long, Long, Long)]) =>
+          var (ring, curWin, curN, curC) =
+            state.getOption.getOrElse((Vector.empty[Double], -1L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Double, Double)]
+          def closeWindow(): Unit = if (curWin >= 0) {
+            val x = curC.toDouble / 100
+            out += ((typ, curWin * HourMs, curN, x, smooth(ring, x)))
+            ring = (ring :+ x).takeRight(keep)
+            curN = 0; curC = 0; curWin = -1
+          }
+          if (state.hasTimedOut) {
+            // watermark ≥ winEnd: the open window is final — emit once
+            closeWindow()
+            state.update((ring, curWin, curN, curC))
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (_, _, ts, v, _) =>
+              val win = ts / HourUs
+              if ((win + 1) * HourMs > wm) { // non-late only
+                if (win != curWin) { closeWindow(); curWin = win }
+                curN += 1
+                curC += math.floor(v * 100 + 0.5).toLong
+              }
+            }
+            state.update((ring, curWin, curN, curC))
+            if (curWin >= 0)
+              state.setTimeoutTimestamp((curWin + 1) * HourMs - 1)
+          }
+          out.iterator
+      }
+      .toDF("event_type", "window_ms", "n", "x", "ewma")
+  }
+
+  def ewmaStreamWm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ewmaCoreWm(readEvents(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[(Long, String, Long, Double)])
+  }
+
+  /** Batch mirror of [[ewmaCoreWm]]'s drained output: ewmaBatch
+    * restricted to CLOSED windows (window end ≤ the corpus's max
+    * event-time millisecond — exactly the final-watermark cut). The
+    * max rides along as a broadcast 1-row aggregate. */
+  def ewmaClosedBatch(spark: SparkSession, dir: String): DataFrame = {
+    val maxMs = events(spark, dir)
+      .agg((max(col("ts_us")).cast("long") / lit(1000L)).cast("long").as("max_ms"))
+    ewmaBatch(spark, dir)
+      .crossJoin(broadcast(maxMs))
+      .filter(col("window_ms") + lit(HourMs) <= col("max_ms"))
+      .drop("max_ms")
+      .orderBy("event_type", "window_ms")
+  }
+
+  private lazy val ewmaClosedOracle: String = {
+    val ws = graft.operators.Forecast.weights
+    val nums = ws.zipWithIndex
+      .map { case (wt, k) => s"coalesce(lag(x, $k) OVER tw * $wt, 0)" }
+      .mkString("(", "\n                 + ", ")")
+    val dens = ws.zipWithIndex
+      .map { case (wt, k) =>
+        s"CASE WHEN lag(x, $k) OVER tw IS NOT NULL THEN $wt ELSE 0 END" }
+      .mkString("(", "\n                 + ", ")")
+    s"""WITH hourly AS (
+          SELECT event_type, (epoch_us(ts) // $HourUs) * $HourMs AS window_ms,
+                 count(*) AS n,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+          FROM events GROUP BY 1, 2),
+          sm AS (SELECT event_type, window_ms, n, c::DOUBLE / 100 AS x,
+               round($nums
+                     / $dens, 6) AS ewma
+          FROM hourly
+          WINDOW tw AS (PARTITION BY event_type ORDER BY window_ms))
+        SELECT event_type, window_ms, n, x, ewma FROM sm
+        WHERE window_ms + $HourMs <= (SELECT max(epoch_us(ts)) // 1000 FROM events)
+        ORDER BY event_type, window_ms"""
   }
 
   // ---- streaming Holt (level + trend through the state store) ----
@@ -1170,6 +1290,7 @@ object EventStreams {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_minhash_dedup", minhashDedupBatch, Some(minhashDedupOracle)),
     QueryDef("stream_ewma", ewmaBatch, Some(ewmaOracle)),
+    QueryDef("stream_ewma_closed", ewmaClosedBatch, Some(ewmaClosedOracle)),
     QueryDef("stream_enrich", enrichBatch, Some(enrichOracle)),
     QueryDef("stream_cdc", cdcBatch, Some(cdcOracle)),
     QueryDef("stream_topk", topkBatch, Some(

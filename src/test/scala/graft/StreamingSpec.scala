@@ -218,6 +218,95 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("multi-batch CDC changelog: one row per state transition, final rows = batch mirror") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._3) // time-ordered chunks — the CDC ingest shape
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStreams.cdcCore(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("mbcdc").start()
+    chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    val afterDrain = spark.table("mbcdc").count()
+    // redeliver the last chunk: every touched key folds the same events
+    // again, no winner changes — the changelog must append ZERO rows
+    stream.addData(chunks.last.toSeq)
+    q.processAllAvailable()
+    val afterRedeliver = spark.table("mbcdc").count()
+    q.stop()
+    assert(afterRedeliver == afterDrain,
+      s"no-change redelivery appended ${afterRedeliver - afterDrain} rows")
+    // changelog equality: the sink must hold EXACTLY the per-chunk
+    // prefix winners with consecutive duplicates collapsed (the state
+    // transitions) — computed independently from the chunked data.
+    // The final transition per user is the global winner, so equality
+    // here implies the batch-mirror state too.
+    def winner(evs: Iterable[(Long, Long, Long, String, Double)]) =
+      evs.maxBy(e => (e._3, e._1)) // (ts, event_id) total order
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+      val prefixes = chunks.indices.map(k =>
+        evs.filter(e => chunks.take(k + 1).exists(_.contains(e))))
+      prefixes.filter(_.nonEmpty).map(pfx => winner(pfx))
+        .map(w => (user, w._4, math.floor(w._5 * 100 + 0.5).toLong))
+        .distinct // consecutive prefix winners are monotone, so distinct = collapse
+    }.sorted
+    val emitted = spark.table("mbcdc").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cents"))).toSeq.sorted
+    assert(emitted == expected,
+      s"changelog ${emitted.size} rows != expected ${expected.size} transitions")
+    // final transition per user reconstructs the batch materialized view
+    val streamed = rows.groupBy(_._2).view.mapValues(g => winner(g.toSeq)).values
+      .map(w => (w._4, math.floor(w._5 * 100 + 0.5).toLong)).toSeq
+      .groupBy(_._1).view.mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val batch = EventStreams.cdcBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
+  test("watermark-close EWMA: multi-batch drain equals the closed-window batch mirror, no dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._3)
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = MemoryStream[(Long, String, Long, Double)]
+    val q = EventStreams.ewmaCoreWm(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("mbewma").start()
+    chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    q.processAllAvailable()
+    q.stop()
+    // RAW multiset equality — no dedup, no last-wins: every closed
+    // window was emitted exactly once across the three micro-batches
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("window_ms"),
+        r.getAs[Long]("n"), r.getAs[Double]("x"), r.getAs[Double]("ewma"))
+    val streamed = spark.table("mbewma").collect().map(key).toSeq.sorted
+    val batch = EventStreams.ewmaClosedBatch(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("watermark-close EWMA single-batch drain also equals the closed-window mirror") {
+    runToMemory(EventStreams.ewmaStreamWm(spark, sf), "sewmawm", OutputMode.Append())
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("window_ms"),
+        r.getAs[Long]("n"), r.getAs[Double]("x"), r.getAs[Double]("ewma"))
+    val streamed = spark.table("sewmawm").collect().map(key).toSeq.sorted
+    val batch = EventStreams.ewmaClosedBatch(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
