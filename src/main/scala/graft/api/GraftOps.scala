@@ -1707,7 +1707,27 @@ object GraftOps {
     * |V| join chain (k, Σtot, current label — all map-side-combine
     * groupBys), one bounded argmax aggregation. m rides along as a
     * broadcast 1-row aggregate. Nothing holds the vertex set in one
-    * task. */
+    * task.
+    *
+    * DELTA ITERATION (r12, opt-in `spark.graft.louvainDelta=true`):
+    * the |E| join above runs only at each parity's FIRST sweep.
+    * k_{v,c} is a pure function of v's neighbors' labels, so after
+    * that the per-parity candidate table is maintained from the MOVE
+    * SET — each vertex that changed label since the table's snapshot
+    * contributes (−w to its old community, +w to its new) on each
+    * incident edge, an un-hinted join the AQE runtime broadcasts once
+    * the frontier shrinks. The result is BIT-IDENTICAL to the full
+    * sweep (same inputs to the same argmax — LouvainDeltaSpec asserts
+    * label-for-label equality both ways), so the unrolled SQL oracle
+    * is unchanged either way. MEASURED trade at sf0.1/local[32]
+    * (r12): 44 s delta vs 25 s full — the delta path spends three
+    * eager jobs per round (snapshot merge, move set, labels) where
+    * the lazy full sweep fuses two rounds into one job, and at toy
+    * scale the scoring join chain, not the candidate build, is the
+    * bound; hence OFF by default. The lever exists for the regime it
+    * is designed for — |E| large enough that each round's edge
+    * shuffle dwarfs per-job overhead and the settled frontier makes
+    * the move set broadcast-sized. */
   private def louvainLevel(edges: DataFrame, selfs: DataFrame,
                            rounds: Int,
                            init: Option[DataFrame] = None): DataFrame = {
@@ -1740,6 +1760,15 @@ object GraftOps {
         .join(l0.select(col("v"), col("lbl")), Seq("v"), "left")
         .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
     }
+    // delta-iteration state: per-parity candidate-weight snapshots and
+    // the last two rounds' move sets. OPT-IN (see scaladoc: measured
+    // slower at toy scale, designed for cluster-scale |E|);
+    // LouvainDeltaSpec asserts both paths agree label for label.
+    val deltaOn = edges.sparkSession.conf
+      .getOption("spark.graft.louvainDelta").contains("true")
+    val kvcCache = new Array[DataFrame](2)
+    var movesPrev: DataFrame = null
+    var movesPrev2: DataFrame = null
     for (i <- 1 to rounds) {
       // one |comms|-sized stats table per round: incident-weight sum
       // (Σtot) AND member count, in a single groupBy
@@ -1752,9 +1781,34 @@ object GraftOps {
       // after the groupBy would pay the full corpus-sized shuffle
       // every round for rows that cannot move)
       val movable = pmod(col("v"), lit(2L)) === lit(i % 2.toLong)
-      val kvc = sym.filter(pmod(col("src"), lit(2L)) === lit(i % 2.toLong))
-        .join(labels.select(col("v").as("dst"), col("lbl").as("c")), Seq("dst"))
-        .groupBy(col("src").as("v"), col("c")).agg(sum(col("w")).as("wc"))
+      val srcMovable = pmod(col("src"), lit(2L)) === lit(i % 2.toLong)
+      val kvc =
+        if (!deltaOn || kvcCache(i % 2) == null) {
+          val full = sym.filter(srcMovable)
+            .join(labels.select(col("v").as("dst"), col("lbl").as("c")), Seq("dst"))
+            .groupBy(col("src").as("v"), col("c")).agg(sum(col("w")).as("wc"))
+          if (deltaOn && i + 2 <= rounds) full.truncated() else full
+        } else {
+          // this parity's snapshot is two rounds old: fold in the moves
+          // from rounds i−2 (same parity) and i−1 (opposite — disjoint
+          // vertex sets), each shifting its edge weight from the old to
+          // the new community on every incident movable src. Un-hinted
+          // join: AQE broadcasts the move set once the frontier shrinks.
+          val mv = movesPrev.unionAll(movesPrev2)
+          val delta = sym.filter(srcMovable)
+            .join(mv, Seq("dst"))
+            .select(col("src").as("v"), explode(array(
+              struct(col("old_c").as("c"), (-col("w")).as("wc")),
+              struct(col("new_c").as("c"), col("w").as("wc")))).as("d"))
+            .select(col("v"), col("d.c").as("c"), col("d.wc").as("wc"))
+          val merged = kvcCache(i % 2).unionAll(delta)
+            .groupBy("v", "c").agg(sum(col("wc")).as("wc"))
+            // weights are positive, so a zero-sum row means "no
+            // neighbors left in c" — the full sweep would not emit it
+            .filter(col("wc") =!= 0L)
+          if (i + 2 <= rounds) merged.truncated() else merged
+        }
+      if (deltaOn) kvcCache(i % 2) = kvc
       val cand = kvc
         .unionAll(labels.filter(movable)
           .select(col("v"), col("lbl").as("c"), lit(0L).as("wc")))
@@ -1778,13 +1832,25 @@ object GraftOps {
       // argmax tie-break: STAY beats any equal-scoring move (without
       // this, zero-gain ties resolve toward smaller labels and a
       // SETTLED solution mass-migrates — measured Q 0.013 → −0.11 on
-      // two no-delta warm sweeps), then smallest community label
-      labels = scored.groupBy("v")
+      // two no-delta warm sweeps), then smallest community label.
+      // Grouping carries the current label through so the move set
+      // (old → new per changed vertex) falls out of the same pass.
+      val chosen = scored.groupBy(col("v"), col("lbl"))
         .agg(max(struct(col("score"),
           (col("c") === col("lbl")).cast("int").as("stay"),
           (-col("c")).as("nc"))).as("mx"))
-        .select(col("v"), (-col("mx.nc")).as("lbl"))
-        .unionAll(labels.filter(pmod(col("v"), lit(2L)) =!= lit(i % 2.toLong)))
+        .select(col("v"), col("lbl").as("old_c"), (-col("mx.nc")).as("lbl"))
+      if (deltaOn && rounds >= 3 && i + 1 <= rounds) {
+        val ct = chosen.truncated()
+        movesPrev2 = movesPrev
+        movesPrev = ct.filter(col("old_c") =!= col("lbl"))
+          .select(col("v").as("dst"), col("old_c"), col("lbl").as("new_c"))
+        labels = ct.select(col("v"), col("lbl"))
+          .unionAll(labels.filter(pmod(col("v"), lit(2L)) =!= lit(i % 2.toLong)))
+      } else {
+        labels = chosen.select(col("v"), col("lbl"))
+          .unionAll(labels.filter(pmod(col("v"), lit(2L)) =!= lit(i % 2.toLong)))
+      }
       if (i % 2 == 0) labels = labels.truncated()
     }
     labels
