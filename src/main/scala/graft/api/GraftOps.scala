@@ -35,7 +35,9 @@ object GraftOps {
     * the whole job dies. Setting [[ReliableCheckpointKey]]=true (plus
     * `sc.setCheckpointDir` on durable storage) switches every
     * iterative core — PageRank loops, CC/SCC sweeps, MST contraction,
-    * coreness peeling, Louvain, BFS — to reliable `checkpoint()`:
+    * coreness peeling, Louvain, BFS, suffix-array prefix doubling,
+    * BPE merge rounds, k-truss peeling, topo-level relaxation, GBT
+    * boosting, the GD trainer — to reliable `checkpoint()`:
     * each round's state persists to the checkpoint dir and survives
     * any executor failure, at the cost of one DFS write per
     * truncation. Same plans, same results (CheckpointToggleSpec

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
+import graft.api.GraftOps.TruncateOps
 
 /** BPE tokenizer TRAINING and application (Sennrich et al. 2016) — the
   * tokenizer-construction step of a training-data pipeline, run where
@@ -55,7 +56,7 @@ object Bpe {
             expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
             array(lit(Eow)))).as(Seq("p0", "sym")))
         .select(col("w"), col("freq"), (col("p0") + 1).as("pos"), col("sym"))
-        .localCheckpoint()
+        .truncated()
       var merges: DataFrame = null
       val wW = Window.partitionBy("w").orderBy("pos")
       for (r <- 1 to rounds) {
@@ -65,7 +66,7 @@ object Bpe {
           .agg(sum(col("freq")).as("wt"))
           .orderBy(col("wt").desc, col("a"), col("b")).limit(1)
           .select(lit(r.toLong).as("step"), col("a"), col("b"), col("wt"))
-          .localCheckpoint()
+          .truncated()
         merges = if (merges == null) best else merges.unionAll(best)
         val marked = withNext
           .crossJoin(broadcast(best.select(col("a").as("__a"), col("b").as("__b"))))
@@ -81,9 +82,9 @@ object Bpe {
             when(col("kept"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"),
             col("pos"))
           .withColumn("pos", row_number().over(wW).cast("long"))
-          .localCheckpoint()
+          .truncated()
       }
-      (merges.localCheckpoint(), rows)
+      (merges.truncated(), rows)
   }
 
   /** The learned merge table: (step, a, b, wt) in training order. */

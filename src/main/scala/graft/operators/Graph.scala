@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
+import graft.api.GraftOps.TruncateOps
 
 /** Multi-source personalized PageRank.
   *
@@ -1400,10 +1401,10 @@ object Graph {
     * registered round count sits past the fixpoint. Covers vertices
     * with ≥1 edge (isolated DAG nodes have no ordering content). */
   def topoLevelsOf(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.truncated()
     val verts = e.select(col("src").as("c")).unionAll(e.select(col("dst").as("c")))
       .distinct()
-    var lvl = verts.select(col("c"), lit(0L).as("level")).localCheckpoint()
+    var lvl = verts.select(col("c"), lit(0L).as("level")).truncated()
     // frontier delta, like the BFS family: only vertices whose level
     // rose last round can raise a successor; empty frontier = fixpoint,
     // so the loop exits early with output identical to the full unroll
@@ -1416,7 +1417,7 @@ object Graph {
       val joined = lvl.join(relax, Seq("c"), "left")
         .select(col("c"), greatest(col("level"), coalesce(col("nl"), col("level"))).as("l2"),
           (col("nl").isNotNull && col("nl") > col("level")).as("__chg"))
-        .localCheckpoint()
+        .truncated()
       frontier = joined.filter(col("__chg")).select(col("c"), col("l2").as("level"))
       lvl = joined.select(col("c"), col("l2").as("level"))
       settled = frontier.isEmpty

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
+import graft.api.GraftOps.TruncateOps
 
 /** Histogram-based decision-tree training — the MLlib/XGBoost split-
   * finding discipline re-expressed as plain aggregates: candidate
@@ -164,7 +165,7 @@ object MlTrees {
         .withColumn("r", col("r") -
           when(col("fv") <= col("bt"), col("bll")).otherwise(col("blr")))
         .select("qty", "disc", "tax", "y", "r")
-        .localCheckpoint()
+        .truncated()
       val sse = rows.agg(
         count(lit(1)).as("n"),
         sum((col("r").cast("decimal(38,0)") * col("r").cast("decimal(38,0)"))).as("ss"))

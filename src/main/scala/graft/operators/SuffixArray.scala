@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
+import graft.api.GraftOps.TruncateOps
 
 /** Distributed suffix-array construction by prefix doubling (the
   * Manber–Myers discipline in its sort-based distributed form — Flick
@@ -72,7 +73,7 @@ object SuffixArray {
           expr(s"substring(text, pos + 1, $LcpCap)").as("suf"),
           // +1 keeps rank 0 free to mean "past the end of the doc"
           (ascii(col("col")) + 1).cast("long").as("r"))
-      var sfx = chars.localCheckpoint()
+      var sfx = chars.truncated()
       val n = sfx.count()
       var d = 1
       var k = 0
@@ -83,7 +84,7 @@ object SuffixArray {
           coalesce(lead(col("r"), d).over(byDoc), lit(0L)))
         sfx = rankByKey(keyed, Seq("r", "r2"))
           .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("r"))
-          .localCheckpoint()
+          .truncated()
         // all ranks unique ⇒ the order is final; remaining rounds are
         // no-ops (1-row agg on the already-materialized checkpoint).
         // max(r)=n would NOT suffice: [1,1,3] has max=n with a tie.
@@ -93,7 +94,7 @@ object SuffixArray {
       // final tie-break to a total order (unique by construction here)
       rankByKey(sfx, Seq("r", "doc_id", "pos"))
         .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("sa_rank"))
-        .localCheckpoint()
+        .truncated()
     })
 
   def textSuffixArray(spark: SparkSession, dir: String): DataFrame =

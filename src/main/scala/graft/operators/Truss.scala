@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
+import graft.api.GraftOps.TruncateOps
 
 /** k-truss decomposition (Cohen 2008) — the triangle-reinforced
   * community kernel: the k-truss is the maximal subgraph where every
@@ -62,7 +63,7 @@ object Truss {
       .select(least(col("qid"), col("neighbor")).as("a"),
         greatest(col("qid"), col("neighbor")).as("b"))
       .distinct()
-      .localCheckpoint() // the base graph feeds every peeling round
+      .truncated() // the base graph feeds every peeling round
     var support: DataFrame = null
     for (_ <- 1 to FixedRounds) {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
@@ -78,7 +79,7 @@ object Truss {
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
       edges = edges
         .join(support.filter(col("support") >= TrussK - 2), Seq("a", "b"), "left_semi")
-        .localCheckpoint()
+        .truncated()
     }
     edges.join(support, Seq("a", "b"))
       .select(col("a"), col("b"), col("support"))

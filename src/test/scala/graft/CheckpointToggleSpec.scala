@@ -46,6 +46,26 @@ class CheckpointToggleSpec extends SparkSpec {
     assert(ccReliable == ccLocal, "CC diverged under reliable checkpointing")
   }
 
+  test("r12-routed iterative cores (suffix array, BPE, k-truss) are bit-identical under reliable checkpointing") {
+    def snap(): (Seq[String], Seq[String], Seq[String]) = (
+      graft.operators.SuffixArray.textSuffixArray(spark, dir)
+        .collect().map(_.mkString("|")).sorted.toSeq,
+      graft.operators.Bpe.train(spark, dir)
+        .collect().map(_.mkString("|")).sorted.toSeq,
+      graft.operators.Truss.graphKtruss(spark, dir)
+        .collect().map(_.mkString("|")).sorted.toSeq)
+    graft.operators.SuffixArray.reset(); graft.operators.Bpe.reset()
+    val local = snap()
+    val reliable = withReliable {
+      graft.operators.SuffixArray.reset(); graft.operators.Bpe.reset()
+      snap()
+    }
+    graft.operators.SuffixArray.reset(); graft.operators.Bpe.reset()
+    assert(reliable._1 == local._1, "suffix array diverged under reliable checkpointing")
+    assert(reliable._2 == local._2, "BPE merge table diverged under reliable checkpointing")
+    assert(reliable._3 == local._3, "k-truss diverged under reliable checkpointing")
+  }
+
   test("reliable mode actually writes checkpoint files") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     spark.sparkContext.setCheckpointDir(ckpt)
