@@ -121,7 +121,22 @@ object Bench {
       stream.writeStream.outputMode("update").format("noop").start(),
       "windowed_agg_rows_per_sec")
     // stream-stream interval join: two watermarked rate sources joined
-    // on key within ±1 s — the stateful two-input path
+    // on key within ±1 s — the stateful two-input path. State
+    // partitions are sized to the STATE, not the core count (r12
+    // measurement, n≥2 each): the join commits 4 state stores per
+    // partition per batch, so 32 partitions = 128 commits/batch and
+    // the run is commit-overhead-bound at ~110-130k rows/s; 8
+    // partitions sustains 166-183k rows/s (~1.5x), 4 and 16 land in
+    // between. RocksDB provider measured too (122k @32, 127k @8):
+    // helps only the oversharded case — its LSM write path beats the
+    // in-heap snapshot under many small stores but loses to in-heap
+    // when stores are right-sized and state fits memory, so it stays
+    // a config away, not the default. Streaming shuffle partitioning
+    // is pinned at the FIRST run from the checkpoint, which is why
+    // right-sizing here is the honest at-scale posture: pick stores
+    // by state volume, let executors share them.
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val a = spark.readStream.format("rate")
       .option("rowsPerSecond", 100000).option("numPartitions", 4).load()
       .withWatermark("timestamp", "2 seconds")
@@ -132,9 +147,11 @@ object Bench {
       .select(col("value").as("kb"), col("timestamp").as("tb"))
     val j = a.join(b, expr(
       "ka = kb AND tb BETWEEN ta - INTERVAL 1 SECOND AND ta + INTERVAL 1 SECOND"))
-    val join = measure(
-      j.writeStream.outputMode("append").format("noop").start(),
-      "interval_join_rows_per_sec")
+    val join =
+      try measure(
+        j.writeStream.outputMode("append").format("noop").start(),
+        "interval_join_rows_per_sec")
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     agg ++ join
   }
 

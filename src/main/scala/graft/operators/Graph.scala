@@ -1590,20 +1590,29 @@ object Graph {
   /** Unrolled BFS relaxation rounds (house oracle style: every level
     * referenced twice → MATERIALIZED, or DuckDB's default CTE inlining
     * re-evaluates 2^K times). */
-  private lazy val bfsOracle: String = {
-    val seed = Sources.map(s => s"($s::BIGINT, 0::BIGINT)").mkString(", ")
-    val iterCtes = (1 to BfsRounds).map { t =>
-      s"""r$t AS MATERIALIZED (SELECT e.dst AS v, min(d.dist) + 1 AS nd
-                FROM d${t - 1} d JOIN edges e ON d.v = e.src GROUP BY 1),
-          d$t AS MATERIALIZED (SELECT coalesce(d.v, r.v) AS v,
-                least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
-                FROM d${t - 1} d FULL JOIN r$t r ON d.v = r.v)"""
-    }.mkString(",\n          ")
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
-          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
-          d0 AS MATERIALIZED (SELECT * FROM (VALUES $seed) t(v, dist)),
-          $iterCtes
-        SELECT v, dist FROM d$BfsRounds ORDER BY v"""
+  /** ONE SQL text, BOTH engines (r12 — the q59 recursiveReachSql
+    * discipline replacing the unrolled d0..d$BfsRounds generator):
+    * WITH RECURSIVE frontier expansion, depth-capped at BfsRounds, a
+    * DISTINCT in the recursive member (Spark 4 rejects UNION-distinct
+    * recursion, and plain UNION ALL would enumerate WALKS — the
+    * per-step DISTINCT bounds each level at |V| rows on this cyclic
+    * graph), min(dist) readout = BFS distance. DuckDB replays the
+    * identical text verbatim (RecursiveOracleSpec also proves Spark's
+    * own execution of this text matches the hand-written delta-
+    * iteration loop row for row). */
+  private[graft] lazy val bfsOracle: String = {
+    val seed = Sources.map(s => s"($s, 0)").mkString(", ")
+    s"""WITH RECURSIVE
+          li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          bfs(v, dist) AS (
+              SELECT CAST(t.v AS BIGINT), CAST(t.dist AS BIGINT)
+              FROM (VALUES $seed) t(v, dist)
+            UNION ALL
+              SELECT DISTINCT e.dst, b.dist + 1
+              FROM bfs b JOIN edges e ON b.v = e.src
+              WHERE b.dist < $BfsRounds)
+        SELECT v, min(dist) AS dist FROM bfs GROUP BY v ORDER BY v"""
   }
 
   /** Unrolled k-core peeling rounds — same MATERIALIZED discipline. */
