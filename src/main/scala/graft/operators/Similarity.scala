@@ -1160,6 +1160,59 @@ object Similarity {
   }
   val Sq8Levels = 255
 
+  /** Binary (sign-bit) quantization ANN — the 1-bit-per-dimension
+    * memory tier below SQ8 (the Hamming-preselect half of RaBitQ-style
+    * binary indexes, and FAISS's IndexBinaryFlat rerank pattern): each
+    * dimension binarizes against its corpus MIDRANGE (lo+hi)/2 —
+    * midrange, not mean, because min/max are order-free exact where a
+    * float mean's summation order is not — packing 64 dims into two
+    * 32-bit words of a BIGINT pair. Candidate scan = bit_count(xor)
+    * per word pair: 16 bytes and two popcounts per corpus vector vs
+    * 256 bytes and 64 multiplies for floats — the 100 TB scan tier —
+    * then the usual exact re-rank touches only shortlist·|Q| true
+    * vectors. Every stage is integer or single-op-double arithmetic,
+    * so the FULL pipeline (midranges → signatures → Hamming shortlist
+    * → exact re-rank) value-verifies against DuckDB bit-for-bit.
+    * Shortlist ties break on (hamming ASC, vec_id ASC) in both
+    * engines. */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = emb(spark, dir)
+    val mids = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(((min(col("x")) + max(col("x"))) / 2.0).as("mid"))
+      .agg(expr("array_sort(collect_list(struct(pos, mid)))").as("t"))
+      .select(expr("transform(t, s -> s.mid)").as("mid"))
+    val sigs = e.crossJoin(broadcast(mids))
+      .select(col("vec_id"),
+        expr("""aggregate(transform(v, (x, i) ->
+                  IF(i < 32 AND x > mid[i], shiftleft(CAST(1 AS BIGINT), i),
+                     CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (a, b) -> a + b)""").as("w0"),
+        expr("""aggregate(transform(v, (x, i) ->
+                  IF(i >= 32 AND x > mid[i], shiftleft(CAST(1 AS BIGINT), i - 32),
+                     CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (a, b) -> a + b)""").as("w1"))
+      .localCheckpoint() // probed by |Q| queries AND the query side itself
+    val scored = sigs.join(broadcast(
+        sigs.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (-(expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)")).cast("long")).as("score"))
+    val shortlist = graft.api.GraftOps
+      .topKPerGroupAgg(scored, "qid", "score", "vec_id", PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        expr("2 * dot_product(qv, v) - dot_product(v, v)").as("score"))
+    graft.api.GraftOps.topKPerGroupAgg(exact, "qid", "score", "vec_id", TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Radius (range) search: every corpus vector within cosine ≥ Radius
     * of each query — the fixed-threshold complement of top-k (recall
     * jobs want "all sufficiently-similar", not "best k"). Same broadcast
@@ -1841,6 +1894,38 @@ object Similarity {
           $ivfPqTailCtes"""
   }
 
+  /** DuckDB mirror of annBinary: midranges, sign-bit word packing
+    * (sum of distinct powers of two = the bitwise OR, order-free),
+    * popcount-of-xor Hamming shortlist, exact re-rank. */
+  private lazy val annBinaryOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          u AS MATERIALIZED (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+          m AS MATERIALIZED (SELECT pos, (min(val) + max(val)) / 2.0 AS mid FROM u GROUP BY pos),
+          sig AS MATERIALIZED (SELECT u.vec_id,
+                CAST(sum(CASE WHEN u.pos <= 32 AND u.val > m.mid
+                    THEN CAST(1 AS BIGINT) << (u.pos - 1) ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN u.pos > 32 AND u.val > m.mid
+                    THEN CAST(1 AS BIGINT) << (u.pos - 33) ELSE 0 END) AS BIGINT) AS w1
+              FROM u JOIN m USING (pos) GROUP BY u.vec_id),
+          q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM sig
+                WHERE vec_id < $NumQueries),
+          scored AS (SELECT q.qid, s.vec_id,
+                -(bit_count(xor(s.w0, q.qw0)) + bit_count(xor(s.w1, q.qw1))) AS hscore
+              FROM q, sig s WHERE s.vec_id <> q.qid),
+          short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY hscore DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                        2 * list_dot_product(eq.v, ec.v) - list_dot_product(ec.v, ec.v) AS score
+                 FROM short s JOIN e eq ON s.qid = eq.vec_id
+                 JOIN e ec ON s.vec_id = ec.vec_id),
+          r AS (SELECT qid, vec_id, score,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+                FROM ex)
+        SELECT qid, rnk, vec_id AS neighbor, round(score, 6) AS score
+        FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
   /** DuckDB mirror of annSq8: per-dim bounds, affine codes, decode,
     * ADC shortlist, exact re-rank — positional joins replay the
     * per-dimension arithmetic in the identical operation order. */
@@ -2035,6 +2120,7 @@ object Similarity {
     QueryDef("sim_knn_graph", simKnnGraph, Some(knnGraphOracle)),
     QueryDef("sim_nn_descent", simNnDescent, Some(nnDescentOracle)),
     QueryDef("sim_ann_sq8", (s: SparkSession, d: String) => annSq8(s, d), Some(annSq8Oracle)),
+    QueryDef("sim_ann_binary", annBinary, Some(annBinaryOracle)),
     QueryDef("sim_ann_pq", (s: SparkSession, d: String) => annPq(s, d), Some(annPqOracle)),
     QueryDef("sim_ann_pq_perm", annPqPerm, Some(annPqPermOracle)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),

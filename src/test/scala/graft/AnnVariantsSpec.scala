@@ -45,6 +45,19 @@ class AnnVariantsSpec extends SparkSpec {
     assert(mean >= 0.85, s"wide multiprobe recall $mean below the 0.85 target")
   }
 
+  test("binary sign-bit signatures preselect well enough to recover most exact neighbors") {
+    val exact = topk(Similarity.cosineTopk(spark, dir))
+    val bin = topk(Similarity.annBinary(spark, dir))
+    val recall = exact.map { case (q, ids) =>
+      (ids.toSet & bin.getOrElse(q, Nil).toSet).size.toDouble / ids.size
+    }.sum / exact.size
+    info(f"binary-quantization recall@${Similarity.TopK} (shortlist ${Similarity.PqShortlist}): $recall%.3f")
+    // 64 bits per vector + a 50-deep Hamming shortlist: the floor is
+    // deliberately conservative — the tier exists for its 16x scan
+    // compression, the exact re-rank restores order within the list
+    assert(recall >= 0.5, s"binary preselect recall $recall below 0.5")
+  }
+
   test("multiprobe is deterministic and supersets the single-probe candidates") {
     val a = Similarity.annLshMultiprobe(spark, dir).collect().toSeq
     val b = Similarity.annLshMultiprobe(spark, dir).collect().toSeq
