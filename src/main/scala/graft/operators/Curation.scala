@@ -124,6 +124,49 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (r12 —
+    * Efraimidis–Spirakis A-ES, the reservoir algorithm every
+    * distributed engine uses for weighted takes): doc key =
+    * u^(1/w) with u a deterministic md5-derived uniform and w the
+    * doc's weight (n_chars — sample long docs proportionally more),
+    * top-[[WeightedK]] keys per source win. Ranked on the MONOTONE
+    * transform ln(u)/w (same order, better float behavior near 1),
+    * 12-dp-rounded with a doc_id tie-break so a last-ulp libm
+    * divergence cannot flip ranks between engines. Where
+    * `sampleHash` realizes per-stratum RATES, this realizes exact
+    * per-stratum COUNTS under weights — the "take the best k by
+    * importance" half of corpus mixing (DSIR-style importance takes).
+    * Scale: one scan + a bounded per-source top-k (map-side partial
+    * heap via window over the |sources| partitioning); no global
+    * sort, no RNG — re-runs and retries land the identical sample on
+    * any cluster size. */
+  val WeightedK = 5
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(log((TextFns.hash32(col("doc_id").cast("string")).cast("double") + 0.5d) /
+            4294967296.0d) / col("n_chars"), 12).as("es_key"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= WeightedK)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rnk")
+  }
+
+  private val sampleWeightedOracle: String =
+    s"""WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 round(ln(($hashSql::DOUBLE + 0.5) / 4294967296.0) / n_chars, 12) AS es_key
+          FROM documents WHERE n_chars > 0),
+          r AS (SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY es_key DESC, doc_id) AS rnk
+                FROM keyed)
+        SELECT source, rnk, doc_id, n_chars
+        FROM r WHERE rnk <= $WeightedK ORDER BY source, rnk"""
+
   private val chunkOracle: String = {
     val overlap = ChunkLen - ChunkStride
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -146,6 +189,7 @@ object Curation {
     QueryDef("cur_sample_hash", sampleDocs, Some(
       s"""SELECT doc_id, n_chars FROM documents
           WHERE $hashSql % 100 < $SamplePct ORDER BY doc_id""")),
+    QueryDef("cur_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     QueryDef("cur_sample_stratified", sampleStratifiedDocs, Some {
       val ladder = StratPcts.toSeq.sortBy(_._1)
         .map { case (s, p) => s"WHEN source = '$s' THEN $p" }.mkString(" ")

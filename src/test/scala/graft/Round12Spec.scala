@@ -66,6 +66,28 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("cur_sample_weighted: A-ES take is deterministic, per-source exact-k, and length-biased") {
+    val out = graft.operators.Curation.sampleWeighted(spark, sf)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact k per source (every corpus source has >= k docs)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length == graft.operators.Curation.WeightedK, s"$src took ${g.length}")
+      assert(g.map(_._2).sorted.toSeq == (1L to graft.operators.Curation.WeightedK), s"$src ranks")
+    }
+    // determinism: a second evaluation is bit-identical (no RNG anywhere)
+    val again = graft.operators.Curation.sampleWeighted(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+    // the WEIGHTED property: P(doc) rises with n_chars, so the sampled
+    // mean length must clearly exceed the corpus mean (u^(1/w) keys)
+    val sampledMean = rows.map(_._4).sum.toDouble / rows.length
+    val corpusMean = graft.sources.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    info(f"sampled mean n_chars $sampledMean%.0f vs corpus mean $corpusMean%.0f")
+    assert(sampledMean > corpusMean,
+      s"weighted sample not length-biased: $sampledMean <= $corpusMean")
+  }
+
   test("q58 linear attribution conserves credit exactly at any fan-out (synthetic n=17)") {
     // 17 touches before one purchase: 720720 = 2^4*3^2*5*7*11*13 is NOT
     // divisible by 17 — the pre-r12 truncating split lost credit here
