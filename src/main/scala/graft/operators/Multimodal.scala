@@ -472,8 +472,206 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  // ---- audio tier (r12): WAV payloads through the same seam ----
+
+  /** Deterministic audio synthesis: a VALID single-chunk PCM WAV file
+    * (RIFF/WAVE, fmt 16-byte PCM header, 8-bit mono @ 8 kHz) with
+    * 64 + n%193 samples, sample k = text byte (2k+1) mod n — a real
+    * container format whose sample stream a SQL oracle recomputes in
+    * closed form, exactly like [[PpmPayload]] for images. */
+  object WavPayload {
+    val SampleRate = 8000
+    def nSamples(n: Int): Int = 64 + n % 193
+
+    private def u32(out: Array[Byte], pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte; out(pos + 1) = ((v >> 8) & 0xff).toByte
+      out(pos + 2) = ((v >> 16) & 0xff).toByte; out(pos + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def u16(out: Array[Byte], pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte; out(pos + 1) = ((v >> 8) & 0xff).toByte
+    }
+
+    def build(text: Array[Byte]): Array[Byte] = {
+      val n = text.length
+      val ns = nSamples(n)
+      val pad = ns % 2 // RIFF chunks pad to even length; size field stays ns
+      val out = new Array[Byte](44 + ns + pad)
+      "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+      u32(out, 4, 36 + ns + pad)
+      "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+      "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+      u32(out, 16, 16); u16(out, 20, 1); u16(out, 22, 1) // PCM, mono
+      u32(out, 24, SampleRate); u32(out, 28, SampleRate) // byte rate = rate (8-bit mono)
+      u16(out, 32, 1); u16(out, 34, 8)                   // block align, bits
+      "data".getBytes("US-ASCII").copyToArray(out, 36)
+      u32(out, 40, ns)
+      var k = 0
+      while (k < ns) {
+        out(44 + k) = if (n == 0) 0 else text((2 * k + 1) % n)
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** REAL RIFF/WAVE chunk walk: validates the RIFF magic and size,
+    * requires a 16-byte PCM fmt chunk (mono, 8-bit, 8 kHz) before the
+    * data chunk, and an exact byte count (odd chunks consume their
+    * RIFF pad byte) — malformed input throws.
+    * Returns (sample_rate, n_samples, data_offset). */
+  object WavDecoder extends Serializable {
+    private def u32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 44 && tag(bytes, 0) == "RIFF", "bad RIFF magic")
+      require(u32(bytes, 4) == bytes.length - 8, "RIFF size mismatch")
+      require(tag(bytes, 8) == "WAVE", "not a WAVE file")
+      var pos = 12
+      var rate = -1
+      var ns = -1
+      var off = -1
+      while (pos + 8 <= bytes.length) {
+        val id = tag(bytes, pos)
+        val sz = u32(bytes, pos + 4)
+        require(pos + 8 + sz <= bytes.length, s"chunk $id overruns the file")
+        id match {
+          case "fmt " =>
+            require(sz == 16 && u16(bytes, pos + 8) == 1, "not 16-byte PCM fmt")
+            require(u16(bytes, pos + 10) == 1, "not mono")
+            rate = u32(bytes, pos + 12)
+            require(u16(bytes, pos + 22) == 8, "not 8-bit")
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            ns = sz
+            off = pos + 8
+          case other => throw new IllegalArgumentException(s"unexpected chunk $other")
+        }
+        pos += 8 + sz + (sz % 2) // RIFF: odd chunks are padded to even
+      }
+      require(pos == bytes.length, "trailing bytes after last chunk")
+      require(ns >= 0, "no data chunk")
+      (rate, ns, off)
+    }
+  }
+
+  private val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Audio metadata through the binary-column seam: synthesized WAV
+    * payloads REALLY parsed (chunk walk, not the recipe); duration in
+    * integer milliseconds. */
+  def audioMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioMetaSchema)
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    bin.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = WavPayload.build(r.getAs[Array[Byte]](1))
+        val (rate, ns, _) = WavDecoder.decode(bytes)
+        Row(id, bytes.length.toLong, rate, ns.toLong, ns.toLong * 1000L / rate)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  /** Windowed audio features from the PARSED sample stream, in the
+    * [[PpmFeatureExtractor]] slice discipline: [[AudioWindows]]
+    * contiguous windows, per window the midline zero-crossing count,
+    * exact integer energy Σ(s−128)², and the 6-dp mean absolute
+    * amplitude — the classic cheap audio descriptors (VAD/silence
+    * gates run on exactly these), every one integer or one-division
+    * arithmetic so DuckDB replays bit-for-bit from the synthesis. */
+  val AudioWindows = 4
+  private val audioFeatSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("zero_crossings", LongType),
+    StructField("energy", LongType),
+    StructField("mean_abs", DoubleType)))
+
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatSchema)
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    bin.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = WavPayload.build(r.getAs[Array[Byte]](1))
+        val (_, ns, off) = WavDecoder.decode(bytes)
+        (0 until AudioWindows).iterator.map { j =>
+          val s = j * ns / AudioWindows
+          val e = (j + 1) * ns / AudioWindows
+          var zc = 0L; var energy = 0L; var absSum = 0L
+          var k = s
+          while (k < e) {
+            val v = (bytes(off + k) & 0xff) - 128
+            energy += v.toLong * v; absSum += math.abs(v).toLong
+            if (k + 1 < e) {
+              val w = (bytes(off + k + 1) & 0xff) - 128
+              if ((v < 0) != (w < 0)) zc += 1
+            }
+            k += 1
+          }
+          val mean = BigDecimal(absSum.toDouble / (e - s) / 127.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, j, (e - s).toLong, zc, energy, mean)
+        }
+      }
+    }(enc).orderBy("doc_id", "win")
+  }
+
+  /** Shared oracle CTEs: the WAV sample stream recomputed from the
+    * synthesis arithmetic (text char codes at (2k+1) mod n), windowed
+    * by the integer slice boundaries. */
+  private lazy val audioCtes: String =
+    s"""d AS (SELECT doc_id, length(text) AS n,
+                     [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
+              FROM documents),
+        p AS (SELECT doc_id, n, 64 + n % 193 AS ns, cs FROM d),
+        smp AS (SELECT doc_id, ns, k.k AS k,
+                       cs[((2 * k.k + 1) % n) + 1] - 128 AS v,
+                       (CASE WHEN k.k >= (1 * ns) // $AudioWindows THEN 1 ELSE 0 END +
+                        CASE WHEN k.k >= (2 * ns) // $AudioWindows THEN 1 ELSE 0 END +
+                        CASE WHEN k.k >= (3 * ns) // $AudioWindows THEN 1 ELSE 0 END) AS win
+                FROM p, unnest(generate_series(0, CAST(ns - 1 AS BIGINT))) k(k))"""
+
+  private lazy val audioMetaOracle: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS n FROM documents),
+          p AS (SELECT doc_id, 64 + n % 193 AS ns FROM m)
+        SELECT doc_id, CAST(44 + ns + ns % 2 AS BIGINT) AS byte_len,
+               CAST(${WavPayload.SampleRate} AS INT) AS sample_rate,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(ns * 1000 // ${WavPayload.SampleRate} AS BIGINT) AS duration_ms
+        FROM p ORDER BY doc_id"""
+
+  private lazy val audioFeatOracle: String =
+    s"""WITH $audioCtes,
+          zc AS (SELECT a.doc_id, a.win, count(*) AS z
+                 FROM smp a JOIN smp b ON a.doc_id = b.doc_id
+                   AND b.k = a.k + 1 AND b.win = a.win
+                 WHERE (a.v < 0) <> (b.v < 0) GROUP BY 1, 2)
+        SELECT s.doc_id, CAST(s.win AS INT) AS win,
+               count(*)::BIGINT AS n_samples,
+               coalesce(any_value(zc.z), 0)::BIGINT AS zero_crossings,
+               sum(s.v * s.v)::BIGINT AS energy,
+               round(sum(abs(s.v))::DOUBLE / count(*) / 127.0, 6) AS mean_abs
+        FROM smp s LEFT JOIN zc ON s.doc_id = zc.doc_id AND s.win = zc.win
+        GROUP BY s.doc_id, s.win ORDER BY s.doc_id, s.win"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_dedup_phash", mmDedupPhash, Some(phashOracle)),
+    QueryDef("mm_audio_metadata", audioMetadata, Some(audioMetaOracle)),
+    QueryDef("mm_audio_features", audioFeatures, Some(audioFeatOracle)),
     QueryDef("mm_phash_cluster", mmPhashCluster, Some(phashClusterOracle)),
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineOracle)),
     // Oracles recompute the expected values from the public payload-

@@ -88,6 +88,32 @@ class Round12Spec extends SparkSpec {
       s"weighted sample not length-biased: $sampledMean <= $corpusMean")
   }
 
+  test("WavDecoder is a real parser: round-trips synthesis, rejects malformed bytes") {
+    import graft.operators.Multimodal.{WavPayload, WavDecoder}
+    val good = WavPayload.build("the quick brown fox".getBytes("US-ASCII"))
+    val (rate, ns, off) = WavDecoder.decode(good)
+    assert(rate == WavPayload.SampleRate && off == 44)
+    assert(ns == WavPayload.nSamples(19))
+    assert(good.length == 44 + ns + ns % 2) // RIFF pad on odd data chunks
+    // sample stream honesty: byte k of the data chunk is text[(2k+1) % n]
+    val txt = "the quick brown fox".getBytes("US-ASCII")
+    (0 until ns).foreach { k =>
+      assert(good(off + k) == txt((2 * k + 1) % txt.length), s"sample $k")
+    }
+    // corruption in any structural field must throw, not return garbage
+    def corrupt(at: Int, to: Byte): Unit = {
+      val bad = good.clone(); bad(at) = to
+      intercept[IllegalArgumentException](WavDecoder.decode(bad))
+    }
+    corrupt(0, 'X')        // RIFF magic
+    corrupt(4, 99)         // riff size
+    corrupt(8, 'X')        // WAVE tag
+    corrupt(20, 2)         // audio format != PCM
+    corrupt(22, 2)         // stereo
+    corrupt(34, 16)        // 16-bit
+    intercept[IllegalArgumentException](WavDecoder.decode(good.take(30))) // truncation
+  }
+
   test("q58 linear attribution conserves credit exactly at any fan-out (synthetic n=17)") {
     // 17 touches before one purchase: 720720 = 2^4*3^2*5*7*11*13 is NOT
     // divisible by 17 — the pre-r12 truncating split lost credit here
