@@ -1151,8 +1151,13 @@ object GraftOps {
     * Scale: the distance table is K×|reached| rows, shuffled once per
     * round on the co-partitioned edge layout; K is a constant (tens),
     * so the cost is K BFS sweeps sharing every scan — not K jobs. */
-  def closenessSampled(und: DataFrame, u: String, v: String,
-                       k: Int, rounds: Int): DataFrame = {
+  /** The (s, v, dist) table K sampled BFS sweeps produce — the shared
+    * forward phase [[closenessSampled]] and harmonic centrality both
+    * aggregate from (r12 split so the two readouts share one memoized
+    * sweep). Delta iteration with sound early exit, unit weights ⇒
+    * first reach is final. */
+  def sourceDistancesSampled(und: DataFrame, u: String, v: String,
+                             k: Int, rounds: Int): DataFrame = {
     val fwd = und.select(col(u).as("src"), col(v).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .truncated()
@@ -1180,12 +1185,37 @@ object GraftOps {
       settled = frontier.isEmpty
       i += 1
     }
+    dist
+  }
+
+  def closenessSampled(und: DataFrame, u: String, v: String,
+                       k: Int, rounds: Int): DataFrame =
+    closenessOf(sourceDistancesSampled(und, u, v, k, rounds))
+
+  /** Closeness readout over a (s, v, dist) table: n_reaching / Σd. */
+  def closenessOf(dist: DataFrame): DataFrame =
     dist.groupBy("v")
       .agg(count(lit(1)).as("n_src"), sum(col("dist")).as("sum_dist"))
       .select(col("v"), col("n_src"), col("sum_dist"),
         when(col("sum_dist") === 0, lit(0.0))
           .otherwise(round(col("n_src") / col("sum_dist"), 6)).as("closeness"))
-  }
+
+  /** Harmonic centrality readout over the same (s, v, dist) table:
+    * Σ_s 1/d(s,v) over the REACHING sources with d > 0 — the
+    * Boldi–Vigna recommendation over closeness (finite and meaningful
+    * under disconnection, where closeness degenerates). Each 1/d is
+    * quantized to exact integer micro-units BEFORE the sum (floor of
+    * 1e6/d + 0.5, one double division then exact integers), so the
+    * per-vertex sum is order-free and a SQL oracle replays it
+    * bit-for-bit — a raw float Σ 1/d would depend on aggregation
+    * order. */
+  def harmonicOf(dist: DataFrame): DataFrame =
+    dist.filter(col("dist") > 0)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_reaching"),
+        sum(expr("CAST(floor(1000000.0 / dist + 0.5) AS BIGINT)")).as("h_micro"))
+      .select(col("v"), col("n_reaching"),
+        round(col("h_micro") / 1e6, 6).as("harmonic"))
 
   /** Approximate betweenness centrality from K deterministically-
     * sampled sources — Brandes' algorithm (2001), the forward phase

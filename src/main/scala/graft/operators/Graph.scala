@@ -1505,12 +1505,29 @@ object Graph {
     * replays it; BfsRounds bounds the sweeps exactly like graph_bfs
     * (fixpoint-asserted at test scale). */
   val ClosenessK = 4
-  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val und = liPairs(spark, dir)
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-    graft.api.GraftOps.closenessSampled(und, "s", "p", ClosenessK, BfsRounds)
-      .orderBy("v")
-  }
+  // the K-source BFS distance table memoized per (session, dir):
+  // graph_closeness and graph_harmonic are two readouts of one sweep
+  // (the anfCurve discipline; bench reset clears it so a timed pass
+  // pays the sweep exactly once)
+  private def srcDistances(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + ":srcdist:" + dir, {
+      val und = liPairs(spark, dir)
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
+      graft.api.GraftOps.sourceDistancesSampled(und, "s", "p", ClosenessK, BfsRounds)
+        .localCheckpoint()
+    })
+
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.closenessOf(srcDistances(spark, dir)).orderBy("v")
+
+  /** Harmonic centrality (Boldi–Vigna 2014's recommendation over
+    * closeness: finite and rank-meaningful under disconnection) from
+    * the SAME memoized K-source sweep as graph_closeness — Σ 1/d in
+    * exact integer micro-units, so the sum is order-free and the
+    * oracle replays the closeness CTE chain with a different
+    * readout. */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.harmonicOf(srcDistances(spark, dir)).orderBy("v")
 
   /** Approximate betweenness centrality (GraftOps.betweennessSampled,
     * Brandes from BetweennessK md5-sampled sources) on the bipartite
@@ -1566,8 +1583,10 @@ object Graph {
   }
 
   /** Per-(source, vertex) unrolled BFS — the bfsOracle pattern keyed by
-    * (s, v); sources are the md5-min vertices, replayed identically. */
-  private lazy val closenessOracle: String = {
+    * (s, v); sources are the md5-min vertices, replayed identically.
+    * Shared prefix: `d$BfsRounds` is the final (s, v, dist) table —
+    * the closeness AND harmonic oracles are two readouts of it. */
+  private lazy val closenessCtePrefix: String = {
     val iterCtes = (1 to BfsRounds).map { t =>
       s"""r$t AS MATERIALIZED (SELECT d.s, e.dst AS v, min(d.dist) + 1 AS nd
                 FROM d${t - 1} d JOIN edges e ON d.v = e.src GROUP BY 1, 2),
@@ -1575,17 +1594,26 @@ object Graph {
                 least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
                 FROM d${t - 1} d FULL JOIN r$t r ON d.s = r.s AND d.v = r.v)"""
     }.mkString(",\n          ")
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
           edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
           srcs AS MATERIALIZED (SELECT n AS s FROM (SELECT DISTINCT src AS n FROM edges)
                 ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $ClosenessK),
           d0 AS MATERIALIZED (SELECT s, s AS v, 0::BIGINT AS dist FROM srcs),
-          $iterCtes
+          $iterCtes"""
+  }
+
+  private lazy val closenessOracle: String =
+    s"""WITH $closenessCtePrefix
         SELECT v, count(*) AS n_src, CAST(sum(dist) AS BIGINT) AS sum_dist,
                CASE WHEN sum(dist) = 0 THEN 0.0
                     ELSE round(count(*) / CAST(sum(dist) AS DOUBLE), 6) END AS closeness
         FROM d$BfsRounds GROUP BY v ORDER BY v"""
-  }
+
+  private lazy val harmonicOracle: String =
+    s"""WITH $closenessCtePrefix
+        SELECT v, count(*) AS n_reaching,
+               round(CAST(sum(CAST(floor(1000000.0 / dist + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS harmonic
+        FROM d$BfsRounds WHERE dist > 0 GROUP BY v ORDER BY v"""
 
   /** Unrolled BFS relaxation rounds (house oracle style: every level
     * referenced twice → MATERIALIZED, or DuckDB's default CTE inlining
@@ -1947,6 +1975,7 @@ object Graph {
     QueryDef("graph_degree_hist", graphDegreeHist, Some(degreeHistOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
+    QueryDef("graph_harmonic", graphHarmonic, Some(harmonicOracle)),
     QueryDef("graph_betweenness", graphBetweenness, Some(betweennessOracle)),
     QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
     QueryDef("graph_topo_levels", graphTopoLevels, Some(topoOracle)),

@@ -353,6 +353,17 @@ class Graph4Spec extends SparkSpec {
       2L -> ((3L, 3L, 1.0))))
   }
 
+  test("harmonic: K ≥ |V| reduces to exact harmonic centrality on a path") {
+    // path 0-1-2 with all 3 vertices as sources: harmonic(0) = 1/1 +
+    // 1/2 = 1.5 (micro-units: 1000000 + 500000), harmonic(1) = 2.0,
+    // and the d=0 self rows are excluded from n_reaching
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val r = GraftOps.harmonicOf(
+        GraftOps.sourceDistancesSampled(e, "a", "b", k = 10, rounds = 6))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map(0L -> ((2L, 1.5)), 1L -> ((2L, 2.0)), 2L -> ((2L, 1.5))))
+  }
+
   test("closeness: the md5 source sample is deterministic and sized k") {
     val e = (0L to 9L).map(i => (i, i + 1)).toDF("a", "b")
     def run() = GraftOps.closenessSampled(e, "a", "b", k = 3, rounds = 12)
