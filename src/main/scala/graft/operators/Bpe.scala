@@ -106,6 +106,31 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-efficiency report (r12): per SOURCE, the numbers a
+    * tokenizer eval actually reads — docs, words, BPE tokens, and
+    * CHARS PER TOKEN (the bytes-per-token compression every vocab
+    * comparison ranks by; higher = the learned merges fit that
+    * source's distribution better). Rides the same memoized training
+    * + dictionary-lookup join as `text_bpe_apply`; exact integer
+    * totals, one final division. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val wtoks = trained(spark, dir)._2
+      .groupBy("w").agg(count(lit(1)).as("n_tok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(wtoks, Seq("w"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
   /** Unrolled training rounds ending in bs$BpeMerges (final symbol
     * rows) — shared by both oracles. */
   private lazy val bpeCtes: String = {
@@ -164,8 +189,21 @@ object Bpe {
         WHERE w <> ''
         GROUP BY doc_id ORDER BY doc_id"""
 
+  private lazy val statsOracle: String =
+    s"""WITH $bpeCtes,
+          wtoks AS (SELECT w, count(*) AS n_tok FROM bs$BpeMerges GROUP BY 1)
+        SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(len(w)) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+                 AS chars_per_token
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents) d
+        JOIN wtoks USING (w)
+        WHERE w <> ''
+        GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bpe_train", train, Some(trainOracle)),
     QueryDef("text_bpe_apply", apply_, Some(applyOracle)),
+    QueryDef("text_bpe_stats", stats, Some(statsOracle)),
   )
 }
