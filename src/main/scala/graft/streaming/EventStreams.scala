@@ -1287,7 +1287,116 @@ object EventStreams {
       .toDF("doc_id", "bj", "dup_band")
   }
 
+  // ---- streaming weighted reservoir (r12): A-ES through state ----
+
+  /** JVM mirror of TextFns.hash32 / Curation.hashSql: the first 8 hex
+    * chars of md5 as an unsigned 32-bit value. */
+  private[graft] def hash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The A-ES key exactly as cur_sample_weighted's Spark plan computes
+    * it: round(ln((h + 0.5)/2^32) / w, 12) — same Math.log, same
+    * HALF_UP decimal rounding, so streamed and batch keys are
+    * bit-identical in one JVM. */
+  private def esKey(docId: Long, nChars: Long): Double =
+    BigDecimal(math.log((hash32(docId.toString).toDouble + 0.5) / 4294967296.0) / nChars)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Streaming weighted reservoir (Efraimidis–Spirakis through the
+    * state store): per SOURCE the state is exactly the current top-
+    * [[graft.operators.Curation.WeightedK]] (es_key, doc, n_chars)
+    * triples — k tuples per source at ANY stream length, where a
+    * batch take re-ranks the accumulated corpus. Admission is the
+    * classic reservoir test (new key beats the threshold = current
+    * k-th key); already-seen docs are ignored, so at-least-once
+    * redelivery appends NOTHING. Changelog emission (the cdcCore r12
+    * discipline): a source emits its reservoir — each member with its
+    * rank and the source's admission threshold — only in invocations
+    * where membership or order CHANGED; a single-batch drain
+    * therefore emits each source exactly once, materializing the
+    * batch mirror. */
+  def weightedReservoirCore(
+      docs: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val k = graft.operators.Curation.WeightedK
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[Vector[(Double, Long, Long)],
+        (String, Long, Long, Double, Double)](OM.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String,
+         rows: Iterator[(Long, String, Long)],
+         state: GroupState[Vector[(Double, Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Vector.empty)
+          var res = prev
+          rows.toSeq.sortBy(_._1).foreach { case (d, _, nc) =>
+            if (nc > 0 && !res.exists(_._2 == d)) {
+              res = ((esKey(d, nc), d, nc) +: res)
+                .sortBy { case (key, id, _) => (-key, id) }
+                .take(k)
+            }
+          }
+          state.update(res)
+          if (res == prev) Iterator.empty
+          else {
+            val thr = res.map(_._1).min
+            res.iterator.zipWithIndex.map { case ((key, d, _), i) =>
+              (src, (i + 1).toLong, d, key, thr)
+            }
+          }
+      }
+      .toDF("source", "rnk", "doc_id", "es_key", "threshold_key")
+  }
+
+  def weightedReservoirStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    weightedReservoirCore(readDocuments(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)])
+  }
+
+  /** Batch mirror: the per-source A-ES top-k with the es_key and the
+    * admission threshold (min key in the reservoir = the bar a new
+    * doc must beat) exposed — the sampler's operational contract,
+    * where cur_sample_weighted reports only the membership. */
+  def weightedReservoirBatch(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.operators.Curation.WeightedK
+    val keyed = graft.sources.Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"),
+        round(log((graft.functions.TextFns.hash32(col("doc_id").cast("string"))
+            .cast("double") + 0.5d) / 4294967296.0d) / col("n_chars"), 12).as("es_key"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .withColumn("threshold_key", min(col("es_key")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("rnk"), col("doc_id"), col("es_key"), col("threshold_key"))
+      .orderBy("source", "rnk")
+  }
+
+  private lazy val weightedReservoirOracle: String = {
+    val k = graft.operators.Curation.WeightedK
+    s"""WITH keyed AS (
+          SELECT doc_id, source,
+                 round(ln((${graft.operators.Curation.hashSql}::DOUBLE + 0.5) / 4294967296.0) / n_chars, 12) AS es_key
+          FROM documents WHERE n_chars > 0),
+          r AS (SELECT source, doc_id, es_key,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY es_key DESC, doc_id) AS rnk
+                FROM keyed),
+          t AS (SELECT source, rnk, doc_id, es_key,
+                       min(es_key) OVER (PARTITION BY source) AS threshold_key
+                FROM r WHERE rnk <= $k)
+        SELECT source, rnk, doc_id, es_key, threshold_key
+        FROM t ORDER BY source, rnk"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_sample_weighted", weightedReservoirBatch, Some(weightedReservoirOracle)),
     QueryDef("stream_minhash_dedup", minhashDedupBatch, Some(minhashDedupOracle)),
     QueryDef("stream_ewma", ewmaBatch, Some(ewmaOracle)),
     QueryDef("stream_ewma_closed", ewmaClosedBatch, Some(ewmaClosedOracle)),

@@ -307,6 +307,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming weighted reservoir: single-batch drain equals the A-ES batch mirror") {
+    runToMemory(EventStreams.weightedReservoirStream(spark, sf), "swr", OutputMode.Append())
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("source"), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("es_key"), r.getAs[Double]("threshold_key"))
+    val streamed = spark.table("swr").collect().map(key).toSeq.sorted
+    val batch = EventStreams.weightedReservoirBatch(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("multi-batch weighted reservoir: changelog transitions, zero-append redelivery, final = batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.weightedReservoirCore(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("mbwr").start()
+    chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    val afterDrain = spark.table("mbwr").count()
+    // at-least-once redelivery: every doc already sits in or below the
+    // reservoir — membership cannot change, so nothing may be emitted
+    stream.addData(chunks.last.toSeq)
+    q.processAllAvailable()
+    val afterRedeliver = spark.table("mbwr").count()
+    q.stop()
+    assert(afterRedeliver == afterDrain,
+      s"redelivery appended ${afterRedeliver - afterDrain} rows")
+    // final reservoir per source (max rnk block per source = the last
+    // emission) must equal the batch mirror; emissions overall must be
+    // exactly the per-chunk prefix reservoirs with consecutive
+    // duplicates collapsed
+    val k = graft.operators.Curation.WeightedK
+    def reservoir(docs: Seq[(Long, String, Long)], src: String): Seq[(Long, Long)] = {
+      val keyed = docs.filter(_._2 == src).map { case (d, _, nc) =>
+        (BigDecimal(math.log((EventStreams.hash32(d.toString).toDouble + 0.5) /
+            4294967296.0) / nc)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble, d)
+      }
+      keyed.sortBy { case (key, id) => (-key, id) }.take(k)
+        .zipWithIndex.map { case ((_, d), i) => ((i + 1).toLong, d) }
+    }
+    val sources = rows.map(_._2).distinct.toSeq
+    val expected = sources.flatMap { src =>
+      val prefixes = chunks.indices.map(i => chunks.take(i + 1).flatten.toSeq)
+      prefixes.map(p => reservoir(p, src)).distinct // consecutive collapse
+        .flatMap(_.map { case (rnk, d) => (src, rnk, d) })
+    }.sorted
+    val emitted = spark.table("mbwr").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      .toSeq.sorted
+    assert(emitted == expected,
+      s"changelog ${emitted.size} rows != expected ${expected.size}")
+    val batch = EventStreams.weightedReservoirBatch(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      .toSet
+    val finalPerSource = sources.flatMap(src =>
+      reservoir(rows.toSeq, src).map { case (rnk, d) => (src, rnk, d) }).toSet
+    assert(finalPerSource == batch, "prefix-complete reservoir != batch mirror")
+  }
+
   test("stream-stream interval join emits exactly the batch pair set") {
     runToMemory(EventStreams.intervalJoinStream(spark, sf), "ssj", OutputMode.Append())
     val streamed = spark.table("ssj").collect()
