@@ -441,7 +441,54 @@ object ScaleOps {
         SELECT depth, count(*) AS n_pairs
         FROM reach GROUP BY depth ORDER BY depth"""
 
+  /** q62: interval OVERLAP self-join — the temporal complement of
+    * q22's point-in-range: pairs of events of the SAME user whose
+    * activity intervals [ts, ts + cents·100 ms] overlap (concurrent
+    * activity), with the total overlap in exact integer microseconds.
+    *
+    * Scale: the naive form is a per-user quadratic θ-join. Here each
+    * interval explodes into its covered [[OverlapBucketUs]] time
+    * buckets (≤ 3 — max duration < 2 bucket widths) and pairs meet in
+    * an EQUI-join on (user, bucket) — shuffle ∝ rows·buckets on
+    * integer keys, the classic distributed interval-join layout.
+    * CANONICAL-BUCKET dedup: a qualifying pair is counted only in the
+    * bucket containing max(s₁, s₂) — the overlap's start — so each
+    * pair contributes exactly once with NO distinct/dedup pass. The
+    * oracle replays the quadratic definition directly; equality
+    * proves the chunking exact. */
+  val OverlapBucketUs = 3600000000L // 1 h; max interval ≈ 1.6 h ⇒ ≤ 3 buckets
+  def q62IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("s"),
+        (col("ts_us") +
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") * lit(100000L)).as("e"))
+    val ex = iv.withColumn("bkt",
+      explode(expr(s"sequence(s div $OverlapBucketUs, e div $OverlapBucketUs)")))
+    val a = ex.select(col("user_id"), col("bkt"), col("event_id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = ex.select(col("user_id"), col("bkt"), col("event_id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_a") < col("e_b") && col("s_b") < col("e_a") &&
+        col("bkt") === expr(s"greatest(s_a, s_b) div $OverlapBucketUs"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_interval_overlap", q62IntervalOverlap, Some(
+      """WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 AS e
+             FROM events)
+         SELECT a.user_id, count(*) AS n_pairs,
+                CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+         FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.s < b.e AND b.s < a.e
+         GROUP BY 1 ORDER BY 1""")),
     QueryDef("q59_recursive_reach", q59RecursiveReach,
       Some(recursiveReachSql("orders", "//"))),
     QueryDef("q32_bucketed_join", q32BucketedJoin, Some(

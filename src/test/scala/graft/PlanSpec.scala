@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q62: the interval overlap join is an equi-join on (user, bucket), not a theta join") {
+    // the chunked layout's whole point: pairs meet through hash keys,
+    // never a BroadcastNestedLoopJoin over the row cross product
+    val p = sparkPlan("q62_interval_overlap").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlap join degenerated to a theta join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no hash/merge equi-join found")
+  }
+
   test("q34: the day filter prunes to exactly one partition directory") {
     import org.apache.spark.sql.functions._
     val path = graft.operators.ScaleOps.partitionedEventsPath(spark, sf)
