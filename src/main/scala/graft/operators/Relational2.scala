@@ -465,7 +465,50 @@ object Relational2 {
         SELECT m.g AS returnflag, m.mode_qty, m.mode_count, d.median_price, d.n
         FROM mode m JOIN med d USING (g) ORDER BY returnflag"""
 
+  /** q63: median absolute deviation per group — the robust dispersion
+    * stat (outlier-immune where stddev is not; every anomaly baseline
+    * wants it next to the median). Two exact-percentile passes over
+    * exact integer cents: med = percentile(cents, .5), MAD =
+    * percentile(|cents − med|, .5). Deviations are half-integer
+    * doubles (ints minus a mid-pair interpolation), so both
+    * percentile interpolations are exact and the q53 parity
+    * discipline (Spark `percentile` ≡ DuckDB `quantile_cont`)
+    * carries over unchanged.
+    * Scale: two scan+agg passes; the per-group medians ride back as a
+    * broadcast \|groups\|-row table. */
+  def q63Mad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val med = ev.groupBy("g")
+      .agg(expr("percentile(cents, 0.5)").as("med"), count(lit(1)).as("n"))
+    ev.join(broadcast(med), "g")
+      .select(col("g"), col("med"), col("n"),
+        abs(col("cents") - col("med")).as("dv"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), // constant per group — order-free carry
+        round(max(col("med")), 2).as("median_cents"),
+        round(expr("percentile(dv, 0.5)"), 2).as("mad_cents"))
+      .select(col("g").as("event_type"), col("n"),
+        col("median_cents"), col("mad_cents"))
+      .orderBy("event_type")
+  }
+
+  private val madOracle: String =
+    """WITH ev AS (SELECT event_type AS g,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+          med AS (SELECT g, quantile_cont(cents, 0.5) AS med, count(*) AS n
+                  FROM ev GROUP BY 1),
+          dev AS (SELECT e.g, m.med, m.n, abs(e.cents - m.med) AS dv
+                  FROM ev e JOIN med m USING (g))
+        SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+               round(max(med), 2) AS median_cents,
+               round(quantile_cont(dv, 0.5), 2) AS mad_cents
+        FROM dev GROUP BY g ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),
     QueryDef("q47_assoc_rules", q47AssocRules, Some(assocOracle)),
