@@ -1529,6 +1529,18 @@ object Graph {
   def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.harmonicOf(srcDistances(spark, dir)).orderBy("v")
 
+  /** Per-source eccentricity (max hop distance) and reach count from
+    * the SAME memoized sweep — the iFUB-style seed statistic: each
+    * sampled source's eccentricity is a DIAMETER LOWER BOUND, and the
+    * best seed (max ecc) is where an exact-diameter search would
+    * start. Third readout of one K-source BFS. */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame =
+    srcDistances(spark, dir)
+      .groupBy(col("s"))
+      .agg(max(col("dist")).as("eccentricity"),
+        count(lit(1)).as("n_reached"))
+      .orderBy("s")
+
   /** Approximate betweenness centrality (GraftOps.betweennessSampled,
     * Brandes from BetweennessK md5-sampled sources) on the bipartite
     * supplier↔part graph — the σ path counts and per-level δ
@@ -1608,6 +1620,12 @@ object Graph {
                CASE WHEN sum(dist) = 0 THEN 0.0
                     ELSE round(count(*) / CAST(sum(dist) AS DOUBLE), 6) END AS closeness
         FROM d$BfsRounds GROUP BY v ORDER BY v"""
+
+  private lazy val eccentricityOracle: String =
+    s"""WITH $closenessCtePrefix
+        SELECT s, CAST(max(dist) AS BIGINT) AS eccentricity,
+               count(*) AS n_reached
+        FROM d$BfsRounds GROUP BY s ORDER BY s"""
 
   private lazy val harmonicOracle: String =
     s"""WITH $closenessCtePrefix
@@ -1976,6 +1994,7 @@ object Graph {
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_harmonic", graphHarmonic, Some(harmonicOracle)),
+    QueryDef("graph_eccentricity", graphEccentricity, Some(eccentricityOracle)),
     QueryDef("graph_betweenness", graphBetweenness, Some(betweennessOracle)),
     QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
     QueryDef("graph_topo_levels", graphTopoLevels, Some(topoOracle)),

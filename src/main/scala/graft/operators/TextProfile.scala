@@ -267,7 +267,55 @@ object TextProfile {
         SELECT source, n_tokens, round((snano::DOUBLE / 2) / $JsGrid, 6) AS js
         FROM a ORDER BY source"""
 
+  /** Pairwise source VOCABULARY Jaccard (r12) — the corpus-drift /
+    * source-near-duplication diagnostic a mixing pipeline reads
+    * before setting rates: two sources whose vocabularies overlap
+    * heavily are near-redundant and double-count their distribution.
+    * \|A∩B\| via a self-join of the distinct (source, word) postings
+    * on word (shuffle ∝ postings — never \|docs\|²), \|A∪B\| by
+    * inclusion–exclusion from the per-source vocab sizes; one exact
+    * division at the end. Output restricted to jaccard ≥
+    * [[SourceJaccardFloor]] — at 100 TB the interesting pairs are the
+    * anomalously-similar few, not the \|sources\|² grid. */
+  val SourceJaccardFloor = 0.3
+  def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .localCheckpoint() // both join sides + the size table read it
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+    vocab.select(col("source").as("a"), col("w"))
+      .join(vocab.select(col("source").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("source").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= SourceJaccardFloor)
+      .orderBy("a", "b")
+  }
+
+  private lazy val sourceJaccardOracle: String =
+    s"""WITH vocab AS (SELECT DISTINCT source, w FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> ''),
+          sizes AS (SELECT source, count(*) AS sz FROM vocab GROUP BY 1),
+          pairs AS (SELECT x.source AS a, y.source AS b, count(*) AS inter
+                    FROM vocab x JOIN vocab y ON x.w = y.w AND x.source < y.source
+                    GROUP BY 1, 2)
+        SELECT p.a, p.b, p.inter,
+               round(CAST(p.inter AS DOUBLE) /
+                     CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 6) AS jaccard
+        FROM pairs p JOIN sizes sa ON p.a = sa.source JOIN sizes sb ON p.b = sb.source
+        WHERE round(CAST(p.inter AS DOUBLE) /
+                    CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 6) >= $SourceJaccardFloor
+        ORDER BY a, b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_source_jaccard", sourceJaccard, Some(sourceJaccardOracle)),
     QueryDef("text_js_divergence", jsDivergence, Some(jsOracle)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfOracle)),
     QueryDef("text_heaps_fit", heapsFit, Some(heapsOracle)),
