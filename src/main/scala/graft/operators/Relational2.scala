@@ -507,7 +507,56 @@ object Relational2 {
                round(quantile_cont(dv, 0.5), 2) AS mad_cents
         FROM dev GROUP BY g ORDER BY event_type"""
 
+  /** q64: WEIGHTED percentiles per group — the price point below
+    * which half (/ 90%) of the QUANTITY sits, not half the rows: the
+    * inventory/revenue-weighted stat unweighted percentile misreads
+    * whenever row weights are skewed. LOWER weighted percentile
+    * (smallest value whose cumulative weight clears p·W) — pure
+    * integer arithmetic end to end (cents, quantities, a cross-
+    * multiplied threshold compare), no interpolation, so the oracle
+    * hash-verifies with zero float risk.
+    * Scale: one (group, value) histogram groupBy, one ordered window
+    * cumsum over the \|distinct values\| histogram (not the rows),
+    * group totals broadcast back. */
+  def q64WeightedPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+    val hist = li.groupBy("g", "cents").agg(sum(col("w")).as("hw"))
+    val win = Window.partitionBy("g").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cw", sum(col("hw")).over(win))
+    val tot = li.groupBy("g").agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(tot), "g")
+      .groupBy("g")
+      .agg(max(col("tw")).as("total_weight"),
+        min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("wmedian_cents"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("cents"))).as("wp90_cents"))
+      .select(col("g").as("returnflag"), col("total_weight"),
+        col("wmedian_cents"), col("wp90_cents"))
+      .orderBy("returnflag")
+  }
+
+  private val weightedPctOracle: String =
+    """WITH li AS (SELECT l_returnflag AS g,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                          CAST(l_quantity AS BIGINT) AS w
+                   FROM lineitem),
+          hist AS (SELECT g, cents, sum(w) AS hw FROM li GROUP BY 1, 2),
+          cum AS (SELECT g, cents,
+                         sum(hw) OVER (PARTITION BY g ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cw
+                  FROM hist),
+          tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM li GROUP BY 1)
+        SELECT c.g AS returnflag, CAST(max(t.tw) AS BIGINT) AS total_weight,
+               CAST(min(CASE WHEN c.cw * 2 >= t.tw THEN c.cents END) AS BIGINT) AS wmedian_cents,
+               CAST(min(CASE WHEN c.cw * 10 >= t.tw * 9 THEN c.cents END) AS BIGINT) AS wp90_cents
+        FROM cum c JOIN tot t USING (g)
+        GROUP BY 1 ORDER BY returnflag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_weighted_percentile", q64WeightedPercentile, Some(weightedPctOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),
