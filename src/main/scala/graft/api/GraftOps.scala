@@ -442,6 +442,35 @@ object GraftOps {
       col(id).as("neighbor"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Maximum-inner-product top-k — the recommender-scoring sibling of
+    * [[cosineTopK]]: rank by the RAW dot product, no normalization, so
+    * a long vector with aligned direction outranks a unit vector
+    * (cosine and MIPS answer different questions; user·item score
+    * matrices are MIPS). Same at-scale shape: query side broadcast,
+    * native codegen'd `dot_product`, ranking through the bounded-heap
+    * aggregate (≤ k rows per query per partition cross the wire). The
+    * ANN scale path for MIPS is the norm-augmentation reduction
+    * (append sqrt(M²−|x|²); MIPS becomes cosine) feeding the existing
+    * LSH/IVF tiers — this operator is the exact ground-truth tier. */
+  def mipsTopK(df: DataFrame, id: String, vec: String,
+               queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val e = df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = queries.select(col(id).as("qid"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("qv"))
+    val scored = e.join(broadcast(q), col(id) =!= col("qid"))
+      .select(col("qid"), expr("dot_product(qv, v)").as("ip"), col(id))
+    val ranked = df.schema(id).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        topKPerGroupAgg(scored, part = "qid", ordCol = "ip", payloadCol = id, k = k)
+      case _ =>
+        val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col(id))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    }
+    ranked.select(col("qid"), col("rnk").cast("long").as("rnk"),
+      col(id).as("neighbor"), round(col("ip"), 6).as("ip"))
+  }
+
   /** Spherical (cosine) k-means over an embedding column — Lloyd's
     * iterations with every choice deterministic so a SQL oracle can
     * replay the exact float path:

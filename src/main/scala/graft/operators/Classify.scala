@@ -664,6 +664,190 @@ object Classify {
                     ELSE round(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
         FROM agg ORDER BY k"""
 
+  /** Decile gains/lift table for the batch-GD model — the campaign-
+    * targeting eval next to ml_pr_curve: "score the corpus, contact
+    * the top k/10 — what fraction of the positives do you capture,
+    * and at what multiple of random?" Deciles are TIE-RESPECTING and
+    * computed WITHOUT a global row sort: the decile-k prefix is the
+    * smallest DISTINCT-SCORE prefix (descending) whose cumulative
+    * row count clears k·N/10 (cross-multiplied integer compare, the
+    * q64 weighted-percentile discipline), so every count is exact
+    * and only gain/lift pay one rounded double division each.
+    * Scale: the cumulative window runs over the distinct-score
+    * histogram — bounded by the grid cardinality (2²⁰+1), a CONSTANT
+    * independent of corpus size (the mlAuc discipline); totals ride
+    * as a broadcast 1-row agg, the 10-row spine broadcasts. */
+  def mlLiftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scoredGrid(spark, dir)
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_spam"), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cw", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("np")).over(w))
+    val tot = hist.agg(sum(col("n")).as("nn"), sum(col("np")).as("pp"))
+    val spine = spark.range(1, 11).select(col("id").as("decile"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(spine))
+      .where(col("cw") * 10 >= col("decile") * col("nn"))
+      .groupBy("decile")
+      .agg(min(col("cw")).as("n_taken"), min(col("cp")).as("pos_taken"),
+        max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+      .select(col("decile"), col("n_taken"), col("pos_taken"),
+        round(col("pos_taken") / col("pp").cast("double"), 6).as("gain"),
+        round((col("pos_taken") * col("nn")).cast("double") /
+          (col("n_taken") * col("pp")).cast("double"), 6).as("lift"))
+      .orderBy("decile")
+  }
+
+  private val liftCurveOracle: String =
+    s"""WITH $batchCtes,
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                 FROM px p JOIN w$BatchIters w USING (f) GROUP BY 1),
+          pr AS (SELECT is_spam,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT) AS p
+                 FROM sc),
+          hist AS (SELECT p, count(*)::BIGINT AS n,
+                          sum(CASE WHEN is_spam THEN 1 ELSE 0 END)::BIGINT AS np
+                   FROM pr GROUP BY 1),
+          cum AS (SELECT p,
+                         sum(n) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS cw,
+                         sum(np) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS cp
+                  FROM hist),
+          tot AS (SELECT sum(n) AS nn, sum(np) AS pp FROM hist),
+          ks AS (SELECT unnest(generate_series(1, 10)) AS decile),
+          agg AS (SELECT ks.decile,
+                         min(c.cw) AS n_taken, min(c.cp) AS pos_taken,
+                         max(t.nn) AS nn, max(t.pp) AS pp
+                  FROM cum c, tot t, ks
+                  WHERE c.cw * 10 >= ks.decile * t.nn GROUP BY 1)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_taken AS BIGINT) AS n_taken,
+               CAST(pos_taken AS BIGINT) AS pos_taken,
+               round(pos_taken / CAST(pp AS DOUBLE), 6) AS gain,
+               round(CAST(pos_taken * nn AS DOUBLE) / CAST(n_taken * pp AS DOUBLE), 6) AS lift
+        FROM agg ORDER BY decile"""
+
+  /** Cohen's kappa of the NB classifier against ground truth —
+    * CHANCE-CORRECTED accuracy, the readout raw accuracy hides on
+    * imbalanced labels: at sf0.1 NB collapses to the majority class,
+    * accuracy still reads 0.667, and κ = 0 exposes exactly that (at
+    * sf0.01 the model carries real signal and κ > 0). The 2×2 table
+    * (a,b,c,d) is exact integer counts from joining truth with the
+    * prediction frame on doc_id; po/pe/κ are ONE fixed-operand-order
+    * double expression each, rounded 6dp; the pe=1 degenerate case
+    * (truth and prediction the same constant, exactly a=n or d=n)
+    * takes the κ=1 convention instead of 0/0.
+    * Scale: the prediction chain is the existing scan-bound NB plan;
+    * the join is narrow (doc_id, bool)², the agg one map-side-
+    * combined pass. */
+  def mlKappa(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 3 === 0).as("p1"))
+    val p2 = nbApply(spark, dir).select(col("doc_id"), col("predicted").as("p2"))
+    p1.join(p2, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("p1") && !col("p2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("p1") && col("p2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("p1") && !col("p2"), 1L).otherwise(0L)).as("d"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        expr("round(CAST(a + d AS DOUBLE) / n, 6)").as("agree_rate"),
+        // pe = 1 exactly iff both models are the same constant (a = n
+        // or d = n) — kappa is 0/0 there; the convention is 1.0
+        // (perfect agreement, however vacuous)
+        expr("""CASE WHEN a = n OR d = n THEN 1.0 ELSE
+                round((CAST(a + d AS DOUBLE) / n
+                 - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                   / (CAST(n AS DOUBLE) * n))
+                / (1.0 - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                   / (CAST(n AS DOUBLE) * n)), 6) END""").as("kappa"))
+  }
+
+  private val kappaOracle: String =
+    s"""WITH $nbModelSql,
+        truth AS (SELECT doc_id, doc_id % 3 = 0 AS p1 FROM documents),
+        priors AS (SELECT ln(count(*) FILTER (doc_id % 3 = 0) / CAST(count(*) AS DOUBLE)) AS lp_spam,
+                          ln(count(*) FILTER (doc_id % 3 <> 0) / CAST(count(*) AS DOUBLE)) AS lp_ham
+                   FROM documents),
+        nbsc AS (SELECT tok.doc_id, sum(mo.ll_spam) AS ss, sum(mo.ll_ham) AS sh
+                 FROM tok JOIN model mo ON tok.t = mo.t GROUP BY 1),
+        nb AS (SELECT s.doc_id, (s.ss + p.lp_spam > s.sh + p.lp_ham) AS p2
+               FROM nbsc s, priors p),
+        pair AS (SELECT p.p1, q.p2 FROM truth p JOIN nb q USING (doc_id)),
+        t AS (SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS a,
+                     sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS b,
+                     sum(CASE WHEN NOT p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS c,
+                     sum(CASE WHEN NOT p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS d
+              FROM pair)
+        SELECT n, a, b, c, d,
+               round(CAST(a + d AS DOUBLE) / n, 6) AS agree_rate,
+               CASE WHEN a = n OR d = n THEN 1.0 ELSE
+               round((CAST(a + d AS DOUBLE) / n
+                 - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                   / (CAST(n AS DOUBLE) * n))
+                / (1.0 - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                   / (CAST(n AS DOUBLE) * n)), 6) END AS kappa
+        FROM t"""
+
+  /** Matthews correlation coefficient of the NB classifier vs ground
+    * truth — kappa's sibling on the SAME 2×2 agreement table, but
+    * symmetric in the four cells (the binary-case Pearson φ): MCC =
+    * (a·d − b·c) / √(a+b)√(a+c)√(c+d)√(b+d). Robust where accuracy
+    * and even F1 mislead on imbalance (F1 ignores d entirely). The
+    * numerator is EXACT int64 (each product ≤ n²; safe to n ≈ 3·10⁹
+    * — past that the cells themselves get scaled); the denominator is
+    * four √s multiplied left-to-right — IEEE-754 REQUIRES √ correctly
+    * rounded (unlike exp/ln), so the fixed-operand-order double
+    * expression is bit-identical cross-engine, no grid needed. A
+    * degenerate margin (any factor 0) takes the MCC=0 convention.
+    * Scale: identical to [[mlKappa]] — the scan-bound NB chain, one
+    * narrow doc_id join, one map-side-combined agg. */
+  def mlMcc(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 3 === 0).as("p1"))
+    val p2 = nbApply(spark, dir).select(col("doc_id"), col("predicted").as("p2"))
+    p1.join(p2, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("p1") && !col("p2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("p1") && col("p2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("p1") && !col("p2"), 1L).otherwise(0L)).as("d"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        expr(mccFormula).as("mcc"))
+  }
+
+  /** One formula text both engines evaluate verbatim (the reg2Formula
+    * discipline): exact integer determinant over the √-product margin. */
+  private val mccFormula: String =
+    """CASE WHEN a + b = 0 OR a + c = 0 OR c + d = 0 OR b + d = 0 THEN 0.0
+       ELSE round(CAST(a * d - b * c AS DOUBLE) /
+                  (sqrt(CAST(a + b AS DOUBLE)) * sqrt(CAST(a + c AS DOUBLE))
+                   * sqrt(CAST(c + d AS DOUBLE)) * sqrt(CAST(b + d AS DOUBLE))), 6) END"""
+
+  private val mccOracle: String =
+    s"""WITH $nbModelSql,
+        truth AS (SELECT doc_id, doc_id % 3 = 0 AS p1 FROM documents),
+        priors AS (SELECT ln(count(*) FILTER (doc_id % 3 = 0) / CAST(count(*) AS DOUBLE)) AS lp_spam,
+                          ln(count(*) FILTER (doc_id % 3 <> 0) / CAST(count(*) AS DOUBLE)) AS lp_ham
+                   FROM documents),
+        nbsc AS (SELECT tok.doc_id, sum(mo.ll_spam) AS ss, sum(mo.ll_ham) AS sh
+                 FROM tok JOIN model mo ON tok.t = mo.t GROUP BY 1),
+        nb AS (SELECT s.doc_id, (s.ss + p.lp_spam > s.sh + p.lp_ham) AS p2
+               FROM nbsc s, priors p),
+        pair AS (SELECT p.p1, q.p2 FROM truth p JOIN nb q USING (doc_id)),
+        t AS (SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS a,
+                     sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS b,
+                     sum(CASE WHEN NOT p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS c,
+                     sum(CASE WHEN NOT p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS d
+              FROM pair)
+        SELECT n, a, b, c, d,
+               $mccFormula AS mcc
+        FROM t"""
+
   /** Exact ROC-AUC by the rank statistic: over distinct grid scores
     * ascending, AUC·2n⁺n⁻ = Σ_s (2·n⁺(s)·negBelow(s) + n⁺(s)·n⁻(s)) —
     * concordant pairs plus half-credit ties, ALL in exact integer
@@ -716,6 +900,9 @@ object Classify {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_auc", mlAuc, Some(aucOracle)),
     QueryDef("ml_pr_curve", mlPrCurve, Some(prCurveOracle)),
+    QueryDef("ml_lift_curve", mlLiftCurve, Some(liftCurveOracle)),
+    QueryDef("ml_kappa", mlKappa, Some(kappaOracle)),
+    QueryDef("ml_mcc", mlMcc, Some(mccOracle)),
     QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
     QueryDef("ml_calibration", mlCalibration, Some(calibrationOracle)),
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),

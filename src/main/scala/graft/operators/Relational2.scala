@@ -538,6 +538,42 @@ object Relational2 {
       .orderBy("returnflag")
   }
 
+  /** q65: gaps-and-islands — per-user consecutive-DAY activity
+    * streaks via the rank-difference trick (day − row_number is
+    * constant exactly along a run of consecutive days), the classic
+    * islands technique q11's timeout sessionization doesn't cover:
+    * here adjacency is calendar-arithmetic (dense integer days), not
+    * a gap threshold on raw timestamps. All integer counts.
+    * Scale: the (user, day) activity set is the only corpus-sized
+    * relation (distinct = one shuffle, ∝ user-days not events); the
+    * window partitions BY USER — per-partition state is one user's
+    * days, nothing global. */
+  def q65Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = active
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum(col("len")).as("n_active_days"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  private val streaksOracle: String =
+    """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+                      day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+               FROM e),
+         s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+       SELECT user_id, count(*) AS n_streaks,
+              CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(max(len) AS BIGINT) AS max_streak
+       FROM s GROUP BY 1 ORDER BY user_id"""
+
   private val weightedPctOracle: String =
     """WITH li AS (SELECT l_returnflag AS g,
                           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -557,6 +593,7 @@ object Relational2 {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_weighted_percentile", q64WeightedPercentile, Some(weightedPctOracle)),
+    QueryDef("q65_streaks", q65Streaks, Some(streaksOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),

@@ -53,6 +53,27 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Exact maximum-inner-product top-k for the first NumQueries ids —
+    * the recommender-score ranking cosine can't answer (see
+    * [[graft.api.GraftOps.mipsTopK]] for the semantics and the
+    * norm-augmentation ANN path). The corpus ships UNIT vectors
+    * (measured ‖x‖ ∈ [1−1e-7, 1+1e-7]), under which MIPS degenerates
+    * to cosine — so the registered entry restores the structure MIPS
+    * exists for: a deterministic per-ITEM popularity norm
+    * w = 1 + (vec_id mod 7)/10 scales each item's components before
+    * the dot (queries stay unscaled — scaling a query never reorders
+    * its own ranking). Round12Spec proves the reweighted ranking
+    * genuinely diverges from cosine's. */
+  def simMips(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val items = raw.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 10.0))")
+      .as("embedding"))
+    graft.api.GraftOps.mipsTopK(items, "vec_id", "embedding",
+        queries = raw.filter(col("vec_id") < NumQueries), k = TopK)
+      .orderBy("qid", "rnk")
+  }
+
   /** k-NN CLASSIFICATION over the embedding corpus — the label column's
     * first consumer: a deterministic 1-in-[[KnnTestMod]] id split holds
     * out test vectors, each classified by majority vote over its
@@ -2099,6 +2120,21 @@ object Similarity {
                          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
                   FROM c)
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
+          FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
+    QueryDef("sim_mips", simMips, Some(
+      s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 10.0)) AS v
+               FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < $NumQueries),
+            c AS (SELECT q.qid, e.vec_id AS neighbor,
+                         list_dot_product(q.qv, e.v) AS ip
+                  FROM q, e WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, neighbor, ip,
+                         row_number() OVER (PARTITION BY qid ORDER BY ip DESC, neighbor) AS rnk
+                  FROM c)
+          SELECT qid, rnk, neighbor, round(ip, 6) AS ip
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
     QueryDef("sim_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeOracle)),

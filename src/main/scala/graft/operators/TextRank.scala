@@ -79,6 +79,63 @@ object TextRank {
       .orderBy("w1", "w2")
   }
 
+  /** Pearson chi-square collocations over the same bigram contingency
+    * table as text_llr — the third association statistic next to PMI
+    * (over-weights rare pairs) and LLR (Dunning's fix): χ² =
+    * N·(k11·k22 − k12·k21)² / (r1·c1·(N−r1)·(N−c1)). The determinant
+    * is EXACT int64 (both engines multiply integers; < 2⁵³ until
+    * k11·N outgrows it, at which point LLR's log form is the
+    * numerically-sane tier anyway); one double expression with a
+    * fixed left-to-right operand order and a 6-dp round closes it.
+    * Scale: identical to text_llr — three groupBys over the bigram
+    * relation (map-side partial aggs, shuffle ∝ distinct bigram
+    * types), N as a broadcast 1-row agg, per-row arithmetic after. */
+  def textChi2(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .localCheckpoint() // consumed 4x (rows/cols/total/base)
+    val r = big.groupBy("w1").agg(sum(col("k11")).as("r1"))
+    val c = big.groupBy("w2").agg(sum(col("k11")).as("c1"))
+    val n = big.agg(sum(col("k11")).as("nn"))
+    big.filter(col("k11") >= LlrMinPair)
+      .join(r, "w1").join(c, "w2").crossJoin(broadcast(n))
+      .withColumn("det",
+        col("k11") * (col("nn") - col("r1") - col("c1") + col("k11"))
+          - (col("r1") - col("k11")) * (col("c1") - col("k11")))
+      .withColumn("chi2", expr(
+        """CASE WHEN r1 = nn OR c1 = nn THEN 0.0
+           ELSE round(CAST(nn AS DOUBLE) * det * det /
+                      (CAST(r1 AS DOUBLE) * c1 * (nn - r1) * (nn - c1)), 6) END"""))
+      .select(col("w1"), col("w2"), col("k11"), col("chi2"))
+      .orderBy("w1", "w2")
+  }
+
+  private val chi2Oracle: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2
+               FROM d, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                               for i in generate_series(1, len(toks) - 1)]) AS u(b)
+               WHERE len(toks) >= 2),
+         big AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS k11 FROM p GROUP BY 1, 2),
+         r AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r1 FROM big GROUP BY 1),
+         c AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         n AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM big),
+         dt AS (SELECT b.w1, b.w2, b.k11, r.r1, c.c1, n.nn,
+                       b.k11 * (n.nn - r.r1 - c.c1 + b.k11)
+                         - (r.r1 - b.k11) * (c.c1 - b.k11) AS det
+                FROM big b JOIN r ON b.w1 = r.w1 JOIN c ON b.w2 = c.w2, n
+                WHERE b.k11 >= $LlrMinPair)
+        SELECT w1, w2, k11,
+               CASE WHEN r1 = nn OR c1 = nn THEN 0.0
+                    ELSE round(CAST(nn AS DOUBLE) * det * det /
+                               (CAST(r1 AS DOUBLE) * c1 * (nn - r1) * (nn - c1)), 6) END AS chi2
+        FROM dt ORDER BY w1, w2"""
+
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** Bigram language-model scoring with add-one smoothing: the corpus
@@ -567,6 +624,7 @@ object TextRank {
           FROM big b JOIN r ON b.w1 = r.w1 JOIN c ON b.w2 = c.w2, n
           WHERE b.k11 >= $LlrMinPair
           ORDER BY b.w1, b.w2""")),
+    QueryDef("text_chi2", textChi2, Some(chi2Oracle)),
     QueryDef("text_tfidf", textTfidf, Some(
       s"""WITH post AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
            tf AS (SELECT term, doc_id, count(*) AS tf FROM post WHERE term <> '' GROUP BY 1, 2),

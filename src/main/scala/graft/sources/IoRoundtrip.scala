@@ -30,7 +30,7 @@ object IoRoundtrip {
   /** Drop the memoized written roots (both the format-roundtrip and
     * schema-evolution layouts) so a timed pass pays the full
     * write+read cost (benchmark harnesses call this between passes). */
-  def reset(): Unit = { memo.clear(); evoMemo.clear() }
+  def reset(): Unit = { memo.clear(); evoMemo.clear(); partMemo.clear() }
 
   private def writtenRoot(spark: SparkSession, dir: String): String =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
@@ -120,8 +120,54 @@ object IoRoundtrip {
               sum(cents)::BIGINT AS cents
        FROM e GROUP BY 1 ORDER BY epoch"""
 
+  /** Hive-style partitioned SINK + pruned read-back: the events feed
+    * written `partitionBy(event_type)` once (memoized, like the other
+    * io layouts), then read with a partition-column predicate — the
+    * WRITE half of the pruning story q34/q61 prove on the read side.
+    * The filter never touches row data: it prunes DIRECTORIES at
+    * planning time (PlanSpec asserts the scan's partitionFilters), so
+    * at 100 TB a two-type query reads two subtrees, not the table.
+    * The registered query reports per-type counts + exact cent sums
+    * from the pruned read; the oracle recomputes from the raw feed. */
+  val PrunedTypes: Seq[String] = Seq("click", "purchase")
+  private val partMemo = scala.collection.concurrent.TrieMap[String, String]()
+  private def partitionedRoot(spark: SparkSession, dir: String): String =
+    partMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft-part", key).toString
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(root)
+      root
+    })
+
+  /** The pruned frame BEFORE aggregation — spec entry point for the
+    * partitionFilters plan assertion. */
+  def partitionedPruned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(partitionedRoot(spark, dir))
+      .filter(col("event_type").isin(PrunedTypes: _*))
+
+  def partitionedWrite(spark: SparkSession, dir: String): DataFrame =
+    partitionedPruned(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .orderBy("event_type")
+
+  private val partitionedOracle: String = {
+    val types = PrunedTypes.map(t => s"'$t'").mkString(", ")
+    s"""SELECT event_type, count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ($types)
+        GROUP BY 1 ORDER BY event_type"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_format_roundtrip", roundtrip, Some(roundtripOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
+    QueryDef("io_partitioned_write", partitionedWrite, Some(partitionedOracle)),
   )
 }

@@ -84,6 +84,17 @@ class PlanSpec extends SparkSpec {
       "more than one partition directory survives the filter")
   }
 
+  test("io_partitioned_write: the type filter prunes to exactly the two selected directories") {
+    val pruned = graft.sources.IoRoundtrip.partitionedPruned(spark, sf)
+    val scan = pruned.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "event_type filter did not become a partition filter")
+    val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    assert(dirs == graft.sources.IoRoundtrip.PrunedTypes.length,
+      s"$dirs partition directories survive a ${graft.sources.IoRoundtrip.PrunedTypes.length}-type filter")
+  }
+
   test("dynamic partition pruning fires on a dim-filtered join against the partitioned layout") {
     import org.apache.spark.sql.functions._
     import SparkSpec.spark.implicits._

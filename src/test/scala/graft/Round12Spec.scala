@@ -125,4 +125,120 @@ class Round12Spec extends SparkSpec {
     val units = (1 to n.toInt).map(i => base + (if (i <= rem) 1L else 0L))
     assert(units.sum == scale, s"unit split ${units.sum} != $scale")
   }
+
+  test("q64 weighted percentile: matches a driver-side lower-weighted-percentile replay") {
+    val out = graft.operators.Relational2.q64WeightedPercentile(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (g, rows) =>
+      val tw = rows.map(_._3).sum
+      val sorted = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      def lowerPct(num: Long, den: Long): Long = { // min v with cum*den >= num*tw
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum * den >= num * tw }.get._1
+      }
+      val (gotTw, gotMed, gotP90) = out(g)
+      assert(gotTw == tw, s"$g total weight")
+      assert(gotMed == lowerPct(1, 2), s"$g weighted median")
+      assert(gotP90 == lowerPct(9, 10), s"$g weighted p90")
+    }
+  }
+
+  test("ml_lift_curve: tie-respecting deciles — monotone gains, exact totals at decile 10") {
+    val rows = graft.operators.Classify.mlLiftCurve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "all ten deciles present")
+    // n_taken and pos_taken nondecreasing; gain nondecreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4,
+        s"monotonicity broken between deciles ${a._1} and ${b._1}")
+    }
+    // decile 10 takes the whole corpus: gain 1.0, lift 1.0
+    val last = rows.last
+    assert(last._4 == 1.0 && last._5 == 1.0, s"decile 10 gain/lift $last")
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(last._2 == n, s"decile 10 n_taken ${last._2} != corpus $n")
+    // internal identity: lift ≡ gain normalized by the taken fraction,
+    // recomputed from each row's own exact counts (P from decile 10)
+    val pTot = last._3
+    rows.foreach { case (k, nt, pt, _, lift) =>
+      val want = BigDecimal(pt.toDouble * n / (nt.toDouble * pTot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lift - want) < 1e-9, s"decile $k lift $lift != $want")
+    }
+  }
+
+  test("sim_mips: inner-product ranking is a genuinely different statistic than cosine") {
+    val mips = graft.operators.Similarity.simMips(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cos = graft.operators.Similarity.cosineTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mips.keySet == cos.keySet, "same (query, rank) grid")
+    // unnormalized norms must reorder at least one neighbor list
+    assert(mips != cos, "MIPS ranking identical to cosine — norms carry no signal?")
+    // self is excluded everywhere
+    mips.foreach { case ((q, _), n) => assert(n != q, s"query $q returned itself") }
+  }
+
+  test("ml_mcc: shares kappa's exact 2x2 table and replays the phi formula bit-exactly") {
+    val m = graft.operators.Classify.mlMcc(spark, sf).collect().head
+    val kp = graft.operators.Classify.mlKappa(spark, sf).collect().head
+    val (n, a, b, c, d) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+    // same agreement table as ml_kappa (same inputs, same join)
+    assert((n, a, b, c, d) ==
+      (kp.getLong(0), kp.getLong(1), kp.getLong(2), kp.getLong(3), kp.getLong(4)),
+      "mcc and kappa disagree on the 2x2 table")
+    assert(a + b + c + d == n, "cells do not partition the corpus")
+    // driver-side replay of the phi formula, exact determinant first
+    val det = a * d - b * c
+    val want =
+      if (a + b == 0 || a + c == 0 || c + d == 0 || b + d == 0) 0.0
+      else BigDecimal(det.toDouble /
+          (math.sqrt((a + b).toDouble) * math.sqrt((a + c).toDouble)
+            * math.sqrt((c + d).toDouble) * math.sqrt((b + d).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getDouble(5) == want, s"mcc ${m.getDouble(5)} != replay $want")
+    // phi is bounded and sign-consistent with the determinant
+    assert(math.abs(m.getDouble(5)) <= 1.0, "mcc out of [-1,1]")
+    if (det != 0 && math.abs(m.getDouble(5)) > 1e-9)
+      assert(math.signum(m.getDouble(5)) == math.signum(det.toDouble),
+        "mcc sign disagrees with the determinant")
+  }
+
+  test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
+    val out = graft.operators.TextRank.textChi2(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // rebuild the bigram contingency in plain Scala from the corpus
+    val bigs = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t => val w = t.split(" "); w.dropRight(1).zip(w.drop(1)) }
+    val k = bigs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r1 = bigs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c1 = bigs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = bigs.length.toLong
+    val expect = k.filter(_._2 >= graft.operators.TextRank.LlrMinPair).map {
+      case ((w1, w2), k11) =>
+        val (r, c) = (r1(w1), c1(w2))
+        val det = k11 * (nn - r - c + k11) - (r - k11) * (c - k11)
+        val chi2 = if (r == nn || c == nn) 0.0
+          else BigDecimal(nn.toDouble * det * det /
+            (r.toDouble * c * (nn - r) * (nn - c)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2) -> (k11, chi2)
+    }
+    assert(out.keySet == expect.keySet, "pair set differs")
+    expect.foreach { case (p, (k11, chi2)) =>
+      assert(out(p)._1 == k11, s"$p count")
+      assert(math.abs(out(p)._2 - chi2) < 1e-9, s"$p chi2 ${out(p)._2} vs $chi2")
+    }
+  }
 }
