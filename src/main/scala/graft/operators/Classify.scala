@@ -848,6 +848,133 @@ object Classify {
                $mccFormula AS mcc
         FROM t"""
 
+  /** Kolmogorov–Smirnov statistic of the batch-GD model — the
+    * separation readout credit-scoring pipelines report next to AUC:
+    * KS = max over score thresholds of |CDF⁺(s) − CDF⁻(s)|, the
+    * largest vertical gap between the positive- and negative-class
+    * score distributions, plus the threshold where it happens (the
+    * natural operating point). The argmax is decided ENTIRELY in
+    * exact integer arithmetic — maximize |cpos·n⁻ − cneg·n⁺| in
+    * decimal(38) (cross-multiplied, no per-row division), ties → the
+    * smallest grid score — so both engines pick the identical row;
+    * only the reported ks/at_p pay one rounded division each.
+    * Scale: the cumulative window runs over DISTINCT grid scores —
+    * bounded by the 2²⁰+1 grid cardinality, a CONSTANT independent of
+    * corpus size (the mlAuc discipline); the argmax is a distributed
+    * top-1 (TakeOrderedAndProject), never a global sort. */
+  def mlKsStat(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byScore = scoredGrid(spark, dir)
+      .groupBy("p")
+      .agg(sum(when(col("is_spam"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("is_spam"), 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = byScore.agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+    byScore
+      .withColumn("cpos", sum(col("np")).over(w))
+      .withColumn("cneg", sum(col("nn")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        abs(dec(col("cpos")) * dec(col("nneg")) - dec(col("cneg")) * dec(col("npos"))))
+      .orderBy(desc("num"), asc("p")).limit(1)
+      .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        round(col("p") / ProbGrid, 6).as("at_p"),
+        round(col("num").cast("double") /
+          (col("npos").cast("double") * col("nneg").cast("double")), 8).as("ks"))
+  }
+
+  private val ksOracle: String =
+    s"""WITH $batchCtes,
+          sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
+                 FROM px p JOIN w$BatchIters w USING (f) GROUP BY 1),
+          pr AS (SELECT is_spam,
+                        CAST(floor((1.0 / (1.0 + exp(-(sc / 1e6)))) * $ProbGrid + 0.5) AS BIGINT) AS p
+                 FROM sc),
+          hist AS (SELECT p,
+                          sum(CASE WHEN is_spam THEN 1 ELSE 0 END)::BIGINT AS np,
+                          sum(CASE WHEN is_spam THEN 0 ELSE 1 END)::BIGINT AS nn
+                   FROM pr GROUP BY 1),
+          tot AS (SELECT sum(np)::BIGINT AS npos, sum(nn)::BIGINT AS nneg FROM hist),
+          cum AS (SELECT p,
+                         sum(np) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cpos,
+                         sum(nn) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cneg
+                  FROM hist)
+        SELECT t.npos AS n_pos, t.nneg AS n_neg,
+               round(c.p / $ProbGrid, 6) AS at_p,
+               round(CAST(abs(c.cpos::HUGEINT * t.nneg - c.cneg::HUGEINT * t.npos) AS DOUBLE)
+                     / (CAST(t.npos AS DOUBLE) * CAST(t.nneg AS DOUBLE)), 8) AS ks
+        FROM cum c, tot t
+        ORDER BY abs(c.cpos::HUGEINT * t.nneg - c.cneg::HUGEINT * t.npos) DESC, c.p
+        LIMIT 1"""
+
+  /** χ² FEATURE SELECTION against the spam label — the statistic
+    * behind "which tokens carry label signal", applied per TOKEN over
+    * document-level presence (a 2×2 per token: spam/ham × contains/
+    * not). Reuses text_chi2's formula discipline: the determinant
+    * a·d − b·c is EXACT int64, one fixed-operand-order double
+    * division, 6-dp round; tokens present in EVERY document (c+d = 0)
+    * take χ² = 0 (no discriminating power, degenerate margin). Top
+    * [[Chi2SelectK]] by (χ² desc, token asc) — the rounded χ² values
+    * are bit-identical cross-engine (shared formula text), so the
+    * ranking replays exactly.
+    * Scale: shuffle ∝ distinct (doc, token) postings then ∝ vocab;
+    * label totals broadcast as a 1-row agg; the top-k is a
+    * distributed TakeOrderedAndProject over the vocab relation —
+    * NO global sort materializes, no single-partition window. */
+  val Chi2SelectK = 50
+  val Chi2MinDf = 5L
+  def mlChi2Select(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.documents(spark, dir)
+      .select((col("doc_id") % 3 === 0).as("is_spam"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t")
+      .agg(sum(when(col("is_spam"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_spam"), 1L).otherwise(0L)).as("b"))
+      .filter(col("a") + col("b") >= Chi2MinDf)
+    val tot = Tables.documents(spark, dir)
+      .agg(sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("s"),
+        sum(when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L)).as("h"))
+    val top = pres.crossJoin(broadcast(tot))
+      .withColumn("det", col("a") * (col("h") - col("b")) - col("b") * (col("s") - col("a")))
+      .withColumn("chi2", expr(
+        """CASE WHEN s + h - a - b = 0 THEN 0.0
+           ELSE round(CAST(s + h AS DOUBLE) * det * det /
+                      (CAST(a + b AS DOUBLE) * (s + h - a - b) * s * h), 6) END"""))
+      .orderBy(desc("chi2"), asc("t")).limit(Chi2SelectK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("chi2"), asc("t"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("t").as("token"),
+        col("a").as("spam_df"), col("b").as("ham_df"), col("chi2"))
+      .orderBy("rnk")
+  }
+
+  private val chi2SelectOracle: String =
+    s"""WITH pres AS (SELECT t,
+                 sum(CASE WHEN spam THEN 1 ELSE 0 END)::BIGINT AS a,
+                 sum(CASE WHEN spam THEN 0 ELSE 1 END)::BIGINT AS b
+          FROM (SELECT doc_id % 3 = 0 AS spam,
+                       unnest(list_distinct(string_split(text, ' '))) AS t
+                FROM documents)
+          WHERE t <> '' GROUP BY 1 HAVING count(*) >= $Chi2MinDf),
+        tot AS (SELECT sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS s,
+                       sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT AS h
+                FROM documents),
+        sc AS (SELECT p.t, p.a, p.b,
+                      p.a * (t.h - p.b) - p.b * (t.s - p.a) AS det,
+                      t.s, t.h
+               FROM pres p, tot t),
+        ch AS (SELECT t, a, b,
+                      CASE WHEN s + h - a - b = 0 THEN 0.0
+                           ELSE round(CAST(s + h AS DOUBLE) * det * det /
+                                      (CAST(a + b AS DOUBLE) * (s + h - a - b) * s * h), 6) END AS chi2
+               FROM sc)
+        SELECT row_number() OVER (ORDER BY chi2 DESC, t) AS rnk,
+               t AS token, a AS spam_df, b AS ham_df, chi2
+        FROM ch ORDER BY chi2 DESC, t LIMIT $Chi2SelectK"""
+
   /** Exact ROC-AUC by the rank statistic: over distinct grid scores
     * ascending, AUC·2n⁺n⁻ = Σ_s (2·n⁺(s)·negBelow(s) + n⁺(s)·n⁻(s)) —
     * concordant pairs plus half-credit ties, ALL in exact integer
@@ -899,6 +1026,8 @@ object Classify {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_auc", mlAuc, Some(aucOracle)),
+    QueryDef("ml_ks_stat", mlKsStat, Some(ksOracle)),
+    QueryDef("ml_chi2_select", mlChi2Select, Some(chi2SelectOracle)),
     QueryDef("ml_pr_curve", mlPrCurve, Some(prCurveOracle)),
     QueryDef("ml_lift_curve", mlLiftCurve, Some(liftCurveOracle)),
     QueryDef("ml_kappa", mlKappa, Some(kappaOracle)),

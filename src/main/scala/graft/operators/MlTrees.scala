@@ -242,13 +242,22 @@ object MlTrees {
     // fit recovers b1 ≈ 1−E[disc]/100, b2 ≈ −E[price]/100 with the
     // interaction residual left in 1−r² — a real approximation
     // quality measurement, not an identity
+    val s = reg2MomentsDf(spark, dir)
+    val cast = reg2Moments.map(m => expr(s"CAST($m AS DOUBLE) AS $m"))
+    s.select(cast: _*).selectExpr("n" +: reg2Formula: _*)
+      .select(col("n").cast("long").as("n"), col("b0"), col("b1"), col("b2"), col("r2"))
+  }
+
+  /** The one-pass exact moment table (decimal(38) sums over cents)
+    * shared by the OLS and ridge tiers. */
+  private def reg2MomentsDf(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.lineitem(spark, dir).select(
       floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
         .cast("long").as("y"),
       floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x1"),
       floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"))
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val s = b.agg(count(lit(1)).as("n"),
+    b.agg(count(lit(1)).as("n"),
       sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
       sum(dec(col("y"))).as("sy"),
       sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
@@ -257,9 +266,6 @@ object MlTrees {
       sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
       sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
       sum(dec(col("y")) * dec(col("y"))).as("syy"))
-    val cast = reg2Moments.map(m => expr(s"CAST($m AS DOUBLE) AS $m"))
-    s.select(cast: _*).selectExpr("n" +: reg2Formula: _*)
-      .select(col("n").cast("long").as("n"), col("b0"), col("b1"), col("b2"), col("r2"))
   }
 
   /** The ten moment names and the closed-form solution — ONE text,
@@ -299,6 +305,67 @@ object MlTrees {
                ${reg2Formula.mkString(",\n               ")}
         FROM sd"""
   }
+
+  /** Ridge (Tikhonov) regression on the SAME bivariate system —
+    * ml_linear_reg2 with the normal-equation diagonal inflated by a
+    * RELATIVE factor [[RidgeInflate]] (s11/s22 × (1 + 1/256)): the per-feature-scaled penalty λ_j = κ·Σx_j², which
+    * is scale-invariant (re-uniting a feature leaves the shrinkage
+    * identical — the standardized-ridge property without centering
+    * passes) and keeps the intercept unpenalized (the n row/column of
+    * the system is untouched). r² is computed against the RAW moments
+    * — the honest fit of the SHRUNK coefficients, which sits slightly
+    * below the OLS r² by construction (Round12Spec asserts both the
+    * shrinkage and the r² ordering). Same at-scale shape as the OLS
+    * tier: ten order-free decimal(38) moments in ONE pass, Cramer's
+    * rule as ONE shared formula text both engines evaluate verbatim. */
+  def mlRidge(spark: SparkSession, dir: String): DataFrame = {
+    val s = reg2MomentsDf(spark, dir)
+    val cast = reg2Moments.map(m => expr(s"CAST($m AS DOUBLE) AS $m"))
+    s.select(cast: _*).selectExpr("n" +: ridgeFormula: _*)
+      .select(col("n").cast("long").as("n"), col("b0"), col("b1"), col("b2"), col("r2"))
+  }
+
+  /** Diagonal inflation 1 + κ with κ = 1/256 — an exact binary
+    * fraction, so the literal is the same double in both engines. */
+  private val RidgeInflate = "1.00390625"
+
+  private val ridgeFormula: Seq[String] = {
+    val p1 = s"(s11 * $RidgeInflate)"
+    val p2 = s"(s22 * $RidgeInflate)"
+    val d = s"(n*($p1*$p2 - s12*s12) - s1*(s1*$p2 - s12*s2) + s2*(s1*s12 - $p1*s2))"
+    val d0 = s"(sy*($p1*$p2 - s12*s12) - s1*(s1y*$p2 - s12*s2y) + s2*(s1y*s12 - $p1*s2y))"
+    val d1 = s"(n*(s1y*$p2 - s12*s2y) - sy*(s1*$p2 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+    val d2 = s"(n*($p1*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - $p1*s2))"
+    // residuals against the DATA (raw moments), not the penalized system
+    val sse = s"(syy - 2*(($d0/$d)*sy + ($d1/$d)*s1y + ($d2/$d)*s2y)" +
+      s" + (($d0/$d)*($d0/$d)*n + ($d1/$d)*($d1/$d)*s11 + ($d2/$d)*($d2/$d)*s22" +
+      s" + 2*($d0/$d)*($d1/$d)*s1 + 2*($d0/$d)*($d2/$d)*s2 + 2*($d1/$d)*($d2/$d)*s12))"
+    val sst = "(syy - sy*sy/n)"
+    Seq(
+      s"round($d0/$d, 4) AS b0",
+      s"round($d1/$d, 4) AS b1",
+      s"round($d2/$d, 4) AS b2",
+      s"round(1 - $sse/$sst, 8) AS r2")
+  }
+
+  private val ridgeOracle: String = {
+    s"""WITH base AS (
+            SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS y,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x1,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+            FROM lineitem),
+          s AS (SELECT count(*) AS n,
+                       sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                       sum(x1::HUGEINT*x1) AS s11, sum(x1::HUGEINT*x2) AS s12,
+                       sum(x2::HUGEINT*x2) AS s22, sum(x1::HUGEINT*y) AS s1y,
+                       sum(x2::HUGEINT*y) AS s2y, sum(y::HUGEINT*y) AS syy
+                FROM base),
+          sd AS (SELECT ${reg2Moments.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")} FROM s)
+        SELECT CAST(n AS BIGINT) AS n,
+               ${ridgeFormula.mkString(",\n               ")}
+        FROM sd"""
+  }
+
 
   /** Random forest of stumps (Breiman bagging in its deterministic
     * subsample form — "pasting"/subagging): [[RfTrees]] trees, tree b
@@ -471,5 +538,6 @@ object MlTrees {
     QueryDef("ml_gbt_stumps", mlGbtStumps, Some(gbtOracle)),
     QueryDef("ml_random_forest", mlRandomForest, Some(rfOracle)),
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
+    QueryDef("ml_ridge", mlRidge, Some(ridgeOracle)),
   )
 }

@@ -574,6 +574,56 @@ object Relational2 {
               CAST(max(len) AS BIGINT) AS max_streak
        FROM s GROUP BY 1 ORDER BY user_id"""
 
+  /** q66: month-over-month revenue growth per region — the period-
+    * over-period KPI every dashboard leads with: monthly order
+    * revenue (EXACT cents) per region with the % change vs the prior
+    * month from a lag window. The first month of each region is
+    * honestly NULL (no prior period), not 0.
+    * Scale: dims (nation/region) broadcast; the orders↔customer join
+    * shuffles on the int custkey; the monthly agg is map-side
+    * combined down to |regions|×|months| rows, and the lag window
+    * partitions BY REGION over that tiny relation — nothing
+    * corpus-sized ever sorts. */
+  def q66MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val dims = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"))
+    val monthly = o.join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy("region", "ym")
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("region").orderBy("ym")
+    monthly
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("region"), col("ym"), col("cents"),
+        round((col("cents") - col("prev")).cast("double") /
+          col("prev").cast("double"), 6).as("growth_pct"))
+      .orderBy("region", "ym")
+  }
+
+  private val momGrowthOracle: String =
+    """WITH m AS (SELECT r.r_name AS region,
+                         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+                         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                  FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+                  GROUP BY 1, 2),
+         g AS (SELECT region, ym, cents,
+                      lag(cents) OVER (PARTITION BY region ORDER BY ym) AS prev
+               FROM m)
+       SELECT region, ym, cents,
+              round(CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS growth_pct
+       FROM g ORDER BY region, ym"""
+
   private val weightedPctOracle: String =
     """WITH li AS (SELECT l_returnflag AS g,
                           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -594,6 +644,7 @@ object Relational2 {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_weighted_percentile", q64WeightedPercentile, Some(weightedPctOracle)),
     QueryDef("q65_streaks", q65Streaks, Some(streaksOracle)),
+    QueryDef("q66_mom_growth", q66MomGrowth, Some(momGrowthOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),

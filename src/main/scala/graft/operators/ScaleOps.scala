@@ -479,7 +479,54 @@ object ScaleOps {
       .orderBy("user_id")
   }
 
+  /** Small-file compaction PLANNER — the housekeeping pass every
+    * long-lived 100 TB table needs (the Delta/Iceberg OPTIMIZE
+    * shape): treat each (event_type, day) micro-partition as one
+    * "file" with its row count, and coalesce consecutive files
+    * (day order, within type) into target bins of
+    * [[CompactTargetRows]] rows by the cumulative-sum rule
+    * bin = ⌊rows_before / target⌋ — exactly the deterministic
+    * order-preserving bin-packing OPTIMIZE performs, as one window
+    * over the file manifest. Output: per (type, bin) file count, row
+    * total, covered day range — the rewrite work list.
+    * Scale: the corpus-sized work is ONE map-side-combined count per
+    * micro-partition; the manifest relation (types × days) is
+    * metadata-sized, and the cumsum window partitions by type over
+    * that manifest — never over rows. All integer arithmetic. */
+  val CompactTargetRows = 1000L
+  def ioCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.events(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div $CompactTargetRows"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val compactionOracle: String =
+    s"""WITH f AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          count(*)::BIGINT AS n_rows
+                   FROM events GROUP BY 1, 2),
+          c AS (SELECT event_type, day, n_rows,
+                       coalesce(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS before
+                FROM f)
+        SELECT event_type, CAST(before // $CompactTargetRows AS BIGINT) AS bin,
+               count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               min(day) AS first_day, max(day) AS last_day
+        FROM c GROUP BY 1, 2 ORDER BY event_type, bin"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_compaction_plan", ioCompactionPlan, Some(compactionOracle)),
     QueryDef("q62_interval_overlap", q62IntervalOverlap, Some(
       """WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s,
                epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 AS e

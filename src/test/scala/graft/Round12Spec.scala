@@ -213,6 +213,110 @@ class Round12Spec extends SparkSpec {
         "mcc sign disagrees with the determinant")
   }
 
+  test("ml_ks_stat: bounded, and dominates the gap at every PR-curve threshold") {
+    val ks = graft.operators.Classify.mlKsStat(spark, sf).collect().head
+    val (nPos, nNeg, atP, ksVal) =
+      (ks.getLong(0), ks.getLong(1), ks.getDouble(2), ks.getDouble(3))
+    assert(ksVal >= 0.0 && ksVal <= 1.0, s"ks $ksVal out of [0,1]")
+    assert(atP >= 0.0 && atP <= 1.0, s"at_p $atP out of [0,1]")
+    // KS is the max CDF gap over ALL thresholds, so it must dominate
+    // the gap |TPR - FPR| at each of ml_pr_curve's nine thresholds
+    val pr = graft.operators.Classify.mlPrCurve(spark, sf).collect()
+    pr.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp + fn == nPos, "pr-curve positives disagree with ks n_pos")
+      val gap = math.abs(tp.toDouble / nPos - fp.toDouble / nNeg)
+      assert(ksVal >= gap - 1e-6,
+        s"ks $ksVal below threshold-${r.getLong(0)} gap $gap")
+    }
+  }
+
+  test("ml_chi2_select: exact replay of the presence contingency, ranking and all") {
+    val out = graft.operators.Classify.mlChi2Select(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0) % 3 == 0, r.getString(1).split(" ").filter(_.nonEmpty).distinct))
+    val s = docs.count(_._1).toLong
+    val h = docs.size - s
+    val df = scala.collection.mutable.Map[String, (Long, Long)]()
+    docs.foreach { case (spam, toks) =>
+      toks.foreach { t =>
+        val (a, b) = df.getOrElse(t, (0L, 0L))
+        df(t) = if (spam) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val expect = df.toSeq
+      .filter { case (_, (a, b)) => a + b >= graft.operators.Classify.Chi2MinDf }
+      .map { case (t, (a, b)) =>
+        val det = a * (h - b) - b * (s - a)
+        val chi2 = if (s + h - a - b == 0) 0.0
+          else BigDecimal((s + h).toDouble * det * det /
+            ((a + b).toDouble * (s + h - a - b) * s * h))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, a, b, chi2)
+      }
+      .sortBy { case (t, _, _, c) => (-c, t) }
+      .take(graft.operators.Classify.Chi2SelectK)
+      .zipWithIndex.map { case ((t, a, b, c), i) => (i + 1L, t, a, b, c) }
+    assert(out.toSeq == expect, s"top-k table differs:\n${out.toSeq}\nvs\n$expect")
+  }
+
+  test("ml_ridge: r2 sits below OLS (shrunk fit), coefficients shrink toward zero") {
+    val ols = graft.operators.MlTrees.mlLinearReg2(spark, sf).collect().head
+    val rid = graft.operators.MlTrees.mlRidge(spark, sf).collect().head
+    assert(rid.getDouble(4) <= ols.getDouble(4) + 1e-12,
+      s"ridge r2 ${rid.getDouble(4)} above OLS ${ols.getDouble(4)}")
+    // on this corpus the slope coefficient visibly shrinks but stays close
+    assert(math.abs(rid.getDouble(2)) <= math.abs(ols.getDouble(2)) + 1e-12,
+      "ridge |b1| above OLS |b1|")
+    assert(math.abs(rid.getDouble(2) - ols.getDouble(2)) < 0.05,
+      "ridge b1 implausibly far from OLS")
+  }
+
+  test("q66_mom_growth: growth replays from the emitted exact cents") {
+    val rows = graft.operators.Relational2.q66MomGrowth(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, _, cents, growth), i) =>
+        if (i == 0) assert(growth.isEmpty, s"$region first month not NULL")
+        else {
+          val prev = ordered(i - 1)._3
+          val want = BigDecimal((cents - prev).toDouble / prev.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(growth.contains(want),
+            s"$region ym ${ordered(i)._2}: $growth != $want")
+        }
+      }
+    }
+  }
+
+  test("io_compaction_plan: exact replay of the order-preserving bin-packing rule") {
+    val out = graft.operators.ScaleOps.ioCompactionPlan(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val files = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = files.groupBy(_._1).flatMap { case (tpe, fs) =>
+      var before = 0L
+      fs.sortBy(_._2).map { case (_, day, n) =>
+        val bin = before / graft.operators.ScaleOps.CompactTargetRows
+        before += n
+        (tpe, bin, day, n)
+      }.groupBy { case (_, bin, _, _) => bin }
+        .map { case (bin, g) =>
+          (tpe, bin) -> (g.size.toLong, g.map(_._4).sum,
+            g.map(_._3).min, g.map(_._3).max)
+        }
+    }
+    assert(out == expect, "compaction plan differs from the driver replay")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
