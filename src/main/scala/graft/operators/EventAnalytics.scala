@@ -490,7 +490,110 @@ object EventAnalytics {
                round(cents_scaled / CAST($AttrCreditScale AS DOUBLE) / 100, 2) AS revenue
         FROM allr ORDER BY touch_type"""
 
+  /** q68: day-of-week seasonal index per event type — the first step
+    * of any seasonal decomposition (and the sanity gauge before
+    * comparing week-over-week metrics): index(dow) = mean value on
+    * that weekday / overall mean, computed CROSS-MULTIPLIED from
+    * exact integer cents (sum_dow·n_all vs n_dow·sum_all), one
+    * fixed-order double division at the edge. The weekday is the pure
+    * integer epoch-day mod 7 (0 = Thursday, 1970-01-01) — calendar
+    * functions differ across engines, integer arithmetic doesn't.
+    * Scale: one map-side-combined agg to |types|×7 rows; totals join
+    * back broadcast-sized. */
+  def q68Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      expr("(ts_us div 86400000000) % 7").as("dow"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val byDow = e.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val tot = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("cents")).as("c_all"))
+    byDow.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n"), col("cents"),
+        round((col("cents").cast("double") * col("n_all")) /
+          (col("n").cast("double") * col("c_all")), 6).as("idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val seasonalityOracle: String =
+    """WITH e AS (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                  FROM events),
+         d AS (SELECT event_type, dow, count(*)::BIGINT AS n,
+                      CAST(sum(cents) AS BIGINT) AS cents
+               FROM e GROUP BY 1, 2),
+         t AS (SELECT event_type, count(*)::BIGINT AS n_all,
+                      CAST(sum(cents) AS BIGINT) AS c_all
+               FROM e GROUP BY 1)
+       SELECT d.event_type, d.dow, d.n, d.cents,
+              round((CAST(d.cents AS DOUBLE) * t.n_all) /
+                    (CAST(d.n AS DOUBLE) * t.c_all), 6) AS idx
+       FROM d JOIN t ON d.event_type = t.event_type
+       ORDER BY d.event_type, d.dow"""
+
+  /** q69: CUSUM changepoint score per event type over the daily
+    * revenue series — "where does the cumulative deviation from the
+    * series mean peak" (Page's statistic in its offline form). The
+    * argmax is decided ENTIRELY in exact integer arithmetic: the
+    * deviation cumsum S_t = Σ_{τ≤t} (x_τ − T/n) is cross-multiplied
+    * to n·cum_t − t·T (exact decimal(38) — no division, no float),
+    * maximized by |·| with ties → the earliest day; only the reported
+    * score pays one normalized double division (|S|/(n·T), a
+    * scale-free magnitude in [0,1)).
+    * Scale: the corpus-sized work is ONE agg to |types|×|days| daily
+    * rows; both windows (cumsum, argmax rank) partition by type over
+    * that bounded daily series — never over events. */
+  def q69Cusum(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t_sum"))
+    val scored = daily
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("s", abs(dec(col("cum")) * dec(col("n")) - dec(col("t")) * dec(col("t_sum"))))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(desc("s"), asc("day"))
+    scored.withColumn("rnk", row_number().over(rw)).filter(col("rnk") === 1)
+      .select(col("event_type"), col("day").as("peak_day"),
+        round(col("s").cast("double") /
+          (col("n").cast("double") * col("t_sum").cast("double")), 6).as("score"))
+      .orderBy("event_type")
+  }
+
+  private val cusumOracle: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+                      FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*)::BIGINT AS n,
+                        CAST(sum(x) AS BIGINT) AS t_sum
+                 FROM daily GROUP BY 1),
+         c AS (SELECT d.event_type, d.day, t.n, t.t_sum,
+                      sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                      row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t
+               FROM daily d JOIN tot t ON d.event_type = t.event_type),
+         s AS (SELECT event_type, day, n, t_sum,
+                      abs(cum::HUGEINT * n - t::HUGEINT * t_sum) AS s,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY abs(cum::HUGEINT * n - t::HUGEINT * t_sum) DESC,
+                                                  day) AS rnk
+               FROM c)
+       SELECT event_type, day AS peak_day,
+              round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t_sum AS DOUBLE)), 6) AS score
+       FROM s WHERE rnk = 1 ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_seasonality", q68Seasonality, Some(seasonalityOracle)),
+    QueryDef("q69_cusum", q69Cusum, Some(cusumOracle)),
     QueryDef("q57_attribution", q57Attribution, Some(attributionOracle)),
     QueryDef("q58_attribution_linear", q58AttributionLinear, Some(attributionLinearOracle)),
     QueryDef("q54_sliding_distinct", q54SlidingDistinct, Some(slidingDistinctOracle)),

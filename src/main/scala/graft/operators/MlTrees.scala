@@ -367,6 +367,118 @@ object MlTrees {
   }
 
 
+  /** Welch's two-sample t-test — "is mean revenue different between
+    * returned (A) and delivered (N) lineitems", the unequal-variance
+    * form every A/B readout should default to: t and the
+    * Welch–Satterthwaite df from per-group exact moments (counts,
+    * cent sums, cent sums-of-squares — order-free decimal(38)), the
+    * whole statistic ONE shared formula text both engines evaluate
+    * verbatim on identical doubles. One conditional-aggregation pass,
+    * map-side combined; no shuffle beyond the 1-row agg. */
+  def mlTtest(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val b = Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .filter(col("g").isin("A", "N"))
+    val s = b.agg(
+      sum(when(col("g") === "A", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === "A", dec(col("y"))).otherwise(lit(0))).as("s1"),
+      sum(when(col("g") === "A", dec(col("y")) * dec(col("y"))).otherwise(lit(0))).as("ss1"),
+      sum(when(col("g") === "N", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("g") === "N", dec(col("y"))).otherwise(lit(0))).as("s2"),
+      sum(when(col("g") === "N", dec(col("y")) * dec(col("y"))).otherwise(lit(0))).as("ss2"))
+    val cast = ttestMoments.map(m => expr(s"CAST($m AS DOUBLE) AS $m"))
+    s.select(cast: _*)
+      .selectExpr(Seq("CAST(n1 AS BIGINT) AS n_a", "CAST(n2 AS BIGINT) AS n_n")
+        ++ ttestFormula: _*)
+  }
+
+  private val ttestMoments = Seq("n1", "s1", "ss1", "n2", "s2", "ss2")
+
+  /** ONE formula text, two engines (the reg2Formula discipline). */
+  private val ttestFormula: Seq[String] = {
+    val v1 = "((ss1 - s1*s1/n1)/(n1 - 1))"
+    val v2 = "((ss2 - s2*s2/n2)/(n2 - 1))"
+    val se2 = s"($v1/n1 + $v2/n2)"
+    Seq(
+      "round(s1/n1, 4) AS mean_a",
+      "round(s2/n2, 4) AS mean_n",
+      s"round((s1/n1 - s2/n2)/sqrt($se2), 4) AS t",
+      s"round($se2*$se2 / (($v1/n1)*($v1/n1)/(n1 - 1) + ($v2/n2)*($v2/n2)/(n2 - 1)), 2) AS df")
+  }
+
+  private val ttestOracle: String =
+    s"""WITH b AS (SELECT l_returnflag AS g,
+                          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                   FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+          s AS (SELECT sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END)::BIGINT AS n1,
+                       sum(CASE WHEN g = 'A' THEN y ELSE 0 END)::HUGEINT AS s1,
+                       sum(CASE WHEN g = 'A' THEN y::HUGEINT*y ELSE 0 END) AS ss1,
+                       sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END)::BIGINT AS n2,
+                       sum(CASE WHEN g = 'N' THEN y ELSE 0 END)::HUGEINT AS s2,
+                       sum(CASE WHEN g = 'N' THEN y::HUGEINT*y ELSE 0 END) AS ss2
+                FROM b),
+          sd AS (SELECT ${ttestMoments.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")} FROM s)
+        SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_n,
+               ${ttestFormula.mkString(",\n               ")}
+        FROM sd"""
+
+  /** Pearson correlation matrix over the four lineitem measures
+    * (quantity, price, discount, tax — all exact integer grids): all
+    * 14 moments in ONE order-free decimal(38) pass, each of the six
+    * pairwise correlations one shared fixed-order formula text, the
+    * single result row unpivoted to (var1, var2, corr) tuples.
+    * Scale: one map-side-combined agg; everything after is 1-row. */
+  def mlCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val b = baseRows(spark, dir)
+    val colOf = Map("q" -> "qty", "d" -> "disc", "u" -> "tax", "y" -> "y")
+    val sums = corrVars.map(v => sum(dec(col(colOf(v)))).as(s"s_$v"))
+    val sqs = corrVars.map(v => sum(dec(col(colOf(v))) * dec(col(colOf(v)))).as(s"s_$v$v"))
+    val crosses = corrPairs.map { case (a, c) =>
+      sum(dec(col(colOf(a))) * dec(col(colOf(c)))).as(s"s_$a$c") }
+    val s = b.agg(count(lit(1)).as("n"), (sums ++ sqs ++ crosses): _*)
+    val names = "n" +: (corrVars.map(v => s"s_$v") ++ corrVars.map(v => s"s_$v$v")
+      ++ corrPairs.map { case (a, c) => s"s_$a$c" })
+    val stackArgs = corrPairs.map { case (a, c) =>
+      s"'${corrLabel(a)}', '${corrLabel(c)}', ${corrFormula(a, c)}" }.mkString(", ")
+    s.select(names.map(m => expr(s"CAST($m AS DOUBLE) AS $m")): _*)
+      .selectExpr(s"stack(${corrPairs.size}, $stackArgs) AS (var1, var2, corr)")
+      .orderBy("var1", "var2")
+  }
+
+  private val corrVars = Seq("q", "d", "u", "y")
+  private val corrPairs = for {
+    (a, i) <- corrVars.zipWithIndex; c <- corrVars.drop(i + 1)
+  } yield (a, c)
+  private def corrLabel(v: String): String =
+    Map("q" -> "qty", "d" -> "disc", "u" -> "tax", "y" -> "price")(v)
+  /** Shared per-pair formula text (identical operand order on both
+    * engines; √ is IEEE-correctly-rounded so no grid is needed). */
+  private def corrFormula(a: String, c: String): String =
+    s"round((n*s_$a$c - s_$a*s_$c) / " +
+      s"(sqrt(n*s_$a$a - s_$a*s_$a) * sqrt(n*s_$c$c - s_$c*s_$c)), 6)"
+
+  private val corrOracle: String = {
+    val moments =
+      Seq("count(*) AS n") ++
+        Seq("q" -> "qty", "d" -> "disc", "u" -> "tax", "y" -> "y").flatMap {
+          case (v, c) => Seq(s"sum($c)::HUGEINT AS s_$v", s"sum($c::HUGEINT*$c) AS s_$v$v") } ++
+        corrPairs.map { case (a, c) =>
+          val (ca, cc) = (Map("q" -> "qty", "d" -> "disc", "u" -> "tax", "y" -> "y")(a),
+            Map("q" -> "qty", "d" -> "disc", "u" -> "tax", "y" -> "y")(c))
+          s"sum($ca::HUGEINT*$cc) AS s_$a$c" }
+    val names = "n" +: (corrVars.map(v => s"s_$v") ++ corrVars.map(v => s"s_$v$v")
+      ++ corrPairs.map { case (a, c) => s"s_$a$c" })
+    val rows = corrPairs.map { case (a, c) =>
+      s"SELECT '${corrLabel(a)}' AS var1, '${corrLabel(c)}' AS var2, ${corrFormula(a, c)} AS corr FROM sd" }
+    s"""WITH base AS ($baseSql),
+          s AS (SELECT ${moments.mkString(", ")} FROM base),
+          sd AS (SELECT ${names.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")} FROM s)
+        ${rows.mkString("\n        UNION ALL ")}
+        ORDER BY var1, var2"""
+  }
+
   /** Random forest of stumps (Breiman bagging in its deterministic
     * subsample form — "pasting"/subagging): [[RfTrees]] trees, tree b
     * trained on the rows whose md5(rowkey, b) lands under
@@ -539,5 +651,7 @@ object MlTrees {
     QueryDef("ml_random_forest", mlRandomForest, Some(rfOracle)),
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
     QueryDef("ml_ridge", mlRidge, Some(ridgeOracle)),
+    QueryDef("ml_ttest", mlTtest, Some(ttestOracle)),
+    QueryDef("ml_corr_matrix", mlCorrMatrix, Some(corrOracle)),
   )
 }

@@ -608,6 +608,60 @@ object Relational2 {
       .orderBy("region", "ym")
   }
 
+  /** q67: exact Gini coefficient of revenue concentration per return
+    * flag — the inequality KPI ("what share of revenue sits in the
+    * top lineitems"), computed WITHOUT ranking rows: items sharing a
+    * cent value v occupy a contiguous rank block, so the classic
+    * G = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx) folds over the VALUE
+    * HISTOGRAM — 2·Σ rank·x = Σᵥ v·(2·nᵥ·cum_beforeᵥ + nᵥ·(nᵥ+1)),
+    * every term an exact decimal(38) integer (the doubled form keeps
+    * the triangular number even — no /2, no rounding anywhere before
+    * the single final division).
+    * Scale: the cumsum window runs over the DISTINCT-cent-value
+    * histogram per group (the q64 discipline — value-grid-bounded,
+    * not corpus-bounded); the corpus-sized work is one map-side-
+    * combined count. */
+  def q67Gini(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cb", coalesce(sum(col("nv")).over(w), lit(0L)))
+      .groupBy("g")
+      .agg(sum(dec(col("nv"))).as("n"),
+        sum(dec(col("v")) * dec(col("nv"))).as("t"),
+        sum(dec(col("v")) * (dec(col("nv")) * dec(col("cb")) * 2
+          + dec(col("nv")) * (dec(col("nv")) + 1))).as("s2"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("t").cast("long").as("cents"),
+        round((col("s2").cast("double") - (col("n") + 1).cast("double") * col("t").cast("double")) /
+          (col("n").cast("double") * col("t").cast("double")), 6).as("gini"))
+      .orderBy("g")
+  }
+
+  private val giniOracle: String =
+    """WITH li AS (SELECT l_returnflag AS g,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                   FROM lineitem),
+         hist AS (SELECT g, v, count(*)::BIGINT AS nv FROM li GROUP BY 1, 2),
+         c AS (SELECT g, v, nv,
+                      coalesce(sum(nv) OVER (PARTITION BY g ORDER BY v
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS cb
+               FROM hist),
+         a AS (SELECT g, sum(nv)::HUGEINT AS n,
+                      sum(v::HUGEINT * nv) AS t,
+                      sum(v::HUGEINT * (nv::HUGEINT * cb * 2 + nv::HUGEINT * (nv + 1))) AS s2
+               FROM c GROUP BY 1)
+       SELECT g, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS cents,
+              round((CAST(s2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+       FROM a ORDER BY g"""
+
   private val momGrowthOracle: String =
     """WITH m AS (SELECT r.r_name AS region,
                          CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
@@ -645,6 +699,7 @@ object Relational2 {
     QueryDef("q64_weighted_percentile", q64WeightedPercentile, Some(weightedPctOracle)),
     QueryDef("q65_streaks", q65Streaks, Some(streaksOracle)),
     QueryDef("q66_mom_growth", q66MomGrowth, Some(momGrowthOracle)),
+    QueryDef("q67_gini", q67Gini, Some(giniOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),

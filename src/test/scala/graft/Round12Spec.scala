@@ -317,6 +317,110 @@ class Round12Spec extends SparkSpec {
     assert(out == expect, "compaction plan differs from the driver replay")
   }
 
+  test("ml_ttest: replays from exact driver-side moments; df inside the Welch bounds") {
+    val r = graft.operators.MlTrees.mlTtest(spark, sf).collect().head
+    val ys = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    def mom(g: String) = {
+      val v = ys.filter(_._1 == g).map(_._2)
+      (v.length.toLong, v.map(BigInt(_)).sum, v.map(x => BigInt(x) * x).sum)
+    }
+    val (n1, s1, ss1) = mom("A"); val (n2, s2, ss2) = mom("N")
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2, "group sizes")
+    def d(b: BigInt) = b.toDouble
+    val (m1, m2) = (d(s1) / n1, d(s2) / n2)
+    val v1 = (d(ss1) - d(s1) * d(s1) / n1) / (n1 - 1)
+    val v2 = (d(ss2) - d(s2) * d(s2) / n2) / (n2 - 1)
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(math.abs(r.getDouble(4) - t) < 1e-3, s"t ${r.getDouble(4)} vs replay $t")
+    val df = r.getDouble(5)
+    assert(df >= math.min(n1, n2) - 1 && df <= (n1 + n2 - 2).toDouble,
+      s"Welch df $df outside [min(n)-1, n1+n2-2]")
+  }
+
+  test("ml_corr_matrix: six pairs, all in [-1,1], qty-price pair replays from raw moments") {
+    val rows = graft.operators.MlTrees.mlCorrMatrix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 6, "six distinct pairs")
+    rows.values.foreach(c => assert(math.abs(c) <= 1.0, s"corr $c out of [-1,1]"))
+    val b = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = b.length.toLong
+    val (sq, sy) = (b.map(x => BigInt(x._1)).sum, b.map(x => BigInt(x._2)).sum)
+    val (sqq, syy) = (b.map(x => BigInt(x._1) * x._1).sum, b.map(x => BigInt(x._2) * x._2).sum)
+    val sqy = b.map(x => BigInt(x._1) * x._2).sum
+    val want = (BigDecimal(n) * BigDecimal(sqy) - BigDecimal(sq) * BigDecimal(sy)).toDouble /
+      (math.sqrt((BigDecimal(n) * BigDecimal(sqq) - BigDecimal(sq) * BigDecimal(sq)).toDouble) *
+        math.sqrt((BigDecimal(n) * BigDecimal(syy) - BigDecimal(sy) * BigDecimal(sy)).toDouble))
+    assert(math.abs(rows(("qty", "price")) - want) < 1e-4,
+      s"qty-price corr ${rows(("qty", "price"))} vs replay $want")
+  }
+
+  test("q67_gini: equals the brute-force ranked Gini per group") {
+    val out = graft.operators.Relational2.q67Gini(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length.toLong
+      val t = xs.map(BigInt(_)).sum
+      val s = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (BigDecimal(2 * s) - BigDecimal(n + 1) * BigDecimal(t)).toDouble /
+        (n.toDouble * t.toDouble)
+      val (gotN, gotT, gotG) = out(g)
+      assert(gotN == n && gotT == t.toLong, s"$g totals")
+      assert(gotG >= 0.0 && gotG < 1.0, s"$g gini $gotG out of [0,1)")
+      assert(math.abs(gotG - gini) < 1e-5, s"$g gini $gotG vs brute $gini")
+    }
+  }
+
+  test("q68_seasonality: indexes replay from the emitted exact counts and cents") {
+    val rows = graft.operators.EventAnalytics.q68Seasonality(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val nAll = rs.map(_._3).sum
+      val cAll = rs.map(_._4).sum
+      rs.foreach { case (_, dow, n, cents, idx) =>
+        assert(dow >= 0 && dow < 7, s"dow $dow")
+        val want = BigDecimal(cents.toDouble * nAll / (n.toDouble * cAll))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(idx - want) < 1e-9, s"$tpe dow $dow idx $idx vs $want")
+      }
+    }
+  }
+
+  test("q69_cusum: peak day and score replay from the daily series") {
+    val out = graft.operators.EventAnalytics.q69Cusum(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum(col("c")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rs) =>
+      val series = rs.sortBy(_._2)
+      val n = series.length.toLong
+      val tot = series.map(x => BigInt(x._3)).sum
+      var cum = BigInt(0)
+      val stats = series.zipWithIndex.map { case ((_, day, x), i) =>
+        cum += x
+        (day, (cum * n - BigInt(i + 1) * tot).abs)
+      }
+      val (bestDay, bestS) = stats.minBy { case (day, s) => (-s, day) }
+      val (gotDay, gotScore) = out(tpe)
+      assert(gotDay == bestDay, s"$tpe peak day $gotDay vs $bestDay")
+      val want = BigDecimal(bestS.toDouble / (n.toDouble * tot.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gotScore - want) < 1e-9, s"$tpe score $gotScore vs $want")
+    }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
