@@ -184,7 +184,73 @@ object Curation {
         FROM ch ORDER BY doc_id, chunk_id"""
   }
 
+  /** Budget-constrained corpus selection — "spend a token budget on
+    * the highest-quality documents": rank docs by a deterministic
+    * quality score (lexical-diversity ratio on a 1e-6 grid — the
+    * qualityFilter rounding discipline) and admit WHOLE SCORE BUCKETS
+    * from the top down while the cumulative token count fits the
+    * budget (3/5 of the corpus total, computed in-plan so the
+    * operator is scale-relative). NO global row sort: the admission
+    * frontier is a cumulative window over the DISTINCT-SCORE
+    * histogram (the q64/ml_lift_curve discipline — grid-bounded, a
+    * constant independent of corpus size), exactly how a 100 TB
+    * selection has to run. Bucket granularity is the honest contract:
+    * the report shows the budget, the admitted cutoff score, and the
+    * unspent remainder.
+    * Scale: one scan to (score, tokens) pairs, one map-side-combined
+    * histogram agg, constant-sized window + broadcast total. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .select(size(col("toks")).cast("long").as("n_toks"),
+        expr("CAST(round(size(array_distinct(toks)) / size(toks) * 1e6) AS BIGINT)")
+          .as("score"))
+    val hist = scored.groupBy("score")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+    val tot = hist.agg(sum(col("toks")).as("total_toks"))
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total_toks * 3 div 5"))
+      .filter(col("cum_toks") <= col("budget"))
+      .groupBy()
+      .agg(max(col("budget")).as("budget"),
+        min(col("score")).as("cutoff_score"),
+        max(col("cum_docs")).as("n_docs"),
+        max(col("cum_toks")).as("tokens_selected"))
+      .select(col("budget"), col("cutoff_score"), col("n_docs"),
+        col("tokens_selected"),
+        round(col("tokens_selected").cast("double") / col("budget").cast("double"), 6)
+          .as("utilization"))
+  }
+
+  private val tokenBudgetOracle: String =
+    """WITH sc AS (SELECT len(toks) AS n_toks,
+                          CAST(round(len(list_distinct(toks)) / len(toks) * 1e6) AS BIGINT) AS score
+                   FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+         hist AS (SELECT score, count(*)::BIGINT AS n_docs,
+                         CAST(sum(n_toks) AS BIGINT) AS toks
+                  FROM sc GROUP BY 1),
+         tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM hist),
+         cum AS (SELECT score,
+                        sum(toks) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_toks,
+                        sum(n_docs) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_docs
+                 FROM hist),
+         sel AS (SELECT t.total_toks * 3 // 5 AS budget, c.score, c.cum_toks, c.cum_docs
+                 FROM cum c, tot t
+                 WHERE c.cum_toks <= t.total_toks * 3 // 5)
+       SELECT CAST(max(budget) AS BIGINT) AS budget,
+              CAST(min(score) AS BIGINT) AS cutoff_score,
+              CAST(max(cum_docs) AS BIGINT) AS n_docs,
+              CAST(max(cum_toks) AS BIGINT) AS tokens_selected,
+              round(CAST(max(cum_toks) AS DOUBLE) / CAST(max(budget) AS DOUBLE), 6) AS utilization
+       FROM sel"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("cur_chunk_passages", chunkPassages, Some(chunkOracle)),
     QueryDef("cur_sample_hash", sampleDocs, Some(
       s"""SELECT doc_id, n_chars FROM documents

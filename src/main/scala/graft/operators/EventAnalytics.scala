@@ -591,8 +591,49 @@ object EventAnalytics {
               round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t_sum AS DOUBLE)), 6) AS score
        FROM s WHERE rnk = 1 ORDER BY event_type"""
 
+  /** q70: OHLC candles (open/high/low/close/volume) per event type
+    * per day — the time-series downsampling shape behind every
+    * price/metric chart. Open and close are decided by PURE
+    * AGGREGATION, no window anywhere: min/max over the
+    * (ts_us, event_id, cents) struct — lexicographic struct
+    * comparison is the same total order in both engines, and the
+    * event_id component makes simultaneous timestamps deterministic.
+    * Scale: ONE map-side-combined agg straight to |types|×|days|
+    * rows; at 100 TB this is the scan-bound shape (no per-partition
+    * sorting, no window state). */
+  def q70Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        col("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("cents")).as("cents"))
+      .orderBy("event_type", "day")
+  }
+
+  private val ohlcOracle: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                         epoch_us(ts) AS ts_us, event_id,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                  FROM events)
+       SELECT event_type, day,
+              (min({'ts_us': ts_us, 'event_id': event_id, 'cents': cents})).cents AS open,
+              max(cents) AS high, min(cents) AS low,
+              (max({'ts_us': ts_us, 'event_id': event_id, 'cents': cents})).cents AS close,
+              count(*) AS volume, CAST(sum(cents) AS BIGINT) AS cents
+       FROM e GROUP BY 1, 2 ORDER BY event_type, day"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q68_seasonality", q68Seasonality, Some(seasonalityOracle)),
+    QueryDef("q70_ohlc", q70Ohlc, Some(ohlcOracle)),
     QueryDef("q69_cusum", q69Cusum, Some(cusumOracle)),
     QueryDef("q57_attribution", q57Attribution, Some(attributionOracle)),
     QueryDef("q58_attribution_linear", q58AttributionLinear, Some(attributionLinearOracle)),

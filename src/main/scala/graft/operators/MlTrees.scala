@@ -423,6 +423,62 @@ object MlTrees {
                ${ttestFormula.mkString(",\n               ")}
         FROM sd"""
 
+  /** One-way ANOVA F-test across the THREE return-flag groups —
+    * ml_ttest generalized past two samples: F = (SSB/(k−1)) /
+    * (SSW/(N−k)) with SSB/SSW assembled from per-group exact
+    * decimal(38) moments gathered by ONE conditional-aggregation pass
+    * into a single row (fixed group order baked into the shared
+    * formula text — no float sum over a nondeterministic group
+    * ordering). Reports eta² = SSB/SST alongside F.
+    * Scale: identical to ml_ttest — one map-side-combined pass, 1-row
+    * everything after. */
+  def mlAnova(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val b = Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val aggs = anovaGroups.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n${i + 1}"),
+        sum(when(col("g") === g, dec(col("y"))).otherwise(lit(0))).as(s"s${i + 1}"),
+        sum(when(col("g") === g, dec(col("y")) * dec(col("y"))).otherwise(lit(0))).as(s"ss${i + 1}"))
+    }
+    val s = b.agg(aggs.head, aggs.tail: _*)
+    val names = (1 to anovaGroups.size).flatMap(i => Seq(s"n$i", s"s$i", s"ss$i"))
+    s.select(names.map(m => expr(s"CAST($m AS DOUBLE) AS $m")): _*)
+      .selectExpr("CAST(n1 + n2 + n3 AS BIGINT) AS n" +: anovaFormula: _*)
+  }
+
+  private val anovaGroups = Seq("A", "N", "R")
+
+  /** ONE formula text, two engines; k = 3 groups, fixed order. */
+  private val anovaFormula: Seq[String] = {
+    val k = anovaGroups.size
+    val nAll = "(n1 + n2 + n3)"
+    val sAll = "(s1 + s2 + s3)"
+    val ssb = s"(s1*s1/n1 + s2*s2/n2 + s3*s3/n3 - $sAll*$sAll/$nAll)"
+    val ssw = "((ss1 - s1*s1/n1) + (ss2 - s2*s2/n2) + (ss3 - s3*s3/n3))"
+    val sst = s"(ss1 + ss2 + ss3 - $sAll*$sAll/$nAll)"
+    Seq(
+      s"round($ssb / ${k - 1} / ($ssw / ($nAll - $k)), 4) AS f_stat",
+      s"round($ssb / $sst, 8) AS eta2")
+  }
+
+  private val anovaOracle: String = {
+    val moments = anovaGroups.zipWithIndex.flatMap { case (g, i) =>
+      Seq(s"sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END)::BIGINT AS n${i + 1}",
+        s"sum(CASE WHEN g = '$g' THEN y ELSE 0 END)::HUGEINT AS s${i + 1}",
+        s"sum(CASE WHEN g = '$g' THEN y::HUGEINT*y ELSE 0 END) AS ss${i + 1}")
+    }
+    val names = (1 to anovaGroups.size).flatMap(i => Seq(s"n$i", s"s$i", s"ss$i"))
+    s"""WITH b AS (SELECT l_returnflag AS g,
+                          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                   FROM lineitem),
+          s AS (SELECT ${moments.mkString(", ")} FROM b),
+          sd AS (SELECT ${names.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")} FROM s)
+        SELECT CAST(n1 + n2 + n3 AS BIGINT) AS n,
+               ${anovaFormula.mkString(",\n               ")}
+        FROM sd"""
+  }
+
   /** Pearson correlation matrix over the four lineitem measures
     * (quantity, price, discount, tax — all exact integer grids): all
     * 14 moments in ONE order-free decimal(38) pass, each of the six
@@ -652,6 +708,7 @@ object MlTrees {
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
     QueryDef("ml_ridge", mlRidge, Some(ridgeOracle)),
     QueryDef("ml_ttest", mlTtest, Some(ttestOracle)),
+    QueryDef("ml_anova", mlAnova, Some(anovaOracle)),
     QueryDef("ml_corr_matrix", mlCorrMatrix, Some(corrOracle)),
   )
 }

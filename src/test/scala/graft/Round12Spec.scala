@@ -421,6 +421,71 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q70_ohlc: open/close replay from the raw event order; candle invariants hold") {
+    val out = graft.operators.EventAnalytics.q70Ohlc(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts_us div 86400000000"), col("ts_us"),
+        col("event_id"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    raw.groupBy(r => (r._1, r._2)).foreach { case (key, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._4))
+      val (open, high, low, close, vol) = out(key)
+      assert(open == ordered.head._5, s"$key open")
+      assert(close == ordered.last._5, s"$key close")
+      assert(high == rs.map(_._5).max && low == rs.map(_._5).min, s"$key high/low")
+      assert(vol == rs.size, s"$key volume")
+      assert(low <= open && open <= high && low <= close && close <= high, s"$key bounds")
+    }
+  }
+
+  test("ml_anova: F replays from driver-side exact moments; eta2 in [0,1]") {
+    val r = graft.operators.MlTrees.mlAnova(spark, sf).collect().head
+    val ys = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = Seq("A", "N", "R").map(g => ys.filter(_._1 == g).map(_._2))
+    val n = groups.map(_.length.toLong)
+    val s = groups.map(_.map(BigInt(_)).sum)
+    val ss = groups.map(_.map(x => BigInt(x) * x).sum)
+    val nAll = n.sum.toDouble
+    val sAll = s.map(_.toDouble).sum
+    val ssb = (0 until 3).map(i => s(i).toDouble * s(i).toDouble / n(i)).sum - sAll * sAll / nAll
+    val ssw = (0 until 3).map(i => ss(i).toDouble - s(i).toDouble * s(i).toDouble / n(i)).sum
+    val f = (ssb / 2) / (ssw / (nAll - 3))
+    assert(r.getLong(0) == n.sum, "total n")
+    assert(math.abs(r.getDouble(1) - f) < 1e-2, s"F ${r.getDouble(1)} vs replay $f")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, "eta2 out of [0,1]")
+  }
+
+  test("cur_token_budget: bucket selection is maximal and replays exactly") {
+    val r = graft.operators.Curation.tokenBudget(spark, sf).collect().head
+    val (budget, cutoff, nDocs, toks, util) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val perDoc = graft.sources.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("toks"))
+      .select(size(col("toks")).cast("long"),
+        expr("CAST(round(size(array_distinct(toks)) / size(toks) * 1e6) AS BIGINT)"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val total = perDoc.map(_._1).sum
+    assert(budget == total * 3 / 5, "budget is 3/5 of corpus tokens")
+    val hist = perDoc.groupBy(_._2).view.mapValues(v => (v.size.toLong, v.map(_._1).sum))
+      .toSeq.sortBy(-_._1)
+    var (cum, cnt) = (0L, 0L); var cut = Long.MaxValue; var next = -1L
+    hist.foreach { case (score, (nd, t)) =>
+      if (cum + t <= budget && next == -1L) { cum += t; cnt += nd; cut = score }
+      else if (next == -1L) next = t
+    }
+    assert(toks == cum && nDocs == cnt && cutoff == cut, s"selection ($toks,$nDocs,$cutoff) vs ($cum,$cnt,$cut)")
+    assert(toks <= budget, "budget respected")
+    if (next >= 0) assert(toks + next > budget, "selection not maximal — next bucket still fits")
+    val wantU = BigDecimal(toks.toDouble / budget.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(util - wantU) < 1e-9, "utilization replay")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
