@@ -1776,6 +1776,61 @@ object Graph {
                round(r.n_recip / CAST(t.n_edges AS DOUBLE), 6) AS reciprocity
         FROM t, r"""
 
+  /** Rich-club coefficient φ(k) over the symmetric supplier↔part
+    * graph — "how densely do the hubs talk to EACH OTHER": for each
+    * degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k
+    * counts nodes of degree > k and E_k the edges between them
+    * (Colizza et al. 2006). Computed with NO per-k scan: one
+    * histogram over each edge's MIN endpoint degree (an edge survives
+    * threshold k iff min(d_u, d_v) > k) and one over node degrees;
+    * the log-spaced k-spine (k = 2^0..2^11, covering the degree
+    * range at any SF) joins both tiny histograms by a conditional
+    * sum. All integer until the single φ division per row.
+    * Scale: one |E| join against the |V| degree table (the persisted
+    * layout already carries the src degree — only the dst side
+    * joins), then everything is degree-distribution-sized. */
+  val RichClubLogMax = 11 // k spine = 2^0 .. 2^11, spans both SFs' degree ranges
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val e = persistedSymEdges(spark, dir)
+    val deg = e.select(col("src"), col("d")).distinct()
+    val mHist = e
+      .join(deg.select(col("src").as("dst"), col("d").as("d2")), "dst")
+      .select(least(col("d"), col("d2")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("ne2"))
+    val nHist = deg.groupBy("d").agg(count(lit(1)).as("nn"))
+    val spine = spark.range(0, RichClubLogMax + 1)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("k"))
+    val nk = spine.crossJoin(broadcast(nHist))
+      .groupBy("k").agg(sum(when(col("d") > col("k"), col("nn")).otherwise(0L)).as("n_k"))
+    val ek = spine.crossJoin(broadcast(mHist))
+      .groupBy("k").agg(sum(when(col("m") > col("k"), col("ne2")).otherwise(0L)).as("e2_k"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_k"), expr("e2_k div 2").as("e_k"),
+        expr("""CASE WHEN n_k < 2 THEN 0.0
+                ELSE round(CAST(e2_k AS DOUBLE) / (CAST(n_k AS DOUBLE) * (n_k - 1)), 6) END""")
+          .as("phi"))
+      .orderBy("k")
+  }
+
+  private lazy val richClubOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+          m AS (SELECT least(a.d, b.d) AS m
+                FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src),
+          mh AS (SELECT m, count(*)::BIGINT AS ne2 FROM m GROUP BY 1),
+          nh AS (SELECT d, count(*)::BIGINT AS nn FROM deg GROUP BY 1),
+          ks AS (SELECT (1::BIGINT << j) AS k
+                 FROM (SELECT unnest(generate_series(0, $RichClubLogMax)) AS j)),
+          nk AS (SELECT ks.k, sum(CASE WHEN nh.d > ks.k THEN nh.nn ELSE 0 END)::BIGINT AS n_k
+                 FROM ks, nh GROUP BY 1),
+          ek AS (SELECT ks.k, sum(CASE WHEN mh.m > ks.k THEN mh.ne2 ELSE 0 END)::BIGINT AS e2_k
+                 FROM ks, mh GROUP BY 1)
+        SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k, CAST(ek.e2_k // 2 AS BIGINT) AS e_k,
+               CASE WHEN nk.n_k < 2 THEN 0.0
+                    ELSE round(CAST(ek.e2_k AS DOUBLE) / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1)), 6) END AS phi
+        FROM nk JOIN ek ON nk.k = ek.k ORDER BY k"""
+
   /** Log₂-binned degree histogram of the symmetric supplier↔part
     * graph — the power-law diagnostic read before choosing hub
     * mitigations (salting thresholds, caps). The bin index is the
@@ -1991,6 +2046,7 @@ object Graph {
     QueryDef("graph_adamic_adar", graphAdamicAdar, Some(adamicAdarOracle)),
     QueryDef("graph_reciprocity", graphReciprocity, Some(reciprocityOracle)),
     QueryDef("graph_degree_hist", graphDegreeHist, Some(degreeHistOracle)),
+    QueryDef("graph_rich_club", graphRichClub, Some(richClubOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_harmonic", graphHarmonic, Some(harmonicOracle)),

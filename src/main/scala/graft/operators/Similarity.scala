@@ -74,6 +74,116 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** MMR-diversified top-k retrieval (Carbonell & Goldstein 1998) —
+    * the re-ranking every RAG/search pipeline runs between ANN
+    * recall and the user: from the exact cosine top-[[MmrPool]]
+    * candidate pool, greedily pick [[TopK]] results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so
+    * near-duplicate neighbors stop crowding the list. Every greedy
+    * round is an UNROLLED dataframe stage (anti-join remaining →
+    * max-sim join against the chosen set → per-query argmax with the
+    * (score desc, neighbor) tie-break); relevance and pairwise sims
+    * are 6-dp-rounded BEFORE scoring and the score is one shared
+    * fixed-order expression text, so the whole greedy trajectory
+    * replays bit-for-bit in DuckDB.
+    * Scale: the pool is |queries|×[[MmrPool]] and the pair table
+    * |queries|×[[MmrPool]]² — both bounded by the QUERY batch, never
+    * the corpus; the only corpus-sized work is the candidate
+    * generation it shares with sim_cosine_topk (at 100 TB you'd feed
+    * the pool from the ANN tiers instead — same re-rank shape). */
+  val MmrPool = 20
+  val MmrScore = "round(0.7 * rel - 0.3 * ms, 6)"
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(spark, dir)
+    val pool = graft.api.GraftOps.cosineTopK(all, "vec_id", "embedding",
+        all.filter(col("vec_id") < NumQueries), MmrPool)
+      .select(col("qid"), col("neighbor"), col("cos").as("rel"))
+      .coalesce(1).localCheckpoint() // |queries|x20 rows, every round reads it
+    val vecs = all.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val pv = pool.join(vecs, col("neighbor") === col("vec_id"))
+      .select(col("qid"), col("neighbor"), col("v"))
+    val pairs = pv.as("a").join(pv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.neighbor") =!= col("b.neighbor"))
+      .select(col("a.qid").as("qid"), col("a.neighbor").as("x"),
+        col("b.neighbor").as("y"),
+        round(expr("cosine_sim(a.v, b.v)"), 6).as("sim"))
+      .coalesce(1).localCheckpoint() // |queries|x20^2 rows, reused every round
+    val pairsR = pairs.select(col("qid").as("pq"), col("x").as("px"),
+      col("y").as("py"), col("sim"))
+    val w1 = Window.partitionBy("qid").orderBy(desc("rel"), asc("neighbor"))
+    var out = pool.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+      .select(col("qid"), col("neighbor"), lit(1L).as("rnk"),
+        col("rel").as("score"))
+      .coalesce(1).localCheckpoint()
+    for (k <- 2 to TopK) {
+      // fresh aliases per use: renames mint new attribute ids, keeping
+      // the repeated chosen-set references unambiguous to the analyzer
+      val chosenAnti = out.select(col("qid").as("aq"), col("neighbor").as("ay"))
+      val chosenSim = out.select(col("qid").as("cq"), col("neighbor").as("cy"))
+      val remaining = pool.join(chosenAnti,
+        col("qid") === col("aq") && col("neighbor") === col("ay"), "left_anti")
+      val ms = remaining
+        .join(pairsR, col("qid") === col("pq") && col("neighbor") === col("px"))
+        .join(chosenSim, col("pq") === col("cq") && col("py") === col("cy"))
+        .groupBy("qid", "neighbor")
+        .agg(first(col("rel")).as("rel"), max(col("sim")).as("ms"))
+      val wk = Window.partitionBy("qid").orderBy(desc("score"), asc("neighbor"))
+      val sel = ms.withColumn("score", expr(MmrScore))
+        .withColumn("r", row_number().over(wk)).filter(col("r") === 1)
+        .select(col("qid"), col("neighbor"), lit(k.toLong).as("rnk"), col("score"))
+        // truncate: round k+1's plan references this round's pick (and the
+        // final union references every round) — without the cut each round
+        // would re-execute all earlier rounds' join/window chains
+        .coalesce(1).localCheckpoint()
+      out = out.unionAll(sel)
+    }
+    out.orderBy("qid", "rnk")
+  }
+
+  private val mmrOracle: String = {
+    val rounds = (2 to TopK).map { k =>
+      val prev = (1 until k).map(i => s"SELECT qid, neighbor FROM sel$i").mkString(" UNION ALL ")
+      s"""ch$k AS ($prev),
+          sc$k AS (SELECT p.qid, p.neighbor, p.rel AS rel, max(pr.sim) AS ms
+                FROM pool p
+                JOIN pairs pr ON pr.qid = p.qid AND pr.x = p.neighbor
+                JOIN ch$k c ON c.qid = pr.qid AND c.neighbor = pr.y
+                WHERE NOT EXISTS (SELECT 1 FROM ch$k cc
+                                  WHERE cc.qid = p.qid AND cc.neighbor = p.neighbor)
+                GROUP BY 1, 2, 3),
+          sel$k AS (SELECT qid, neighbor, $k AS rnk, score FROM (
+                SELECT qid, neighbor, $MmrScore AS score,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY $MmrScore DESC, neighbor) AS r
+                FROM sc$k) WHERE r = 1)"""
+    }.mkString(",\n          ")
+    val union = (1 to TopK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+          c AS (SELECT q.qid, e.vec_id AS neighbor,
+                       list_dot_product(q.qv, e.v) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+                FROM q, e WHERE e.vec_id <> q.qid),
+          pool AS MATERIALIZED (SELECT qid, neighbor, round(cos, 6) AS rel FROM (
+                SELECT qid, neighbor, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+                FROM c) WHERE rnk <= $MmrPool),
+          pv AS (SELECT p.qid, p.neighbor, e.v FROM pool p JOIN e ON p.neighbor = e.vec_id),
+          pairs AS MATERIALIZED (SELECT a.qid, a.neighbor AS x, b.neighbor AS y,
+                       round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                FROM pv a JOIN pv b ON a.qid = b.qid AND a.neighbor <> b.neighbor),
+          sel1 AS (SELECT qid, neighbor, 1 AS rnk, rel AS score FROM (
+                SELECT qid, neighbor, rel,
+                       row_number() OVER (PARTITION BY qid ORDER BY rel DESC, neighbor) AS r
+                FROM pool) WHERE r = 1),
+          $rounds
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, neighbor, score
+        FROM ($union) ORDER BY qid, rnk"""
+  }
+
   /** k-NN CLASSIFICATION over the embedding corpus — the label column's
     * first consumer: a deterministic 1-in-[[KnnTestMod]] id split holds
     * out test vectors, each classified by majority vote over its
@@ -2121,6 +2231,7 @@ object Similarity {
                   FROM c)
           SELECT qid, rnk, neighbor, round(cos, 6) AS cos
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
+    QueryDef("sim_mmr", simMmr, Some(mmrOracle)),
     QueryDef("sim_mips", simMips, Some(
       s"""WITH e AS (SELECT vec_id,
                  list_transform(embedding::DOUBLE[],

@@ -486,6 +486,66 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(util - wantU) < 1e-9, "utilization replay")
   }
 
+  test("graph_rich_club: exact replay from driver-side degrees; club shrinks with k") {
+    val out = graft.operators.Graph.graphRichClub(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val fwd = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), (col("l_partkey") + graft.operators.Graph.PartOffset))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = fwd ++ fwd.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (k, (nK, eK, phi)) =>
+      val club = deg.filter(_._2 > k).keySet
+      val e2 = sym.count(e => club(e._1) && club(e._2)).toLong
+      assert(nK == club.size, s"k=$k n_k")
+      assert(eK == e2 / 2, s"k=$k e_k")
+      val want = if (club.size < 2) 0.0
+        else BigDecimal(e2.toDouble / (club.size.toDouble * (club.size - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(phi - want) < 1e-9, s"k=$k phi $phi vs $want")
+    }
+    val ks = out.keys.toSeq.sorted
+    ks.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(a)._1 >= out(b)._1, s"club size grows from k=$a to $b") }
+  }
+
+  test("sim_mmr: the greedy trajectory replays exactly from the pool and pair sims") {
+    val outRows = graft.operators.Similarity.simMmr(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val pool = graft.api.GraftOps.cosineTopK(all, "vec_id", "embedding",
+        all.filter(col("vec_id") < graft.operators.Similarity.NumQueries),
+        graft.operators.Similarity.MmrPool)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = pool.groupBy(_._1).toSeq.flatMap { case (q, cands0) =>
+      val cands = cands0.map(c => (c._2, c._3))
+      var chosen = Vector(cands.maxBy(c => (c._2, -c._1)))
+      var scores = Vector(chosen.head._2)
+      while (chosen.size < graft.operators.Similarity.TopK) {
+        val rem = cands.filterNot(c => chosen.exists(_._1 == c._1))
+        val scored = rem.map { case (id, rel) =>
+          val ms = chosen.map(s => cos(vecs(id), vecs(s._1))).max
+          (id, BigDecimal(0.7 * rel - 0.3 * ms)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val pick = scored.maxBy(c => (c._2, -c._1))
+        chosen :+= (pick._1, 0.0); scores :+= pick._2
+      }
+      chosen.zip(scores).zipWithIndex.map { case (((id, _), sc), i) =>
+        (q, id, i + 1L, sc) }
+    }
+    assert(outRows.sortBy(r => (r._1, r._3)).toSeq == expect.sortBy(r => (r._1, r._3)),
+      "greedy MMR trajectory differs from the driver replay")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
