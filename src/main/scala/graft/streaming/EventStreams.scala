@@ -394,6 +394,43 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("start_ms"), col("cnt"))
 
+  /** Hourly OHLC candles per event type — q70's struct-min/max
+    * discipline applied to tumbling windows: open/close come from
+    * min/max over the (ts_us, event_id, cents) struct (lexicographic
+    * order identical in both engines and through the streaming state
+    * store's partial merges — Min/Max are declarative aggregates over
+    * any orderable type, so candle state per (window, type) is two
+    * structs + three longs, watermark-bounded). */
+  def ohlcWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("window_ms", expr(s"(ts_us div $HourUs) * 3600000"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy("window_ms", "event_type")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(col("cents")).as("high"), min(col("cents")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy("window_ms", "event_type")
+
+  /** The same candle plan over readStream (spec-driven). */
+  def ohlcStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(col("cents")).as("high"), min(col("cents")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"),
+        count(lit(1)).as("volume"))
+      .select(unix_millis(col("window.start")).as("window_ms"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   /** Streaming a7 RegionEventCount. */
   def regionCountStream(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, dir)
@@ -1426,6 +1463,17 @@ object EventStreams {
     QueryDef("stream_event_count", eventCountBatch, Some(
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms, count(*) AS cnt
           FROM events GROUP BY 1 ORDER BY window_ms""")),
+    QueryDef("stream_ohlc", ohlcWindowBatch, Some(
+      s"""WITH e AS (SELECT event_type, (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,
+                            epoch_us(ts) AS ts_us, event_id,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                     FROM events)
+          SELECT window_ms, event_type,
+                 (min({'ts_us': ts_us, 'event_id': event_id, 'cents': cents})).cents AS open,
+                 max(cents) AS high, min(cents) AS low,
+                 (max({'ts_us': ts_us, 'event_id': event_id, 'cents': cents})).cents AS close,
+                 count(*) AS volume
+          FROM e GROUP BY 1, 2 ORDER BY window_ms, event_type""")),
     QueryDef("stream_approx_users", approxUsersBatch, Some {
       val c = (KmvUsersK - 1).toLong * 4294967296L
       s"""WITH ev AS (SELECT DISTINCT (epoch_us(ts) // $HourUs) * 3600000 AS window_ms,

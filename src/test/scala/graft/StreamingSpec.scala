@@ -17,6 +17,17 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming OHLC candles converge to the batch mirror (struct min/max through state)") {
+    runToMemory(EventStreams.ohlcStream(spark, sf), "soh")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("open"), r.getAs[Long]("high"), r.getAs[Long]("low"),
+          r.getAs[Long]("close"), r.getAs[Long]("volume"))
+    val streamed = spark.table("soh").collect().map(key).toMap
+    val batch = EventStreams.ohlcWindowBatch(spark, sf).collect().map(key).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming event count converges to the batch mirror") {
     runToMemory(EventStreams.eventCountStream(spark, sf), "sec")
     val streamed = spark.table("sec").collect()
