@@ -423,6 +423,114 @@ object MlTrees {
                ${ttestFormula.mkString(",\n               ")}
         FROM sd"""
 
+  /** Poisson-bootstrap confidence interval for mean revenue — the
+    * distributed bootstrap (Chamandy et al., Google 2012): resample b
+    * gives each row weight w ~ Poisson(1) drawn DETERMINISTICALLY by
+    * inverse-CDF over a [0, p) integer grid (p = 2^31-1), so all
+    * [[BootB]] resample means come from ONE conditional-aggregation
+    * pass — never B shuffles, never a row explosion. Per-row
+    * randomness: ONE md5 content hash, then the repo's standard
+    * universal-hash family h_b(x) = (a_b*x + b_b) mod p
+    * (HashingScheme — the MinHash discipline: pairwise-independent
+    * across b, products < 2^62 so no overflow on either engine; a
+    * checkpoint barrier keeps CollapseProject from re-inlining the
+    * md5 into every threshold compare). The CI is the 2nd-smallest /
+    * 2nd-largest of the 32 resample means (~94% interval).
+    * Scale: scan-bound — the weights are ~300 integer ops per row
+    * inside whole-stage codegen; every aggregate is an exact int64
+    * sum (weights <= 8; promote to decimal(38) when n*mean*8 nears
+    * 2^63). */
+  val BootB = 32
+  import graft.functions.HashingScheme.{P => BootP}
+  /** floor(CDF_Poisson(1)(j) * p) for j = 0..7 — exact integer
+    * thresholds; a draw is the count of thresholds <= the hash. */
+  private val bootThresholds: Seq[Long] = {
+    val inv_e = math.exp(-1.0)
+    val fact = (0 to 7).scanLeft(1.0)((a, i) => if (i == 0) 1.0 else a * i).tail
+    val cum = (0 to 7).map(j => inv_e * (0 to j).map(i => 1.0 / fact(i)).sum)
+    cum.map(c => math.floor(c * BootP.toDouble).toLong)
+  }
+  private def bootA(b: Int): Long = graft.functions.HashingScheme.a(b)
+  private def bootBOff(b: Int): Long = graft.functions.HashingScheme.b(b)
+  /** Weight of resample b from the stored base hash column `x`. */
+  private def bootWeightFromX(b: Int): String = {
+    val h = s"((${bootA(b)}L * x + ${bootBOff(b)}L) % ${BootP}L)"
+    bootThresholds.map(t => s"(CASE WHEN $h >= ${t}L THEN 1 ELSE 0 END)").mkString(" + ")
+  }
+  private val bootXSql: String =
+    "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '-', " +
+      s"CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % ${BootP}L"
+  private val bootXDuck: String =
+    "('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || " +
+      s"CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % $BootP"
+  private def bootWeightDuck(b: Int): String = {
+    val h = s"((${bootA(b)} * x + ${bootBOff(b)}) % $BootP)"
+    bootThresholds.map(t => s"(CASE WHEN $h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+  }
+
+  /** Spec entry points: the exact thresholds, the affine family, and
+    * one resample's mean. */
+  def bootThresholdsForSpec: Seq[Long] = bootThresholds
+  def bootFamilyForSpec(b: Int): (Long, Long, Long) = (bootA(b), bootBOff(b), BootP)
+  def bootResampleMeanForSpec(spark: SparkSession, dir: String, b: Int): Double =
+    Tables.lineitem(spark, dir)
+      .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+        s"$bootXSql AS x")
+      .selectExpr(s"round(CAST(sum((${bootWeightFromX(b)}) * y) AS DOUBLE) " +
+        s"/ sum(${bootWeightFromX(b)}), 4) AS m")
+      .head().getDouble(0)
+
+  def mlBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.lineitem(spark, dir)
+      .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+        s"$bootXSql AS x")
+      // barrier: CollapseProject would otherwise inline the md5 into
+      // all 256 threshold compares and push the tree out of codegen
+      .localCheckpoint()
+    // long-form (b, y, w): explode the resample spine FIRST, so the
+    // per-row generated code is a 3-op affine hash + an 8-compare
+    // threshold count — tiny, JIT-friendly, fully codegen'd. (The
+    // wide forms fail structurally: 64 aggregates overflow the
+    // codegen field budget, and 32 inline weight expressions put 256
+    // branches in one generated method — both fall back to
+    // interpreted evaluation and run 5-20x slower.)
+    val aArr = s"array(${(1 to BootB).map(b => s"${bootA(b)}L").mkString(", ")})"
+    val bArr = s"array(${(1 to BootB).map(b => s"${bootBOff(b)}L").mkString(", ")})"
+    val chain = bootThresholds
+      .map(t => s"(CASE WHEN h >= ${t}L THEN 1 ELSE 0 END)").mkString(" + ")
+    val per = hashed
+      .select(col("y"), col("x"), explode(expr(s"sequence(1, $BootB)")).as("b"))
+      .selectExpr("y", "b",
+        s"(element_at($aArr, CAST(b AS INT)) * x + element_at($bArr, CAST(b AS INT))) % ${BootP}L AS h")
+      .selectExpr("y", "b", s"($chain) AS w")
+      .groupBy("b")
+      .agg(sum(col("w") * col("y")).as("s"), sum(col("w")).as("w"))
+      .select(expr("round(CAST(s AS DOUBLE) / w, 4)").as("m"))
+    val ci = per.agg(sort_array(collect_list(col("m"))).as("ms"))
+    val tot = hashed.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    tot.crossJoin(broadcast(ci))
+      .selectExpr("n", "round(CAST(sy AS DOUBLE) / n, 4) AS mean",
+        "element_at(ms, 2) AS ci_lo",
+        s"element_at(ms, ${BootB - 1}) AS ci_hi",
+        s"CAST($BootB AS BIGINT) AS b")
+  }
+
+  private val bootOracle: String = {
+    val resamples = (1 to BootB).map { b =>
+      s"round(CAST(sum((${bootWeightDuck(b)}) * y) AS DOUBLE) / sum(${bootWeightDuck(b)}), 4)"
+    }
+    s"""WITH base AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                             $bootXDuck AS x
+                      FROM lineitem),
+          s AS (SELECT count(*)::BIGINT AS n,
+                       round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS mean,
+                       list_sort([${resamples.mkString(",\n                       ")}]) AS ms
+                FROM base)
+        SELECT n, mean, ms[2] AS ci_lo, ms[${BootB - 1}] AS ci_hi,
+               CAST($BootB AS BIGINT) AS b
+        FROM s"""
+  }
+
   /** One-way ANOVA F-test across the THREE return-flag groups —
     * ml_ttest generalized past two samples: F = (SSB/(k−1)) /
     * (SSW/(N−k)) with SSB/SSW assembled from per-group exact
@@ -709,6 +817,7 @@ object MlTrees {
     QueryDef("ml_ridge", mlRidge, Some(ridgeOracle)),
     QueryDef("ml_ttest", mlTtest, Some(ttestOracle)),
     QueryDef("ml_anova", mlAnova, Some(anovaOracle)),
+    QueryDef("ml_bootstrap_ci", mlBootstrapCi, Some(bootOracle)),
     QueryDef("ml_corr_matrix", mlCorrMatrix, Some(corrOracle)),
   )
 }

@@ -525,7 +525,89 @@ object ScaleOps {
                min(day) AS first_day, max(day) AS last_day
         FROM c GROUP BY 1, 2 ORDER BY event_type, bin"""
 
+  /** ANALYZE-TABLE-style column statistics as a query — the numbers a
+    * cost-based optimizer (and every data-quality monitor) wants:
+    * per column of `orders`, the row/null counts, a KMV
+    * distinct-value estimate (the q43 bounded sketch — ≤ k longs per
+    * column cross the wire), min/max, and mean value length. Every
+    * column is first normalized to a canonical STRING repr with
+    * cross-engine-identical formatting (integers as digits, money as
+    * exact cents, timestamps as epoch micros — never float/date
+    * formatting, which diverges between engines); min/max compare the
+    * TYPED value and only then cast to the repr.
+    * Scale: ONE pass over the table computes all 6 columns × 5
+    * statistics as parallel aggregates (map-side combined; the KMV
+    * state is k longs per column), then a 6-row unpivot. */
+  val StatsKmvK = 256
+  private val statsCols: Seq[(String, String, String)] = Seq(
+    // (column name, Spark typed expr, Spark repr expr) — DuckDB mirrors derive below
+    ("o_orderkey", "o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+      "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+    ("o_orderdate", "unix_micros(o_orderdate)",
+      "CAST(unix_micros(o_orderdate) AS STRING)"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"))
+  def ioStatsReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val base = Tables.orders(spark, dir).selectExpr(
+      statsCols.zipWithIndex.flatMap { case ((_, typed, repr), i) =>
+        Seq(s"$typed AS t$i", s"$repr AS r$i") }: _*)
+    val aggs = statsCols.indices.flatMap { i =>
+      Seq(
+        expr(s"count(r$i)").as(s"nn$i"),
+        expr(s"kmin_distinct(array(CAST(conv(substring(md5(r$i), 1, 8), 16, 10) AS BIGINT) + 1), $StatsKmvK)").as(s"sk$i"),
+        expr(s"CAST(min(t$i) AS STRING)").as(s"mn$i"),
+        expr(s"CAST(max(t$i) AS STRING)").as(s"mx$i"),
+        expr(s"sum(length(r$i))").as(s"ln$i"))
+    }
+    val s = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val c = (StatsKmvK - 1).toLong * 4294967296L
+    val stackArgs = statsCols.zipWithIndex.map { case ((name, _, _), i) =>
+      s"'$name', n - nn$i, " +
+        s"CASE WHEN size(sk$i) < $StatsKmvK THEN CAST(size(sk$i) AS DOUBLE) " +
+        s"ELSE round($c / CAST(element_at(sk$i, $StatsKmvK) AS DOUBLE), 4) END, " +
+        s"mn$i, mx$i, round(CAST(ln$i AS DOUBLE) / nn$i, 4)"
+    }.mkString(", ")
+    s.selectExpr("n", s"stack(${statsCols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, ndv, min_repr, max_repr, avg_len)")
+      .select(col("col_name"), col("n"), col("n_nulls"), col("ndv"),
+        col("min_repr"), col("max_repr"), col("avg_len"))
+      .orderBy("col_name")
+  }
+
+  private val statsOracle: String = {
+    val k = StatsKmvK
+    val c = (k - 1).toLong * 4294967296L
+    val duck = Map( // (typed, repr) mirrors of statsCols in DuckDB SQL
+      "o_orderkey" -> ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      "o_custkey" -> ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      "o_orderstatus" -> ("o_orderstatus", "o_orderstatus"),
+      "o_totalprice" -> ("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"),
+      "o_orderdate" -> ("epoch_us(o_orderdate)", "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+      "o_orderpriority" -> ("o_orderpriority", "o_orderpriority"))
+    val parts = statsCols.map(_._1).map { name =>
+      val (typed, repr) = duck(name)
+      s"""SELECT '$name' AS col_name,
+                 (SELECT count(*) FROM orders)::BIGINT AS n,
+                 (SELECT count(*) - count($repr) FROM orders)::BIGINT AS n_nulls,
+                 (SELECT CASE WHEN m < $k THEN m::DOUBLE ELSE round($c / xk::DOUBLE, 4) END
+                  FROM (SELECT count(*) AS m, max(x) AS xk FROM (
+                          SELECT x, row_number() OVER (ORDER BY x) AS rk FROM (
+                            SELECT DISTINCT ('0x' || substr(md5($repr), 1, 8))::BIGINT + 1 AS x
+                            FROM orders)) WHERE rk <= $k)) AS ndv,
+                 (SELECT CAST(min($typed) AS VARCHAR) FROM orders) AS min_repr,
+                 (SELECT CAST(max($typed) AS VARCHAR) FROM orders) AS max_repr,
+                 (SELECT round(CAST(sum(length($repr)) AS DOUBLE) / count($repr), 4)
+                  FROM orders) AS avg_len"""
+    }
+    parts.mkString("\nUNION ALL ") + "\nORDER BY col_name"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_stats_report", ioStatsReport, Some(statsOracle)),
     QueryDef("io_compaction_plan", ioCompactionPlan, Some(compactionOracle)),
     QueryDef("q62_interval_overlap", q62IntervalOverlap, Some(
       """WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s,

@@ -546,6 +546,61 @@ class Round12Spec extends SparkSpec {
       "greedy MMR trajectory differs from the driver replay")
   }
 
+  test("io_stats_report: exact counts, exact small-column NDV, typed min/max replay") {
+    val out = graft.operators.ScaleOps.ioStatsReport(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getString(5),
+          r.getDouble(6))).toMap
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val n = orders.count()
+    out.values.foreach { case (nn, nulls, _, _, _, _) =>
+      assert(nn == n, "row count"); assert(nulls == 0L, "null count") }
+    // below-k columns: the KMV estimate IS the exact distinct count
+    val exactStatus = orders.select("o_orderstatus").distinct().count()
+    assert(out("o_orderstatus")._3 == exactStatus.toDouble, "status ndv exact below k")
+    // saturated column: estimate within the KMV error envelope
+    val exactKeys = orders.select("o_orderkey").distinct().count()
+    assert(math.abs(out("o_orderkey")._3 - exactKeys) / exactKeys < 0.25,
+      s"orderkey ndv ${out("o_orderkey")._3} vs $exactKeys")
+    // typed min/max surface as canonical string reprs
+    val (mn, mx) = orders.agg(min("o_orderkey"), max("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(out("o_orderkey")._4 == mn.toString && out("o_orderkey")._5 == mx.toString,
+      "orderkey min/max repr")
+  }
+
+  test("ml_bootstrap_ci: resample-1 mean replays from the exact threshold draw; CI sane") {
+    val r = graft.operators.MlTrees.mlBootstrapCi(spark, sf).collect().head
+    val (n, mean, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi, "CI ordered")
+    assert(lo <= mean && mean <= hi, "CI brackets the point estimate on this corpus")
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "CAST(l_linenumber AS BIGINT)",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(n == rows.length, "row count")
+    val wantMean = BigDecimal(rows.map(x => BigInt(x._3)).sum.toDouble / rows.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean == wantMean, s"mean $mean vs $wantMean")
+    // replay resample b=1 exactly: md5 base hash -> universal-hash
+    // affine draw -> inverse-CDF threshold count
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ts = graft.operators.MlTrees.bootThresholdsForSpec
+    val (a1, b1off, p) = graft.operators.MlTrees.bootFamilyForSpec(1)
+    var (s1, w1) = (BigInt(0), 0L)
+    rows.foreach { case (ok, ln, y) =>
+      val x = java.lang.Long.parseLong(
+        md.digest(s"$ok-$ln".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16) % p
+      val h = (a1 * x + b1off) % p
+      val w = ts.count(h >= _)
+      s1 += BigInt(w) * y; w1 += w
+    }
+    val wantB1 = BigDecimal(s1.toDouble / w1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b1 = graft.operators.MlTrees.bootResampleMeanForSpec(spark, sf, 1)
+    assert(b1 == wantB1, s"resample-1 mean $b1 vs replay $wantB1")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
