@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 
 /** Product-analytics operators over the event log: ordered funnels and
   * cohort retention — the two queries every event warehouse runs daily.
@@ -631,7 +632,121 @@ object EventAnalytics {
               count(*) AS volume, CAST(sum(cents) AS BIGINT) AS cents
        FROM e GROUP BY 1, 2 ORDER BY event_type, day"""
 
+  /** q71: time-to-convert — the product funnel's latency: per user,
+    * first signup to the FIRST purchase at-or-after it; report the
+    * conversion rate and the LOWER median / p90 of the delay in
+    * whole minutes. Quantizing to minutes is the scale contract: the
+    * percentile cumsum then runs over the bounded delay-minute grid
+    * (the q64/q67 value-histogram discipline), never over per-user
+    * rows; the percentile rule is cross-multiplied integer compares
+    * (smallest delay whose cumulative count clears p·n) — exact, no
+    * interpolation, no float.
+    * Scale: two type-filtered aggs shuffle on user_id; the histogram
+    * window is grid-bounded; output is one row. */
+  def q71TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("s_ts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"))
+      .join(su, "user_id")
+      .filter(col("p_ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min(col("p_ts") - col("s_ts")).as("d_us"))
+    val hist = pu.select(expr("d_us div 60000000").as("d_min"))
+      .groupBy("d_min").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("d_min")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("nv")).over(w))
+    val tot = cum.agg(max(col("cum")).as("n_conv"))
+    val nSigned = su.agg(count(lit(1)).as("n_signed"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n_conv"))
+      .agg(min(col("d_min")).as("median_min"), max(col("n_conv")).as("n_conv"))
+    val p90 = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= col("n_conv") * 9)
+      .agg(min(col("d_min")).as("p90_min"))
+    nSigned.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .select(col("n_signed"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_signed").cast("double"), 6)
+          .as("conv_rate"),
+        col("median_min"), col("p90_min"))
+  }
+
+  private val timeToConvertOracle: String =
+    """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_ts
+                   FROM events WHERE event_type = 'signup' GROUP BY 1),
+         pu AS (SELECT e.user_id, min(epoch_us(e.ts) - su.s_ts) AS d_us
+                FROM events e JOIN su ON e.user_id = su.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_ts
+                GROUP BY 1),
+         hist AS (SELECT d_us // 60000000 AS d_min, count(*)::BIGINT AS nv
+                  FROM pu GROUP BY 1),
+         cum AS (SELECT d_min,
+                        sum(nv) OVER (ORDER BY d_min ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist),
+         tot AS (SELECT max(cum)::BIGINT AS n_conv FROM cum),
+         ns AS (SELECT count(*)::BIGINT AS n_signed FROM su),
+         med AS (SELECT min(d_min) AS median_min FROM cum, tot
+                 WHERE cum * 2 >= n_conv),
+         p90 AS (SELECT min(d_min) AS p90_min FROM cum, tot
+                 WHERE cum * 10 >= n_conv * 9)
+       SELECT ns.n_signed, tot.n_conv,
+              round(CAST(tot.n_conv AS DOUBLE) / CAST(ns.n_signed AS DOUBLE), 6) AS conv_rate,
+              CAST(med.median_min AS BIGINT) AS median_min,
+              CAST(p90.p90_min AS BIGINT) AS p90_min
+       FROM ns, tot, med, p90"""
+
+  /** q72: feed-health report — the data-quality monitor every
+    * long-running ingest needs: per event type, the LOWER-median
+    * daily volume and which days ran at under half of it
+    * (underfeed days). Median by the integer cross-multiplied rule
+    * over the per-type daily series (bounded window); "low" decided
+    * as cnt·2 < median in exact integers. */
+  def q72FeedHealth(spark: SparkSession, dir: String): DataFrame =
+    feedHealthCore(Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+
+  /** The report over ANY (event_type, day, cnt) daily series — the
+    * spec plants a synthetic underfeed day through this seam. */
+  def feedHealthCore(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("cnt", "day")
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val med = daily
+      .withColumn("rk", row_number().over(w))
+      .join(n, "event_type")
+      .filter(col("rk") * 2 >= col("n_days"))
+      .groupBy("event_type").agg(min(col("cnt")).as("median_daily"))
+    daily.join(med, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        first(col("median_daily")).as("median_daily"),
+        sum(when(col("cnt") * 2 < col("median_daily"), 1L).otherwise(0L)).as("n_low_days"),
+        min(when(col("cnt") * 2 < col("median_daily"), col("day"))).as("first_low_day"))
+      .orderBy("event_type")
+  }
+
+  private val feedHealthOracle: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                             count(*)::BIGINT AS cnt
+                      FROM events GROUP BY 1, 2),
+         n AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+         rk AS (SELECT d.event_type, d.cnt,
+                       row_number() OVER (PARTITION BY d.event_type ORDER BY d.cnt, d.day) AS rk,
+                       n.n_days
+                FROM daily d JOIN n ON d.event_type = n.event_type),
+         med AS (SELECT event_type, min(cnt) AS median_daily
+                 FROM rk WHERE rk * 2 >= n_days GROUP BY 1)
+       SELECT d.event_type, count(*)::BIGINT AS n_days,
+              CAST(any_value(m.median_daily) AS BIGINT) AS median_daily,
+              sum(CASE WHEN d.cnt * 2 < m.median_daily THEN 1 ELSE 0 END)::BIGINT AS n_low_days,
+              min(CASE WHEN d.cnt * 2 < m.median_daily THEN d.day END) AS first_low_day
+       FROM daily d JOIN med m ON d.event_type = m.event_type
+       GROUP BY 1 ORDER BY d.event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_time_to_convert", q71TimeToConvert, Some(timeToConvertOracle)),
+    QueryDef("q72_feed_health", q72FeedHealth, Some(feedHealthOracle)),
     QueryDef("q68_seasonality", q68Seasonality, Some(seasonalityOracle)),
     QueryDef("q70_ohlc", q70Ohlc, Some(ohlcOracle)),
     QueryDef("q69_cusum", q69Cusum, Some(cusumOracle)),

@@ -601,6 +601,40 @@ class Round12Spec extends SparkSpec {
     assert(b1 == wantB1, s"resample-1 mean $b1 vs replay $wantB1")
   }
 
+  test("q71_time_to_convert: delays replay exactly; percentile rule is the lower-percentile") {
+    val r = graft.operators.EventAnalytics.q71TimeToConvert(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val delays = ev.filter(_._2 == "purchase").flatMap { case (u, _, t) =>
+      su.get(u).filter(t >= _).map(s => (u, t - s)) }
+      .groupBy(_._1).values.map(_.map(_._2).min / 60000000L).toSeq.sorted
+    assert(r.getLong(0) == su.size, "n_signed")
+    assert(r.getLong(1) == delays.size, "n_conv")
+    def lowerPct(num: Long, den: Long): Long = {
+      var cum = 0L
+      delays.groupBy(identity).toSeq.sortBy(_._1)
+        .find { case (_, g) => cum += g.size; cum * den >= num * delays.size }.get._1
+    }
+    assert(r.getLong(3) == lowerPct(1, 2), s"median ${r.getLong(3)}")
+    assert(r.getLong(4) == lowerPct(9, 10), s"p90 ${r.getLong(4)}")
+  }
+
+  test("q72_feed_health: a planted underfeed day is detected, healthy feeds read zero") {
+    import SparkSpec.spark.implicits._
+    // healthy on the real corpus (synthetic feed is dense): all zeros
+    val real = graft.operators.EventAnalytics.q72FeedHealth(spark, sf).collect()
+    real.foreach { r => assert(r.getLong(1) > 0, "days counted") }
+    // planted: 9 days at 100, one day at 30 (< half the median 100)
+    val daily = ((1L to 9L).map(d => ("t", d, 100L)) :+ (("t", 10L, 30L)))
+      .toDF("event_type", "day", "cnt")
+    val out = graft.operators.EventAnalytics.feedHealthCore(daily).collect().head
+    assert(out.getLong(1) == 10 && out.getLong(2) == 100L, "median of planted series")
+    assert(out.getLong(3) == 1L && out.getLong(4) == 10L,
+      s"planted underfeed day not flagged: ${out.mkString(",")}")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
