@@ -286,6 +286,53 @@ object Dedup {
         FROM documents d LEFT JOIN l$ClusterIters l ON d.doc_id = l.v
         ORDER BY d.doc_id"""
 
+  /** Per-source duplication report — the readout a corpus owner reads
+    * BEFORE setting mixing rates: for each source, how many docs
+    * collapse into someone else's cluster (duplicate rate) and how
+    * many of those keepers live in a DIFFERENT source (cross-source
+    * leakage — the signal that two feeds crawl the same sites).
+    * Composes the production cluster chain ([[dedupCluster]]'s
+    * persisted-minhash → CC → keeper assignment) with one narrow
+    * doc_id→source join and a keeper-source lookup; everything after
+    * the (tiny) pair graph is |docs|-row narrow joins. */
+  def dedupSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val assign = dedupCluster(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val keeperSrc = assign.filter(col("is_keep"))
+      .select(col("cluster"), col("source").as("keeper_source"))
+    assign.join(keeperSrc, "cluster")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_keep"), 1L).otherwise(0L)).as("n_dups"),
+        sum(when(!col("is_keep") && col("keeper_source") =!= col("source"), 1L)
+          .otherwise(0L)).as("n_cross_source"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("n_cross_source"))
+      .orderBy("source")
+  }
+
+  private val sourceReportOracle: String =
+    s"""WITH $minhashPairCtes,
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(ClusterIters)},
+          asg AS (SELECT d.doc_id, d.source,
+                         coalesce(l.comp, d.doc_id) AS cluster,
+                         (d.doc_id = coalesce(l.comp, d.doc_id)) AS is_keep
+                  FROM documents d LEFT JOIN l$ClusterIters l ON d.doc_id = l.v),
+          ks AS (SELECT a.cluster, a.source AS keeper_source FROM asg a WHERE a.is_keep)
+        SELECT a.source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN NOT a.is_keep THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+               round(sum(CASE WHEN NOT a.is_keep THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               sum(CASE WHEN NOT a.is_keep AND k.keeper_source <> a.source
+                        THEN 1 ELSE 0 END)::BIGINT AS n_cross_source
+        FROM asg a JOIN ks k ON a.cluster = k.cluster
+        GROUP BY 1 ORDER BY a.source"""
+
   /** Winnowing common-substring candidate pairs (GraftOps.winnowPairs):
     * docs sharing ≥ WinnowMinShared selected k-gram fingerprints under a
     * w-window winnowing scheme — detects literal copied runs of
@@ -551,6 +598,7 @@ object Dedup {
       Some(minhashIncrementalOracle)),
     QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
+    QueryDef("dedup_source_report", dedupSourceReport, Some(sourceReportOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),
     QueryDef("dedup_embedding_auto", dedupEmbeddingAuto, Some(embLshAutoOracle)),
     QueryDef("dedup_embedding_exact", dedupEmbeddingExact, Some(

@@ -314,7 +314,83 @@ object TextProfile {
                     CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 6) >= $SourceJaccardFloor
         ORDER BY a, b"""
 
+  /** Feature-hashed document embeddings (Weinberger et al. 2009 — the
+    * hashing trick): every token lands in dim = hash32(t) mod
+    * [[EmbedDims]] with sign 1−2·(next hash bit), weight = signed term
+    * frequency — a model-free text→vector bridge whose vectors are
+    * EXACT INTEGERS (no float path anywhere in the embedding itself).
+    * Emitted in sparse (doc, dim, w≠0) long form — the 100 TB storage
+    * shape; densification is the consumer's (cheap, in-row) step.
+    * Scale: one explode + one (doc, dim) groupBy, shuffle ∝ corpus
+    * nnz ≤ docs×[[EmbedDims]]. */
+  val EmbedDims = 64
+  def hashEmbedSparse(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h")
+      .selectExpr("doc_id", s"CAST(h % $EmbedDims AS INT) AS dim",
+        s"(1 - ((h div $EmbedDims) % 2) * 2) AS sign")
+      .groupBy("doc_id", "dim").agg(sum(col("sign")).as("w"))
+      .filter(col("w") =!= 0)
+
+  def textHashEmbedding(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedSparse(spark, dir).orderBy("doc_id", "dim")
+
+  private val hashEmbedCtes: String =
+    s"""tokh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+        sp AS MATERIALIZED (SELECT doc_id, CAST(h % $EmbedDims AS INT) AS dim,
+                   CAST(sum(1 - ((h // $EmbedDims) % 2) * 2) AS BIGINT) AS w
+            FROM tokh GROUP BY 1, 2 HAVING sum(1 - ((h // $EmbedDims) % 2) * 2) <> 0)"""
+
+  private val hashEmbeddingOracle: String =
+    s"""WITH $hashEmbedCtes
+        SELECT doc_id, dim, w FROM sp ORDER BY doc_id, dim"""
+
+  /** Top-k similar documents over the hashed embeddings — the
+    * text-native ANN ground truth: densify the sparse vectors in-row
+    * (a 64-slot map lookup), then the standard broadcast-queries
+    * cosine top-k. Dot products are exact integer arithmetic in
+    * doubles (vectors are signed counts), cosine's two sqrt/divide at
+    * the edge — bit-identical cross-engine. */
+  val EmbedKnnQueries = 10
+  val EmbedKnnK = 5
+  def textEmbedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val dense = hashEmbedSparse(spark, dir)
+      .groupBy(col("doc_id").as("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
+      .selectExpr("vec_id",
+        s"transform(sequence(0, ${EmbedDims - 1}), i -> CAST(coalesce(element_at(m, i), 0L) AS DOUBLE)) AS embedding")
+    graft.api.GraftOps.cosineTopK(dense, "vec_id", "embedding",
+        dense.filter(col("vec_id") < EmbedKnnQueries), k = EmbedKnnK)
+      .orderBy("qid", "rnk")
+  }
+
+  private val embedKnnOracle: String =
+    s"""WITH $hashEmbedCtes,
+        dims AS (SELECT unnest(generate_series(0, ${EmbedDims - 1})) AS dim),
+        dv AS (SELECT d.doc_id, m.dim, coalesce(s.w, 0) AS w
+               FROM (SELECT DISTINCT doc_id FROM sp) d CROSS JOIN dims m
+               LEFT JOIN sp s ON s.doc_id = d.doc_id AND s.dim = m.dim),
+        vec AS MATERIALIZED (SELECT doc_id, list(CAST(w AS DOUBLE) ORDER BY dim) AS v
+               FROM dv GROUP BY 1),
+        q AS (SELECT doc_id AS qid, v AS qv FROM vec WHERE doc_id < $EmbedKnnQueries),
+        c AS (SELECT q.qid, e.doc_id AS neighbor,
+                     list_dot_product(q.qv, e.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+              FROM q, vec e WHERE e.doc_id <> q.qid),
+        r AS (SELECT qid, neighbor, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+              FROM c)
+        SELECT qid, rnk, neighbor, round(cos, 6) AS cos
+        FROM r WHERE rnk <= $EmbedKnnK ORDER BY qid, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_hash_embedding", textHashEmbedding, Some(hashEmbeddingOracle)),
+    QueryDef("text_embed_knn", textEmbedKnn, Some(embedKnnOracle)),
     QueryDef("cur_source_jaccard", sourceJaccard, Some(sourceJaccardOracle)),
     QueryDef("text_js_divergence", jsDivergence, Some(jsOracle)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfOracle)),

@@ -635,6 +635,64 @@ class Round12Spec extends SparkSpec {
       s"planted underfeed day not flagged: ${out.mkString(",")}")
   }
 
+  test("dedup_source_report: totals replay from the cluster assignment joined to sources") {
+    val rep = graft.operators.Dedup.dedupSourceReport(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val assign = graft.operators.Dedup.dedupCluster(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keeperSrc = assign.filter(_._3).map(a => a._2 -> src(a._1)).toMap
+    val expect = assign.groupBy(a => src(a._1)).map { case (s, as) =>
+      s -> (as.size.toLong, as.count(!_._3).toLong,
+        as.count(a => !a._3 && keeperSrc(a._2) != s).toLong)
+    }
+    assert(rep == expect, "per-source report differs from the assignment replay")
+    assert(rep.values.map(_._1).sum ==
+      graft.sources.Tables.documents(spark, sf).count(), "docs partitioned")
+  }
+
+  test("text_hash_embedding: the hashing trick replays exactly from driver-side md5") {
+    val out = graft.operators.TextProfile.textHashEmbedding(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = graft.operators.TextProfile.EmbedDims
+    val expect = scala.collection.mutable.Map[(Long, Int), Long]()
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().foreach { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).foreach { t =>
+          val h = java.lang.Long.parseLong(
+            md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+          val key = (r.getLong(0), (h % d).toInt)
+          expect(key) = expect.getOrElse(key, 0L) + (1 - (h / d) % 2 * 2)
+        }
+      }
+    assert(out == expect.filter(_._2 != 0).toMap, "sparse embedding differs")
+  }
+
+  test("text_embed_knn: neighbor cosines recompute from the sparse vectors") {
+    val knn = graft.operators.TextProfile.textEmbedKnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val d = graft.operators.TextProfile.EmbedDims
+    val sp = graft.operators.TextProfile.hashEmbedSparse(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rs =>
+        val v = new Array[Double](d); rs.foreach(x => v(x._2) = x._3.toDouble); v
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dp, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    knn.foreach { case ((q, n), c) =>
+      assert(n != q, s"query $q returned itself")
+      assert(math.abs(cos(sp(q), sp(n)) - c) < 1e-9, s"($q,$n) cosine $c")
+    }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
