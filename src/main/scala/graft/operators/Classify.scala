@@ -792,6 +792,49 @@ object Classify {
                    / (CAST(n AS DOUBLE) * n)), 6) END AS kappa
         FROM t"""
 
+  /** Per-SOURCE confusion slices of the NB classifier — the eval that
+    * finds WHERE a model fails, not just whether: the same exact 2×2
+    * agreement counts as [[mlKappa]] but grouped by document source,
+    * with per-slice accuracy. Slice-based evaluation is the
+    * production follow-up to every aggregate metric (a model can hold
+    * 0.9 overall while cratering on one feed).
+    * Scale: the NB chain is scan-bound; the extra cost is one narrow
+    * (doc_id, source) join and a |sources|-row agg. */
+  def mlConfusionBySource(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), (col("doc_id") % 3 === 0).as("p1"))
+    val p2 = nbApply(spark, dir).select(col("doc_id"), col("predicted").as("p2"))
+    p1.join(p2, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p1") && !col("p2"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p1") && col("p2"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p1") && !col("p2"), 1L).otherwise(0L)).as("tn"))
+      .select(col("source"), col("n"), col("tp"), col("fn"), col("fp"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6).as("accuracy"))
+      .orderBy("source")
+  }
+
+  private val confusionBySourceOracle: String =
+    s"""WITH $nbModelSql,
+        truth AS (SELECT doc_id, source, doc_id % 3 = 0 AS p1 FROM documents),
+        priors AS (SELECT ln(count(*) FILTER (doc_id % 3 = 0) / CAST(count(*) AS DOUBLE)) AS lp_spam,
+                          ln(count(*) FILTER (doc_id % 3 <> 0) / CAST(count(*) AS DOUBLE)) AS lp_ham
+                   FROM documents),
+        nbsc AS (SELECT tok.doc_id, sum(mo.ll_spam) AS ss, sum(mo.ll_ham) AS sh
+                 FROM tok JOIN model mo ON tok.t = mo.t GROUP BY 1),
+        nb AS (SELECT s.doc_id, (s.ss + p.lp_spam > s.sh + p.lp_ham) AS p2
+               FROM nbsc s, priors p),
+        pair AS (SELECT t.source, t.p1, q.p2 FROM truth t JOIN nb q USING (doc_id))
+        SELECT source, count(*)::BIGINT AS n,
+               sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS fn,
+               sum(CASE WHEN NOT p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN NOT p1 AND NOT p2 THEN 1 ELSE 0 END)::BIGINT AS tn,
+               round(CAST(sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+        FROM pair GROUP BY 1 ORDER BY source"""
+
   /** Matthews correlation coefficient of the NB classifier vs ground
     * truth — kappa's sibling on the SAME 2×2 agreement table, but
     * symmetric in the four cells (the binary-case Pearson φ): MCC =
@@ -1032,6 +1075,7 @@ object Classify {
     QueryDef("ml_lift_curve", mlLiftCurve, Some(liftCurveOracle)),
     QueryDef("ml_kappa", mlKappa, Some(kappaOracle)),
     QueryDef("ml_mcc", mlMcc, Some(mccOracle)),
+    QueryDef("ml_confusion_by_source", mlConfusionBySource, Some(confusionBySourceOracle)),
     QueryDef("ml_logreg_batch", mlLogregBatch, Some(logregBatchOracle)),
     QueryDef("ml_calibration", mlCalibration, Some(calibrationOracle)),
     QueryDef("spam_train", train, Some(trainOracle(SerialOrder))),

@@ -643,6 +643,41 @@ object Relational2 {
       .orderBy("g")
   }
 
+  /** q73: basket-size distribution — lineitems per order as an exact
+    * histogram with shares and cumulative shares (the order-shape
+    * profile behind picking bucketing/batching constants). Shuffle ∝
+    * orders (one count per orderkey, map-side combined); the share
+    * window runs over the size histogram — bounded by the max basket
+    * size, a data-model constant. */
+  def q73BasketSize(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = sizes.agg(sum(col("n_orders")).as("n_tot"))
+    sizes
+      .withColumn("cum", sum(col("n_orders")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("sz").as("basket_size"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_tot").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("n_tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("basket_size")
+  }
+
+  private val basketSizeOracle: String =
+    """WITH s AS (SELECT l_orderkey, count(*)::BIGINT AS sz FROM lineitem GROUP BY 1),
+         h AS (SELECT sz, count(*)::BIGINT AS n_orders FROM s GROUP BY 1),
+         c AS (SELECT sz, n_orders,
+                      sum(n_orders) OVER (ORDER BY sz ROWS UNBOUNDED PRECEDING) AS cum
+               FROM h),
+         t AS (SELECT sum(n_orders)::BIGINT AS n_tot FROM h)
+       SELECT c.sz AS basket_size, c.n_orders,
+              round(CAST(c.n_orders AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6) AS share,
+              round(CAST(c.cum AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6) AS cum_share
+       FROM c, t ORDER BY basket_size"""
+
   private val giniOracle: String =
     """WITH li AS (SELECT l_returnflag AS g,
                           CAST(round(l_extendedprice * 100) AS BIGINT) AS v
@@ -700,6 +735,7 @@ object Relational2 {
     QueryDef("q65_streaks", q65Streaks, Some(streaksOracle)),
     QueryDef("q66_mom_growth", q66MomGrowth, Some(momGrowthOracle)),
     QueryDef("q67_gini", q67Gini, Some(giniOracle)),
+    QueryDef("q73_basket_size", q73BasketSize, Some(basketSizeOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),

@@ -30,7 +30,7 @@ object IoRoundtrip {
   /** Drop the memoized written roots (both the format-roundtrip and
     * schema-evolution layouts) so a timed pass pays the full
     * write+read cost (benchmark harnesses call this between passes). */
-  def reset(): Unit = { memo.clear(); evoMemo.clear(); partMemo.clear() }
+  def reset(): Unit = { memo.clear(); evoMemo.clear(); partMemo.clear(); snapMemo.clear() }
 
   private def writtenRoot(spark: SparkSession, dir: String): String =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
@@ -165,7 +165,79 @@ object IoRoundtrip {
         GROUP BY 1 ORDER BY event_type"""
   }
 
+  /** Snapshot diff — "what changed between yesterday's table and
+    * today's", answered at PARTITION granularity the way a manifest
+    * diff would (per-day row counts + exact cent sums from the two
+    * partitioned layouts, never a row-level join): days only in the
+    * new snapshot are `added`, days whose stats moved are `changed`
+    * (the old snapshot deterministically drops half the rows of the
+    * first five days — simulated late-arriving data), untouched days
+    * are `same`. At 100 TB the diff cost is two partition-pruned
+    * stat aggregations and a |days|-row outer join — the row data of
+    * unchanged partitions is read for stats only here; a real
+    * lakehouse manifest already carries them in footers. */
+  private val snapMemo = scala.collection.concurrent.TrieMap[String, String]()
+  val SnapCutoffDays = 15L
+  val SnapLateDays = 5L
+  private def snapshotRoot(spark: SparkSession, dir: String): String =
+    snapMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft-snap", key).toString
+      val minDay = graft.operators.ScaleOps.partitionedEvents(spark, dir)._2
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          expr("ts_us div 86400000000").as("day"))
+        .filter(col("day") < minDay + SnapCutoffDays &&
+          !(col("day") < minDay + SnapLateDays && col("event_id") % 2 === 1))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+      root
+    })
+
+  def ioSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (fullPath, _) = graft.operators.ScaleOps.partitionedEvents(spark, dir)
+    val s1 = spark.read.parquet(snapshotRoot(spark, dir))
+      .groupBy("day").agg(count(lit(1)).as("n1"), sum(col("cents")).as("c1"))
+    val s2 = spark.read.parquet(fullPath)
+      .select(col("day"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(count(lit(1)).as("n2"), sum(col("cents")).as("c2"))
+    s1.join(s2, Seq("day"), "full_outer")
+      .select(col("day").cast("long").as("day"),
+        coalesce(col("n1"), lit(0L)).as("rows_old"),
+        coalesce(col("n2"), lit(0L)).as("rows_new"),
+        coalesce(col("c1"), lit(0L)).as("cents_old"),
+        coalesce(col("c2"), lit(0L)).as("cents_new"),
+        when(col("n1").isNull, "added")
+          .when(col("n1") === col("n2") && col("c1") === col("c2"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy("day")
+  }
+
+  private val snapshotDiffOracle: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+         m AS (SELECT min(day) AS mn FROM e),
+         s1 AS (SELECT day, count(*)::BIGINT AS n1, CAST(sum(cents) AS BIGINT) AS c1
+                FROM e, m
+                WHERE day < mn + $SnapCutoffDays
+                  AND NOT (day < mn + $SnapLateDays AND event_id % 2 = 1)
+                GROUP BY 1),
+         s2 AS (SELECT day, count(*)::BIGINT AS n2, CAST(sum(cents) AS BIGINT) AS c2
+                FROM e GROUP BY 1)
+       SELECT coalesce(s2.day, s1.day) AS day,
+              coalesce(s1.n1, 0) AS rows_old, coalesce(s2.n2, 0) AS rows_new,
+              coalesce(s1.c1, 0) AS cents_old, coalesce(s2.c2, 0) AS cents_new,
+              CASE WHEN s1.day IS NULL THEN 'added'
+                   WHEN s1.n1 = s2.n2 AND s1.c1 = s2.c2 THEN 'same'
+                   ELSE 'changed' END AS status
+       FROM s1 FULL OUTER JOIN s2 ON s1.day = s2.day
+       ORDER BY day"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_snapshot_diff", ioSnapshotDiff, Some(snapshotDiffOracle)),
     QueryDef("io_format_roundtrip", roundtrip, Some(roundtripOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     QueryDef("io_partitioned_write", partitionedWrite, Some(partitionedOracle)),

@@ -693,6 +693,43 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q73_basket_size: histogram replays; shares integrate to one") {
+    val out = graft.operators.Relational2.q73BasketSize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val sizes = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+      .collect().map(_.getLong(1))
+    val hist = sizes.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == hist, "histogram differs")
+    assert(out.last._4 == 1.0, "cumulative share must end at 1")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "shares sum to ~1")
+  }
+
+  test("ml_confusion_by_source: slices partition ml_kappa's global 2x2 table") {
+    val slices = graft.operators.Classify.mlConfusionBySource(spark, sf).collect()
+    val g = graft.operators.Classify.mlKappa(spark, sf).collect().head
+    assert(slices.map(_.getLong(1)).sum == g.getLong(0), "n")
+    assert(slices.map(_.getLong(2)).sum == g.getLong(1), "tp = a")
+    assert(slices.map(_.getLong(3)).sum == g.getLong(2), "fn = b")
+    assert(slices.map(_.getLong(4)).sum == g.getLong(3), "fp = c")
+    assert(slices.map(_.getLong(5)).sum == g.getLong(4), "tn = d")
+  }
+
+  test("io_snapshot_diff: the planted late-arrival split yields all three statuses") {
+    val rows = graft.sources.IoRoundtrip.ioSnapshotDiff(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5)))
+    val statuses = rows.map(_._4).toSet
+    assert(statuses == Set("added", "changed", "same"), s"statuses $statuses")
+    rows.foreach { case (day, old, nu, st) =>
+      assert(old <= nu, s"day $day shrank")
+      st match {
+        case "added" => assert(old == 0L, s"day $day added but old rows $old")
+        case "same" => assert(old == nu, s"day $day same but counts differ")
+        case "changed" => assert(old < nu, s"day $day changed but counts equal")
+      }
+    }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
