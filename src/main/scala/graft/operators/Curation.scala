@@ -249,6 +249,46 @@ object Curation {
               round(CAST(max(cum_toks) AS DOUBLE) / CAST(max(budget) AS DOUBLE), 6) AS utilization
        FROM sel"""
 
+  /** Token-budget ADMISSION over ANY (doc_id, text) pool — the
+    * selection seam cur_pipeline_v7 composes: the admitted set is all
+    * docs whose quality score clears the histogram-frontier cutoff
+    * (equivalently, the maximal top-down whole-bucket prefix within
+    * 3/5 of the pool's tokens — a distinct-score prefix IS a
+    * score ≥ cutoff filter). */
+  def tokenBudgetAdmit(docsDf: DataFrame): DataFrame = {
+    val scored = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        expr("CAST(round(size(array_distinct(toks)) / size(toks) * 1e6) AS BIGINT)")
+          .as("score"))
+    val hist = scored.groupBy("score").agg(sum(col("n_toks")).as("toks"))
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cut = hist
+      .withColumn("cum", sum(col("toks")).over(w))
+      .crossJoin(broadcast(hist.agg(expr("sum(toks) * 3 div 5").as("budget"))))
+      .filter(col("cum") <= col("budget"))
+      .agg(min(col("score")).as("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("score") >= col("cutoff"))
+      .select(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[tokenBudgetAdmit]] over relation `rel`
+    * (emits CTEs ending in `admitted(doc_id)`). */
+  def tokenBudgetAdmitCtesFrom(rel: String): String =
+    s"""tbsc AS MATERIALIZED (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 CAST(round(len(list_distinct(string_split(text, ' ')))
+                            / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS score
+          FROM $rel),
+        tbh AS (SELECT score, CAST(sum(n_toks) AS BIGINT) AS toks FROM tbsc GROUP BY 1),
+        tbc AS (SELECT score,
+                       sum(toks) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM tbh),
+        tbt AS (SELECT CAST(sum(toks) AS BIGINT) * 3 // 5 AS budget FROM tbh),
+        tbcut AS (SELECT min(score) AS cutoff FROM tbc, tbt WHERE cum <= budget),
+        admitted AS (SELECT doc_id FROM tbsc, tbcut WHERE score >= cutoff)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("cur_chunk_passages", chunkPassages, Some(chunkOracle)),

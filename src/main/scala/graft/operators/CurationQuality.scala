@@ -740,6 +740,57 @@ object CurationQuality {
         AND round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6)
             BETWEEN $MinMeanLen AND $MaxMeanLen"""
 
+  /** v7: the BUDGETED corpus build — quality rules → near-dup cluster
+    * keepers → token-budget selection (admit the highest-diversity
+    * score buckets within 3/5 of the surviving pool's tokens — the
+    * cur_token_budget seam) → 80/10/10 split. The composition the
+    * r12 additions exist for: selection runs AFTER dedup so budget
+    * isn't spent on duplicates, and the admit step is the
+    * histogram-frontier filter (score ≥ cutoff), never a global row
+    * sort. Stages chain through narrow doc_id joins. */
+  def pipelineV7(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
+      .select("doc_id", "text").localCheckpoint()
+    val pairs = graft.api.GraftOps.minhashCandidates(qdocs, "doc_id", "text")
+      .select(col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
+    val kept = qdocs
+      .join(cc, col("doc_id") === cc("v"), "left")
+      .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // consumed by the budget histogram AND the admit filter
+    val admitted = Curation.tokenBudgetAdmit(kept)
+    Curation.splitHash(kept.join(admitted, "doc_id"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  private lazy val pipelineV7Oracle: String =
+    s"""WITH qdocs AS MATERIALIZED (
+            SELECT doc_id, text
+            FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+            WHERE $qualityPassSql
+          ),
+          ${Dedup.minhashPairCtesFrom("qdocs")},
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${Graph.ccUnrolledCtes(Dedup.ClusterIters)},
+          kept AS MATERIALIZED (SELECT d.doc_id, d.text FROM qdocs d
+                   LEFT JOIN l${Dedup.ClusterIters} l ON d.doc_id = l.v
+                   WHERE d.doc_id = coalesce(l.comp, d.doc_id)),
+          ${Curation.tokenBudgetAdmitCtesFrom("kept")},
+          sel AS (SELECT k.doc_id, k.text FROM kept k JOIN admitted USING (doc_id))
+        SELECT CASE WHEN $hashSql % 100 < ${Curation.TrainUpper} THEN 'train'
+                    WHEN $hashSql % 100 < ${Curation.ValUpper} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM sel GROUP BY 1 ORDER BY split"""
+
   // lazy: references hashSql, declared after it in the object body
   private lazy val pipelineOracle: String =
     s"""WITH qdocs AS MATERIALIZED (
@@ -1008,6 +1059,7 @@ object CurationQuality {
     QueryDef("cur_pipeline_v4", pipelineV4, Some(pipelineV4Oracle)),
     QueryDef("cur_pipeline_v5", pipelineV5, Some(pipelineV5Oracle)),
     QueryDef("cur_pipeline_v6", pipelineV6, Some(pipelineV6Oracle)),
+    QueryDef("cur_pipeline_v7", pipelineV7, Some(pipelineV7Oracle)),
     QueryDef("cur_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("cur_domain_mix", domainMix, Some(
       s"""WITH base AS (SELECT source, doc_id, $hashSql AS h FROM documents),

@@ -730,6 +730,22 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("cur_pipeline_v7: budget binds against v1's identical pre-selection chain") {
+    val v1 = graft.operators.CurationQuality.pipeline(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v7 = graft.operators.CurationQuality.pipelineV7(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // v7 = v1 + the token-budget stage: per-split counts can only shrink
+    v7.foreach { case (split, (n7, t7)) =>
+      val (n1, t1) = v1(split)
+      assert(n7 <= n1 && t7 <= t1, s"$split grew under selection")
+    }
+    // the budget is 3/5 of the kept pool's tokens — v1's total IS that pool
+    val poolToks = v1.values.map(_._2).sum
+    assert(v7.values.map(_._2).sum <= poolToks * 3 / 5,
+      s"admitted tokens ${v7.values.map(_._2).sum} exceed the 3/5 budget of $poolToks")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
