@@ -115,6 +115,126 @@ object MlTrees {
         WHERE c.n_left < t.n
         ORDER BY gain DESC, c.feature, threshold LIMIT $StumpTopK"""
 
+  /** Depth-2 decision tree — real recursive partitioning past the
+    * stump tier: the best root split (variance-reduction argmax over
+    * the per-(feature, value) histogram, exactly mlTreeStump's
+    * machinery), then the best split INSIDE each child, found by the
+    * same one-pass histogram chain with `side` added to the grouping
+    * key. Selection is cross-engine deterministic: gains are one
+    * fixed-order double expression over exact decimal(38) moments,
+    * ranked ROUNDED with (feature, threshold) tie-breaks. Emits the
+    * three internal nodes (root, L, R) with their split, child
+    * counts, leaf means and gain.
+    * Scale: TWO histogram passes over the corpus total (the root
+    * argmax is a broadcast 1-row join into the second pass — the
+    * level-wise XGBoost discipline: one pass per DEPTH, never per
+    * node). */
+  def mlTreeDepth2(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseRows(spark, dir).localCheckpoint() // two passes read it
+    def candidates(rows: DataFrame, part: Seq[String]): DataFrame = {
+      val melt = Seq("qty", "disc", "tax").map { f =>
+        rows.select(part.map(col) :+ lit(f).as("feature") :+ col(f).as("v") :+ col("y"): _*)
+      }.reduce(_ unionAll _)
+      val keys = part :+ "feature"
+      val hist = melt.groupBy((keys :+ "v").map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum(col("y").cast("decimal(38,0)")).as("sy"))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("n_left", sum(col("cnt")).over(w))
+        .withColumn("s_left", sum(col("sy")).over(w))
+      val tot = hist.groupBy(keys.map(col): _*)
+        .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("s"))
+      cum.join(tot, keys)
+        .filter(col("n_left") < col("n"))
+        .select(part.map(col) ++ Seq(col("feature"), col("v").as("threshold"),
+          col("n_left"), (col("n") - col("n_left")).as("n_right"),
+          round(col("s_left").cast("double") / col("n_left") / 100, 4).as("mean_left"),
+          round((col("s").cast("double") - col("s_left").cast("double"))
+            / (col("n") - col("n_left")) / 100, 4).as("mean_right"),
+          round(gainCol(col("n_left"), col("s_left"), col("n"), col("s")) / 1e8, 4)
+            .as("gain")): _*)
+    }
+    val root = candidates(base, Seq.empty)
+      .orderBy(col("gain").desc, col("feature"), col("threshold")).limit(1)
+      .localCheckpoint() // broadcast into the level-2 pass AND the output
+    val sided = base.crossJoin(broadcast(
+        root.select(col("feature").as("rf"), col("threshold").as("rt"))))
+      .withColumn("side",
+        when(expr("CASE rf WHEN 'qty' THEN qty WHEN 'disc' THEN disc ELSE tax END")
+          <= col("rt"), "L").otherwise("R"))
+    val wBest = Window.partitionBy("side")
+      .orderBy(col("gain").desc, col("feature"), col("threshold"))
+    val best2 = candidates(sided, Seq("side"))
+      .withColumn("rnk", row_number().over(wBest)).filter(col("rnk") === 1)
+    root.select(lit("root").as("node"), col("feature"), col("threshold"),
+        col("n_left"), col("n_right"), col("mean_left"), col("mean_right"), col("gain"))
+      .unionAll(best2.select(col("side").as("node"), col("feature"), col("threshold"),
+        col("n_left"), col("n_right"), col("mean_left"), col("mean_right"), col("gain")))
+      .orderBy("node")
+  }
+
+  private val depth2Oracle: String = {
+    val gainSql = (p: String) =>
+      s"""round(($p.s_left::DOUBLE * $p.s_left::DOUBLE / $p.n_left::DOUBLE
+              + (t.s::DOUBLE - $p.s_left::DOUBLE) * (t.s::DOUBLE - $p.s_left::DOUBLE)
+                / (t.n::DOUBLE - $p.n_left::DOUBLE)
+              - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE) / 1e8, 4)"""
+    s"""WITH base AS MATERIALIZED ($baseSql),
+          melt1 AS (SELECT 'qty' AS feature, qty AS v, y FROM base
+                    UNION ALL SELECT 'disc', disc, y FROM base
+                    UNION ALL SELECT 'tax', tax, y FROM base),
+          hist1 AS MATERIALIZED (SELECT feature, v, count(*) AS cnt, sum(y) AS sy
+                   FROM melt1 GROUP BY 1, 2),
+          cum1 AS (SELECT feature, v,
+                          sum(cnt) OVER tw AS n_left, sum(sy) OVER tw AS s_left
+                   FROM hist1
+                   WINDOW tw AS (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING)),
+          tot1 AS (SELECT feature, sum(cnt) AS n, sum(sy) AS s FROM hist1 GROUP BY 1),
+          cand1 AS (SELECT c.feature, c.v AS threshold,
+                           c.n_left::BIGINT AS n_left, (t.n - c.n_left)::BIGINT AS n_right,
+                           round(c.s_left::DOUBLE / c.n_left / 100, 4) AS mean_left,
+                           round((t.s::DOUBLE - c.s_left::DOUBLE) / (t.n - c.n_left) / 100, 4) AS mean_right,
+                           ${gainSql("c")} AS gain
+                    FROM cum1 c JOIN tot1 t ON c.feature = t.feature
+                    WHERE c.n_left < t.n),
+          root AS MATERIALIZED (SELECT * FROM cand1
+                  ORDER BY gain DESC, feature, threshold LIMIT 1),
+          sided AS MATERIALIZED (SELECT b.*,
+                   CASE WHEN (CASE r.feature WHEN 'qty' THEN b.qty
+                              WHEN 'disc' THEN b.disc ELSE b.tax END) <= r.threshold
+                        THEN 'L' ELSE 'R' END AS side
+                 FROM base b, root r),
+          melt2 AS (SELECT side, 'qty' AS feature, qty AS v, y FROM sided
+                    UNION ALL SELECT side, 'disc', disc, y FROM sided
+                    UNION ALL SELECT side, 'tax', tax, y FROM sided),
+          hist2 AS MATERIALIZED (SELECT side, feature, v, count(*) AS cnt, sum(y) AS sy
+                   FROM melt2 GROUP BY 1, 2, 3),
+          cum2 AS (SELECT side, feature, v,
+                          sum(cnt) OVER tw AS n_left, sum(sy) OVER tw AS s_left
+                   FROM hist2
+                   WINDOW tw AS (PARTITION BY side, feature ORDER BY v ROWS UNBOUNDED PRECEDING)),
+          tot2 AS (SELECT side, feature, sum(cnt) AS n, sum(sy) AS s
+                   FROM hist2 GROUP BY 1, 2),
+          cand2 AS (SELECT c.side, c.feature, c.v AS threshold,
+                           c.n_left::BIGINT AS n_left, (t.n - c.n_left)::BIGINT AS n_right,
+                           round(c.s_left::DOUBLE / c.n_left / 100, 4) AS mean_left,
+                           round((t.s::DOUBLE - c.s_left::DOUBLE) / (t.n - c.n_left) / 100, 4) AS mean_right,
+                           ${gainSql("c")} AS gain
+                    FROM cum2 c JOIN tot2 t ON c.side = t.side AND c.feature = t.feature
+                    WHERE c.n_left < t.n),
+          best2 AS (SELECT * FROM (
+                      SELECT *, row_number() OVER (PARTITION BY side
+                                ORDER BY gain DESC, feature, threshold) AS rnk
+                      FROM cand2) WHERE rnk = 1)
+        SELECT 'root' AS node, feature, threshold, n_left, n_right,
+               mean_left, mean_right, gain FROM root
+        UNION ALL
+        SELECT side, feature, threshold, n_left, n_right,
+               mean_left, mean_right, gain FROM best2
+        ORDER BY node"""
+  }
+
   /** Boosting rounds and shrinkage. Leaf values are quantized to whole
     * cents — floor(mean·η + 0.5) on cross-engine-identical doubles —
     * so residuals stay EXACT integers round over round and every
@@ -811,6 +931,7 @@ object MlTrees {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_tree_stump", mlTreeStump, Some(stumpOracle)),
+    QueryDef("ml_tree_depth2", mlTreeDepth2, Some(depth2Oracle)),
     QueryDef("ml_gbt_stumps", mlGbtStumps, Some(gbtOracle)),
     QueryDef("ml_random_forest", mlRandomForest, Some(rfOracle)),
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),

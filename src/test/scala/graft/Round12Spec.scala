@@ -746,6 +746,22 @@ class Round12Spec extends SparkSpec {
       s"admitted tokens ${v7.values.map(_._2).sum} exceed the 3/5 budget of $poolToks")
   }
 
+  test("ml_tree_depth2: root equals the best stump; children partition the root's sides") {
+    val nodes = graft.operators.MlTrees.mlTreeDepth2(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+    val stumpTop = graft.operators.MlTrees.mlTreeStump(spark, sf).collect().head
+    val root = nodes("root")
+    assert(root._1 == stumpTop.getString(0) && root._2 == stumpTop.getLong(1),
+      "root split differs from the best stump")
+    assert(nodes("L")._3 + nodes("L")._4 == root._3,
+      "L child rows != root n_left")
+    assert(nodes("R")._3 + nodes("R")._4 == root._4,
+      "R child rows != root n_right")
+    Seq("L", "R").foreach { n =>
+      assert(nodes(n)._5 >= 0.0, s"$n gain negative") }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
