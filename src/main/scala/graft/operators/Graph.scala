@@ -1831,6 +1831,43 @@ object Graph {
                     ELSE round(CAST(ek.e2_k AS DOUBLE) / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1)), 6) END AS phi
         FROM nk JOIN ek ON nk.k = ek.k ORDER BY k"""
 
+  /** Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al.) —
+    * the assortativity CURVE behind graph_assortativity's scalar: for
+    * each degree k, the mean degree of the neighbors of degree-k
+    * nodes. One division total per row: k_nn(k) =
+    * Σ_{v: deg v = k} Σ_{u∈N(v)} deg(u) / (k·n_k) — every v of
+    * degree k contributes exactly k neighbor terms, so the
+    * denominator is exact integers and the numerator one |E| join
+    * against the degree table (the persisted layout already carries
+    * the src degree; only the dst side joins). Rising curve =
+    * assortative, falling = hubs prefer leaves. */
+  def graphKnnCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = persistedSymEdges(spark, dir)
+    val deg = e.select(col("src"), col("d")).distinct()
+    val nk = deg.groupBy("d").agg(count(lit(1)).as("n_k"))
+    e.join(deg.select(col("src").as("dst"), col("d").as("d2")), "dst")
+      .groupBy(col("d").as("k"))
+      .agg(sum(col("d2")).as("sum_nbr_deg"))
+      .join(nk.select(col("d").as("k"), col("n_k")), "k")
+      .select(col("k"), col("n_k"), col("sum_nbr_deg"),
+        round(col("sum_nbr_deg").cast("double") /
+          (col("k").cast("double") * col("n_k").cast("double")), 6).as("knn"))
+      .orderBy("k")
+  }
+
+  private lazy val knnCurveOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+          nk AS (SELECT d, count(*)::BIGINT AS n_k FROM deg GROUP BY 1),
+          nbr AS (SELECT a.d AS k, CAST(sum(b.d) AS BIGINT) AS sum_nbr_deg
+                  FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+                  GROUP BY 1)
+        SELECT n.k, nk.n_k, n.sum_nbr_deg,
+               round(CAST(n.sum_nbr_deg AS DOUBLE) /
+                     (CAST(n.k AS DOUBLE) * CAST(nk.n_k AS DOUBLE)), 6) AS knn
+        FROM nbr n JOIN nk ON n.k = nk.d ORDER BY n.k"""
+
   /** Log₂-binned degree histogram of the symmetric supplier↔part
     * graph — the power-law diagnostic read before choosing hub
     * mitigations (salting thresholds, caps). The bin index is the
@@ -2047,6 +2084,7 @@ object Graph {
     QueryDef("graph_reciprocity", graphReciprocity, Some(reciprocityOracle)),
     QueryDef("graph_degree_hist", graphDegreeHist, Some(degreeHistOracle)),
     QueryDef("graph_rich_club", graphRichClub, Some(richClubOracle)),
+    QueryDef("graph_knn_curve", graphKnnCurve, Some(knnCurveOracle)),
     QueryDef("graph_scc", graphScc, Some(sccOracle)),
     QueryDef("graph_closeness", graphCloseness, Some(closenessOracle)),
     QueryDef("graph_harmonic", graphHarmonic, Some(harmonicOracle)),

@@ -388,7 +388,43 @@ object TextProfile {
         SELECT qid, rnk, neighbor, round(cos, 6) AS cos
         FROM r WHERE rnk <= $EmbedKnnK ORDER BY qid, rnk"""
 
+  /** Per-source lexical-diversity profile — the corpus-health numbers
+    * next to zipf/heaps: token count, vocabulary size, type-token
+    * ratio, and the hapax rate (share of the vocabulary occurring
+    * once — the classic productivity signal; a scraped-boilerplate
+    * source shows low TTR and low hapax). All exact integer counts;
+    * two rounded divisions per source at the edge.
+    * Scale: one (source, word) count agg (map-side combined, shuffle
+    * ∝ per-source vocab), then a |sources|-row fold. */
+  def textLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_rate"))
+      .orderBy("source")
+
+  private val lexicalDiversityOracle: String =
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT source, w, count(*)::BIGINT AS n FROM w WHERE w <> '' GROUP BY 1, 2),
+         a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                      count(*)::BIGINT AS n_types,
+                      sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+               FROM c GROUP BY 1)
+       SELECT source, n_tokens, n_types,
+              round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+              round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate
+       FROM a ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_lexical_diversity", textLexicalDiversity, Some(lexicalDiversityOracle)),
     QueryDef("text_hash_embedding", textHashEmbedding, Some(hashEmbeddingOracle)),
     QueryDef("text_embed_knn", textEmbedKnn, Some(embedKnnOracle)),
     QueryDef("cur_source_jaccard", sourceJaccard, Some(sourceJaccardOracle)),

@@ -762,6 +762,44 @@ class Round12Spec extends SparkSpec {
       assert(nodes(n)._5 >= 0.0, s"$n gain negative") }
   }
 
+  test("graph_knn_curve: exact replay from driver-side degrees") {
+    val out = graft.operators.Graph.graphKnnCurve(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val fwd = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), (col("l_partkey") + graft.operators.Graph.PartOffset))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = fwd ++ fwd.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nk = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sums = sym.groupBy(e => deg(e._1)).view
+      .mapValues(_.map(e => BigInt(deg(e._2))).sum).toMap
+    assert(out.keySet == nk.keySet, "degree spine differs")
+    out.foreach { case (k, (n, s, knn)) =>
+      assert(n == nk(k) && BigInt(s) == sums(k), s"k=$k counts")
+      val want = BigDecimal(sums(k).toDouble / (k.toDouble * nk(k)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(knn - want) < 1e-9, s"k=$k knn $knn vs $want")
+    }
+  }
+
+  test("text_lexical_diversity: exact replay; hapax and TTR in (0,1]") {
+    val out = graft.operators.TextProfile.textLexicalDiversity(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(r.getString(0) -> _))
+    out.foreach { case (src, (toks, types, _, ttr, hapax)) =>
+      val ws = words.filter(_._1 == src).map(_._2)
+      val counts = ws.groupBy(identity).view.mapValues(_.length).toMap
+      assert(toks == ws.length.toLong && types == counts.size.toLong, s"$src counts")
+      assert(ttr > 0 && ttr <= 1 && hapax >= 0 && hapax <= 1, s"$src ratios")
+      val wantH = BigDecimal(counts.values.count(_ == 1).toDouble / counts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(hapax - wantH) < 1e-9, s"$src hapax $hapax vs $wantH")
+    }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
