@@ -1044,6 +1044,84 @@ object Classify {
           (lit(2.0) * col("npos").cast("double") * col("nneg").cast("double")), 8).as("auc"))
   }
 
+  /** Learning curve — exact ROC-AUC after EVERY batch-GD iteration
+    * (the "is training converging" artifact next to the final-model
+    * evals): one inlined training loop whose per-round weight tables
+    * are checkpoint-truncated, each scored and ranked by the mlAuc
+    * exact integer statistic. The oracle pays nothing extra: the
+    * shared unrolled chain already exposes w1..w$BatchIters as CTEs.
+    * Scale: [[BatchIters]] training rounds + [[BatchIters]] scoring
+    * passes — each the verified mlAuc shape; the distinct-score
+    * window stays grid-bounded at every iteration. */
+  def mlLearningCurve(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val inst = graft.api.GraftOps.truncate(instances(spark, dir))
+    val px = graft.api.GraftOps.truncate(
+      inst.select(col("doc_id"), col("is_spam"), explode(col("features")).as("f")))
+    val nDf = inst.agg(count(lit(1)).as("nn"))
+    var w = graft.api.GraftOps.truncate(
+      px.select("f").distinct().withColumn("wm", lit(0L)))
+    val curves = (1 to BatchIters).map { k =>
+      val scored = px.join(w, "f")
+        .groupBy("doc_id")
+        .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
+      val err = scored.select(col("doc_id"),
+        (floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
+          .cast("long") -
+          when(col("is_spam"), ProbGrid.toLong).otherwise(0L)).as("e"))
+      val grad = px.join(err, "doc_id").groupBy("f").agg(sum(col("e")).as("g"))
+      w = graft.api.GraftOps.truncate(
+        w.join(grad, "f").crossJoin(broadcast(nDf))
+          .select(col("f"),
+            (col("wm") - floor(col("g") * (BatchLr * 1e6) / (col("nn") * ProbGrid) + 0.5)
+              .cast("long")).as("wm")))
+      val byScore = px.join(w, "f")
+        .groupBy("doc_id")
+        .agg(first(col("is_spam")).as("is_spam"), sum(col("wm")).as("sc"))
+        .select(col("is_spam"),
+          floor((lit(1.0) / (lit(1.0) + exp(-(col("sc") / 1e6)))) * ProbGrid + 0.5)
+            .cast("long").as("p"))
+        .groupBy("p")
+        .agg(sum(when(col("is_spam"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("is_spam"), 1L).otherwise(0L)).as("nn"))
+      val wd = org.apache.spark.sql.expressions.Window.orderBy("p")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("neg_below", coalesce(sum(col("nn")).over(wd), lit(0L)))
+        .agg(sum(dec(col("np"))).as("npos"), sum(dec(col("nn"))).as("nneg"),
+          sum(dec(col("np")) * dec(col("neg_below")) * 2 + dec(col("np")) * dec(col("nn")))
+            .as("num2"))
+        .select(lit(k.toLong).as("iter"),
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("npos").cast("double") * col("nneg").cast("double")), 8)
+            .as("auc"))
+    }
+    curves.reduce(_ unionAll _).orderBy("iter")
+  }
+
+  private val learningCurveOracle: String = {
+    val rounds = (1 to BatchIters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter, round(CAST(num2 AS DOUBLE) /
+               (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 8) AS auc
+          FROM (SELECT sum(np) AS npos, sum(nn) AS nneg,
+                       sum(np::HUGEINT * neg_below * 2 + np::HUGEINT * nn) AS num2
+                FROM (SELECT p, np, nn,
+                             coalesce(sum(nn) OVER (ORDER BY p
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+                      FROM (SELECT p,
+                                   sum(CASE WHEN is_spam THEN 1 ELSE 0 END)::BIGINT AS np,
+                                   sum(CASE WHEN is_spam THEN 0 ELSE 1 END)::BIGINT AS nn
+                            FROM (SELECT any_value(px.is_spam) AS is_spam,
+                                         CAST(floor((1.0 / (1.0 + exp(-(sum(w$k.wm) / 1e6))))
+                                                    * $ProbGrid + 0.5) AS BIGINT) AS p
+                                  FROM px JOIN w$k USING (f) GROUP BY px.doc_id)
+                            GROUP BY 1)))"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH $batchCtes
+        $rounds
+        ORDER BY iter"""
+  }
+
   private val aucOracle: String =
     s"""WITH $batchCtes,
           sc AS (SELECT p.doc_id, any_value(p.is_spam) AS is_spam, sum(w.wm) AS sc
@@ -1070,6 +1148,7 @@ object Classify {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ml_auc", mlAuc, Some(aucOracle)),
     QueryDef("ml_ks_stat", mlKsStat, Some(ksOracle)),
+    QueryDef("ml_learning_curve", mlLearningCurve, Some(learningCurveOracle)),
     QueryDef("ml_chi2_select", mlChi2Select, Some(chi2SelectOracle)),
     QueryDef("ml_pr_curve", mlPrCurve, Some(prCurveOracle)),
     QueryDef("ml_lift_curve", mlLiftCurve, Some(liftCurveOracle)),

@@ -800,6 +800,16 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("ml_learning_curve: the final iteration's AUC equals ml_auc bit-for-bit") {
+    val curve = graft.operators.Classify.mlLearningCurve(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(curve.keySet == (1L to 5L).toSet, "five iterations")
+    curve.values.foreach(a => assert(a >= 0.0 && a <= 1.0, s"auc $a"))
+    val finalAuc = graft.operators.Classify.mlAuc(spark, sf).collect().head.getDouble(2)
+    assert(curve(5L) == finalAuc,
+      s"iter-5 auc ${curve(5L)} != ml_auc $finalAuc (same chain, same statistic)")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
