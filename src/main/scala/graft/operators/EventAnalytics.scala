@@ -744,7 +744,119 @@ object EventAnalytics {
        FROM daily d JOIN med m ON d.event_type = m.event_type
        GROUP BY 1 ORDER BY d.event_type"""
 
+  /** Population Stability Index between the first half-month of the
+    * value distribution and the rest — THE production drift monitor
+    * (credit-scoring heritage: PSI < 0.1 stable, > 0.25 act): fixed-
+    * width cent bins, Laplace-smoothed shares on both slices, and
+    * each (p−q)·ln(p/q) term FLOORED ONTO the 1e-9 integer grid
+    * before summation (the js_divergence discipline — ln is the one
+    * libm call, the grid makes the sum order-free and cross-engine
+    * exact). Emits the per-bin decomposition plus the total
+    * (bin = −1) — the actionable artifact is WHERE the drift sits.
+    * Scale: one pass to (slice, bin) counts; everything after is
+    * bin-grid-sized. */
+  val PsiBinCents = 2500L
+  val PsiGrid = 1000000000L
+  val PsiCutoffDays = 15L
+  def mlPsi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr(s"CAST(floor(value * 100 + 0.5) AS BIGINT) div $PsiBinCents").as("bin"))
+    val minD = e.agg(min(col("day")).as("mn"))
+    val sliced = e.crossJoin(broadcast(minD))
+      .select(col("bin"),
+        (col("day") < col("mn") + PsiCutoffDays).as("is_expected"))
+    val counts = sliced.groupBy("bin")
+      .agg(sum(when(col("is_expected"), 1L).otherwise(0L)).as("ce"),
+        sum(when(!col("is_expected"), 1L).otherwise(0L)).as("ca"))
+    val tot = counts.agg(sum(col("ce")).as("ne"), sum(col("ca")).as("na"),
+      count(lit(1)).as("k"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("pe", (col("ce") + 1).cast("double") / (col("ne") + col("k")))
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("k")))
+      .withColumn("tn",
+        floor((col("pe") - col("pa")) * log(col("pe") / col("pa")) * PsiGrid)
+          .cast("long"))
+    terms.select(col("bin"), col("ce"), col("ca"),
+        round(col("tn").cast("double") / PsiGrid, 6).as("psi"))
+      .unionAll(terms.agg(sum(col("ce")).as("ce"), sum(col("ca")).as("ca"),
+          round(sum(col("tn")).cast("double") / PsiGrid, 6).as("psi"))
+        .select(lit(-1L).as("bin"), col("ce"), col("ca"), col("psi")))
+      .orderBy("bin")
+  }
+
+  private val psiOracle: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) // $PsiBinCents AS bin
+                   FROM events),
+         m AS (SELECT min(day) AS mn FROM e),
+         sl AS (SELECT bin, day < mn + $PsiCutoffDays AS is_expected FROM e, m),
+         c AS (SELECT bin, sum(CASE WHEN is_expected THEN 1 ELSE 0 END)::BIGINT AS ce,
+                      sum(CASE WHEN is_expected THEN 0 ELSE 1 END)::BIGINT AS ca
+               FROM sl GROUP BY 1),
+         t AS (SELECT sum(ce)::BIGINT AS ne, sum(ca)::BIGINT AS na,
+                      count(*)::BIGINT AS k FROM c),
+         terms AS (SELECT c.bin, c.ce, c.ca,
+                          CAST(floor(((c.ce + 1) / CAST(t.ne + t.k AS DOUBLE)
+                                      - (c.ca + 1) / CAST(t.na + t.k AS DOUBLE))
+                                     * ln(((c.ce + 1) / CAST(t.ne + t.k AS DOUBLE))
+                                          / ((c.ca + 1) / CAST(t.na + t.k AS DOUBLE)))
+                                     * $PsiGrid) AS BIGINT) AS tn
+                   FROM c, t)
+       SELECT bin, ce, ca, round(CAST(tn AS DOUBLE) / $PsiGrid, 6) AS psi FROM terms
+       UNION ALL
+       SELECT -1, CAST(sum(ce) AS BIGINT), CAST(sum(ca) AS BIGINT),
+              round(CAST(sum(tn) AS DOUBLE) / $PsiGrid, 6) FROM terms
+       ORDER BY bin"""
+
+  /** q74: purchase-cadence report — the LOWER median / p90 of the gap
+    * (in whole days) between a customer's consecutive orders. Per-
+    * customer lag windows are bounded by orders-per-customer; the
+    * percentile cumsum runs over the bounded gap-day grid with
+    * cross-multiplied integer compares (the q71 discipline). */
+  def q74OrderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("day") - col("prev")).as("gap"))
+    val hist = gaps.groupBy("gap").agg(count(lit(1)).as("nv"))
+    val cw = Window.orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("nv")).over(cw))
+    val tot = cum.agg(max(col("cum")).as("n_gaps"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n_gaps"))
+      .agg(min(col("gap")).as("median_gap_days"), max(col("n_gaps")).as("n_gaps"))
+    val p90 = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= col("n_gaps") * 9)
+      .agg(min(col("gap")).as("p90_gap_days"))
+    med.crossJoin(broadcast(p90))
+      .select(col("n_gaps"), col("median_gap_days"), col("p90_gap_days"))
+  }
+
+  private val orderGapOracle: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+                         epoch_us(o_orderdate) // 86400000000 AS day
+                  FROM orders),
+         g AS (SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                                           ORDER BY day, o_orderkey) AS gap
+               FROM o),
+         h AS (SELECT gap, count(*)::BIGINT AS nv FROM g WHERE gap IS NOT NULL GROUP BY 1),
+         c AS (SELECT gap, sum(nv) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum
+               FROM h),
+         t AS (SELECT max(cum)::BIGINT AS n_gaps FROM c),
+         med AS (SELECT min(gap) AS median_gap_days FROM c, t WHERE cum * 2 >= n_gaps),
+         p90 AS (SELECT min(gap) AS p90_gap_days FROM c, t WHERE cum * 10 >= n_gaps * 9)
+       SELECT t.n_gaps, CAST(med.median_gap_days AS BIGINT) AS median_gap_days,
+              CAST(p90.p90_gap_days AS BIGINT) AS p90_gap_days
+       FROM t, med, p90"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ml_psi", mlPsi, Some(psiOracle)),
+    QueryDef("q74_order_gap", q74OrderGap, Some(orderGapOracle)),
     QueryDef("q71_time_to_convert", q71TimeToConvert, Some(timeToConvertOracle)),
     QueryDef("q72_feed_health", q72FeedHealth, Some(feedHealthOracle)),
     QueryDef("q68_seasonality", q68Seasonality, Some(seasonalityOracle)),

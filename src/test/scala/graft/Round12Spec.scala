@@ -810,6 +810,41 @@ class Round12Spec extends SparkSpec {
       s"iter-5 auc ${curve(5L)} != ml_auc $finalAuc (same chain, same statistic)")
   }
 
+  test("ml_psi: every term nonnegative; total row sums the bins; slices partition the corpus") {
+    val rows = graft.operators.EventAnalytics.mlPsi(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (tot, bins) = rows.partition(_._1 == -1L)
+    assert(tot.length == 1, "one total row")
+    bins.foreach { case (b, _, _, p) => assert(p >= 0.0, s"bin $b psi $p negative") }
+    // (p-q) and ln(p/q) share sign, so each grid term >= 0 and the total
+    // is the exact sum of the per-bin grid terms
+    val sumBins = BigDecimal(bins.map(r => BigDecimal(r._4)).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(tot.head._4 - sumBins) < 2e-6,
+      s"total ${tot.head._4} vs bin sum $sumBins")
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(tot.head._2 + tot.head._3 == n, "slices partition the corpus")
+  }
+
+  test("q74_order_gap: gaps replay exactly; lower-percentile rule") {
+    val r = graft.operators.EventAnalytics.q74OrderGap(spark, sf).collect().head
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderkey", "unix_micros(o_orderdate) div 86400000000")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { os =>
+      val days = os.sortBy(o => (o._3, o._2)).map(_._3)
+      days.zip(days.drop(1)).map { case (a, b) => b - a }
+    }.toSeq.sorted
+    assert(r.getLong(0) == gaps.size, "gap count")
+    def lowerPct(num: Long, den: Long): Long = {
+      var cum = 0L
+      gaps.groupBy(identity).toSeq.sortBy(_._1)
+        .find { case (_, g) => cum += g.size; cum * den >= num * gaps.size }.get._1
+    }
+    assert(r.getLong(1) == lowerPct(1, 2), "median gap")
+    assert(r.getLong(2) == lowerPct(9, 10), "p90 gap")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
