@@ -487,6 +487,47 @@ object MlTrees {
   }
 
 
+  /** Smoothed target encoding of order priority against revenue —
+    * the feature-engineering transform every tabular pipeline runs on
+    * high-cardinality categoricals: enc(g) = (S_g + m·μ)/(n_g + m)
+    * with prior weight m = [[TargetEncM]] pseudo-observations at the
+    * global mean (the empirical-Bayes shrinkage that keeps rare
+    * categories from memorizing noise). S_g and μ's numerator are
+    * exact decimal(38) cent sums; the blend is one fixed-order double
+    * expression per category.
+    * Scale: one map-side-combined pass to |categories| rows; the
+    * global mean broadcasts as a 1-row agg. */
+  val TargetEncM = 100L
+  def mlTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val b = Tables.orders(spark, dir).select(col("o_orderpriority").as("priority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+    val g = b.groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    g.crossJoin(broadcast(tot))
+      .select(col("priority"), col("n"),
+        round(col("s").cast("double") / col("n"), 4).as("raw_mean"),
+        round((col("s").cast("double")
+            + lit(TargetEncM.toDouble) * (col("ss").cast("double") / col("nn").cast("double")))
+          / (col("n").cast("double") + TargetEncM.toDouble), 4).as("encoded"))
+      .orderBy("priority")
+  }
+
+  private val targetEncodingOracle: String =
+    s"""WITH b AS (SELECT o_orderpriority AS priority,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+                   FROM orders),
+          g AS (SELECT priority, count(*)::BIGINT AS n, sum(y)::HUGEINT AS s
+                FROM b GROUP BY 1),
+          t AS (SELECT sum(n)::BIGINT AS nn, sum(s) AS ss FROM g)
+        SELECT g.priority, g.n,
+               round(CAST(g.s AS DOUBLE) / g.n, 4) AS raw_mean,
+               round((CAST(g.s AS DOUBLE)
+                      + CAST($TargetEncM AS DOUBLE) * (CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+                     / (CAST(g.n AS DOUBLE) + CAST($TargetEncM AS DOUBLE)), 4) AS encoded
+        FROM g, t ORDER BY priority"""
+
   /** Welch's two-sample t-test — "is mean revenue different between
     * returned (A) and delivered (N) lineitems", the unequal-variance
     * form every A/B readout should default to: t and the
@@ -937,6 +978,7 @@ object MlTrees {
     QueryDef("ml_linear_reg2", mlLinearReg2, Some(reg2Oracle)),
     QueryDef("ml_ridge", mlRidge, Some(ridgeOracle)),
     QueryDef("ml_ttest", mlTtest, Some(ttestOracle)),
+    QueryDef("ml_target_encoding", mlTargetEncoding, Some(targetEncodingOracle)),
     QueryDef("ml_anova", mlAnova, Some(anovaOracle)),
     QueryDef("ml_bootstrap_ci", mlBootstrapCi, Some(bootOracle)),
     QueryDef("ml_corr_matrix", mlCorrMatrix, Some(corrOracle)),

@@ -666,6 +666,54 @@ object Relational2 {
       .orderBy("basket_size")
   }
 
+  /** q75: Pareto/ABC concentration — "how few customers cover 80% of
+    * revenue", the actionable sibling of q67's Gini: rank customers
+    * by exact revenue cents DESCENDING and take the smallest prefix
+    * whose cumulative revenue clears 4/5 of the total
+    * (cross-multiplied integer compares — no float, no interpolation).
+    * NO row-level global sort: the cumsum runs over the DISTINCT
+    * customer-revenue-value histogram (the q64/q67 value-grid
+    * discipline — bounded by the cent grid, and at 100 TB coarsened
+    * to whole-dollar buckets with the same one-line change). */
+  def q75Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val hist = rev.groupBy("cents").agg(count(lit(1)).as("nc"))
+    val w = Window.orderBy(desc("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum_rev", sum(col("cents") * col("nc")).over(w))
+      .withColumn("cum_cust", sum(col("nc")).over(w))
+    val tot = hist.agg(sum(col("cents") * col("nc")).as("t_rev"),
+      sum(col("nc")).as("t_cust"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum_rev") * 5 >= col("t_rev") * 4)
+      .agg(max(col("t_cust")).as("n_customers"), max(col("t_rev")).as("total_cents"),
+        min(col("cum_cust")).as("n_top_80pct"))
+      .select(col("n_customers"), col("total_cents"), col("n_top_80pct"),
+        round(col("n_top_80pct").cast("double") / col("n_customers").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  private val paretoOracle: String =
+    """WITH rev AS (SELECT o_custkey,
+                           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM orders GROUP BY 1),
+         h AS (SELECT cents, count(*)::BIGINT AS nc FROM rev GROUP BY 1),
+         c AS (SELECT cents,
+                      sum(cents * nc) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                      sum(nc) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum_cust
+               FROM h),
+         t AS (SELECT CAST(sum(cents * nc) AS BIGINT) AS t_rev,
+                      CAST(sum(nc) AS BIGINT) AS t_cust FROM h),
+         s AS (SELECT max(t.t_cust) AS n_customers, max(t.t_rev) AS total_cents,
+                      CAST(min(c.cum_cust) AS BIGINT) AS n_top_80pct
+               FROM c, t WHERE c.cum_rev * 5 >= t.t_rev * 4)
+       SELECT n_customers, total_cents, n_top_80pct,
+              round(CAST(n_top_80pct AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS top_share
+       FROM s"""
+
   private val basketSizeOracle: String =
     """WITH s AS (SELECT l_orderkey, count(*)::BIGINT AS sz FROM lineitem GROUP BY 1),
          h AS (SELECT sz, count(*)::BIGINT AS n_orders FROM s GROUP BY 1),
@@ -736,6 +784,7 @@ object Relational2 {
     QueryDef("q66_mom_growth", q66MomGrowth, Some(momGrowthOracle)),
     QueryDef("q67_gini", q67Gini, Some(giniOracle)),
     QueryDef("q73_basket_size", q73BasketSize, Some(basketSizeOracle)),
+    QueryDef("q75_pareto", q75Pareto, Some(paretoOracle)),
     QueryDef("q63_mad", q63Mad, Some(madOracle)),
     QueryDef("q53_mode_median", q53ModeMedian, Some(modeMedianOracle)),
     QueryDef("q52_rfm", q52Rfm, Some(rfmOracle)),

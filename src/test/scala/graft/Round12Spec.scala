@@ -845,6 +845,46 @@ class Round12Spec extends SparkSpec {
     assert(r.getLong(2) == lowerPct(9, 10), "p90 gap")
   }
 
+  test("q75_pareto: the prefix is minimal and covers 80% exactly by the ranked replay") {
+    val r = graft.operators.Relational2.q75Pareto(spark, sf).collect().head
+    val revs = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    assert(r.getLong(0) == revs.length, "customer count")
+    val total = revs.map(BigInt(_)).sum
+    assert(BigInt(r.getLong(1)) == total, "total cents")
+    // value-bucket granularity: the reported prefix ends at a value
+    // boundary — all customers sharing the boundary value are included
+    var cum = BigInt(0); var k = 0
+    while (cum * 5 < total * 4) { cum += revs(k); k += 1 }
+    while (k < revs.length && revs(k) == revs(k - 1)) { cum += revs(k); k += 1 }
+    assert(r.getLong(2) == k, s"prefix ${r.getLong(2)} vs ranked replay $k")
+  }
+
+  test("ml_target_encoding: encoding shrinks every category toward the global mean") {
+    val rows = graft.operators.MlTrees.mlTargetEncoding(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val mu = {
+      val ys = graft.sources.Tables.orders(spark, sf)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")).collect().map(_.getLong(0))
+      ys.map(BigInt(_)).sum.toDouble / ys.length
+    }
+    rows.foreach { case (p, n, raw, enc) =>
+      // the blend sits strictly between the raw mean and the prior
+      assert((enc - raw).abs <= (mu - raw).abs + 1e-6, s"$p overshoots the prior")
+      assert((enc - raw) * (mu - raw) >= 0.0 || raw == mu, s"$p shrinks the wrong way")
+      // m/(n+m) blend replays exactly
+      val m = graft.operators.MlTrees.TargetEncM.toDouble
+      val ys = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === p)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")).collect().map(_.getLong(0))
+      val want = BigDecimal((ys.map(BigInt(_)).sum.toDouble + m * mu) / (n + m))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(enc - want) < 1e-3, s"$p encoded $enc vs $want")
+    }
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
