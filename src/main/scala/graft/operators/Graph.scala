@@ -1776,6 +1776,26 @@ object Graph {
                round(r.n_recip / CAST(t.n_edges AS DOUBLE), 6) AS reciprocity
         FROM t, r"""
 
+  /** Component-size histogram — the readout over graph_components'
+    * labels ("one giant component or a shattered graph?"): sizes from
+    * one count per label, then the tiny size→frequency fold. Shares
+    * the verified CC chain; shuffle ∝ |V| then ∝ distinct sizes. */
+  def graphComponentSizes(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.connectedComponentsSym(
+        persistedSymEdges(spark, dir).select("src", "dst"), CcIters)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_components"))
+      .orderBy("sz")
+
+  private lazy val componentSizesOracle: String =
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey + $PartOffset AS p FROM lineitem),
+          edges AS MATERIALIZED (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM edges),
+          ${ccUnrolledCtes(CcIters)}
+        SELECT sz, count(*)::BIGINT AS n_components FROM (
+          SELECT comp, count(*)::BIGINT AS sz FROM l$CcIters GROUP BY 1)
+        GROUP BY 1 ORDER BY sz"""
+
   /** Rich-club coefficient φ(k) over the symmetric supplier↔part
     * graph — "how densely do the hubs talk to EACH OTHER": for each
     * degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k
@@ -2093,6 +2113,7 @@ object Graph {
     QueryDef("graph_scc_condensation", graphSccCondensation, Some(sccCondensationOracle)),
     QueryDef("graph_topo_levels", graphTopoLevels, Some(topoOracle)),
     QueryDef("graph_components", graphComponents, Some(ccOracle)),
+    QueryDef("graph_component_sizes", graphComponentSizes, Some(componentSizesOracle)),
     QueryDef("graph_components_logn", graphComponentsLogN, Some(ccOracle)),
     QueryDef("graph_components_auto", graphComponentsAuto, Some(ccOracle)),
     QueryDef("graph_triangles", graphTriangles, Some(

@@ -423,7 +423,54 @@ object TextProfile {
               round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate
        FROM a ORDER BY source"""
 
+  /** Per-doc novelty score — the incremental-ingest curation signal
+    * ("how much of this doc has the corpus already seen"): the share
+    * of a doc's distinct trigram shingles whose FIRST occurrence
+    * (min doc_id — the deterministic stand-in for arrival order) is
+    * this doc. Near-1 = fresh content, near-0 = recombined
+    * boilerplate; dedup's set-similarity misses exactly this
+    * accumulated-partial-overlap case. Emitted as the per-source
+    * novelty profile (mean over docs, cross-multiplied exact).
+    * Scale: one (shingle → min doc) agg (shuffle ∝ distinct
+    * shingles, the suffix/winnow family's volume), one narrow join
+    * back, one fold per source. */
+  def curNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextFns.shingles("toks", 3))).as("sh"))
+    val firstDoc = sh.groupBy("sh").agg(min(col("doc_id")).as("fd"))
+    val perDoc = sh.join(firstDoc, "sh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"), sum(col("n_novel")).as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("novelty"))
+      .orderBy("source")
+  }
+
+  private val noveltyOracle: String =
+    s"""WITH sh AS (SELECT DISTINCT d.doc_id, d.source, u.sh
+                FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) d,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             for i in generate_series(1, len(toks) - 2)]) AS u(sh)
+                WHERE len(toks) >= 3),
+        fd AS (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY 1),
+        pd AS (SELECT s.doc_id, s.source, count(*)::BIGINT AS n_sh,
+                      sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+               FROM sh s JOIN fd f ON s.sh = f.sh GROUP BY 1, 2)
+       SELECT source, count(*)::BIGINT AS n_docs,
+              CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+              CAST(sum(n_novel) AS BIGINT) AS n_novel,
+              round(CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 6) AS novelty
+       FROM pd GROUP BY 1 ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_novelty", curNovelty, Some(noveltyOracle)),
     QueryDef("text_lexical_diversity", textLexicalDiversity, Some(lexicalDiversityOracle)),
     QueryDef("text_hash_embedding", textHashEmbedding, Some(hashEmbeddingOracle)),
     QueryDef("text_embed_knn", textEmbedKnn, Some(embedKnnOracle)),

@@ -885,6 +885,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("graph_component_sizes: sizes partition the vertex set; consistent with graph_components") {
+    val hist = graft.operators.Graph.graphComponentSizes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.operators.Graph.graphComponents(spark, sf)
+      .collect().map(r => r.getLong(1))
+    val want = labels.groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(hist.toSeq == want, "size histogram differs from the label replay")
+    assert(hist.map(t => t._1 * t._2).sum == labels.length.toLong,
+      "sizes do not partition the vertex set")
+  }
+
+  test("cur_novelty: first-occurrence replay; the first doc of the corpus is fully novel") {
+    val out = graft.operators.TextProfile.curNovelty(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, _, t) =>
+      shingles(t).foreach(sh => if (!firstDoc.contains(sh)) firstDoc(sh) = id) }
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val shs = ds.flatMap { case (id, _, t) => shingles(t).map(id -> _) }
+      (shs.size.toLong, shs.count { case (id, sh) => firstDoc(sh) == id }.toLong)
+    }.toMap
+    assert(out == expect, "per-source novelty counts differ from the replay")
+    // the corpus' first doc (smallest doc_id with >= 3 tokens) is 100% novel
+    val firstId = docs.find(_._3.split(" ").length >= 3).get._1
+    val fSh = shingles(docs.find(_._1 == firstId).get._3)
+    assert(fSh.forall(sh => firstDoc(sh) == firstId), "first doc not fully novel")
+  }
+
   test("text_chi2: bit-exact vs a driver-side contingency replay of the chi-square formula") {
     val out = graft.operators.TextRank.textChi2(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
