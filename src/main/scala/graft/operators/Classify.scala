@@ -754,10 +754,12 @@ object Classify {
         sum(when(!col("p1") && !col("p2"), 1L).otherwise(0L)).as("d"))
       .select(col("n"), col("a"), col("b"), col("c"), col("d"),
         expr("round(CAST(a + d AS DOUBLE) / n, 6)").as("agree_rate"),
-        // pe = 1 exactly iff both models are the same constant (a = n
-        // or d = n) — kappa is 0/0 there; the convention is 1.0
-        // (perfect agreement, however vacuous)
-        expr("""CASE WHEN a = n OR d = n THEN 1.0 ELSE
+        // pe = 1 is tested EXACTLY on the integer identity
+        // (a+b)(a+c) + (c+d)(b+d) = n² (covers every degenerate
+        // margin combination, not just a=n / d=n) — kappa is 0/0
+        // there; the convention is 1.0 (perfect chance agreement,
+        // however vacuous)
+        expr("""CASE WHEN (a + b) * (a + c) + (c + d) * (b + d) = n * n THEN 1.0 ELSE
                 round((CAST(a + d AS DOUBLE) / n
                  - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
                    / (CAST(n AS DOUBLE) * n))
@@ -784,7 +786,7 @@ object Classify {
               FROM pair)
         SELECT n, a, b, c, d,
                round(CAST(a + d AS DOUBLE) / n, 6) AS agree_rate,
-               CASE WHEN a = n OR d = n THEN 1.0 ELSE
+               CASE WHEN (a + b) * (a + c) + (c + d) * (b + d) = n * n THEN 1.0 ELSE
                round((CAST(a + d AS DOUBLE) / n
                  - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
                    / (CAST(n AS DOUBLE) * n))

@@ -666,13 +666,23 @@ object MlTrees {
       .selectExpr("y", "b", s"($chain) AS w")
       .groupBy("b")
       .agg(sum(col("w") * col("y")).as("s"), sum(col("w")).as("w"))
+      // a zero-total-weight resample (P ~ e^-n — unreachable at corpus
+      // scale, but the failure mode would be SILENT: its 0/0 mean
+      // would drop from collect_list and shift element_at(ms, ·) onto
+      // the wrong order statistics) is excluded here and then caught
+      // by the size assertion below, so a degenerate draw fails
+      // loudly instead of mis-indexing the CI
+      .filter(col("w") > 0)
       .select(expr("round(CAST(s AS DOUBLE) / w, 4)").as("m"))
     val ci = per.agg(sort_array(collect_list(col("m"))).as("ms"))
     val tot = hashed.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
     tot.crossJoin(broadcast(ci))
       .selectExpr("n", "round(CAST(sy AS DOUBLE) / n, 4) AS mean",
-        "element_at(ms, 2) AS ci_lo",
-        s"element_at(ms, ${BootB - 1}) AS ci_hi",
+        s"CASE WHEN size(ms) = $BootB THEN element_at(ms, 2) " +
+          "ELSE raise_error('bootstrap: degenerate zero-weight resample, ms=' " +
+          "|| CAST(size(ms) AS STRING)) END AS ci_lo",
+        s"CASE WHEN size(ms) = $BootB THEN element_at(ms, ${BootB - 1}) " +
+          "ELSE raise_error('bootstrap: degenerate zero-weight resample') END AS ci_hi",
         s"CAST($BootB AS BIGINT) AS b")
   }
 

@@ -288,15 +288,26 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** DuckDB byte-list extraction shared by every payload oracle: the
+    * UTF-8 BYTES of `text` as a BIGINT list (two-nibble parse of
+    * hex(text::BLOB)) — matching the Spark side's `text.cast("binary")`
+    * byte semantics exactly; `ascii(text[i])` code points would
+    * silently diverge on any non-ASCII document. Expects CTE columns
+    * `hx` (hex string) and `n` (octet_length). */
+  private val byteListSql: String =
+    """[CAST(strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) * 16
+             + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 17 AS BIGINT)
+       for i in generate_series(1, n)]"""
+
   /** Closed-form recomputation of the PPM slice features — NO parser:
     * frame-0 pixel k is text byte k mod n, so every slice sum is
     * (full cycles)·total + a prefix sum, and the oracle derives the
     * identical doubles the parser-side extractor produced from the
     * actual pixel bytes. Ends with `f` (doc_id, j, v). */
   private lazy val featCtes: String =
-    s"""fd AS (SELECT doc_id, octet_length(text::BLOB) AS n,
-                 [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
-          FROM documents),
+    s"""fd0 AS (SELECT doc_id, octet_length(text::BLOB) AS n,
+                       hex(text::BLOB) AS hx FROM documents),
+          fd AS (SELECT doc_id, n, $byteListSql AS cs FROM fd0),
           ft AS (SELECT doc_id, n, cs, list_sum(cs) AS total,
                  (8 + n % 9) * (8 + n % 7) * 3 AS npix FROM fd),
           fs AS (SELECT doc_id, n, cs, total, npix, j,
@@ -420,9 +431,9 @@ object Multimodal {
     val bandUnion = (0 until PhashBands)
       .map(b => s"SELECT doc_id, $b AS bj, band$b AS bv FROM codes")
       .mkString("\n                 UNION ALL ")
-    s"""d AS (SELECT doc_id, length(text) AS n,
-                          [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
-                   FROM documents),
+    s"""d0 AS (SELECT doc_id, octet_length(text::BLOB) AS n,
+                      hex(text::BLOB) AS hx FROM documents),
+          d AS (SELECT doc_id, n, $byteListSql AS cs FROM d0),
           t AS (SELECT doc_id, n, cs, list_sum(cs) AS total FROM d),
           codes AS MATERIALIZED (SELECT doc_id,
                  $bandSql
@@ -631,15 +642,20 @@ object Multimodal {
   }
 
   /** Shared oracle CTEs: the WAV sample stream recomputed from the
-    * synthesis arithmetic (text char codes at (2k+1) mod n), windowed
-    * by the integer slice boundaries. */
+    * synthesis arithmetic — text UTF-8 BYTES at (2k+1) mod n, matching
+    * the Spark side's `text.cast("binary")` exactly (bytes, never code
+    * points: a non-ASCII document diverges under character semantics),
+    * windowed by the integer slice boundaries. Bytes are extracted via
+    * hex(text::BLOB) two-nibble parsing; n = 0 yields the synthesizer's
+    * all-zero sample stream instead of a (2k+1) % 0 division. */
   private lazy val audioCtes: String =
-    s"""d AS (SELECT doc_id, length(text) AS n,
-                     [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))] AS cs
-              FROM documents),
+    s"""h AS (SELECT doc_id, hex(text::BLOB) AS hx,
+                     octet_length(text::BLOB) AS n FROM documents),
+        d AS (SELECT doc_id, n, $byteListSql AS cs FROM h),
         p AS (SELECT doc_id, n, 64 + n % 193 AS ns, cs FROM d),
         smp AS (SELECT doc_id, ns, k.k AS k,
-                       cs[((2 * k.k + 1) % n) + 1] - 128 AS v,
+                       (CASE WHEN n = 0 THEN 0
+                             ELSE cs[((2 * k.k + 1) % n) + 1] END) - 128 AS v,
                        (CASE WHEN k.k >= (1 * ns) // $AudioWindows THEN 1 ELSE 0 END +
                         CASE WHEN k.k >= (2 * ns) // $AudioWindows THEN 1 ELSE 0 END +
                         CASE WHEN k.k >= (3 * ns) // $AudioWindows THEN 1 ELSE 0 END) AS win

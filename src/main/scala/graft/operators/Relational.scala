@@ -214,12 +214,14 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_ms", "event_type")
 
-  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
-    * percentiles per group — the constant-memory path for cardinality /
-    * quantile questions at 100 TB (exact distinct shuffles every value;
-    * HLL merges 16 KB sketches). Verified rows-only; the spec bounds the
-    * approximation error against exact answers. */
-  def q13ApproxSketch(spark: SparkSession, dir: String): DataFrame =
+  /** Spark's NATIVE sketch aggregates — HLL++ distinct counts and
+    * GK approximate percentiles per group, SPEC-ONLY since r13: their
+    * merge states are arrival-order-dependent and not SQL-expressible
+    * by construction, so this surface is bounded against exact answers
+    * in OperatorsSpec rather than hash-compared to DuckDB. The
+    * REGISTERED q13 entry ([[q13ApproxSketch]]) now computes the same
+    * report on the value-verified deterministic sketch family. */
+  def nativeSketchForSpec(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("returnflag"))
       .agg(
@@ -228,6 +230,32 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
       .orderBy("returnflag")
+
+  /** q13 — the sketch REPORT per returnflag (approx distinct orders /
+    * parts + p50/p99 price), re-registered (r13) on the VALUE-VERIFIED
+    * deterministic sketch family so the whole report hash-matches
+    * DuckDB: distinct counts from the q60 deterministic-register HLL
+    * (order-free register file, exact integer harmonic denominator)
+    * and percentiles from the q45 hash-sample rank sketch. The native
+    * HLL++/GK surface this entry used to exercise lives on as
+    * [[nativeSketchForSpec]] with spec-bounded error.
+    * Scale: identical to q60/q45 — bounded register/sample state per
+    * group, map-side combine everywhere; never ∝ n. */
+  def q13ApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    q60HllDeterministic(spark, dir)
+      .select(col("returnflag"), col("hll_orders").as("approx_orders"),
+        col("hll_parts").as("approx_parts"))
+      .join(q45ApproxPercentile(spark, dir)
+        .select(col("returnflag"), col("p50_price"), col("p99_price")), "returnflag")
+      .orderBy("returnflag")
+
+  private lazy val q13OracleSql: String =
+    s"""SELECT h.returnflag,
+               h.hll_orders AS approx_orders, h.hll_parts AS approx_parts,
+               p.p50_price, p.p99_price
+        FROM ($hllOracleSql) h JOIN ($pctOracleSql) p
+          ON h.returnflag = p.returnflag
+        ORDER BY h.returnflag"""
 
   /** Hash-sampled approximate percentiles per returnflag — the ORACLE-
     * CHECKABLE sibling of q13's percentile_approx half (the q43/KMV
@@ -698,20 +726,14 @@ object Relational {
                  round(sum(value), 2) AS sum_value,
                  min(ts_us) // 1000 AS start_ms, max(ts_us) // 1000 AS end_ms
           FROM c GROUP BY user_id, sess_no ORDER BY user_id, session_id""")),
-    // sketch registers (HLL, KLL) aren't SQL-replayable, but the group
-    // count is: one row per distinct returnflag (rows-only by design);
-    // q43 is the fully-oracle-checked KMV sibling
-    // THE one permanent rows-only entry (formally pinned r9): q13
-    // exercises Spark's NATIVE sketches — HLL++ registers and the GK
-    // quantile summary, whose merge states are arrival-order-dependent
-    // and not SQL-expressible by construction. Every half has an
-    // oracle-green deterministic sibling (distinct → q43/KMV, heavy
-    // keys → q44/CMS, percentiles → q45/hash-sample), so the VALUE
-    // semantics are covered; this entry keeps the native-sketch surface
-    // a user would actually run at 100 TB, with an independent rows
-    // oracle + spec error bounds.
-    QueryDef("q13_approx_sketch", q13ApproxSketch, None, rowsOracle = Some(
-      "SELECT count(DISTINCT l_returnflag) AS expected_rows FROM lineitem")),
+    // r13: the former one-permanent-rows-only entry is retired at the
+    // inventory level — q13's report is re-registered on the
+    // value-verified deterministic sketch family (q60 register-HLL +
+    // q45 hash-sample percentiles), hash-green like every other entry.
+    // Spark's NATIVE HLL++/GK surface (arrival-order-dependent merge
+    // state, not SQL-expressible) remains covered spec-only via
+    // nativeSketchForSpec's error bounds.
+    QueryDef("q13_approx_sketch", q13ApproxSketch, Some(q13OracleSql)),
     QueryDef("q43_approx_distinct", q43ApproxDistinct, Some(kmvOracleSql)),
     QueryDef("q60_hll_deterministic", q60HllDeterministic, Some(hllOracleSql)),
     QueryDef("q44_heavy_hitters", q44HeavyHitters, Some(cmsOracleSql)),

@@ -462,6 +462,16 @@ object ScaleOps {
       .select(col("event_id"), col("user_id"), col("ts_us").as("s"),
         (col("ts_us") +
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") * lit(100000L)).as("e"))
+      // scale contract, checked IN the plan: every interval must span
+      // < 2 bucket widths (so ≤ 3 covered buckets) — the bound that
+      // keeps the explode fan-out ∝ rows, not data values. A generator
+      // change that lengthens intervals fails LOUDLY here instead of
+      // silently inflating the equi-join (or tripping sequence()'s
+      // element cap far past the contract).
+      .withColumn("e", expr(
+        s"CASE WHEN e - s < ${2 * OverlapBucketUs}L THEN e ELSE " +
+          "raise_error('q62: interval spans >= 2 bucket widths; " +
+          "the <= 3-bucket explode contract is violated') END"))
     val ex = iv.withColumn("bkt",
       explode(expr(s"sequence(s div $OverlapBucketUs, e div $OverlapBucketUs)")))
     val a = ex.select(col("user_id"), col("bkt"), col("event_id").as("id_a"),

@@ -74,6 +74,69 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** ANN for MAXIMUM INNER PRODUCT via the norm-augmentation reduction
+    * (Bachrach et al. RecSys'14; Shrivastava & Li NeurIPS'14) — the
+    * scale path [[simMips]]'s scaladoc promises, registered (r13):
+    * every ITEM appends sqrt(M² − ‖x‖²) (M = [[MipsAugBound]], a
+    * documented constant ≥ max ‖x‖ — the popularity weight caps item
+    * norms at 1.6·(1+1e-7) on the unit-norm corpus) and every QUERY
+    * appends 0, so ip(q′,x′) = ip(q,x) while ‖x′‖ = M is constant —
+    * for a fixed query the augmented-space COSINE ordering IS the
+    * MIPS ordering, and the exact sign-bit LSH tier applies
+    * unchanged over the 65-dim augmented vectors. The augmentation
+    * COMPRESSES angles (the documented Simple-LSH weakness: the
+    * appended component is large for low-norm items), so the query
+    * side probes the full Hamming-1 shell per table — the
+    * [[annLshMultiprobeWide]] lever, still zero extra corpus hash /
+    * shuffle — and M is the TIGHT bound 1.61 (max ‖x‖ =
+    * 1.6·(1+1e-7) on the unit-norm corpus), which keeps the appended
+    * component as small as correctness allows. Candidates collide in
+    * ANY probed bucket of any of the [[NumTables]] tables; the
+    * re-rank is the EXACT raw dot product on the original scaled
+    * item vectors, so every surfaced (qid, neighbor, ip) row agrees
+    * with [[simMips]]. Recall@5 vs the exact MIPS ground truth is
+    * REGISTERED as [[simRecallReportMips]].
+    * Scale: identical to sim_ann_lsh_multiprobe — the corpus is
+    * hashed once per table (shuffle ∝ tables × docs, never docs²),
+    * only the |Q|-row query side fans out 1+6 probes per table
+    * (still broadcast), ranking through the bounded-heap aggregate.
+    * sqrt is IEEE-correctly-rounded on both engines and dot products
+    * evaluate in fixed index order, so the full augmentation +
+    * bucketing + probe + re-rank chain replays in DuckDB
+    * bit-for-bit. */
+  val MipsAugBound = 1.61
+  val MipsAugDim = 65
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(spark, dir)
+    val items = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 10.0))")
+      .as("v"))
+    val itemsAug = items.withColumn("av",
+      expr(s"concat(v, array(sqrt($MipsAugBound * $MipsAugBound - dot_product(v, v))))"))
+    val qAug = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        expr("concat(v, array(CAST(0.0 AS DOUBLE)))").as("aqv"))
+    val eb = itemsAug.select(col("vec_id") +: (0 until NumTables).map(t =>
+      expr(s"lsh_bucket(av, $BitsPerTable, $MipsAugDim, $t)").as(s"b$t")): _*)
+    val ids = (0 until NumTables).map { t =>
+      val qp = qAug.select(col("qid"), explode(expr(
+        s"lsh_probes(aqv, $BitsPerTable, $MipsAugDim, $t, $MultiProbeWide)")).as("bv"))
+      eb.select(col("vec_id"), col(s"b$t").as("bv"))
+        .join(broadcast(qp), Seq("bv"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+    }.reduce(_ unionAll _).distinct()
+    val scored = ids
+      .join(broadcast(qAug.select(col("qid"), col("qv"))), Seq("qid"))
+      .join(items, Seq("vec_id"))
+      .select(col("qid"), expr("dot_product(qv, v)").as("ip"), col("vec_id"))
+    graft.api.GraftOps.topKPerGroupAgg(scored, part = "qid",
+        ordCol = "ip", payloadCol = "vec_id", k = TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("ip"), 6).as("ip"))
+      .orderBy("qid", "rnk")
+  }
+
   /** MMR-diversified top-k retrieval (Carbonell & Goldstein 1998) —
     * the re-ranking every RAG/search pipeline runs between ANN
     * recall and the user: from the exact cosine top-[[MmrPool]]
@@ -1392,6 +1455,14 @@ object Similarity {
   def simRecallReportWide(spark: SparkSession, dir: String): DataFrame =
     recallReportOf(annLshMultiprobeWide(spark, dir))(spark, dir)
 
+  /** sim_recall_report for the MIPS-ANN tier — recall@K of
+    * [[annMips]] against its own exact ground truth [[simMips]] (NOT
+    * the cosine top-K: MIPS and cosine rank differently on this
+    * corpus by construction), the same value-verified eval-as-query
+    * discipline as the cosine recall reports. */
+  def simRecallReportMips(spark: SparkSession, dir: String): DataFrame =
+    recallReportAgainst(simMips(spark, dir), annMips(spark, dir))
+
   /** NDCG@K of the LSH ANN ranking vs the exact top-K — recall's
     * position-sensitive sibling (a hit at rank 1 is worth more than a
     * hit at rank 5): relevance of a returned neighbor = K+1 − its
@@ -1487,8 +1558,14 @@ object Similarity {
         SELECT qid, ndcg FROM allr ORDER BY qid"""
   }
 
-  private def recallReportOf(annDf: DataFrame)(spark: SparkSession, dir: String): DataFrame = {
-    val exact = cosineTopk(spark, dir).select(col("qid"), col("neighbor"))
+  private def recallReportOf(annDf: DataFrame)(spark: SparkSession, dir: String): DataFrame =
+    recallReportAgainst(cosineTopk(spark, dir), annDf)
+
+  /** Recall@K of any ANN top-K against any exact top-K — the shared
+    * eval core (cosine tiers pass [[cosineTopk]]; the MIPS tier its
+    * own ground truth [[simMips]]). */
+  private def recallReportAgainst(exactDf: DataFrame, annDf: DataFrame): DataFrame = {
+    val exact = exactDf.select(col("qid"), col("neighbor"))
       .localCheckpoint()
     val ann = annDf.select(col("qid"), col("neighbor"))
     val hits = exact.join(ann, Seq("qid", "neighbor"), "left_semi")
@@ -1641,6 +1718,82 @@ object Similarity {
         SELECT qid, rnk, vec_id AS neighbor, round(cos, 6) AS cos
         FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
   }
+
+  /** DuckDB mirror of annMips: the scaled item vectors (the sim_mips
+    * popularity weights), the norm augmentation (sqrt is correctly
+    * rounded on both engines), the md5-derived ±1 hyperplanes over the
+    * 65-dim augmented space, and the exact-ip re-rank — the whole
+    * reduction replays bit-for-bit. Ends with `ar` (qid, vec_id, ip,
+    * rnk); `q`/`ei` stay available for the recall oracle's exact
+    * tier. */
+  private lazy val mipsAnnCtes: String = {
+    val planeRows = (0 until NumTables).flatMap { t =>
+      val ps = graft.functions.LshBucket.planes(BitsPerTable, MipsAugDim, t)
+      (0 until BitsPerTable).map { j =>
+        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n            ")
+    s"""planes(t, j, w) AS (VALUES
+            $planeRows),
+          ei AS MATERIALIZED (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 10.0)) AS v
+               FROM embeddings),
+          ea AS MATERIALIZED (SELECT vec_id,
+                 list_concat(v, [sqrt($MipsAugBound * $MipsAugBound - list_dot_product(v, v))]) AS av
+               FROM ei),
+          q AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                 list_concat(embedding::DOUBLE[], [0.0]) AS aqv
+               FROM embeddings WHERE vec_id < $NumQueries),
+          bucki AS MATERIALIZED (SELECT e.vec_id, p.t,
+                 sum(CASE WHEN list_dot_product(e.av, p.w) > 0 THEN 1 << p.j ELSE 0 END) AS bv
+               FROM ea e, planes p GROUP BY 1, 2),
+          buckq AS (SELECT q.qid, p.t,
+                 sum(CASE WHEN list_dot_product(q.aqv, p.w) > 0 THEN 1 << p.j ELSE 0 END) AS bv
+               FROM q, planes p GROUP BY 1, 2),
+          qprobe AS (SELECT qid, t, bv FROM buckq
+                     UNION
+                     SELECT b.qid, b.t, xor(b.bv, CAST(1 << u.j AS BIGINT)) AS bv
+                     FROM buckq b,
+                          unnest(generate_series(0, ${BitsPerTable - 1})) u(j)),
+          cand AS (SELECT DISTINCT bq.qid, bc.vec_id
+                   FROM qprobe bq JOIN bucki bc ON bq.t = bc.t AND bq.bv = bc.bv
+                   WHERE bc.vec_id <> bq.qid),
+          ascored AS (SELECT c.qid, c.vec_id,
+                   list_dot_product(q.qv, e.v) AS ip
+                 FROM cand c JOIN q ON c.qid = q.qid JOIN ei e ON c.vec_id = e.vec_id),
+          ar AS (SELECT qid, vec_id, ip,
+                 row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rnk
+               FROM ascored)"""
+  }
+
+  private lazy val annMipsOracle: String =
+    s"""WITH $mipsAnnCtes
+        SELECT qid, rnk, vec_id AS neighbor, round(ip, 6) AS ip
+        FROM ar WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
+  private lazy val recallReportMipsOracle: String =
+    s"""WITH $mipsAnnCtes,
+          xc AS (SELECT q.qid, e.vec_id AS neighbor,
+                        list_dot_product(q.qv, e.v) AS ip
+                 FROM q, ei e WHERE e.vec_id <> q.qid),
+          xr AS MATERIALIZED (SELECT qid, neighbor FROM (
+                SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+                  ORDER BY ip DESC, neighbor) AS rnk FROM xc) WHERE rnk <= $TopK),
+          art AS MATERIALIZED (SELECT qid, vec_id AS neighbor FROM ar
+                               WHERE rnk <= $TopK),
+          hits AS (SELECT x.qid, count(*) AS n_hit
+                   FROM xr x JOIN art a ON x.qid = a.qid AND x.neighbor = a.neighbor
+                   GROUP BY 1),
+          perq AS MATERIALIZED (
+            SELECT x.qid, count(*) AS n_exact, coalesce(any_value(h.n_hit), 0) AS n_hit
+            FROM xr x LEFT JOIN hits h ON x.qid = h.qid GROUP BY 1),
+          allr AS (SELECT qid, n_exact, n_hit FROM perq
+                   UNION ALL
+                   SELECT -1, sum(n_exact), sum(n_hit) FROM perq)
+        SELECT qid, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+               round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+        FROM allr ORDER BY qid"""
 
   /** DuckDB mirror of simKnnGraph: same inlined hyperplanes, bucket
     * SELF-join over all nodes, per-node top-KnnK. */
@@ -2248,6 +2401,9 @@ object Similarity {
           SELECT qid, rnk, neighbor, round(ip, 6) AS ip
           FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""")),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshOracle)),
+    QueryDef("sim_ann_mips", annMips, Some(annMipsOracle)),
+    QueryDef("sim_recall_report_mips", simRecallReportMips,
+      Some(recallReportMipsOracle)),
     QueryDef("sim_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeOracle)),
     QueryDef("sim_recall_report", simRecallReport, Some(recallReportOracle)),
     QueryDef("sim_recall_report_multiprobe", simRecallReportMultiprobe,

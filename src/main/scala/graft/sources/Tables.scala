@@ -24,7 +24,19 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureUtc(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val pq = new java.io.File(s"$dir/$name.parquet")
+    if (pq.exists) spark.read.parquet(pq.getPath)
+    else {
+      // The reference's `--text` line-oriented input mode (a6/Q1.scala:19)
+      // at the ONE table seam every operator reads through: a dir holding
+      // pipe-delimited `<name>.tbl` files with a `<name>.schema` DDL
+      // sidecar serves the identical DataFrame — same downstream plans,
+      // same results (FormatParitySpec asserts q1–q4 parity vs parquet).
+      val ddl = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"$name.schema")), "UTF-8")
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("sep", "|").csv(s"$dir/$name.tbl")
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")

@@ -1612,18 +1612,89 @@ object EventStreams {
                  mean, std
           FROM f WHERE abs(value - mean) > $AnomalyZ * std
           ORDER BY user_id, ts_ms, event_id""")),
-    QueryDef("stream_trending", trendingBatch, Some(
-      s"""WITH w AS (SELECT event_type, epoch_us(ts) // $TenMinUs AS win, count(*) AS cnt
-                     FROM events GROUP BY 1, 2),
-            l AS (SELECT *, lag(win) OVER (PARTITION BY event_type ORDER BY win) AS prev_win,
-                         lag(cnt) OVER (PARTITION BY event_type ORDER BY win) AS prev_cnt
-                  FROM w),
-            p AS (SELECT event_type, win, cnt,
-                         CASE WHEN prev_win IS NOT NULL AND prev_win = win - 1
-                              THEN prev_cnt ELSE 0 END AS prev
-                  FROM l)
-          SELECT win * 600000 AS window_ms, event_type, cnt, prev
-          FROM p WHERE cnt >= $TrendMin AND cnt >= 2 * prev
-          ORDER BY window_ms, event_type""")),
+    QueryDef("stream_trending", trendingBatch, Some(trendingOracle)),
+    QueryDef("stream_trending_recovery", trendingRecovery, Some(trendingOracle)),
   )
+
+  private lazy val trendingOracle: String =
+    s"""WITH w AS (SELECT event_type, epoch_us(ts) // $TenMinUs AS win, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+          l AS (SELECT *, lag(win) OVER (PARTITION BY event_type ORDER BY win) AS prev_win,
+                       lag(cnt) OVER (PARTITION BY event_type ORDER BY win) AS prev_cnt
+                FROM w),
+          p AS (SELECT event_type, win, cnt,
+                       CASE WHEN prev_win IS NOT NULL AND prev_win = win - 1
+                            THEN prev_cnt ELSE 0 END AS prev
+                FROM l)
+        SELECT win * 600000 AS window_ms, event_type, cnt, prev
+        FROM p WHERE cnt >= $TrendMin AND cnt >= 2 * prev
+        ORDER BY window_ms, event_type"""
+
+  /** CHECKPOINTED STATE RECOVERY as a registered, oracle-verified query
+    * (r13 — the restart semantics the reference's a7 TrendingArrivals
+    * exercises with its checkpointed mapWithState; reference
+    * a7/TrendingArrivals.scala:117-145): the events table is split in
+    * TIME at the middle of a window (so one window's count SPANS the
+    * restart and must survive in recovered state), batch 1 runs through
+    * the watermarked trending detector with a durable checkpoint + file
+    * sink and the query is stopped COLD; a NEW query restarts from the
+    * same checkpoint — source offsets, watermark, and the
+    * flatMapGroupsWithState store all recovered — and drains batch 2
+    * plus a far-future sentinel key that pushes the watermark past
+    * every real window's end (the timer-close discipline), so ALL real
+    * windows emit. The file sink's commit log makes the union of the
+    * two runs exactly-once; the returned frame is the sink read back,
+    * and the DuckDB oracle replays the plain BATCH lag() mirror — the
+    * restart must be invisible in the output, which is the whole
+    * claim.
+    * Scale: this is the operational pattern a 100 TB streaming job
+    * relies on daily (kill/redeploy without data loss or dupes);
+    * checkpoint cost is per-batch state-store deltas, not corpus
+    * re-reads. */
+  def trendingRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-trend-recovery").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val base = events(spark, dir)
+      .select(col("event_type"), expr(s"ts_us div $TenMinUs").as("win"),
+        timestamp_micros(col("ts_us")).as("ts"), col("ts_us"))
+    val Row2 = base.agg(min(col("win")).as("lo"), max(col("win")).as("hi")).head()
+    val (loWin, hiWin) = (Row2.getLong(0), Row2.getLong(1))
+    // cut mid-WINDOW: the cut window's events land on both sides of the
+    // restart, so its state must survive the checkpoint round trip
+    val cutUs = ((loWin + hiWin) / 2) * TenMinUs + TenMinUs / 2
+    base.filter(col("ts_us") < cutUs).drop("ts_us")
+      .coalesce(1).write.parquet(s"$in/p1")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("win", LongType),
+      StructField("ts", TimestampType)))
+    def run(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*/")
+        .withWatermark("ts", "0 seconds")
+        .as[(String, Long, java.sql.Timestamp)]
+      val q = trendingCoreWatermark(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // batch-1 offsets + state committed; query stopped cold
+    // batch 2: the rest of the corpus, plus a sentinel whose event time
+    // pushes the watermark past the last REAL window's end so every
+    // real window timer-closes (the sentinel's own window never closes
+    // and thus never emits; its count of 1 is below TrendMin anyway)
+    import spark.implicits._
+    val sentinelWin = hiWin + 10
+    base.filter(col("ts_us") >= cutUs).drop("ts_us")
+      .unionAll(Seq((" sentinel", sentinelWin,
+        new java.sql.Timestamp(sentinelWin * TenMinMs + 1000)))
+        .toDF("event_type", "win", "ts"))
+      .coalesce(1).write.parquet(s"$in/p2")
+    run() // restart: offsets/watermark/state recovered from ckpt
+    spark.read.parquet(out)
+      .select(col("window_ms"), col("event_type"), col("cnt"), col("prev"))
+      .orderBy("window_ms", "event_type")
+  }
 }

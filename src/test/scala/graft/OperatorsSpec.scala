@@ -16,6 +16,7 @@ class OperatorsSpec extends SparkSpec {
       val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "dedup_embedding", // no embedding pair need clear the cosine threshold
         "stream_trending", // event density at sf0.001 can't reach the trend minimum
+        "stream_trending_recovery", // same trend minimum, same sparse corpus
         "graph_kcore") // the 28-core of the sf0.001 graph is truly empty
         // (Graph4Spec peels it non-trivially with a smaller k; the
         // oracle proves 769/13790 survivors at sf0.01/0.1)
@@ -256,7 +257,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("sketch aggregates stay within their error bounds of exact answers") {
-    val approx = operators.Relational.q13ApproxSketch(spark, sf).collect()
+    // the NATIVE HLL++/GK surface (spec-only since r13 — the registered
+    // q13 runs the value-verified deterministic sketch family instead)
+    val approx = operators.Relational.nativeSketchForSpec(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
     val exact = sources.Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")

@@ -544,4 +544,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((100L * 600000, "a", 4L, 0L)),
       s"final window did not close on the watermark timer: $streamed")
   }
+
+  test("checkpointed cold restart: trending recovery output equals the batch mirror") {
+    // the registered stream_trending_recovery entry end-to-end at smoke
+    // scale: run 1 drains half the corpus and stops cold; run 2
+    // restarts from the checkpoint (offsets + watermark + state) — the
+    // union of sink output must make the restart invisible
+    // sf0.01, not the sf0.001 smoke dir: the trend minimum needs the
+    // denser corpus to fire at all (stream_trending's documented
+    // sparse-corpus emptiness), and an empty-vs-empty pass would prove
+    // nothing about state recovery
+    val denseSf = "/root/testdata/sf0.01"
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = tup(EventStreams.trendingRecovery(spark, denseSf))
+    val want = tup(EventStreams.trendingBatch(spark, denseSf))
+    assert(got == want, s"restart visible in output: ${got.diff(want)} / ${want.diff(got)}")
+    assert(got.nonEmpty)
+  }
 }
