@@ -226,9 +226,14 @@ object Bench {
     def ctl(): Double =
       try controlOnly(spark) / controlPin catch { case _: Throwable => -1.0 }
     val cStart = controlRatio
+    // SPARK_GRAFT_PASSES=1: single timed pass — for scale-soak runs
+    // (sf1+) where a second full pass doubles hours of wall-clock for
+    // variance insulation the soak doesn't need; pin-setting runs keep
+    // the default 2
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val p1 = pass()
     val cMid = ctl()
-    val p2 = pass()
+    val p2 = if (nPasses > 1) pass() else p1
     val cEnd = ctl()
     def gm(a: Double, b: Double): Double =
       if (a > 0 && b > 0) math.sqrt(a * b)
