@@ -36,10 +36,22 @@ object Dbscan {
     * discipline the other CC users document); candidate clusters here
     * are tiny chains well inside that bound. */
   val DbCcIters = 8
+  /** Candidate budget for the corpus-adaptive bit count (r13, the
+    * dedup_embedding_auto lever applied after the sf1 soak measured
+    * the fixed-bit config at 48x-of-linear): bits =
+    * max(EmbLsh.Bits, ⌈log₂N⌉ − 8) holds per-table candidate volume
+    * ≈ 256·N as the corpus grows instead of N²/2^bits. budget 8 (the
+    * recall-first setting) because ε = 0.35 sits low on the s-curve —
+    * per-plane agreement ≈ 0.61, so narrow buckets cost real recall;
+    * both test SFs stay on 4 bits (results unchanged), sf1 takes 7. */
+  val DbBudgetLog2 = 8
 
   def mlDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.embeddings(spark, dir)
+    val bits = graft.functions.EmbLsh.suggestedBits(df.count(), DbBudgetLog2)
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
-        Tables.embeddings(spark, dir), "vec_id", "embedding", DbEps)
+        df, "vec_id", "embedding", DbEps,
+        graft.functions.EmbLsh.Tables, bits, graft.functions.EmbLsh.Dims)
       .select("a", "b")
       .localCheckpoint() // feeds sym (twice), the core filter, and CC
     val sym = pairs.select(col("a").as("v"), col("b").as("nb"))
@@ -77,16 +89,23 @@ object Dbscan {
     * oracle's discipline) → candidate pairs → degrees → core set →
     * unrolled min-label CC on the core subgraph → border adoption. */
   private lazy val oracle: String = {
-    import graft.functions.{EmbLsh, LshBucket}
-    val planeRows = (0 until EmbLsh.Tables).flatMap { t =>
-      val ps = LshBucket.planes(EmbLsh.Bits, EmbLsh.Dims, t)
-      (0 until EmbLsh.Bits).map { j =>
-        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
-      }
-    }.mkString(",\n            ")
-    s"""WITH planes(t, j, w) AS (VALUES
-            $planeRows),
-          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    import graft.functions.EmbLsh
+    // dynamic-plane arm (the dedup_embedding_auto oracle technique):
+    // the bit count derives from the corpus size IN SQL and the
+    // md5-derived hyperplanes regenerate for whatever it yields, so
+    // this one text stays exact at every SF
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bb AS (SELECT greatest(${EmbLsh.Bits},
+                   length(bin((count(*) - 1)::BIGINT)) - $DbBudgetLog2) AS bits FROM e),
+          planes AS MATERIALIZED (
+            SELECT t.t, j.j,
+                   list(CASE WHEN ('0x' || substr(md5('plane_' || t.t::VARCHAR || '_' ||
+                          j.j::VARCHAR || '_' || d.d::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d.d) AS w
+            FROM range(${EmbLsh.Tables}) t(t),
+                 (SELECT j FROM range(64) r(j), bb WHERE j < bits) j,
+                 range(${EmbLsh.Dims}) d(d)
+            GROUP BY 1, 2),
           proj AS (SELECT e.vec_id, p.t,
                           CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
                    FROM e, planes p),

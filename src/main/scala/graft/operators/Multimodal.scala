@@ -255,6 +255,17 @@ object Multimodal {
   // cut candidate pairs 4× vs 4 bits (the dominant pipeline cost)
   val MmBits = 6
   val MmCcIters = 6
+  /** Corpus-adaptive bit floor (r13, after the sf1 soak measured the
+    * fixed-bit pipeline at 27x-of-linear): bits = max(MmBits,
+    * ⌈log₂N⌉ − 6) — the dedup_embedding_auto lever with the TIGHT
+    * budget, because the 0.97 threshold tolerates narrow buckets
+    * (p ≈ 0.92/plane: even 10 bits keep recall ≈ 0.99 at 8 tables).
+    * sf0.01 stays on 6 bits; sf0.1 takes 7; sf1 takes 9. */
+  val MmBudgetLog2 = 6
+  private[operators] def mmSuggestedBits(n: Long): Int = {
+    val ceilLog2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(MmBits, ceilLog2 - MmBudgetLog2)
+  }
 
   private val vecSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -277,8 +288,9 @@ object Multimodal {
     // final keeper join — without this the mapPartitions extraction
     // re-runs for every consumer
     val vecs = featureVectors(spark, dir).localCheckpoint()
+    val bits = mmSuggestedBits(Tables.documents(spark, dir).count())
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
-        vecs, "doc_id", "fv", MmThreshold, MmTables, MmBits, FeatureDims)
+        vecs, "doc_id", "fv", MmThreshold, MmTables, bits, FeatureDims)
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", MmCcIters)
     vecs.select(col("doc_id"))
@@ -326,16 +338,22 @@ object Multimodal {
           FROM fv0)"""
 
   private lazy val mmPipelineOracle: String = {
-    val planeRows = (0 until MmTables).flatMap { t =>
-      val ps = graft.functions.LshBucket.planes(MmBits, FeatureDims, t)
-      (0 until MmBits).map { j =>
-        s"($t, $j, [${ps(j).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
-      }
-    }.mkString(",\n            ")
+    // dynamic-plane arm (the dedup_embedding_auto oracle technique):
+    // bits derive from the corpus size in SQL, planes regenerate for
+    // whatever they yield — one text, exact at every SF
     s"""WITH $featCtes,
           vec AS MATERIALIZED (SELECT doc_id, list(v ORDER BY j) AS fv FROM f GROUP BY 1),
-          planes(t, j, w) AS (VALUES
-            $planeRows),
+          bb AS (SELECT greatest($MmBits,
+                   length(bin((count(*) - 1)::BIGINT)) - $MmBudgetLog2) AS bits FROM vec),
+          planes AS MATERIALIZED (
+            SELECT t.t, j.j,
+                   list(CASE WHEN ('0x' || substr(md5('plane_' || t.t::VARCHAR || '_' ||
+                          j.j::VARCHAR || '_' || d.d::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d.d) AS w
+            FROM range($MmTables) t(t),
+                 (SELECT j FROM range(64) r(j), bb WHERE j < bits) j,
+                 range($FeatureDims) d(d)
+            GROUP BY 1, 2),
           proj AS (SELECT vec.doc_id, p.t,
                           CASE WHEN list_dot_product(vec.fv, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
                    FROM vec, planes p),
@@ -375,6 +393,13 @@ object Multimodal {
   val PhashBands = 8
   val PhashBits = 8
   val PhashMaxHamming: Long = PhashBands - 1L
+  // CONTRACT: the phash tier's "byte stream" is the text's CODE POINTS
+  // (split + ascii on the Spark side, ascii(text[i]) in the oracle) —
+  // both engines share the same domain, so the hash is exact on any
+  // corpus; this differs from the audio/feature tiers, whose Spark
+  // sides parse text.cast("binary") and whose oracles therefore use
+  // UTF-8 BYTE extraction. blockhash is representation-agnostic —
+  // either domain is a valid block statistic, matching is what matters.
   def mmDedupPhash(spark: SparkSession, dir: String): DataFrame = {
     val bandCols = (0 until PhashBands).map { b =>
       val bits = (0 until PhashBits).map { k =>
@@ -431,9 +456,10 @@ object Multimodal {
     val bandUnion = (0 until PhashBands)
       .map(b => s"SELECT doc_id, $b AS bj, band$b AS bv FROM codes")
       .mkString("\n                 UNION ALL ")
-    s"""d0 AS (SELECT doc_id, octet_length(text::BLOB) AS n,
-                      hex(text::BLOB) AS hx FROM documents),
-          d AS (SELECT doc_id, n, $byteListSql AS cs FROM d0),
+    s"""d AS (SELECT doc_id, length(text) AS n,
+                  [CAST(ascii(text[i]) AS BIGINT)
+                   for i in generate_series(1, length(text))] AS cs
+               FROM documents),
           t AS (SELECT doc_id, n, cs, list_sum(cs) AS total FROM d),
           codes AS MATERIALIZED (SELECT doc_id,
                  $bandSql
