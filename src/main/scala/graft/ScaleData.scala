@@ -88,10 +88,12 @@ object ScaleData {
         .withColumn("user_id", col("user_id") + lit(c * uOff))
     }, "events")
     wr(copies(rd("documents")) { (d, c) =>
+      // ONE select: `t` must resolve against the INPUT text (a
+      // withColumn chain would re-resolve it against the already-
+      // prefixed column and double-count the prefix in n_chars)
       val t = if (c == 0) col("text") else concat(lit(s"c$c "), col("text"))
-      d.withColumn("doc_id", col("doc_id") + lit(c * dOff))
-        .withColumn("text", t)
-        .withColumn("n_chars", length(t).cast("long"))
+      d.select((col("doc_id") + lit(c * dOff)).as("doc_id"), t.as("text"),
+        col("lang"), col("source"), length(t).cast("long").as("n_chars"))
     }, "documents")
     wr(copies(rd("embeddings")) { (d, c) =>
       val rot = c % 64

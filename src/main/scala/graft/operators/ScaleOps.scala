@@ -408,9 +408,18 @@ object ScaleOps {
     * against the chain edges, the same per-round bound as the
     * hand-written BFS loop, now declared in pure SQL. */
   def q59RecursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    // Spark's recursion ROW guard defaults to 1M — a safety net against
+    // unbounded recursion, not a capacity limit. This recursion is
+    // PROVABLY bounded (acyclic ≤ SccChainLen-deep chains ⇒ ≤
+    // |orders|·SccChainLen/2 reach rows) yet exceeds 1M at sf1+, so
+    // raise the guard on a CLONED session (the q40 pattern: own
+    // SQLConf, same SparkContext, nothing leaks into the caller's
+    // session) to a bound that still trips on a genuine runaway.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
     val view = "graft_rec_orders"
-    Tables.orders(spark, dir).createOrReplaceTempView(view)
-    spark.sql(recursiveReachSql(view, "div"))
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    s.sql(recursiveReachSql(view, "div"))
   }
 
   /** One text, two engines: `rel` = orders relation name, `idiv` =
