@@ -58,6 +58,23 @@ class AnnVariantsSpec extends SparkSpec {
     assert(recall >= 0.5, s"binary preselect recall $recall below 0.5")
   }
 
+  test("MIPS-ANN: wide-probed norm augmentation recovers most exact MIPS neighbors") {
+    // the r13 sim_ann_mips tier: recall@5 vs the exact MIPS ground
+    // truth (NOT cosine — the rankings differ on this corpus), and
+    // every surfaced ip must equal the exact tier's for that pair
+    val exact = Similarity.simMips(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.annMips(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ann.foreach { case (k, ip) =>
+      exact.get(k).foreach(e => assert(math.abs(e - ip) < 1e-9,
+        s"pair $k: ann ip $ip != exact $e"))
+    }
+    val hits = exact.keys.count(ann.contains)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.8, s"MIPS-ANN recall@5 $recall below 0.8 (measured 0.92)")
+  }
+
   test("multiprobe is deterministic and supersets the single-probe candidates") {
     val a = Similarity.annLshMultiprobe(spark, dir).collect().toSeq
     val b = Similarity.annLshMultiprobe(spark, dir).collect().toSeq
