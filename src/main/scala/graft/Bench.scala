@@ -212,6 +212,14 @@ object Bench {
     def pass(): Map[String, Double] = {
       operators.Graph.reset(); operators.Classify.reset()
       operators.Similarity.reset(); operators.Bpe.reset()
+      // SuffixArray too (r14): without it pass 2 rode pass 1's memoized
+      // suffix array and min-of-2 recorded the 0.08 s READOUT as
+      // text_suffix_array's pin — the sf1 soak then read a bogus 25x
+      // "superlinearity" that was pure accounting. Every memo family
+      // now pays its build in every pass (producer-charged, like
+      // pagerank/louvain); the io-family layout writes stay unreset BY
+      // CONVENTION (their pins document the pass-1 write charge).
+      operators.SuffixArray.reset()
       // also drop CacheManager state: cache()d fragments are keyed by
       // canonicalized plan, so pass 2's identical plans would silently
       // reuse pass 1's materialized data and under-report their cost

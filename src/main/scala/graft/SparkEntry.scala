@@ -5,14 +5,42 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+  /** The inventory grouped into memo-coherent FAMILIES (declaration
+    * order — memo producers precede their consumers within a family;
+    * memos are never shared ACROSS family boundaries, so a long-lived
+    * session may release all materialized memo state between families
+    * without changing any result — see [[releaseMemos]]). */
+  def families: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> (Relational.defs ++ Relational2.defs ++ ScaleOps.defs),
+    "text" -> (TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs),
+    "dedup" -> (Dedup.defs ++ SuffixArray.defs),
+    "similarity" -> (Similarity.defs ++ TextProfile.defs),
+    "ml" -> (Classify.defs ++ MlTrees.defs ++ Dbscan.defs ++ Multimodal.defs),
+    "graph" -> (Graph.defs ++ Truss.defs),
+    "curation" -> (Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs),
+    "events" -> (EventAnalytics.defs ++ Forecast.defs ++ QuantileSketch.defs),
+    "io" -> graft.sources.IoRoundtrip.defs,
+    "streaming" -> graft.streaming.EventStreams.defs)
+
   /** All implemented operators, one QueryDef per SURVEY.md §2 row. */
-  def all: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ ScaleOps.defs ++ TextAnalytics.defs ++ TextRank.defs ++ Bpe.defs ++ Dedup.defs ++ SuffixArray.defs ++
-      Similarity.defs ++ TextProfile.defs ++ Classify.defs ++ MlTrees.defs ++ Dbscan.defs ++ Multimodal.defs ++
-      Graph.defs ++ Truss.defs ++ Curation.defs ++ CurationQuality.defs ++ Repetition.defs ++ Mixing.defs ++
-      EventAnalytics.defs ++ Forecast.defs ++ QuantileSketch.defs ++
-      graft.sources.IoRoundtrip.defs ++
-      graft.streaming.EventStreams.defs
+  def all: Seq[QueryDef] = families.flatMap(_._2)
+
+  /** Drop every memoized DataFrame AND free its executor block storage.
+    * The memo maps hold localCheckpoint-backed frames whose blocks
+    * otherwise live until the ContextCleaner notices the dropped
+    * references — across a 305-query sweep at sf1 that unbounded
+    * accumulation OOM'd an 8 g driver (SOAK_r13.md item 3). Clearing
+    * the maps FIRST means nothing can reference a freed block; the
+    * unpersist then releases deterministically instead of at GC's
+    * leisure. Called by Verify between families and available to any
+    * long-lived session embedding the library. */
+  def releaseMemos(spark: SparkSession): Unit = {
+    Graph.reset(); Classify.reset(); Similarity.reset()
+    Bpe.reset(); SuffixArray.reset()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,13 +23,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (wanted(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    // declaration order, family by family: memo producers run before
+    // their consumers, and BETWEEN families every memoized
+    // localCheckpoint block is released (SparkEntry.releaseMemos) —
+    // without this the ~300-query sweep accumulates all families'
+    // blocks and needs a 64 g driver at sf1 (SOAK_r13.md item 3);
+    // with it the whole sweep fits the default heap.
+    SparkEntry.families.foreach { case (_, defs) =>
+      defs.foreach { qd =>
+        if (wanted(qd.name))
+          try qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${qd.name}")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] ${qd.name} failed: ${e.getMessage}")
+          }
+      }
+      SparkEntry.releaseMemos(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

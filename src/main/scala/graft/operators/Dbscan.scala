@@ -37,7 +37,7 @@ object Dbscan {
     * are tiny chains well inside that bound. */
   val DbCcIters = 8
   /** Candidate budget for the corpus-adaptive bit count (r13, the
-    * dedup_embedding_auto lever applied after the sf1 soak measured
+    * dedup_embedding lever applied after the sf1 soak measured
     * the fixed-bit config at 48x-of-linear): bits =
     * max(EmbLsh.Bits, ⌈log₂N⌉ − 8) holds per-table candidate volume
     * ≈ 256·N as the corpus grows instead of N²/2^bits. budget 8 (the
@@ -90,7 +90,7 @@ object Dbscan {
     * unrolled min-label CC on the core subgraph → border adoption. */
   private lazy val oracle: String = {
     import graft.functions.EmbLsh
-    // dynamic-plane arm (the dedup_embedding_auto oracle technique):
+    // dynamic-plane arm (the dedup_embedding oracle technique):
     // the bit count derives from the corpus size IN SQL and the
     // md5-derived hyperplanes regenerate for whatever it yields, so
     // this one text stays exact at every SF

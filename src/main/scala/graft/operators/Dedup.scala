@@ -168,28 +168,10 @@ object Dedup {
         ORDER BY a, b"""
   }
 
-  /** Embedding-cosine near-dup pairs, LSH-bucketed (the registered
-    * production path): candidates collide in ≥1 of EmbTables sign-bit
+  /** Embedding-cosine near-dup pairs, LSH-bucketed — THE registered
+    * production path: candidates collide in ≥1 of EmbTables sign-bit
     * buckets, exact cosine only within buckets — shuffle ∝ tables×docs,
-    * never docs². 16 tables × 4 bits puts recall ≈ 0.95 at the
-    * cos ≈ 0.45–0.51 neighbors this corpus actually has (testdata has
-    * no planted dups; the threshold exercises the tail); at a real
-    * corpus raise bits with log(N) and tables with the recall target.
-    * The DuckDB oracle reproduces the md5-derived hyperplanes as
-    * literal vectors, so the bucket collisions — not just the cosine
-    * math — are verified bit-for-bit. */
-  val EmbThreshold = 0.45
-  // single source of truth (functions.EmbLsh): the GraftOps defaults,
-  // the implicit syntax, and the oracle's inlined planes all follow it
-  val EmbTables: Int = graft.functions.EmbLsh.Tables
-  val EmbBits: Int = graft.functions.EmbLsh.Bits
-  val EmbDims: Int = graft.functions.EmbLsh.Dims
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    graft.api.GraftOps.embeddingNearDupPairs(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)
-      .orderBy("a", "b")
-
-  /** Auto-tuned variant: bits chosen from the corpus size at plan time
+    * never docs². Bits are chosen from the corpus size at plan time
     * (EmbLsh.suggestedBits with the near-dup candidate budget
     * AutoBudgetLog2 = 6: bits = max(4, ⌈log₂N⌉ − 6)) — §5's "raise
     * bits with log N" knob exercised end-to-end, holding per-table
@@ -199,16 +181,40 @@ object Dedup {
     * length(bin(n−1)) and regenerates the md5 hyperplanes dynamically
     * for whatever bits that yields, so one static SQL text stays exact
     * at EVERY SF — and the two test SFs actually take DIFFERENT arms:
-    * sf0.01 (N=500) → 4 bits (identical to dedup_embedding's fixed
-    * config), sf0.1 (N=2000) → 5 bits (the dynamic-plane branch). */
+    * sf0.01 (N=500) → 4 bits (identical to the fixed tier's config),
+    * sf0.1 (N=2000) → 5 bits (the dynamic-plane branch). Registered as
+    * `dedup_embedding` since r14: the sf1 soak measured the fixed-bit
+    * sibling at 42× this tier's cost on the same corpus (occupancy ∝ N
+    * ⇒ within-bucket join ∝ N²), so the adaptive rule owns the
+    * production name and the fixed config lives on as
+    * `dedup_embedding_fixed`, the recorded contrast. */
+  val EmbThreshold = 0.45
+  // single source of truth (functions.EmbLsh): the GraftOps defaults,
+  // the implicit syntax, and the oracle's inlined planes all follow it
+  val EmbTables: Int = graft.functions.EmbLsh.Tables
+  val EmbBits: Int = graft.functions.EmbLsh.Bits
+  val EmbDims: Int = graft.functions.EmbLsh.Dims
   val AutoBudgetLog2 = 6
-  def dedupEmbeddingAuto(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.embeddings(spark, dir)
     val bits = graft.functions.EmbLsh.suggestedBits(df.count(), AutoBudgetLog2)
     graft.api.GraftOps.embeddingNearDupPairs(df, "vec_id", "embedding",
         EmbThreshold, EmbTables, bits, EmbDims)
       .orderBy("a", "b")
   }
+
+  /** Fixed-bit contrast tier: 16 tables × 4 bits REGARDLESS of corpus
+    * size — the configuration the sf1 soak measured at 179.5 s vs 3.6 s
+    * for the adaptive rule on the same corpus (SOAK_r13.md item 1).
+    * Kept registered under an explicitly non-production name so the
+    * 42× lesson stays measurable: constant bucket count ⇒ per-bucket
+    * occupancy ∝ N ⇒ candidate join ∝ N². Fine at bench SFs (recall
+    * ≈ 0.95 at the cos ≈ 0.45–0.51 neighbors this corpus has); dead at
+    * 100×. */
+  def dedupEmbeddingFixed(spark: SparkSession, dir: String): DataFrame =
+    graft.api.GraftOps.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)
+      .orderBy("a", "b")
 
   /** Brute-force ground truth: ALL (a < b) pairs at/above the threshold
     * via an O(N²) cross join. Oracle-exact at test SFs and the recall
@@ -599,8 +605,8 @@ object Dedup {
     QueryDef("dedup_minhash_salted", dedupMinhashSalted, Some(minhashOracle)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterOracle)),
     QueryDef("dedup_source_report", dedupSourceReport, Some(sourceReportOracle)),
-    QueryDef("dedup_embedding", dedupEmbedding, Some(embLshOracle)),
-    QueryDef("dedup_embedding_auto", dedupEmbeddingAuto, Some(embLshAutoOracle)),
+    QueryDef("dedup_embedding", dedupEmbedding, Some(embLshAutoOracle)),
+    QueryDef("dedup_embedding_fixed", dedupEmbeddingFixed, Some(embLshOracle)),
     QueryDef("dedup_embedding_exact", dedupEmbeddingExact, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             p AS (SELECT a.vec_id AS a, b.vec_id AS b,

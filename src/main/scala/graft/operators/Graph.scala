@@ -767,7 +767,7 @@ object Graph {
     * max dist of sweep 2 is a certified LOWER bound at 2×BFS cost,
     * against |V| BFS runs for the exact value. The u pick between
     * sweeps is ONE driver action on a 1-row argmax (the ccProbe /
-    * dedupEmbeddingAuto plan-construction pattern — not a per-row
+    * dedupEmbedding plan-construction pattern — not a per-row
     * collect); ties break (dist desc, v asc) so both engines choose
     * the identical u. Output: one row (seed, far node, estimate). */
   def graphDiameter(spark: SparkSession, dir: String): DataFrame = {

@@ -257,7 +257,7 @@ object Multimodal {
   val MmCcIters = 6
   /** Corpus-adaptive bit floor (r13, after the sf1 soak measured the
     * fixed-bit pipeline at 27x-of-linear): bits = max(MmBits,
-    * ⌈log₂N⌉ − 6) — the dedup_embedding_auto lever with the TIGHT
+    * ⌈log₂N⌉ − 6) — the dedup_embedding lever with the TIGHT
     * budget, because the 0.97 threshold tolerates narrow buckets
     * (p ≈ 0.92/plane: even 10 bits keep recall ≈ 0.99 at 8 tables).
     * sf0.01 stays on 6 bits; sf0.1 takes 7; sf1 takes 9. */
@@ -338,7 +338,7 @@ object Multimodal {
           FROM fv0)"""
 
   private lazy val mmPipelineOracle: String = {
-    // dynamic-plane arm (the dedup_embedding_auto oracle technique):
+    // dynamic-plane arm (the dedup_embedding oracle technique):
     // bits derive from the corpus size in SQL, planes regenerate for
     // whatever they yield — one text, exact at every SF
     s"""WITH $featCtes,

@@ -407,16 +407,31 @@ object ScaleOps {
     * unions — each step shuffles only the previous depth's frontier
     * against the chain edges, the same per-round bound as the
     * hand-written BFS loop, now declared in pure SQL. */
+  /** The recursion row guard DERIVED from the data instead of a flat
+    * constant: acyclic ≤ SccChainLen-deep chains emit at most
+    * |orders|·(SccChainLen−1)/2 reach rows (each order sits in one
+    * ≤ SccChainLen-node chain; pairs within a chain of m nodes =
+    * m(m−1)/2 ≤ m·(SccChainLen−1)/2), so |orders|·SccChainLen is a
+    * provable ceiling with ~2× slack — linear in the input, which is
+    * exactly the shape a guard needs: a genuine runaway (a cycle bug,
+    * an unbounded frontier) is superlinear and still trips it, while
+    * legitimate growth at any SF never does. Floored at Spark's 1M
+    * default so tiny inputs keep the stock protection. */
+  def q59RecursionGuard(nOrders: Long): Long =
+    math.max(1000000L, nOrders * Graph.SccChainLen)
+
   def q59RecursiveReach(spark: SparkSession, dir: String): DataFrame = {
     // Spark's recursion ROW guard defaults to 1M — a safety net against
     // unbounded recursion, not a capacity limit. This recursion is
-    // PROVABLY bounded (acyclic ≤ SccChainLen-deep chains ⇒ ≤
-    // |orders|·SccChainLen/2 reach rows) yet exceeds 1M at sf1+, so
-    // raise the guard on a CLONED session (the q40 pattern: own
-    // SQLConf, same SparkContext, nothing leaks into the caller's
-    // session) to a bound that still trips on a genuine runaway.
+    // PROVABLY bounded yet exceeds 1M at sf1+, so raise the guard on a
+    // CLONED session (the q40 pattern: own SQLConf, same SparkContext,
+    // nothing leaks into the caller's session) to the data-derived
+    // ceiling above — one count() at plan-construction time (the q34
+    // pattern), never a per-row action.
     val s = spark.newSession()
-    s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+    val nOrders = Tables.orders(s, dir).count()
+    s.conf.set("spark.sql.cteRecursionRowLimit",
+      q59RecursionGuard(nOrders).toString)
     val view = "graft_rec_orders"
     Tables.orders(s, dir).createOrReplaceTempView(view)
     s.sql(recursiveReachSql(view, "div"))

@@ -1688,7 +1688,7 @@ object EventStreams {
     import spark.implicits._
     val sentinelWin = hiWin + 10
     base.filter(col("ts_us") >= cutUs).drop("ts_us")
-      .unionAll(Seq((" sentinel", sentinelWin,
+      .unionAll(Seq(("\u0000sentinel", sentinelWin,
         new java.sql.Timestamp(sentinelWin * TenMinMs + 1000)))
         .toDF("event_type", "win", "ts"))
       .coalesce(1).write.parquet(s"$in/p2")

@@ -184,7 +184,7 @@ class FunctionsSpec extends SparkSpec {
     val sizes = Seq(1L, 1000L, 1000000L, 1000000000L)
     val bits = sizes.map(n => EmbLsh.suggestedBits(n))
     assert(bits == bits.sorted)
-    // the near-dup budget (dedup_embedding_auto) splits the test SFs:
+    // the near-dup budget (dedup_embedding) splits the test SFs:
     // 500 docs stay at the floor, 2000 docs take the 5-bit dynamic arm
     assert(EmbLsh.suggestedBits(500, budgetLog2 = 6) == 4)
     assert(EmbLsh.suggestedBits(2000, budgetLog2 = 6) == 5)

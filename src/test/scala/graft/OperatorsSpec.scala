@@ -15,6 +15,7 @@ class OperatorsSpec extends SparkSpec {
       // Sparse-by-construction ops may legitimately be empty at sf0.001:
       val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "dedup_embedding", // no embedding pair need clear the cosine threshold
+        "dedup_embedding_fixed", // same corpus, same threshold, fixed-bit arm
         "stream_trending", // event density at sf0.001 can't reach the trend minimum
         "stream_trending_recovery", // same trend minimum, same sparse corpus
         "graph_kcore") // the 28-core of the sf0.001 graph is truly empty

@@ -24,4 +24,24 @@ class RecursiveOracleSpec extends SparkSpec {
     // distance exceeds the round cap
     assert(viaSql.forall(_._2 <= graft.operators.Graph.BfsRounds))
   }
+
+  test("q59 recursion guard is derived from the data, not a constant") {
+    import graft.operators.{Graph, ScaleOps}
+    // the formula: linear in |orders| (so it scales to any SF) with the
+    // stock 1M floor (so tiny inputs keep Spark's default protection)
+    assert(ScaleOps.q59RecursionGuard(100) == 1000000L)
+    assert(ScaleOps.q59RecursionGuard(15000) == 1000000L)
+    assert(ScaleOps.q59RecursionGuard(1500000) == 1500000L * Graph.SccChainLen)
+    assert(ScaleOps.q59RecursionGuard(150000000L) == 150000000L * Graph.SccChainLen)
+    // the guard still PROTECTS: the provable output ceiling of the
+    // acyclic chain recursion (|orders|·(SccChainLen−1)/2) stays under
+    // the configured bound with slack, so legit growth never trips it,
+    // while a runaway (superlinear in input) does
+    val n = 1500000L
+    val provableCeiling = n * (Graph.SccChainLen - 1) / 2
+    assert(provableCeiling < ScaleOps.q59RecursionGuard(n))
+    // and the guard is o(N²): at no realistic size does it approach the
+    // row count an unbounded self-join runaway would produce
+    assert(ScaleOps.q59RecursionGuard(n) < n * n / 1000)
+  }
 }
