@@ -1789,9 +1789,39 @@ object GraftOps {
     * is designed for — |E| large enough that each round's edge
     * shuffle dwarfs per-job overhead and the settled frontier makes
     * the move set broadcast-sized. */
+  /** Constraint propagation OFF for the duration of `body` (restored
+    * after, even on throw). The louvain loop's parity gates are pmod
+    * filters on both branches of a per-round label union; across the
+    * 2-round fused plan InferFiltersFromConstraints recombines them
+    * into a boolean expression that grows combinatorially — at sf1 the
+    * r14 sweep measured a 37 KB single filter that blew janino's
+    * 64 KB method limit and knocked the round's stage out of
+    * whole-stage codegen (14 warnings across the family). Inferred
+    * constraints are redundant-by-construction filters, so disabling
+    * propagation changes PLAN SHAPE only, never results; every
+    * expensive round-plan is optimized eagerly inside the loop (the
+    * truncate actions), i.e. inside this window. */
+  private def withoutConstraintPropagation[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def louvainLevel(edges: DataFrame, selfs: DataFrame,
                            rounds: Int,
-                           init: Option[DataFrame] = None): DataFrame = {
+                           init: Option[DataFrame] = None): DataFrame =
+    withoutConstraintPropagation(edges.sparkSession) {
+      louvainLevelBody(edges, selfs, rounds, init)
+    }
+
+  private def louvainLevelBody(edges: DataFrame, selfs: DataFrame,
+                               rounds: Int,
+                               init: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .truncated()
@@ -1914,6 +1944,10 @@ object GraftOps {
       }
       if (i % 2 == 0) labels = labels.truncated()
     }
+    // odd round counts: truncate the tail round too, so no plan built
+    // here is ever optimized OUTSIDE the constraint-propagation-off
+    // window (see withoutConstraintPropagation)
+    if (rounds % 2 != 0) labels = labels.truncated()
     labels
   }
 
