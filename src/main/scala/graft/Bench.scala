@@ -117,9 +117,20 @@ object Bench {
       if (rows == 0 || secs == 0) Map.empty[String, Double]
       else Map(label -> rows / secs)
     } finally q.stop()
-    val agg = measure(
-      stream.writeStream.outputMode("update").format("noop").start(),
-      "windowed_agg_rows_per_sec")
+    // state partitions sized to the STATE for the agg too (r14
+    // StreamLab sweep, n=2 each): 8 partitions sustains 791k-1014k
+    // rows/s vs 458-467k at 32 on the same 1-window state, and
+    // 607-657k vs 468-475k at a 100k-key keyed state — the same
+    // commit-overhead-bound shape the interval join showed in r12.
+    // RocksDB measured at both state sizes and never inverts
+    // (422-463k @32-big); stays a config away.
+    val savedAggParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val agg =
+      try measure(
+        stream.writeStream.outputMode("update").format("noop").start(),
+        "windowed_agg_rows_per_sec")
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedAggParts)
     // stream-stream interval join: two watermarked rate sources joined
     // on key within ±1 s — the stateful two-input path. State
     // partitions are sized to the STATE, not the core count (r12
@@ -207,24 +218,38 @@ object Bench {
     // to the wrong query)
     // optional args: query-name filter (local iteration aid; the driver
     // passes none and benches the full inventory)
-    val names = SparkEntry.all.map(q => q.name -> q.fn)
-      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val famNames = SparkEntry.families.map { case (f, defs) =>
+      f -> defs.map(q => q.name -> q.fn)
+        .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    }.filter(_._2.nonEmpty)
+    val names = famNames.flatMap(_._2)
     def pass(): Map[String, Double] = {
+      // per-pass memo resets (SuffixArray included since r14: without
+      // it pass 2 rode pass 1's memoized suffix array and min-of-2
+      // recorded the 0.08 s READOUT as text_suffix_array's pin — the
+      // sf1 soak then read a bogus 25x "superlinearity" that was pure
+      // accounting). Every memo family pays its build in every pass
+      // (producer-charged, like pagerank/louvain); the io-family
+      // layout writes stay unreset BY CONVENTION (their pins document
+      // the pass-1 write charge). clearCache drops CacheManager state:
+      // cache()d fragments are keyed by canonicalized plan, so pass
+      // 2's identical plans would silently reuse pass 1's materialized
+      // data and under-report their cost.
       operators.Graph.reset(); operators.Classify.reset()
       operators.Similarity.reset(); operators.Bpe.reset()
-      // SuffixArray too (r14): without it pass 2 rode pass 1's memoized
-      // suffix array and min-of-2 recorded the 0.08 s READOUT as
-      // text_suffix_array's pin — the sf1 soak then read a bogus 25x
-      // "superlinearity" that was pure accounting. Every memo family
-      // now pays its build in every pass (producer-charged, like
-      // pagerank/louvain); the io-family layout writes stay unreset BY
-      // CONVENTION (their pins document the pass-1 write charge).
       operators.SuffixArray.reset()
-      // also drop CacheManager state: cache()d fragments are keyed by
-      // canonicalized plan, so pass 2's identical plans would silently
-      // reuse pass 1's materialized data and under-report their cost
       spark.catalog.clearCache()
-      names.map { case (name, fn) => name -> time(fn) }.toMap
+      // BETWEEN families, release every memoized localCheckpoint block
+      // (r14): memos never cross family boundaries (the SparkEntry
+      // families contract), so the release changes no timing — it
+      // bounds executor block storage the way Verify does. Without it
+      // the sf3 heavy soak accumulated every prior family's blocks and
+      // OOM'd a 16 g heap in the graph family.
+      famNames.flatMap { case (_, fns) =>
+        val r = fns.map { case (name, fn) => name -> time(fn) }
+        SparkEntry.releaseMemos(spark)
+        r
+      }.toMap
     }
     // control reruns BETWEEN passes: load varies over a 4-minute bench,
     // so each pass gets its own control ratio (geometric mean of the

@@ -27,8 +27,10 @@ object CkptSoak {
       SparkEntry.releaseMemos(spark)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // bit_xor: order-independent AND overflow-free (a 64-bit SUM of
+      // xxhash64 values trips ANSI arithmetic overflow at sf1 row counts)
       val r = df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
-        .agg(sum(col("h")).as("s"), count(lit(1)).as("n")).head()
+        .agg(expr("bit_xor(h)").as("s"), count(lit(1)).as("n")).head()
       ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
     }
     names.foreach { name =>

@@ -27,6 +27,14 @@ object GraftOps {
     * which the caller must have set) instead of `localCheckpoint()`. */
   val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
 
+  /** Edge-weight mass (= |E| on unit-weight graphs) above which the
+    * Louvain local-move loop defaults to delta iteration. Measured
+    * crossover (see louvainLevel): 1.2M edges → delta 1.76x slower
+    * (r12, sf0.1); ~12M edges → delta 15-20% faster control-adjusted
+    * (r14, sf1). 5M splits the measured bracket; override either way
+    * with spark.graft.louvainDelta=true/false. */
+  val LouvainDeltaAutoEdges: Double = 5e6
+
   /** Lineage truncation for iterative state. Default is
     * `localCheckpoint()`: blocks live on executors — fast, no
     * distributed-FS round trip, and exactly right on local[n].
@@ -293,7 +301,20 @@ object GraftOps {
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via byte-banding
-    * (radius ≤ 3 over 4 bytes ⇒ some byte equal: exact by pigeonhole). */
+    * (radius ≤ 3 over 4 bytes ⇒ some byte equal: exact by pigeonhole).
+    *
+    * The banded join runs on the DISTINCT-SIGNATURE dictionary, never
+    * on per-doc multiplicity (r14): on a dup-heavy corpus whole
+    * near-dup families collapse to ONE signature, and doc-keyed
+    * banding multiplies every bucket by family size — the sf3 soak
+    * measured the doc-keyed form at 1242 s vs 23.9 s at sf1 (52x at
+    * 3x data: occupancy ∝ N ⇒ within-bucket join ∝ N², the same
+    * fixed-bucket disease as the pre-r14 dedup_embedding). Signature
+    * pairs within the radius expand back to doc pairs afterwards, and
+    * identical-signature docs pair directly at hamming 0 — the result
+    * SET is identical to the doc-keyed form (each doc has exactly one
+    * signature), so the oracle is unchanged; only the join cardinality
+    * moves from |docs| to |distinct sigs| per band. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxHamming: Int = 3,
                         hotThreshold: Long = Long.MaxValue,
@@ -303,16 +324,29 @@ object GraftOps {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-band exhaustive search, got $maxHamming")
     val sigs = simhashSignatures(df, id, text).truncated()
+    val ds = sigs.select(col("sig")).distinct().truncated()
     val bands = (0 until 4).map(j =>
-      sigs.selectExpr(id, s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
+      ds.selectExpr("sig", s"$j AS bj", s"(sig div ${1L << (8 * j)}) % 256 AS bv"))
       .reduce(_ unionAll _)
-    // pairs first (the shared skew-safe enumerator), signatures joined
-    // back onto the deduped candidate set for the Hamming filter
-    bucketPairs(bands, id, hotThreshold, salt)
-      .join(sigs.select(col(id).as("a"), col("sig").as("siga")), "a")
-      .join(sigs.select(col(id).as("b"), col("sig").as("sigb")), "b")
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+    // candidate SIGNATURE pairs (the shared skew-safe enumerator keyed
+    // by signature), Hamming-filtered before any doc expansion
+    val sigPairs = bucketPairs(bands, "sig", hotThreshold, salt)
+      .withColumn("hamming", expr("bit_count(a ^ b)"))
       .filter(col("hamming") <= maxHamming)
+      .truncated()
+    // cross-signature doc pairs (canonical a < b by doc id)
+    val cross = sigPairs
+      .join(sigs.select(col(id).as("da"), col("sig").as("a")), "a")
+      .join(sigs.select(col(id).as("db"), col("sig").as("b")), "b")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    // identical-signature docs: hamming 0 by definition, no banding or
+    // verification needed — the dup-family fast path (output-bound)
+    val same = sigs.select(col(id).as("da"), col("sig"))
+      .join(sigs.select(col(id).as("db"), col("sig")), "sig")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"), lit(0).as("hamming"))
+    cross.unionAll(same)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
@@ -1852,11 +1886,21 @@ object GraftOps {
         .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
     }
     // delta-iteration state: per-parity candidate-weight snapshots and
-    // the last two rounds' move sets. OPT-IN (see scaladoc: measured
-    // slower at toy scale, designed for cluster-scale |E|);
-    // LouvainDeltaSpec asserts both paths agree label for label.
+    // the last two rounds' move sets. SCALE-DISPATCHED since r14
+    // (explicit conf always wins): r12 measured delta 1.76x SLOWER at
+    // sf0.1 (1.2M edges — per-round job overhead dominates) and the
+    // r14 sf1 A/B measured it ~8% faster raw / 15-20% control-adjusted
+    // (~12M edges, post codegen fix: 48.1-49.0 s vs 51.9-52.9 s), so
+    // the default flips where each round's |E| shuffle, not job
+    // overhead, is the bound. m (= |E| on unit-weight graphs) is
+    // already computed, so the dispatch is free. LouvainDeltaSpec
+    // asserts both paths agree label for label — dispatch can never
+    // change results.
     val deltaOn = edges.sparkSession.conf
-      .getOption("spark.graft.louvainDelta").contains("true")
+      .getOption("spark.graft.louvainDelta") match {
+      case Some(v) => v == "true"
+      case None    => mVal >= LouvainDeltaAutoEdges
+    }
     val kvcCache = new Array[DataFrame](2)
     var movesPrev: DataFrame = null
     var movesPrev2: DataFrame = null

@@ -410,30 +410,57 @@ object Multimodal {
       }.mkString("(", " + ", ")")
       expr(bits).as(s"band$b")
     }
+    // the banded join runs on the DISTINCT-HASH dictionary, never on
+    // per-doc multiplicity (r14, the simhashCandidates fix): on a
+    // dup-heavy corpus whole media families share ONE perceptual hash
+    // and doc-keyed banding multiplies every bucket by family size —
+    // the sf3 soak measured this tier 6.1x over its linear envelope.
+    // Hash pairs expand back to doc pairs afterwards; identical-hash
+    // docs pair directly at hamming 0. Result set identical (one hash
+    // per doc), oracle unchanged.
     val codes = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("cs", expr("transform(split(text, ''), c -> CAST(ascii(c) AS LONG))"))
       .withColumn("total", expr("aggregate(slice(cs, 1, CAST(n AS INT)), 0L, (a, x) -> a + x)"))
       .select(col("doc_id") +: bandCols: _*)
+      // string key: the 8 bands would overflow a 64-bit shift-combine
+      // under ANSI; a join key only needs identity, not arithmetic
+      .withColumn("sig", concat_ws(",",
+        (0 until PhashBands).map(b => col(s"band$b")): _*))
       .localCheckpoint() // feeds the band explode AND both verify sides
+    val sigD = codes.select(col("sig") +:
+        (0 until PhashBands).map(b => col(s"band$b")): _*)
+      .distinct().localCheckpoint()
     val cand = (0 until PhashBands).map(b =>
-        codes.select(col("doc_id"), lit(b).as("bj"), col(s"band$b").as("bv")))
+        sigD.select(col("sig"), lit(b).as("bj"), col(s"band$b").as("bv")))
       .reduce(_ unionAll _)
-    val pairs = cand.as("x").join(cand.as("y"),
+    val sigPairsRaw = cand.as("x").join(cand.as("y"),
         col("x.bj") === col("y.bj") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+          col("x.sig") < col("y.sig"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb")).distinct()
     val ham = (0 until PhashBands)
       .map(b => bit_count(expr(s"ca$b ^ cb$b")).cast("long"))
       .reduceLeft(_ + _)
-    val ca = codes.select(col("doc_id").as("a") +:
+    val sa = sigD.select(col("sig").as("sa") +:
       (0 until PhashBands).map(b => col(s"band$b").as(s"ca$b")): _*)
-    val cb = codes.select(col("doc_id").as("b") +:
+    val sb = sigD.select(col("sig").as("sb") +:
       (0 until PhashBands).map(b => col(s"band$b").as(s"cb$b")): _*)
-    pairs.join(ca, "a").join(cb, "b")
+    val sigPairs = sigPairsRaw.join(sa, "sa").join(sb, "sb")
       .withColumn("hamming", ham)
       .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("sa"), col("sb"), col("hamming"))
+    val docSig = codes.select(col("doc_id"), col("sig"))
+    val cross = sigPairs
+      .join(docSig.select(col("doc_id").as("da"), col("sig").as("sa")), "sa")
+      .join(docSig.select(col("doc_id").as("db"), col("sig").as("sb")), "sb")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    val same = docSig.select(col("doc_id").as("da"), col("sig"))
+      .join(docSig.select(col("doc_id").as("db"), col("sig")), "sig")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"), lit(0L).as("hamming"))
+    cross.unionAll(same)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")
   }
