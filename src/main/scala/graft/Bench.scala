@@ -177,6 +177,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // codegen-fallback sentinel (r15): a janino bailout is a silent
+    // perf cliff no correctness gate sees (the Louvain loop ran
+    // INTERPRETED for rounds, SOAK_r14.md §3) — count every fallback
+    // warning across the whole bench and report it in the JSON; a
+    // qualified run requires zero
+    CodegenSentinel.install()
     // untimed warmup: JVM/codegen/session init shouldn't be billed to
     // whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -297,7 +303,9 @@ object Bench {
     // control ratio (control_ratios: start/mid/end probes); adj_total
     // is directly comparable to the BASELINE pinned sum even on a
     // loaded host
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"queries":$qs,"queries_adj":$qsAdj,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
+    val fallbacks = CodegenSentinel.fallbackCount
+    CodegenSentinel.reportClean("bench")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"queries":$qs,"queries_adj":$qsAdj,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullJson.getBytes("UTF-8"))
     // COMPACT final stdout line (<500 bytes): the driver captures only
@@ -307,7 +315,7 @@ object Bench {
     // bench_out.json.
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
     // stop Spark BEFORE printing: shutdown WARN lines interleaved after
     // the JSON made the driver's stdout parse come up empty (r4/r5 both
     // recorded parsed: null) — the JSON line must be the last stdout

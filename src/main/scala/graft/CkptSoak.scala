@@ -27,10 +27,19 @@ object CkptSoak {
       SparkEntry.releaseMemos(spark)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      // bit_xor: order-independent AND overflow-free (a 64-bit SUM of
-      // xxhash64 values trips ANSI arithmetic overflow at sf1 row counts)
+      // MULTISET fingerprint, order-independent and overflow-free:
+      // group by the row hash, then xor over xxhash64(h, count). A
+      // plain xor of row hashes is multiplicity-blind — a divergence
+      // that shifts row multiplicities in even pairs (one row
+      // duplicated twice while another drops twice) leaves both the
+      // xor and the total count unchanged (r14 advice). Hashing
+      // (h, per-h count) makes any multiplicity change move the
+      // fingerprint; the extra shuffle is |distinct rows| on a soak
+      // harness — noise. (SUM of hashes would trip ANSI 64-bit
+      // overflow at sf1 row counts, hence xor.)
       val r = df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
-        .agg(expr("bit_xor(h)").as("s"), count(lit(1)).as("n")).head()
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(expr("bit_xor(xxhash64(h, c))").as("s"), sum(col("c")).as("n")).head()
       ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
     }
     names.foreach { name =>

@@ -32,14 +32,17 @@ object SparkEntry {
     * accumulation OOM'd an 8 g driver (SOAK_r13.md item 3). Clearing
     * the maps FIRST means nothing can reference a freed block; the
     * unpersist then releases deterministically instead of at GC's
-    * leisure. Called by Verify between families and available to any
-    * long-lived session embedding the library. */
+    * leisure. Called by Verify between families and SAFE in any
+    * long-lived session embedding the library: release walks only the
+    * [[graft.api.Memo]] registry of graft-created checkpoint/cache
+    * entries, so a host application's own persisted RDDs and cached
+    * tables on the same SparkContext are untouched (r14 advice: the
+    * earlier getPersistentRDDs+clearCache sweep truncated host lineage
+    * and dropped host caches). */
   def releaseMemos(spark: SparkSession): Unit = {
     Graph.reset(); Classify.reset(); Similarity.reset()
     Bpe.reset(); SuffixArray.reset()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    spark.catalog.clearCache()
+    graft.api.Memo.releaseAll(spark)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

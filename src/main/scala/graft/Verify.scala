@@ -22,6 +22,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CodegenSentinel.install()
     new java.io.File(outDir).mkdirs()
     // declaration order, family by family: memo producers run before
     // their consumers, and BETWEEN families every memoized
@@ -69,6 +70,16 @@ object Verify {
         } catch { case _: Throwable => None }
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/rows_check.json"), rowsJson)
+    // codegen-fallback sentinel readout (r15): nonzero means some query
+    // in this sweep ran interpreted — a silent perf cliff (SOAK_r14 §3:
+    // the Louvain loop did exactly that for several rounds). The count
+    // lands in the out dir so every correctness run doubles as a
+    // codegen audit.
+    val fallbacks = CodegenSentinel.fallbackCount
+    CodegenSentinel.reportClean("verify")
+    Files.writeString(Paths.get(s"$outDir/codegen_fallbacks.txt"),
+      fallbacks.toString)
+    println(s"[verify] codegen_fallbacks=$fallbacks")
     spark.stop()
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.EmbLsh
+import graft.api.Memo.MemoOps
 import graft.functions.HashingScheme._
 
 /** Column-parameterized operator cores: the user-facing library surface.
@@ -52,8 +53,8 @@ object GraftOps {
     * proves bit-identity); purely a durability trade. */
   private[graft] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption(ReliableCheckpointKey).contains("true"))
-      df.checkpoint()
-    else df.localCheckpoint()
+      Memo.register(df.checkpoint())
+    else df.memoized()
 
   /** `.truncated()` — chainable [[truncate]]. */
   private[graft] implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
@@ -342,13 +343,29 @@ object GraftOps {
         greatest(col("da"), col("db")).as("b"), col("hamming"))
     // identical-signature docs: hamming 0 by definition, no banding or
     // verification needed — the dup-family fast path (output-bound)
-    val same = sigs.select(col(id).as("da"), col("sig"))
-      .join(sigs.select(col(id).as("db"), col("sig")), "sig")
-      .filter(col("da") < col("db"))
-      .select(col("da").as("a"), col("db").as("b"), lit(0).as("hamming"))
+    val same = sameKeyPairs(sigs, id, "sig", hotThreshold, salt)
+      .withColumn("hamming", lit(0))
     cross.unionAll(same)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** All (a < b) id pairs sharing an identical `key` value — the
+    * dup-family expansion used by the simhash/phash same-signature
+    * fast paths. Routed through the salt-slotted enumerator
+    * ([[bucketPairs]] with the key as the single band): a raw
+    * self-join on the key puts one giant family's f²/2 pairs in a
+    * single reducer — exactly the single-task skew the banded path's
+    * salting exists to avoid, reintroduced for the hottest key on
+    * dup-heavy corpora (r14 advice). Families at/under `hotThreshold`
+    * take slot 0 on both sides (the plain join); larger ones spread
+    * their enumeration across `salt` reducers. Output is the pair SET
+    * (output-bound by definition — salting bounds per-task skew, not
+    * the emitted volume). */
+  def sameKeyPairs(df: DataFrame, id: String, key: String,
+                   hotThreshold: Long = Long.MaxValue,
+                   salt: Int = 8): DataFrame =
+    bucketPairs(df.select(col(id), lit(0).as("bj"), col(key).as("bv")),
+      id, hotThreshold, salt)
 
   /** Embedding near-dup pairs at/above a cosine threshold, LSH-bucketed:
     * each vector lands in `tables` sign-bit buckets (native `lsh_bucket`,
@@ -903,7 +920,7 @@ object GraftOps {
     import spark.implicits._
     val sel = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = if (prePartitioned) sel else sel.repartition(col("src"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).memoCached()
     // degree fused into the edge table at build time: each iteration
     // then joins ranks ONCE against it — the former per-round
     // ranks⋈deg stage is gone, and r/d per edge row uses the identical
@@ -911,14 +928,14 @@ object GraftOps {
     // Co-partitioned on src either way.
     val edgesD = {
       val j = edges.join(deg, "src")
-      if (prePartitioned) j else j.cache()
+      if (prePartitioned) j else j.memoCached()
     }
     val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
     val nodes = edgesD.select(col("src").as("v"))
       .unionAll(edgesD.select(col("dst").as("v")))
       .unionAll(srcDf.select(col("v"))).distinct()
     val base = nodes.join(srcDf, Seq("v"), "left")
-      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
+      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).memoCached()
     (edgesD, deg, base)
   }
 
@@ -959,17 +976,17 @@ object GraftOps {
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
       .repartition(col("src"))
-    val str = edges.groupBy("src").agg(sum(col("w")).as("s")).cache()
+    val str = edges.groupBy("src").agg(sum(col("w")).as("s")).memoCached()
     // out-strength fused at build, exactly like prGraph's degree fusion:
     // one ranks join per iteration, (r/s)·w per edge row with the same
     // per-src operands as the former two-stage form
-    val edgesS = edges.join(str, "src").cache()
+    val edgesS = edges.join(str, "src").memoCached()
     val srcDf = sources.toDF("v").withColumn("jump0", lit(1.0 / sources.length))
     val nodes = edgesS.select(col("src").as("v"))
       .unionAll(edgesS.select(col("dst").as("v")))
       .unionAll(srcDf.select(col("v"))).distinct()
     val base = nodes.join(srcDf, Seq("v"), "left")
-      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).cache()
+      .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0")).memoCached()
     var ranks = base.select(col("v"), col("jump0").as("r"))
     for (i <- 1 to iters) {
       val contrib = edgesS.join(ranks, edgesS("src") === ranks("v"))
@@ -1007,15 +1024,15 @@ object GraftOps {
     import spark.implicits._
     val NegInf = Double.NegativeInfinity
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).cache()
+      .repartition(col("src")).memoCached()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).memoCached()
     val srcDf = sources.toDF("v")
       .withColumn("lnp", lit(math.log(1.0 / sources.length)))
     val nodes = edges.select(col("src").as("v"))
       .unionAll(edges.select(col("dst").as("v")))
       .unionAll(srcDf.select(col("v"))).distinct()
     val base = nodes.join(srcDf, Seq("v"), "left")
-      .select(col("v"), coalesce(col("lnp"), lit(NegInf)).as("lnp")).cache()
+      .select(col("v"), coalesce(col("lnp"), lit(NegInf)).as("lnp")).memoCached()
     var lranks = base.select(col("v"), col("lnp").as("lr"))
     for (i <- 1 to iters) {
       // per-edge contribution in log space: lr(u) − ln d(u)
@@ -1835,23 +1852,46 @@ object GraftOps {
     * propagation changes PLAN SHAPE only, never results; every
     * expensive round-plan is optimized eagerly inside the loop (the
     * truncate actions), i.e. inside this window. */
-  private def withoutConstraintPropagation[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  private val louvainRunIds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Conf-isolated level run (r14 advice): constraint propagation must
+    * be OFF while the level's round plans are optimized — r14 found
+    * InferFiltersFromConstraints exploding the parity filters into a
+    * 37 KB Filter that silently blew janino's 64 KB limit — but the
+    * old implementation flipped the SHARED session's SQLConf for the
+    * whole run, so any concurrent query planned on the same session in
+    * that window was optimized without the rule too. Now the flip
+    * lives on a session CLONE (the q40/q59 pattern): runtime conf is
+    * mirrored (newSession starts from defaults — the graft knobs
+    * spark.graft.reliableCheckpoint / spark.graft.louvainDelta must
+    * survive), the rule is disabled on the clone only, and the inputs
+    * re-bind into the clone via global temp views — plan-preserving,
+    * so pushdown/pruning are intact and every frame the body derives
+    * plans under the clone's conf. The returned labels frame is
+    * always truncated (a checkpointed LogicalRDD leaf, resolved and
+    * catalog-free), so base-session callers compose it freely after
+    * the views drop. */
   private def louvainLevel(edges: DataFrame, selfs: DataFrame,
                            rounds: Int,
-                           init: Option[DataFrame] = None): DataFrame =
-    withoutConstraintPropagation(edges.sparkSession) {
-      louvainLevelBody(edges, selfs, rounds, init)
+                           init: Option[DataFrame] = None): DataFrame = {
+    val base = edges.sparkSession
+    val s = base.newSession()
+    base.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () } // static keys
     }
+    s.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    val runId = louvainRunIds.incrementAndGet()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    def rebind(df: DataFrame, tag: String): DataFrame = {
+      val n = s"graft_louvain_${tag}_$runId"
+      df.createOrReplaceGlobalTempView(n)
+      names += n
+      s.table(s"global_temp.$n")
+    }
+    try louvainLevelBody(rebind(edges, "e"), rebind(selfs, "s"), rounds,
+      init.map(rebind(_, "i")))
+    finally names.foreach(n => s.catalog.dropGlobalTempView(n))
+  }
 
   private def louvainLevelBody(edges: DataFrame, selfs: DataFrame,
                                rounds: Int,

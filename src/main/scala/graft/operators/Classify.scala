@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.functions.TextFns
 
@@ -95,7 +96,7 @@ object Classify {
   /** Serial SGD (reference semantics): 1 partition, doc_id order. */
   def train(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
-      trainUncached(spark, dir).localCheckpoint())
+      trainUncached(spark, dir).memoized())
 
   private def trainUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

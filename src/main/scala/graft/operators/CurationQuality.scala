@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.functions.TextFns
 
@@ -109,7 +110,7 @@ object CurationQuality {
         TextFns.hash32(concat(col("sh"), lit("#"), col("j").cast("string"))) % BloomBits)
       .withColumn("word", expr("pos div 63"))
       .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
-      .localCheckpoint() // feeds the filter build AND the probe side
+      .memoized() // feeds the filter build AND the probe side
     val bloom = pos.filter(col("is_bench"))
       .groupBy("word").agg(bit_or(col("mask")).as("bits"))
     val probe = pos.filter(!col("is_bench"))
@@ -234,13 +235,13 @@ object CurationQuality {
   def pipelineV2(spark: SparkSession, dir: String): DataFrame = {
     val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text", "source").localCheckpoint()
+      .select("doc_id", "text", "source").memoized()
     val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
       isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
       w = ShingleW, threshold = ContamThreshold)
     val clean = qdocs
       .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
-      .localCheckpoint() // pair build + keeper join + mix all consume it
+      .memoized() // pair build + keeper join + mix all consume it
     val pairs = graft.api.GraftOps.minhashCandidates(clean, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -272,17 +273,17 @@ object CurationQuality {
   def pipelineV3(spark: SparkSession, dir: String): DataFrame = {
     val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text", "source").localCheckpoint()
+      .select("doc_id", "text", "source").memoized()
     val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
       isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
       w = ShingleW, threshold = ContamThreshold)
     val clean = qdocs
       .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val calm = clean.join(
         Repetition.signals(clean.select(col("doc_id"), col("text")))
           .filter(!col("repetitive")).select("doc_id"), "doc_id")
-      .localCheckpoint() // pair build + keeper join + mix all consume it
+      .memoized() // pair build + keeper join + mix all consume it
     val pairs = graft.api.GraftOps.minhashCandidates(calm, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -420,20 +421,20 @@ object CurationQuality {
   def pipelineV4(spark: SparkSession, dir: String): DataFrame = {
     val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text", "lang").localCheckpoint()
+      .select("doc_id", "text", "lang").memoized()
     val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
       isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
       w = ShingleW, threshold = ContamThreshold)
     val clean = qdocs
       .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val calm = clean.join(
         Repetition.signals(clean.select(col("doc_id"), col("text")))
           .filter(!col("repetitive")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val dsirKeep = Mixing.dsirWeights(calm.select(col("doc_id"), col("lang"), col("text")))
       .filter(col("w_micro") > 0).select("doc_id")
-    val pool = calm.join(dsirKeep, "doc_id").localCheckpoint()
+    val pool = calm.join(dsirKeep, "doc_id").memoized()
     val pairs = graft.api.GraftOps.minhashCandidates(pool, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -463,23 +464,23 @@ object CurationQuality {
   def pipelineV5(spark: SparkSession, dir: String): DataFrame = {
     val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text", "lang").localCheckpoint()
+      .select("doc_id", "text", "lang").memoized()
     val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
       isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
       w = ShingleW, threshold = ContamThreshold)
     val clean = qdocs
       .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val calm = clean.join(
         Repetition.signals(clean.select(col("doc_id"), col("text")))
           .filter(!col("repetitive")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val fluent = calm
       .join(TextRank.knKeep(spark, dir, calm.select(col("doc_id"), col("text"))), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val dsirKeep = Mixing.dsirWeights(fluent.select(col("doc_id"), col("lang"), col("text")))
       .filter(col("w_micro") > 0).select("doc_id")
-    val pool = fluent.join(dsirKeep, "doc_id").localCheckpoint()
+    val pool = fluent.join(dsirKeep, "doc_id").memoized()
     val pairs = graft.api.GraftOps.minhashCandidates(pool, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -511,23 +512,23 @@ object CurationQuality {
     val survivors = qualityClassifier(spark, dir)
       .filter(!col("pred_low")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text", "lang").localCheckpoint()
+      .select("doc_id", "text", "lang").memoized()
     val contam = graft.api.GraftOps.contaminationScan(qdocs, "doc_id", "text",
       isBench = TextFns.hash32(col("doc_id").cast("string")) % 100 >= BenchPctFloor,
       w = ShingleW, threshold = ContamThreshold)
     val clean = qdocs
       .join(contam.filter(!col("flagged")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val calm = clean.join(
         Repetition.signals(clean.select(col("doc_id"), col("text")))
           .filter(!col("repetitive")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val fluent = calm
       .join(TextRank.knKeep(spark, dir, calm.select(col("doc_id"), col("text"))), "doc_id")
-      .localCheckpoint()
+      .memoized()
     val dsirKeep = Mixing.dsirWeights(fluent.select(col("doc_id"), col("lang"), col("text")))
       .filter(col("w_micro") > 0).select("doc_id")
-    val pool = fluent.join(dsirKeep, "doc_id").localCheckpoint()
+    val pool = fluent.join(dsirKeep, "doc_id").memoized()
     val pairs = graft.api.GraftOps.minhashCandidates(pool, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -751,7 +752,7 @@ object CurationQuality {
   def pipelineV7(spark: SparkSession, dir: String): DataFrame = {
     val survivors = qualityFilter(spark, dir).filter(col("keep")).select("doc_id")
     val qdocs = Tables.documents(spark, dir).join(survivors, "doc_id")
-      .select("doc_id", "text").localCheckpoint()
+      .select("doc_id", "text").memoized()
     val pairs = graft.api.GraftOps.minhashCandidates(qdocs, "doc_id", "text")
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", Dedup.ClusterIters)
@@ -759,7 +760,7 @@ object CurationQuality {
       .join(cc, col("doc_id") === cc("v"), "left")
       .filter(col("doc_id") === coalesce(col("comp"), col("doc_id")))
       .select(col("doc_id"), col("text"))
-      .localCheckpoint() // consumed by the budget histogram AND the admit filter
+      .memoized() // consumed by the budget histogram AND the admit filter
     val admitted = Curation.tokenBudgetAdmit(kept)
     Curation.splitHash(kept.join(admitted, "doc_id"), "doc_id")
       .groupBy("split")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 
 /** Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
@@ -53,11 +54,11 @@ object Dbscan {
         df, "vec_id", "embedding", DbEps,
         graft.functions.EmbLsh.Tables, bits, graft.functions.EmbLsh.Dims)
       .select("a", "b")
-      .localCheckpoint() // feeds sym (twice), the core filter, and CC
+      .memoized() // feeds sym (twice), the core filter, and CC
     val sym = pairs.select(col("a").as("v"), col("b").as("nb"))
       .unionAll(pairs.select(col("b").as("v"), col("a").as("nb")))
     val deg = sym.groupBy("v").agg(count(lit(1)).as("nnb"))
-    val core = deg.filter(col("nnb") >= DbMinNb).select(col("v")).localCheckpoint()
+    val core = deg.filter(col("nnb") >= DbMinNb).select(col("v")).memoized()
     // CC on the core-core subgraph only: noise/border never enter the
     // iteration, so the fixpoint runs on the dense kernel of the data
     val coreEdges = pairs
@@ -67,7 +68,7 @@ object Dbscan {
     val coreLabel = core
       .join(cc, Seq("v"), "left")
       .select(col("v"), coalesce(col("comp"), col("v")).as("cluster"))
-      .localCheckpoint() // consumed by core output AND the border join
+      .memoized() // consumed by core output AND the border join
     // border points: non-core with ≥1 core neighbor adopt the MIN
     // neighboring cluster id (deterministic tie-break)
     val border = sym

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.functions.HashingScheme._
 
@@ -113,6 +114,10 @@ object Dedup {
     * actually executes, not just plans, at the test SFs. */
   val SaltHotThreshold = 2L
   val SaltWays = 4
+  /** Production-scale salting knobs for the always-registered simhash
+    * tier: only buckets/families past 100k rows pay the spread. */
+  val SaltHotThresholdProd = 100000L
+  val SaltWaysProd = 8
   def dedupMinhashSalted(spark: SparkSession, dir: String): DataFrame = {
     val (sigs, cand) = persistedMinhashLayout(spark, dir)
     graft.api.GraftOps.minhashCandidatesFrom(sigs, cand, "doc_id",
@@ -140,7 +145,7 @@ object Dedup {
       graft.functions.TextFns.hash32(c.cast("string")) % DeltaMod === 0L
     val deltaSigs = graft.api.GraftOps
       .minhashSignatures(docs(spark, dir).filter(isDelta(col("doc_id"))), "doc_id", "text")
-      .localCheckpoint() // consumed twice: band expansion + scoring
+      .memoized() // consumed twice: band expansion + scoring
     val deltaCand = graft.api.GraftOps.bandCandidates(deltaSigs, "doc_id")
     val baseCand = candP.filter(!isDelta(col("doc_id")))
     val db = deltaCand.select(col("doc_id").as("x"), col("bj"), col("bv"))
@@ -205,16 +210,34 @@ object Dedup {
 
   /** Fixed-bit contrast tier: 16 tables × 4 bits REGARDLESS of corpus
     * size — the configuration the sf1 soak measured at 179.5 s vs 3.6 s
-    * for the adaptive rule on the same corpus (SOAK_r13.md item 1).
-    * Kept registered under an explicitly non-production name so the
-    * 42× lesson stays measurable: constant bucket count ⇒ per-bucket
-    * occupancy ∝ N ⇒ candidate join ∝ N². Fine at bench SFs (recall
-    * ≈ 0.95 at the cos ≈ 0.45–0.51 neighbors this corpus has); dead at
-    * 100×. */
-  def dedupEmbeddingFixed(spark: SparkSession, dir: String): DataFrame =
-    graft.api.GraftOps.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+    * for the adaptive rule on the same corpus (SOAK_r13.md item 1);
+    * constant bucket count ⇒ per-bucket occupancy ∝ N ⇒ candidate
+    * join ∝ N².
+    *
+    * r15: the registered query now runs on a FIXED-SIZE input — the
+    * first [[FixedTierCap]] vectors by vec_id (a TakeOrderedAndProject,
+    * linear in the scan) — so the known-quadratic plan stops charging
+    * its N² to every sweep/soak/bench past sf0.1 (it alone burned
+    * 174 s = 14.5% of the r14 sf1 bench). At sf0.01/sf0.1 the corpus
+    * (500/2000 vectors) sits under the cap, so the capped query equals
+    * the uncapped one and the oracle values are unchanged; past the
+    * cap the input is a fixed 2048-vector prefix and the cost is a
+    * constant. The cap is LOGGED whenever it binds. The UNCAPPED
+    * fixed-bit contrast stays measurable spec-side
+    * (EmbeddingDedupSpec / AbConf) via GraftOps.embeddingNearDupPairs
+    * with explicit bits — the 42×/109× lesson lives there now. */
+  val FixedTierCap = 2048L
+  def dedupEmbeddingFixed(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+    val n = all.count() // parquet-metadata count, plan-time only
+    if (n > FixedTierCap)
+      println(s"[graft] dedup_embedding_fixed: corpus $n vectors > cap " +
+        s"$FixedTierCap — contrast tier runs on the first $FixedTierCap by vec_id")
+    graft.api.GraftOps.embeddingNearDupPairs(
+        all.orderBy("vec_id").limit(FixedTierCap.toInt),
         "vec_id", "embedding", EmbThreshold, EmbTables, EmbBits, EmbDims)
       .orderBy("a", "b")
+  }
 
   /** Brute-force ground truth: ALL (a < b) pairs at/above the threshold
     * via an O(N²) cross join. Oracle-exact at test SFs and the recall
@@ -244,7 +267,8 @@ object Dedup {
     }.mkString(",\n            ")
     s"""WITH planes(t, j, w) AS (VALUES
             $planeRows),
-          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $FixedTierCap)),
           proj AS (SELECT e.vec_id, p.t,
                           CASE WHEN list_dot_product(e.v, p.w) > 0 THEN 1 << p.j ELSE 0 END AS bit
                    FROM e, planes p),
@@ -380,10 +404,17 @@ object Dedup {
         ORDER BY a, b"""
   }
 
-  /** SimHash banded Hamming near-dup pairs. */
+  /** SimHash banded Hamming near-dup pairs. The finite hotThreshold
+    * arms the salt-slotted enumerator for BOTH the band buckets and
+    * the identical-signature family expansion (r15): a mega dup
+    * family at 100 TB spreads its pair enumeration across SaltWaysProd
+    * reducers instead of one; at bench SFs no family crosses the
+    * threshold, so every row takes slot 0 (the plain join) and the
+    * pair set — and oracle — are unchanged. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.api.GraftOps.simhashCandidates(docs(spark, dir), "doc_id", "text",
-        maxHamming = HammingMax)
+        maxHamming = HammingMax,
+        hotThreshold = SaltHotThresholdProd, salt = SaltWaysProd)
       .orderBy("a", "b")
 
   // ---- generated DuckDB oracles (same constants via HashingScheme) ----
@@ -428,12 +459,12 @@ object Dedup {
     * the corpus total. */
   def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val exact = dedupNgramJaccard(spark, dir).select(col("a"), col("b"), col("jaccard"))
-      .localCheckpoint()
+      .memoized()
     val cand = dedupMinhash(spark, dir).select(col("a"), col("b"))
     val marked = exact.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
       .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("band"),
         coalesce(col("hit"), lit(0L)).as("hit"))
-      .localCheckpoint() // feeds the per-band rows AND the total
+      .memoized() // feeds the per-band rows AND the total
     val per = marked.groupBy("band")
       .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
     val tot = marked.agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))

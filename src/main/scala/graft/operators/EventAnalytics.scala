@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 
@@ -38,14 +39,14 @@ object EventAnalytics {
     // replays O(stages²) times
     var reached = ev.filter(col("event_type") === FunnelStages.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-      .localCheckpoint()
+      .memoized()
     val stages = scala.collection.mutable.ArrayBuffer(reached)
     FunnelStages.tail.foreach { stage =>
       reached = ev.filter(col("event_type") === stage)
         .join(reached, "user_id")
         .filter(col("ts_us") > col("t"))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-        .localCheckpoint()
+        .memoized()
       stages += reached
     }
     stages.toSeq
@@ -215,7 +216,7 @@ object EventAnalytics {
           .otherwise(0))
       .withColumn("sess_no",
         sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
+      .memoized()
     val keys = Seq("user_id", "sess_no")
     var thresholds = sess
       .groupBy(keys.map(col): _*)
@@ -282,7 +283,7 @@ object EventAnalytics {
   def q51SeqSupport(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
-      .localCheckpoint() // 3 consumers: scan once, not thrice
+      .memoized() // 3 consumers: scan once, not thrice
     val t1 = ev.groupBy(col("user_id"), col("event_type").as("a"))
       .agg(min(col("ts_us")).as("t"))
     val t2 = ev.join(t1, "user_id")
@@ -322,7 +323,7 @@ object EventAnalytics {
     val du = Tables.events(spark, dir)
       .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint() // feeds the window explode AND the day spine
+      .memoized() // feeds the window explode AND the day spine
     val days = du.select(col("day").as("wday")).distinct()
     du.join(days,
         col("wday") >= col("day") && col("wday") < col("day") + SlideDays)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.api.GraftOps.TruncateOps
 
@@ -50,7 +51,7 @@ object Graph {
     inputMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":li:" + dir,
       Tables.lineitem(spark, dir)
         .select(col("l_suppkey"), col("l_partkey")).distinct()
-        .localCheckpoint())
+        .memoized())
 
   /** Persisted src-partitioned symmetric edge layout with fused degree
     * — the reference's PartitionGraph.java:37-118 (RangePartitioner +
@@ -87,7 +88,7 @@ object Graph {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       op.as("x").join(op.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        .localCheckpoint()
+        .memoized()
     })
 
   // localCheckpoint (not cache): materializes through the normal AQE
@@ -95,7 +96,7 @@ object Graph {
   // plan the whole loop without AQE's runtime re-optimization.
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
-      computeRanks(spark, dir).localCheckpoint())
+      computeRanks(spark, dir).memoized())
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -114,12 +115,12 @@ object Graph {
     // sources are nodes even when absent from the edge set — otherwise
     // their jump mass would silently vanish and Σr < 1
     val nodes = edgesD.select(col("src").as("v"))
-      .unionAll(srcDf.select(col("v"))).distinct().cache()
+      .unionAll(srcDf.select(col("v"))).distinct().memoCached()
     // node table with its personalized-jump share, built & cached ONCE;
     // each iteration is then a single contrib join against it
     val base = nodes.join(srcDf, Seq("v"), "left")
       .select(col("v"), coalesce(col("jump0"), lit(0.0)).as("jump0"))
-      .cache()
+      .memoCached()
     var ranks = base.select(col("v"), col("jump0").as("r"))
     // NO broadcast hints on the |V|-sized rank/contrib tables: a hint
     // bypasses Spark's size threshold and would force a billion-vertex
@@ -542,7 +543,7 @@ object Graph {
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":anf:" + dir, {
       val und = liPairs(spark, dir)
         .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-      graft.api.GraftOps.anfSketch(und, "s", "p", AnfK, BfsRounds).localCheckpoint()
+      graft.api.GraftOps.anfSketch(und, "s", "p", AnfK, BfsRounds).memoized()
     })
   def graphAnf(spark: SparkSession, dir: String): DataFrame =
     anfCurve(spark, dir).orderBy("hop")
@@ -673,7 +674,7 @@ object Graph {
     * from a bare leaf. Costs one Row conversion per downstream scan of
     * a ≤|V|-row table — noise next to the |E| joins. */
   private def hardBreak(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = df.memoized()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -682,7 +683,7 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")).distinct()
       .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartOffset).as("b"))
       .agg((lit(SsspMaxCost + 1) - least(lit(SsspMaxCost), count(lit(1)))).as("w"))
-      .localCheckpoint()
+      .memoized()
     var labels = hardBreak(edges.select(explode(array(col("a"), col("b"))).as("v"))
       .distinct().select(col("v"), col("v").as("comp")))
     var picks: Option[DataFrame] = None
@@ -774,7 +775,7 @@ object Graph {
     import spark.implicits._
     val und = liPairs(spark, dir)
       .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
-      .localCheckpoint() // consumed by both sweeps
+      .memoized() // consumed by both sweeps
     val seed = Sources.head
     val d1 = graft.api.GraftOps.bfsHops(und, "s", "p", Seq(seed), BfsRounds)
     val u = d1.orderBy(col("dist").desc, col("v")).head().getLong(0)
@@ -1356,7 +1357,7 @@ object Graph {
   private def sccLabels(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + ":scc:" + dir,
       graft.api.GraftOps.stronglyConnectedComponents(
-        sccEdges(spark, dir), "src", "dst").localCheckpoint())
+        sccEdges(spark, dir), "src", "dst").memoized())
 
   def graphScc(spark: SparkSession, dir: String): DataFrame = {
     val scc = sccLabels(spark, dir)
@@ -1514,7 +1515,7 @@ object Graph {
       val und = liPairs(spark, dir)
         .select(col("l_suppkey").as("s"), (col("l_partkey") + PartOffset).as("p"))
       graft.api.GraftOps.sourceDistancesSampled(und, "s", "p", ClosenessK, BfsRounds)
-        .localCheckpoint()
+        .memoized()
     })
 
   def graphCloseness(spark: SparkSession, dir: String): DataFrame =
@@ -1758,7 +1759,7 @@ object Graph {
     * is the run head's immediate successor, so the measured value has
     * a closed-form expectation the spec sanity-bounds. */
   def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
-    val e = sccEdges(spark, dir).distinct().localCheckpoint()
+    val e = sccEdges(spark, dir).distinct().memoized()
     val recip = e.as("x").join(e.as("y"),
       col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
     e.agg(count(lit(1)).as("n_edges"))
@@ -2020,7 +2021,7 @@ object Graph {
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
     val idxEdges = edges
       .withColumn("idx", row_number().over(w).cast("long") - 1)
-      .localCheckpoint() // consumed WalkLen times + the degree projection
+      .memoized() // consumed WalkLen times + the degree projection
     val deg = idxEdges.select(col("src"), col("d")).distinct()
     var cur = deg.select(col("src").as("walk_id"), col("src").as("node"))
     var acc = cur.withColumn("step", lit(0L))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.api.GraftOps.TruncateOps
 
@@ -130,7 +131,7 @@ object MlTrees {
     * level-wise XGBoost discipline: one pass per DEPTH, never per
     * node). */
   def mlTreeDepth2(spark: SparkSession, dir: String): DataFrame = {
-    val base = baseRows(spark, dir).localCheckpoint() // two passes read it
+    val base = baseRows(spark, dir).memoized() // two passes read it
     def candidates(rows: DataFrame, part: Seq[String]): DataFrame = {
       val melt = Seq("qty", "disc", "tax").map { f =>
         rows.select(part.map(col) :+ lit(f).as("feature") :+ col(f).as("v") :+ col("y"): _*)
@@ -157,7 +158,7 @@ object MlTrees {
     }
     val root = candidates(base, Seq.empty)
       .orderBy(col("gain").desc, col("feature"), col("threshold")).limit(1)
-      .localCheckpoint() // broadcast into the level-2 pass AND the output
+      .memoized() // broadcast into the level-2 pass AND the output
     val sided = base.crossJoin(broadcast(
         root.select(col("feature").as("rf"), col("threshold").as("rt"))))
       .withColumn("side",
@@ -248,7 +249,7 @@ object MlTrees {
     * joins — the whole K-round train is ONE lazy plan. */
   def mlGbtStumps(spark: SparkSession, dir: String): DataFrame = {
     var rows = baseRows(spark, dir).withColumn("r", col("y"))
-      .localCheckpoint() // scanned K times: materialize the cents once
+      .memoized() // scanned K times: materialize the cents once
     val out = (1 to GbtRounds).map { k =>
       val melt = Seq("qty", "disc", "tax")
         .map(f => rows.select(lit(f).as("feature"), col(f).as("v"), col("r")))
@@ -647,7 +648,7 @@ object MlTrees {
         s"$bootXSql AS x")
       // barrier: CollapseProject would otherwise inline the md5 into
       // all 256 threshold compares and push the tree out of codegen
-      .localCheckpoint()
+      .memoized()
     // long-form (b, y, w): explode the resample spine FIRST, so the
     // per-row generated code is a 3-op affine hash + an 8-compare
     // threshold count — tiny, JIT-friendly, fully codegen'd. (The
@@ -884,7 +885,7 @@ object MlTrees {
       .select(col("b"), col("feature"), col("threshold"),
         col("n_inbag"), col("leaf_left"), col("leaf_right"))
     val st = stumps
-      .localCheckpoint() // B rows; feeds per-tree OOB AND the ensemble
+      .memoized() // B rows; feeds per-tree OOB AND the ensemble
     val oobRows = bagged.filter(!col("inbag"))
       .join(broadcast(st), Seq("b"))
       .withColumn("fv",

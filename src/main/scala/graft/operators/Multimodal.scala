@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: treat media as opaque `binary` columns
@@ -287,7 +288,7 @@ object Multimodal {
     // checkpoint: the extracted vectors feed the LSH banding AND the
     // final keeper join — without this the mapPartitions extraction
     // re-runs for every consumer
-    val vecs = featureVectors(spark, dir).localCheckpoint()
+    val vecs = featureVectors(spark, dir).memoized()
     val bits = mmSuggestedBits(Tables.documents(spark, dir).count())
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         vecs, "doc_id", "fv", MmThreshold, MmTables, bits, FeatureDims)
@@ -393,6 +394,10 @@ object Multimodal {
   val PhashBands = 8
   val PhashBits = 8
   val PhashMaxHamming: Long = PhashBands - 1L
+  /** Same-hash families above this size spread their pair enumeration
+    * across salt slots (GraftOps.sameKeyPairs); families at bench SFs
+    * sit far under it, so the slot column is constant-0 there. */
+  val PhashSameHotThreshold = 100000L
   // CONTRACT: the phash tier's "byte stream" is the text's CODE POINTS
   // (split + ascii on the Spark side, ascii(text[i]) in the oracle) —
   // both engines share the same domain, so the hash is exact on any
@@ -428,10 +433,10 @@ object Multimodal {
       // under ANSI; a join key only needs identity, not arithmetic
       .withColumn("sig", concat_ws(",",
         (0 until PhashBands).map(b => col(s"band$b")): _*))
-      .localCheckpoint() // feeds the band explode AND both verify sides
+      .memoized() // feeds the band explode AND both verify sides
     val sigD = codes.select(col("sig") +:
         (0 until PhashBands).map(b => col(s"band$b")): _*)
-      .distinct().localCheckpoint()
+      .distinct().memoized()
     val cand = (0 until PhashBands).map(b =>
         sigD.select(col("sig"), lit(b).as("bj"), col(s"band$b").as("bv")))
       .reduce(_ unionAll _)
@@ -456,10 +461,12 @@ object Multimodal {
       .join(docSig.select(col("doc_id").as("db"), col("sig").as("sb")), "sb")
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("hamming"))
-    val same = docSig.select(col("doc_id").as("da"), col("sig"))
-      .join(docSig.select(col("doc_id").as("db"), col("sig")), "sig")
-      .filter(col("da") < col("db"))
-      .select(col("da").as("a"), col("db").as("b"), lit(0L).as("hamming"))
+    // salt-slotted same-hash expansion (GraftOps.sameKeyPairs): one
+    // giant media family must not enumerate its f²/2 pairs in a
+    // single reducer (r14 advice)
+    val same = graft.api.GraftOps.sameKeyPairs(docSig, "doc_id", "sig",
+        hotThreshold = PhashSameHotThreshold)
+      .withColumn("hamming", lit(0L))
     cross.unionAll(same)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 
 /** Second tier of relational surface: reshaping (pivot/unpivot), set
@@ -392,7 +393,7 @@ object Relational2 {
       .select(col("o_custkey"),
         expr("(mx - last_us) div 86400000000").as("recency_days"),
         col("frequency"), col("monetary"))
-      .localCheckpoint() // three rank passes + the size scalar read it
+      .memoized() // three rank passes + the size scalar read it
     val n = rfm.crossJoin(broadcast(rfm.agg(count(lit(1)).as("nn"))))
     val ranked = Seq(("recency_days", "rr"), ("frequency", "fr"), ("monetary", "mr"))
       .foldLeft(n) { case (df, (m, r)) => graft.api.GraftOps.globalRank(df, Seq(m), r) }

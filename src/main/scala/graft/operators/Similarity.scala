@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (array<float>[64]).
@@ -31,7 +32,7 @@ object Similarity {
     kmMemo.getOrElseUpdate(spark.sparkContext.applicationId + ":" + dir,
       graft.api.GraftOps.kmeansCosine(
         Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
-        .localCheckpoint())
+        .memoized())
   // multi-table LSH: L tables of b sign-bits each; a candidate needs to
   // collide in ANY table, so top-1 recall ≈ 1-(1-p^b)^L with p the
   // per-plane agreement probability — 8×6 puts useful recall at the
@@ -162,7 +163,7 @@ object Similarity {
     val pool = graft.api.GraftOps.cosineTopK(all, "vec_id", "embedding",
         all.filter(col("vec_id") < NumQueries), MmrPool)
       .select(col("qid"), col("neighbor"), col("cos").as("rel"))
-      .coalesce(1).localCheckpoint() // |queries|x20 rows, every round reads it
+      .coalesce(1).memoized() // |queries|x20 rows, every round reads it
     val vecs = all.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val pv = pool.join(vecs, col("neighbor") === col("vec_id"))
@@ -172,14 +173,14 @@ object Similarity {
       .select(col("a.qid").as("qid"), col("a.neighbor").as("x"),
         col("b.neighbor").as("y"),
         round(expr("cosine_sim(a.v, b.v)"), 6).as("sim"))
-      .coalesce(1).localCheckpoint() // |queries|x20^2 rows, reused every round
+      .coalesce(1).memoized() // |queries|x20^2 rows, reused every round
     val pairsR = pairs.select(col("qid").as("pq"), col("x").as("px"),
       col("y").as("py"), col("sim"))
     val w1 = Window.partitionBy("qid").orderBy(desc("rel"), asc("neighbor"))
     var out = pool.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
       .select(col("qid"), col("neighbor"), lit(1L).as("rnk"),
         col("rel").as("score"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(1).memoized()
     for (k <- 2 to TopK) {
       // fresh aliases per use: renames mint new attribute ids, keeping
       // the repeated chosen-set references unambiguous to the analyzer
@@ -199,7 +200,7 @@ object Similarity {
         // truncate: round k+1's plan references this round's pick (and the
         // final union references every round) — without the cut each round
         // would re-execute all earlier rounds' join/window chains
-        .coalesce(1).localCheckpoint()
+        .coalesce(1).memoized()
       out = out.unionAll(sel)
     }
     out.orderBy("qid", "rnk")
@@ -670,7 +671,7 @@ object Similarity {
     val assigned = e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
         graft.api.GraftOps.nearestCid("cs", "cosine_sim(v, c.cv)").as("cid"))
-      .localCheckpoint() // consumed 3x: both pair sides + the output spine
+      .memoized() // consumed 3x: both pair sides + the output spine
     val a = assigned.select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"))
     val drops = a.join(b, Seq("cid"))
@@ -889,7 +890,7 @@ object Similarity {
       val books = (0 until PqM).map { m =>
         graft.api.GraftOps.kmeansL2(
           rot.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("x")),
-          "vec_id", "x", PqK, PqIters).localCheckpoint()
+          "vec_id", "x", PqK, PqIters).memoized()
       }
       var enc = rot
       for (m <- 0 until PqM) {
@@ -937,7 +938,7 @@ object Similarity {
   val KCenterK = 8
   def simKCenter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).localCheckpoint()
+    val e = emb(spark, dir).memoized()
     // seed: smallest id (1-row scalar read parameterizing the loop —
     // the documented plan-construction action pattern)
     var centers = List(e.agg(min(col("vec_id"))).head().getLong(0))
@@ -1090,7 +1091,7 @@ object Similarity {
       val sub = Tables.embeddings(spark, dir).select(col("vec_id"),
         expr(subExpr).as("x"))
       graft.api.GraftOps.kmeansL2(sub, "vec_id", "x", PqK, PqIters)
-        .localCheckpoint()
+        .memoized()
     }
     // encode: per-row argmax over each broadcast codebook — zero
     // shuffle, zero expansion (the kmeans assignment shape, ×PqM)
@@ -1189,7 +1190,7 @@ object Similarity {
     }
     val coarse = graft.api.GraftOps.kmeansL2(
         raw, "vec_id", "embedding", IvfPqCoarseK, PqIters)
-      .localCheckpoint()
+      .memoized()
     val ca = coarse.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val asg = e.crossJoin(broadcast(ca))
       .select(col("vec_id"), col("v"), graft.api.GraftOps.nearestCid("cs",
@@ -1199,7 +1200,7 @@ object Similarity {
     val resid = asg.join(broadcast(coarse), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
-      .localCheckpoint()
+      .memoized()
     val encScore = (m: Int) =>
       s"2 * dot_product(slice(rv, ${m * PqSub + 1}, $PqSub), c.cv) " +
         "- dot_product(c.cv, c.cv)"
@@ -1211,7 +1212,7 @@ object Similarity {
         graft.api.GraftOps.kmeansL2(
             resid.select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
             "vec_id", "x", PqK, PqIters)
-          .localCheckpoint()
+          .memoized()
       }
       else {
         // cell ids are the coarse seeds' vec_ids — data-dependent, so
@@ -1225,7 +1226,7 @@ object Similarity {
                   .select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
                 "vec_id", "x", PqK, PqIters)
               .withColumn("ccell", lit(c))
-          }.reduce(_ unionAll _).localCheckpoint()
+          }.reduce(_ unionAll _).memoized()
         }
       }
     for (m <- 0 until PqM) {
@@ -1260,7 +1261,7 @@ object Similarity {
         expr("2 * dot_product(qv, p.cv) - dot_product(p.cv, p.cv) " +
           "- dot_product(qv, qv)").as("qcterm"),
         expr("zip_with(qv, p.cv, (a, b) -> a - b)").as("rq"))
-      .localCheckpoint()
+      .memoized()
     val luts = (0 until PqM).map { m =>
       val withBook =
         if (!perCell) probes.crossJoin(broadcast(books(m)
@@ -1386,7 +1387,7 @@ object Similarity {
                   IF(i >= 32 AND x > mid[i], shiftleft(CAST(1 AS BIGINT), i - 32),
                      CAST(0 AS BIGINT))),
                 CAST(0 AS BIGINT), (a, b) -> a + b)""").as("w1"))
-      .localCheckpoint() // probed by |Q| queries AND the query side itself
+      .memoized() // probed by |Q| queries AND the query side itself
     val scored = sigs.join(broadcast(
         sigs.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))),
@@ -1483,7 +1484,7 @@ object Similarity {
   def simNdcgReport(spark: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopk(spark, dir)
       .select(col("qid"), col("neighbor"), col("rnk").as("erank"))
-      .localCheckpoint()
+      .memoized()
     val wArr = array(NdcgWeightsMicro.map(lit): _*)
     val dcg = annLsh(spark, dir)
       .select(col("qid"), col("neighbor"), col("rnk"))
@@ -1500,7 +1501,7 @@ object Similarity {
       .join(dcg, Seq("qid"), "left")
       .select(col("qid"),
         round(coalesce(col("dcg_micro"), lit(0L)) / lit(NdcgIdealMicro.toDouble), 6).as("ndcg"))
-      .localCheckpoint() // per-query rows AND the mean
+      .memoized() // per-query rows AND the mean
     val mean = perQ
       .agg(sum(floor(col("ndcg") * 1e6 + 0.5).cast("long")).as("s"),
         count(lit(1)).as("n"))
@@ -1566,14 +1567,14 @@ object Similarity {
     * own ground truth [[simMips]]). */
   private def recallReportAgainst(exactDf: DataFrame, annDf: DataFrame): DataFrame = {
     val exact = exactDf.select(col("qid"), col("neighbor"))
-      .localCheckpoint()
+      .memoized()
     val ann = annDf.select(col("qid"), col("neighbor"))
     val hits = exact.join(ann, Seq("qid", "neighbor"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     val perQ = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), col("n_exact"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-      .localCheckpoint() // consumed by the per-query rows AND the mean
+      .memoized() // consumed by the per-query rows AND the mean
     val mean = perQ.agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
       .select(lit(-1L).as("qid"), col("n_exact"), col("n_hit"))
     perQ.unionAll(mean)

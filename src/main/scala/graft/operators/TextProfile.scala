@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.functions.TextFns
 
@@ -115,7 +116,7 @@ object TextProfile {
       .select(col("doc_id"),
         expr("size(filter(toks, t -> t <> ''))").cast("long").as("nt"),
         col("toks"))
-      .localCheckpoint() // feeds token totals, first-docs, and the spine
+      .memoized() // feeds token totals, first-docs, and the spine
     val nDocs = docs.agg(max(col("doc_id")).as("mx"))
     val spine = spark.range(1, HeapsDeciles + 1).select(col("id").as("p"))
       .crossJoin(broadcast(nDocs))
@@ -283,7 +284,7 @@ object TextProfile {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
-      .localCheckpoint() // both join sides + the size table read it
+      .memoized() // both join sides + the size table read it
     val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
     vocab.select(col("source").as("a"), col("w"))
       .join(vocab.select(col("source").as("b"), col("w")), Seq("w"))

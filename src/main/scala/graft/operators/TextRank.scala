@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 
 /** Term-weighting / ranked retrieval over `documents` — the scoring layer
@@ -65,7 +66,7 @@ object TextRank {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
-      .localCheckpoint() // consumed 4x (rows/cols/total/base)
+      .memoized() // consumed 4x (rows/cols/total/base)
     val r = big.groupBy("w1").agg(sum(col("k11")).as("r1"))
     val c = big.groupBy("w2").agg(sum(col("k11")).as("c1"))
     val n = big.agg(sum(col("k11")).as("nn"))
@@ -98,7 +99,7 @@ object TextRank {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
-      .localCheckpoint() // consumed 4x (rows/cols/total/base)
+      .memoized() // consumed 4x (rows/cols/total/base)
     val r = big.groupBy("w1").agg(sum(col("k11")).as("r1"))
     val c = big.groupBy("w2").agg(sum(col("k11")).as("c1"))
     val n = big.agg(sum(col("k11")).as("nn"))
@@ -204,12 +205,12 @@ object TextRank {
     val edges = big.unionAll(big.select(col("w2").as("w1"), col("w1").as("w2")))
       .groupBy(col("w1").as("src"), col("w2").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // consumed TrIters+1 times; truncate the explode lineage
+      .memoized() // consumed TrIters+1 times; truncate the explode lineage
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("frac"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("term")).distinct().cache()
+      .memoized()
+    val nodes = edges.select(col("src").as("term")).distinct().memoCached()
     var score = nodes.select(col("term"), lit(1.0).as("s"))
     for (_ <- 1 to TrIters) {
       val contrib = e.join(score, e("src") === score("term"))
@@ -287,7 +288,7 @@ object TextRank {
       sum(when(col("t").isin(RakeStop: _*), 1).otherwise(0))
         .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
     val words = seg.filter(!col("t").isin(RakeStop: _*))
-      .localCheckpoint() // consumed 3x: phrase build, wstat, occurrence score
+      .memoized() // consumed 3x: phrase build, wstat, occurrence score
     val phr = words.groupBy(col("doc_id"), col("seg"))
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, t))), x -> x.t), ' ')").as("phrase"),
         count(lit(1)).as("plen"))
@@ -363,9 +364,9 @@ object TextRank {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint() // feeds the model aggs AND the scorer join
+      .memoized() // feeds the model aggs AND the scorer join
     val pair = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // consumed 4x (hist, fanouts, type count, base)
+      .memoized() // consumed 4x (hist, fanouts, type count, base)
     val hist = pair.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val back = pair.groupBy("w2").agg(count(lit(1)).as("n1b"))
@@ -540,7 +541,7 @@ object TextRank {
         "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
           "i -> array_join(slice(toks, i, 3), ' ')) ELSE array() END")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds df, norms AND both join sides
+      .memoized() // feeds df, norms AND both join sides
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val rare = tf.join(
       tf.groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") <= DocCosDfCap)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.api.Memo.MemoOps
 import graft.sources.Tables
 import graft.api.GraftOps.TruncateOps
 
@@ -43,7 +44,7 @@ object Truss {
     graft.functions.VectorExpressions.register(spark)
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .localCheckpoint()
+      .memoized()
     val buckets = (0 until Similarity.NumTables).map(t =>
       expr(s"lsh_bucket(v, ${Similarity.BitsPerTable}, 64, $t)"))
     val cand = e0.select(col("vec_id"),

@@ -16,11 +16,17 @@ class DistinctSigBandingSpec extends SparkSpec {
   test("simhashCandidates equals the brute-force hamming join, incl. dup families") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-    // plant a near-dup family: three ids sharing one text (identical
-    // signatures — the multiplicity path) on top of the real corpus
-    val fam = docs.limit(1).select(lit(900001L).as("doc_id"), col("text"))
-      .unionAll(docs.limit(1).select(lit(900002L).as("doc_id"), col("text")))
-      .unionAll(docs.limit(1).select(lit(900003L).as("doc_id"), col("text")))
+    // plant a near-dup family: three ids sharing ONE text (identical
+    // signatures — the multiplicity path) on top of the real corpus.
+    // The seed text is collected once from a deterministically-pinned
+    // row: three independent unordered limit(1) subplans are NOT
+    // guaranteed to pick the same row (r14 advice — the family would
+    // silently stop being identical and the hamming-0 asserts flake).
+    val seedText = docs.orderBy("doc_id").limit(1)
+      .collect().head.getAs[String]("text")
+    val fam = spark.createDataFrame(Seq(
+      (900001L, seedText), (900002L, seedText), (900003L, seedText)))
+      .toDF("doc_id", "text")
     val corpus = docs.unionAll(fam)
     val banded = graft.api.GraftOps.simhashCandidates(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -37,6 +43,16 @@ class DistinctSigBandingSpec extends SparkSpec {
     // the planted family must appear, pairwise, at hamming 0
     assert(banded((900001L, 900002L, 0L)) && banded((900001L, 900003L, 0L)) &&
       banded((900002L, 900003L, 0L)))
+    // salt-slotted arm (r15: the same-signature family expansion now
+    // routes through the salted enumerator too): a threshold of 1
+    // forces EVERY bucket and family hot, so slot assignment and the
+    // exploded build side actually execute — pair set must not move
+    val salted = graft.api.GraftOps.simhashCandidates(corpus, "doc_id", "text",
+        hotThreshold = 1L, salt = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == brute,
+      s"salted ${salted.size} vs brute ${brute.size}; " +
+        s"missing=${(brute -- salted).take(5)} extra=${(salted -- brute).take(5)}")
   }
 
   test("mmDedupPhash plan never joins on doc-keyed bands (distinct-sig cardinality)") {

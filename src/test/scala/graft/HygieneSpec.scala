@@ -61,13 +61,36 @@ class HygieneSpec extends AnyFunSuite {
   }
 
   test("imports come only from the Spark/Scala/Java/graft universe") {
-    val ok = Seq("org.apache.spark", "scala.", "java.", "graft.")
+    // log4j2 ships inside the Spark runtime (/opt/spark/jars) — the
+    // codegen-fallback sentinel hooks its core appender API
+    val ok = Seq("org.apache.spark", "org.apache.logging.log4j",
+      "scala.", "java.", "graft.")
     val hits = offending { l =>
       val t = l.trim
       t.startsWith("import ") &&
         !ok.exists(p => t.stripPrefix("import ").startsWith(p)) &&
         !t.endsWith(".implicits._") // session-local encoder imports
     }
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
+  test("memoization goes through the tracked Memo variants") {
+    // releaseMemos must free ONLY graft-created blocks (r14 advice:
+    // the global unpersist sweep destroyed host-app state in shared
+    // sessions). That guarantee holds iff every persist-like call in
+    // the library routes through graft.api.Memo, which records the
+    // RDD id / Dataset handle at creation. Raw localCheckpoint/cache/
+    // persist calls are allowed only inside Memo itself and in
+    // GraftOps.truncate's reliable-checkpoint arm (which registers).
+    val exempt = Set("Memo.scala")
+    val hits = for {
+      (p, lines) <- sources
+      if !exempt.contains(p.getFileName.toString)
+      (line, i) <- lines.zipWithIndex
+      if !isComment(line)
+      if Seq(".localCheckpoint()", ".cache()", ".persist(")
+        .exists(line.contains)
+    } yield s"$p:${i + 1}: ${line.trim.take(120)}"
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 

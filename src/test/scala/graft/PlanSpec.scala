@@ -36,6 +36,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dim join shuffles:\n${p.take(1200)}")
   }
 
+  test("q3 UNHINTED: size-based planning alone broadcasts both dim joins") {
+    // BASELINE.md's caveat: the broadcast() hints in q3 are reference
+    // fidelity; "the at-scale plan would let AQE decide". Prove the
+    // hint is cosmetic — the same query WITHOUT hints, planned on a
+    // clean cloned session (default autoBroadcastJoinThreshold, no
+    // conf residue), must still pick BroadcastHashJoin for part and
+    // supplier from parquet size statistics alone.
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val s = spark.newSession()
+    val li = sources.Tables.lineitem(s, sf)
+      .filter(to_date(col("l_shipdate")) === lit(operators.Relational.ShipDate))
+    val unhinted = li
+      .join(sources.Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .join(sources.Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("p_name"), col("s_name"))
+    val plan = unhinted.queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.size == 2, s"expected 2 size-based broadcasts, got ${bhj.size}:\n" +
+      plan.toString.take(1200))
+    assert(!plan.toString.contains("SortMergeJoin"))
+  }
+
   test("text wordcount scan prunes documents to the text column") {
     val s = scans("wordcount")
     assert(s.nonEmpty && s.head.requiredSchema.fieldNames.toSet == Set("text"))
