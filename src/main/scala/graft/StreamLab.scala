@@ -37,22 +37,39 @@ object StreamLab {
       println(f"LAB $label rate=${rows / secs}%.0f rows/s batches=${progress.length}")
     } finally q.stop()
 
-    def withConf(parts: Int, rocks: Boolean)(body: => Unit): Unit = {
+    def withConf(parts: Int, rocks: Boolean,
+                 changelog: Boolean = false)(body: => Unit): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       if (rocks)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // changelog checkpointing: commits upload the delta instead of a
+      // full snapshot per batch — the production durable-rocksdb posture
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelog.toString)
       try body finally {
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
 
+    // durable = a REAL checkpoint dir (state snapshots/changelogs +
+    // offset/commit WALs actually hit disk every batch) vs the default
+    // engine-managed temp dir the in-heap pins run with
+    def ckptDir(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-lab-$tag")
+      d.toFile.deleteOnExit(); d.toString
+    }
+
     def joinRate(label: String, parts: Int, rocks: Boolean,
-                 intervalSec: Int = 1, wmSec: Int = 2): Unit =
-      withConf(parts, rocks) {
+                 intervalSec: Int = 1, wmSec: Int = 2,
+                 durable: Boolean = false, changelog: Boolean = false): Unit =
+      withConf(parts, rocks, changelog) {
         val a = spark.readStream.format("rate")
           .option("rowsPerSecond", 100000).option("numPartitions", 4).load()
           .withWatermark("timestamp", s"$wmSec seconds")
@@ -63,21 +80,28 @@ object StreamLab {
           .select(col("value").as("kb"), col("timestamp").as("tb"))
         val j = a.join(b, expr(
           s"ka = kb AND tb BETWEEN ta - INTERVAL $intervalSec SECOND AND ta + INTERVAL $intervalSec SECOND"))
-        measure(j.writeStream.outputMode("append").format("noop").start(),
-          s"join-$label parts=$parts rocks=$rocks int=${intervalSec}s wm=${wmSec}s")
+        val w0 = j.writeStream.outputMode("append").format("noop")
+        val w = if (durable) w0.option("checkpointLocation", ckptDir("join")) else w0
+        measure(w.start(),
+          s"join-$label parts=$parts rocks=$rocks int=${intervalSec}s wm=${wmSec}s" +
+            s" durable=$durable changelog=$changelog")
       }
 
     def aggRate(label: String, parts: Int, rocks: Boolean,
-                keys: Int): Unit =
-      withConf(parts, rocks) {
+                keys: Int, durable: Boolean = false,
+                changelog: Boolean = false): Unit =
+      withConf(parts, rocks, changelog) {
         val s = spark.readStream.format("rate")
           .option("rowsPerSecond", 500000).option("numPartitions", 8).load()
           .withWatermark("timestamp", "2 seconds")
           .groupBy(window(col("timestamp"), "1 second"),
             (col("value") % keys).as("k"))
           .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
-        measure(s.writeStream.outputMode("update").format("noop").start(),
-          s"agg-$label parts=$parts rocks=$rocks keys=$keys")
+        val w0 = s.writeStream.outputMode("update").format("noop")
+        val w = if (durable) w0.option("checkpointLocation", ckptDir("agg")) else w0
+        measure(w.start(),
+          s"agg-$label parts=$parts rocks=$rocks keys=$keys" +
+            s" durable=$durable changelog=$changelog")
       }
 
     // r12 recorded sweep (n=2, small state): p32 109-130k, p32+rocksdb
@@ -101,6 +125,26 @@ object StreamLab {
         aggRate("big", 32, rocks = false, keys = 100000)
         aggRate("big", 8, rocks = false, keys = 100000)
         aggRate("big", 32, rocks = true, keys = 100000)
+      }
+      // r15 (verdict item 7): production ingest runs DURABLE — a real
+      // checkpoint dir, state committed every batch. Measure the
+      // adopted p8 configs with durability on, in-heap vs rocksdb vs
+      // rocksdb+changelog, at both state regimes, so the pinned
+      // durable-mode rate is a sweep result, not a guess.
+      if (mode == "all" || mode == "durable") {
+        joinRate("small", 8, rocks = false, durable = true)
+        joinRate("small", 8, rocks = true, durable = true)
+        joinRate("small", 8, rocks = true, durable = true, changelog = true)
+        aggRate("small", 8, rocks = false, keys = 1, durable = true)
+        aggRate("small", 8, rocks = true, keys = 1, durable = true)
+        aggRate("small", 8, rocks = true, keys = 1, durable = true, changelog = true)
+        joinRate("big", 8, rocks = false, intervalSec = 5, wmSec = 10, durable = true)
+        joinRate("big", 8, rocks = true, intervalSec = 5, wmSec = 10, durable = true)
+        joinRate("big", 8, rocks = true, intervalSec = 5, wmSec = 10,
+          durable = true, changelog = true)
+        aggRate("big", 8, rocks = false, keys = 100000, durable = true)
+        aggRate("big", 8, rocks = true, keys = 100000, durable = true)
+        aggRate("big", 8, rocks = true, keys = 100000, durable = true, changelog = true)
       }
     }
     spark.stop()

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api.Memo.MemoOps
+
+/** Candidate-vs-output witness for the soak's output-bound claims
+  * (r14 verdict item 4): the sf3 envelope attributed the superlinear
+  * entries (`dedup_recall_report`, `mm_pipeline`, `ml_dbscan`) to
+  * family-quadratic TRUE-PAIR output on the planted dup corpus — an
+  * argument, not a measurement. This harness logs, per entry and per
+  * scale dir, the number of candidate pairs the LSH stage actually
+  * enumerated next to the number of pairs that survive the exact
+  * filter. Output-bound means candidates ≈ emitted (the excess —
+  * bucket collisions the filter rejects — stays ∝ N); a join-fan-out
+  * bug shows up as excess growing ∝ N².
+  *
+  * The candidate counts come from the PRODUCTION plans' own candidate
+  * stages (GraftOps.embeddingCandidatePairs is the registered
+  * operators' plan minus the final filter; dedup_minhash's output IS
+  * its candidate set), so the witness can't drift from what the bench
+  * measures.
+  *
+  * Usage: runMain graft.Witness <sfDir> [entry...]
+  *   entries default to all three; prints one JSON line per entry.
+  */
+object Witness {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val wanted =
+      if (args.length > 1) args.drop(1).toSet
+      else Set("ml_dbscan", "mm_pipeline", "dedup_recall_report")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emit(entry: String, n: Long, candidates: Long, emitted: Long): Unit = {
+      println(s"""{"witness":"$entry","dir":"$dir","n":$n,""" +
+        s""""candidates":$candidates,"emitted":$emitted,""" +
+        s""""excess":${candidates - emitted},""" +
+        s""""cand_per_n":${"%.3f".format(candidates.toDouble / n)},""" +
+        s""""excess_per_n":${"%.3f".format((candidates - emitted).toDouble / n)}}""")
+    }
+
+    // one aggregation over the UNFILTERED candidate frame: candidate
+    // count and survivor count in a single pass, nothing materialized
+    // (an early version localCheckpoint'ed the full pair set — at sf10
+    // that spilled tens of GB for numbers one agg computes in-flight)
+    def candVsEmitted(cand: org.apache.spark.sql.DataFrame,
+                      threshold: Double): (Long, Long) = {
+      import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+      val r = cand.agg(count(lit(1)).as("nc"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("ne")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    if (wanted("ml_dbscan")) {
+      // the registered plan: corpus-adaptive sign-bit LSH over the
+      // embeddings, exact cosine >= DbEps only within buckets
+      val emb = sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val bits = functions.EmbLsh.suggestedBits(n, operators.Dbscan.DbBudgetLog2)
+      val (nc, ne) = candVsEmitted(api.GraftOps.embeddingCandidatePairs(
+        emb, "vec_id", "embedding",
+        functions.EmbLsh.Tables, bits, functions.EmbLsh.Dims),
+        operators.Dbscan.DbEps)
+      emit("ml_dbscan", n, nc, ne)
+      SparkEntry.releaseMemos(spark)
+    }
+
+    if (wanted("mm_pipeline")) {
+      // the registered plan: PPM feature vectors -> corpus-adaptive
+      // LSH -> exact cosine >= MmThreshold within buckets
+      val mm = operators.Multimodal
+      val vecs = mm.featureVectors(spark, dir).memoized()
+      val n = vecs.count()
+      val bits = mm.mmSuggestedBits(n)
+      val (nc, ne) = candVsEmitted(api.GraftOps.embeddingCandidatePairs(
+        vecs, "doc_id", "fv",
+        mm.MmTables, bits, mm.FeatureDims), mm.MmThreshold)
+      emit("mm_pipeline", n, nc, ne)
+      SparkEntry.releaseMemos(spark)
+    }
+
+    if (wanted("dedup_recall_report")) {
+      // the report joins the LSH candidate set (dedup_minhash's own
+      // output) against the exact n-gram-Jaccard arm; its cost at
+      // scale is the DECLARED ground-truth arm. Candidates here = the
+      // exact arm's shared-shingle join output (threshold 0 keeps
+      // every intersecting pair — the volume that could fan out);
+      // emitted = the jaccard >= threshold true pairs. The LSH arm's
+      // own pair count is logged as a third line for the same dir.
+      val docs = sources.Tables.documents(spark, dir)
+      val n = docs.count()
+      val allPairs = api.GraftOps.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.0).count()
+      val truePairs = operators.Dedup.dedupNgramJaccard(spark, dir).count()
+      emit("dedup_recall_report", n, allPairs, truePairs)
+      val lsh = operators.Dedup.dedupMinhash(spark, dir).count()
+      emit("dedup_recall_report_lsh_arm", n, lsh, truePairs)
+      SparkEntry.releaseMemos(spark)
+    }
+
+    spark.stop()
+  }
+}

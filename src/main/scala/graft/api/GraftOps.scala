@@ -384,7 +384,23 @@ object GraftOps {
                             bits: Int = EmbLsh.Bits,
                             dims: Int = EmbLsh.Dims,
                             hotThreshold: Long = Long.MaxValue,
-                            salt: Int = 8): DataFrame = {
+                            salt: Int = 8): DataFrame =
+    embeddingCandidatePairs(df, id, vec, tables, bits, dims, hotThreshold, salt)
+      .filter(col("cos") >= threshold)
+
+  /** The UNFILTERED candidate stage of [[embeddingNearDupPairs]] —
+    * every LSH bucket-collision pair with its exact cosine, BEFORE the
+    * threshold filter. Exposed so the scale-witness harness can count
+    * candidates-examined vs pairs-emitted (the quantity that separates
+    * an output-bound superlinear envelope from a join-fan-out bug);
+    * the production operator is this plan plus the filter, so the two
+    * can never drift. */
+  def embeddingCandidatePairs(df: DataFrame, id: String, vec: String,
+                              tables: Int = EmbLsh.Tables,
+                              bits: Int = EmbLsh.Bits,
+                              dims: Int = EmbLsh.Dims,
+                              hotThreshold: Long = Long.MaxValue,
+                              salt: Int = 8): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     // e feeds the banding plus BOTH vector-join sides, and banded feeds
     // the tables-leg candidate union twice: materialize each once or
@@ -402,7 +418,6 @@ object GraftOps {
       .join(e.select(col(id).as("a"), col("v").as("va")), "a")
       .join(e.select(col(id).as("b"), col("v").as("vb")), "b")
       .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
-      .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
 

@@ -263,7 +263,7 @@ object Multimodal {
     * (p ≈ 0.92/plane: even 10 bits keep recall ≈ 0.99 at 8 tables).
     * sf0.01 stays on 6 bits; sf0.1 takes 7; sf1 takes 9. */
   val MmBudgetLog2 = 6
-  private[operators] def mmSuggestedBits(n: Long): Int = {
+  def mmSuggestedBits(n: Long): Int = {
     val ceilLog2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     math.max(MmBits, ceilLog2 - MmBudgetLog2)
   }
