@@ -29,12 +29,17 @@ object GraftOps {
   val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
 
   /** Edge-weight mass (= |E| on unit-weight graphs) above which the
-    * Louvain local-move loop defaults to delta iteration. Measured
-    * crossover (see louvainLevel): 1.2M edges → delta 1.76x slower
-    * (r12, sf0.1); ~12M edges → delta 15-20% faster control-adjusted
-    * (r14, sf1). 5M splits the measured bracket; override either way
-    * with spark.graft.louvainDelta=true/false. */
-  val LouvainDeltaAutoEdges: Double = 5e6
+    * Louvain local-move loop defaults to delta iteration. The r12
+    * bracket (1.2M edges → delta 1.76x slower) predates the r14
+    * codegen fix and no longer reproduces: the r15 AbConf sweep
+    * (n=3 per arm, control-bracketed, memos released per pass)
+    * measures delta FASTER at every bench graph size — 0.62x at 1.2M
+    * edges (18.4 vs 29.7 s), 0.92x at 2.4M, 0.87x at 4.8M, and the
+    * r14 sf1 reading (~12M) already had it 15-20% faster. 1e6 keeps
+    * every measured size on the winning arm while leaving tiny
+    * (sub-bench, unmeasured) graphs on the simpler full-sweep plan;
+    * override either way with spark.graft.louvainDelta=true/false. */
+  val LouvainDeltaAutoEdges: Double = 1e6
 
   /** Lineage truncation for iterative state. Default is
     * `localCheckpoint()`: blocks live on executors — fast, no
