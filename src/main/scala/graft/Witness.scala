@@ -29,8 +29,12 @@ object Witness {
     val wanted =
       if (args.length > 1) args.drop(1).toSet
       else Set("ml_dbscan", "mm_pipeline", "dedup_recall_report")
+    // decade dirs need wider shuffles than the bench default: the
+    // pre-distinct candidate stream at sf10 is billions of rows, and
+    // 32 reduce partitions put ~100M-row hash aggregates on one task
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -64,7 +68,8 @@ object Witness {
       val bits = functions.EmbLsh.suggestedBits(n, operators.Dbscan.DbBudgetLog2)
       val (nc, ne) = candVsEmitted(api.GraftOps.embeddingCandidatePairs(
         emb, "vec_id", "embedding",
-        functions.EmbLsh.Tables, bits, functions.EmbLsh.Dims),
+        functions.EmbLsh.Tables, bits, functions.EmbLsh.Dims,
+        functions.EmbLsh.SaltHotBucket, functions.EmbLsh.SaltWays),
         operators.Dbscan.DbEps)
       emit("ml_dbscan", n, nc, ne)
       SparkEntry.releaseMemos(spark)
@@ -79,7 +84,9 @@ object Witness {
       val bits = mm.mmSuggestedBits(n)
       val (nc, ne) = candVsEmitted(api.GraftOps.embeddingCandidatePairs(
         vecs, "doc_id", "fv",
-        mm.MmTables, bits, mm.FeatureDims), mm.MmThreshold)
+        mm.MmTables, bits, mm.FeatureDims,
+        functions.EmbLsh.SaltHotBucket, functions.EmbLsh.SaltWays),
+        mm.MmThreshold)
       emit("mm_pipeline", n, nc, ne)
       SparkEntry.releaseMemos(spark)
     }

@@ -61,6 +61,21 @@ object EmbLsh {
       else 64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1)
     math.max(Bits, ceilLog2 - budgetLog2)
   }
+
+  /** Per-bucket row count past which the embedding-LSH pair join takes
+    * the salted path (r15): the adaptive-bits rule bounds AVERAGE
+    * occupancy, but a dup-heavy corpus concentrates whole near-dup
+    * families into single buckets — at the sf10 decade the mm feature
+    * space put one bucket's f²/2 enumeration on one task and OOM'd the
+    * witness run before any filter could reject a pair. Salting splits
+    * a hot bucket's enumeration across [[SaltWays]] tasks; the pair
+    * SET is identical (GraftOps.bucketPairs), so the oracles are
+    * untouched. 4096 rows ≈ 8M enumerated pairs per task — well past
+    * every measured bench-SF bucket (worst observed occupancy ≤ ~1.2k
+    * at sf0.1-sf1), so bench plans take slot 0 (the plain join) and
+    * timings are unchanged; the decade scales spread. */
+  val SaltHotBucket = 4096L
+  val SaltWays = 8
 }
 
 object HashingScheme {

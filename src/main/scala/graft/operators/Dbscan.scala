@@ -52,7 +52,9 @@ object Dbscan {
     val bits = graft.functions.EmbLsh.suggestedBits(df.count(), DbBudgetLog2)
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
         df, "vec_id", "embedding", DbEps,
-        graft.functions.EmbLsh.Tables, bits, graft.functions.EmbLsh.Dims)
+        graft.functions.EmbLsh.Tables, bits, graft.functions.EmbLsh.Dims,
+        hotThreshold = graft.functions.EmbLsh.SaltHotBucket,
+        salt = graft.functions.EmbLsh.SaltWays)
       .select("a", "b")
       .memoized() // feeds sym (twice), the core filter, and CC
     val sym = pairs.select(col("a").as("v"), col("b").as("nb"))

@@ -204,7 +204,9 @@ object Dedup {
     val df = Tables.embeddings(spark, dir)
     val bits = graft.functions.EmbLsh.suggestedBits(df.count(), AutoBudgetLog2)
     graft.api.GraftOps.embeddingNearDupPairs(df, "vec_id", "embedding",
-        EmbThreshold, EmbTables, bits, EmbDims)
+        EmbThreshold, EmbTables, bits, EmbDims,
+        hotThreshold = graft.functions.EmbLsh.SaltHotBucket,
+        salt = graft.functions.EmbLsh.SaltWays)
       .orderBy("a", "b")
   }
 

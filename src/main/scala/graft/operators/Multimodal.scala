@@ -291,7 +291,9 @@ object Multimodal {
     val vecs = featureVectors(spark, dir).memoized()
     val bits = mmSuggestedBits(Tables.documents(spark, dir).count())
     val pairs = graft.api.GraftOps.embeddingNearDupPairs(
-        vecs, "doc_id", "fv", MmThreshold, MmTables, bits, FeatureDims)
+        vecs, "doc_id", "fv", MmThreshold, MmTables, bits, FeatureDims,
+        hotThreshold = graft.functions.EmbLsh.SaltHotBucket,
+        salt = graft.functions.EmbLsh.SaltWays)
       .select(col("a"), col("b"))
     val cc = graft.api.GraftOps.connectedComponents(pairs, "a", "b", MmCcIters)
     vecs.select(col("doc_id"))
