@@ -117,6 +117,15 @@ object Bench {
       if (rows == 0 || secs == 0) Map.empty[String, Double]
       else Map(label -> rows / secs)
     } finally q.stop()
+    // ^ stop() cancels the query's job group while a micro-batch can be
+    // mid-flight; if a task was storing a broadcast piece at that
+    // instant, TorrentBroadcast logs "ERROR ... Store broadcast ...
+    // fail, remove all pieces" and the adjacent "Failed to cancel job
+    // group ... Cannot find active jobs" WARN (the batch won the race
+    // and finished). Benign teardown noise on a rate source that never
+    // drains — the pieces are removed, nothing leaks, timings are
+    // already captured from recentProgress before stop() (r15 verdict
+    // hygiene note).
     // state partitions sized to the STATE for the agg too (r14
     // StreamLab sweep, n=2 each): 8 partitions sustains 791k-1014k
     // rows/s vs 458-467k at 32 on the same 1-window state, and
@@ -183,6 +192,10 @@ object Bench {
     // warning across the whole bench and report it in the JSON; a
     // qualified run requires zero
     CodegenSentinel.install()
+    // disk-volume meter (r15 verdict item 5): per-query spill/shuffle
+    // bytes in bench_out.json so scale soaks budget the resource that
+    // actually failed at sf10 (scratch disk), like heap is budgeted
+    SpillMeter.install(spark)
     // untimed warmup: JVM/codegen/session init shouldn't be billed to
     // whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -212,9 +225,23 @@ object Bench {
     // within a pass, downstream ops legitimately reuse them.
     // -1 marks a FAILED query — never report time-to-exception as a
     // (fast-looking) legitimate timing
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-query scratch-disk deltas (disk spill, mem spill, shuffle
+    // write); max across passes = the worst-case per-entry disk demand
+    // a soak must budget for
+    val spillByQuery = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    def time(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val (d0, m0, w0) = SpillMeter.snapshot()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val (d1, m1, w1) = SpillMeter.snapshot()
+        val prev = spillByQuery.getOrElse(name, (0L, 0L, 0L))
+        spillByQuery(name) = (math.max(prev._1, d1 - d0),
+          math.max(prev._2, m1 - m0), math.max(prev._3, w1 - w0))
+        t
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0 }
     }
@@ -252,7 +279,7 @@ object Bench {
       // the sf3 heavy soak accumulated every prior family's blocks and
       // OOM'd a 16 g heap in the graph family.
       famNames.flatMap { case (_, fns) =>
-        val r = fns.map { case (name, fn) => name -> time(fn) }
+        val r = fns.map { case (name, fn) => name -> time(name, fn) }
         SparkEntry.releaseMemos(spark)
         r
       }.toMap
@@ -305,7 +332,24 @@ object Bench {
     // loaded host
     val fallbacks = CodegenSentinel.fallbackCount
     CodegenSentinel.reportClean("bench")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"queries":$qs,"queries_adj":$qsAdj,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
+    // which Louvain arm ran (r15 verdict item 2): the max-m dispatch
+    // is the L1 level of the bench graph — the level whose arm choice
+    // dominates the family's timing. "delta"/"full" from the recorded
+    // decision, "none" if no louvain entry was benched (filtered run).
+    val louvainTop = graft.api.GraftOps.louvainDispatches.sortBy(-_._1).headOption
+    val louvainArm = louvainTop.map { case (_, on) => if (on) "delta" else "full" }
+      .getOrElse("none")
+    val louvainM = louvainTop.map(_._1.toLong).getOrElse(-1L)
+    // per-query scratch-disk map (only entries that touched disk or
+    // shuffled, to keep the detail file readable); totals in both JSONs
+    val spillJson = spillByQuery.toSeq.sortBy(_._1)
+      .filter { case (_, (d, m, w)) => d > 0 || m > 0 || w > 0 }
+      .map { case (k, (d, m, w)) =>
+        s"\"" + k + s"\":{\"disk_spill\":$d,\"mem_spill\":$m,\"shuffle_write\":$w}" }
+      .mkString("{", ",", "}")
+    val spillDiskTotal = spillByQuery.valuesIterator.map(_._1).sum
+    val shufWriteTotal = spillByQuery.valuesIterator.map(_._3).sum
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","louvain_m":$louvainM,"spill_disk_total":$spillDiskTotal,"shuffle_write_total":$shufWriteTotal,"queries":$qs,"queries_adj":$qsAdj,"spill":$spillJson,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullJson.getBytes("UTF-8"))
     // COMPACT final stdout line (<500 bytes): the driver captures only
@@ -315,7 +359,7 @@ object Bench {
     // bench_out.json.
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","spill_disk_total":$spillDiskTotal,"shuffle_write_total":$shufWriteTotal,"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
     // stop Spark BEFORE printing: shutdown WARN lines interleaved after
     // the JSON made the driver's stdout parse come up empty (r4/r5 both
     // recorded parsed: null) — the JSON line must be the last stdout

@@ -61,9 +61,25 @@ object StreamLab {
     // durable = a REAL checkpoint dir (state snapshots/changelogs +
     // offset/commit WALs actually hit disk every batch) vs the default
     // engine-managed temp dir the in-heap pins run with
+    // deleteOnExit only removes EMPTY directories; durable runs fill
+    // these with offset/commit WALs + state snapshots, so a recursive
+    // shutdown-hook sweep is needed or every lab run leaks its full
+    // checkpoint contents in /tmp (r15 advice)
+    val ckptDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ckptDirs.foreach { root =>
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }))
     def ckptDir(tag: String): String = {
       val d = java.nio.file.Files.createTempDirectory(s"graft-lab-$tag")
-      d.toFile.deleteOnExit(); d.toString
+      ckptDirs += d; d.toString
     }
 
     def joinRate(label: String, parts: Int, rocks: Boolean,
@@ -108,6 +124,22 @@ object StreamLab {
     // 122k, p16 154-157k, p8 166-183k (winner, adopted in Bench),
     // p8+rocksdb 127k, p4 157-165k rows/s
     val mode = if (args.nonEmpty) args(0) else "all"
+    // r16 (verdict item 1): requalify Bench.streamSection's pins (982k
+    // agg / 161k join rows/s) through the EXACT bench code path in a
+    // fresh JVM, n=3 — the r15 full-bench reading (458.6k at the same
+    // p8 config) needs separating from box load before re-pinning
+    if (mode == "bench") {
+      for (i <- 1 to 3) {
+        val r = try Bench.streamSection(spark)
+        catch { case e: Throwable =>
+          println(s"LAB bench-stream pass$i FAILED ${e.getMessage}")
+          Map.empty[String, Double] }
+        println(s"LAB bench-stream pass$i " +
+          r.map { case (k, v) => f"$k=$v%.0f" }.mkString(" "))
+      }
+      spark.stop()
+      return
+    }
     for (_ <- 1 to 2) {
       if (mode == "all" || mode == "small") {
         joinRate("small", 32, rocks = false)

@@ -41,11 +41,15 @@ object Witness {
     spark.sparkContext.setLogLevel("ERROR")
 
     def emit(entry: String, n: Long, candidates: Long, emitted: Long): Unit = {
+      // Locale.ROOT: "%.3f" under a comma-decimal locale would print
+      // 638,123 and break the JSON (r15 advice)
+      def ratio(x: Long): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(x.toDouble / n))
       println(s"""{"witness":"$entry","dir":"$dir","n":$n,""" +
         s""""candidates":$candidates,"emitted":$emitted,""" +
         s""""excess":${candidates - emitted},""" +
-        s""""cand_per_n":${"%.3f".format(candidates.toDouble / n)},""" +
-        s""""excess_per_n":${"%.3f".format((candidates - emitted).toDouble / n)}}""")
+        s""""cand_per_n":${ratio(candidates)},""" +
+        s""""excess_per_n":${ratio(candidates - emitted)}}""")
     }
 
     // one aggregation over the UNFILTERED candidate frame: candidate
@@ -81,7 +85,11 @@ object Witness {
       val mm = operators.Multimodal
       val vecs = mm.featureVectors(spark, dir).memoized()
       val n = vecs.count()
-      val bits = mm.mmSuggestedBits(n)
+      // bits from the DOCUMENTS count, exactly as mmPipeline derives
+      // them (Multimodal.mmPipeline) — if featureVectors ever filtered
+      // rows, deriving from vecs here would silently witness a
+      // different plan than the bench runs (r15 advice)
+      val bits = mm.mmSuggestedBits(sources.Tables.documents(spark, dir).count())
       val (nc, ne) = candVsEmitted(api.GraftOps.embeddingCandidatePairs(
         vecs, "doc_id", "fv",
         mm.MmTables, bits, mm.FeatureDims,
@@ -99,11 +107,17 @@ object Witness {
       // every intersecting pair — the volume that could fan out);
       // emitted = the jaccard >= threshold true pairs. The LSH arm's
       // own pair count is logged as a third line for the same dir.
-      val docs = sources.Tables.documents(spark, dir)
-      val n = docs.count()
+      // r16: the registered exact arm runs on Dedup.recallExactSample
+      // (fixed RecallSampleCap doc_id prefix past sf0.1) — the witness
+      // measures the SAME sampled relation so it tracks the plan the
+      // bench/soak runs, not the retired uncapped quadratic
+      val sample = operators.Dedup.recallExactSample(spark, dir)
+      val n = sources.Tables.documents(spark, dir).count()
       val allPairs = api.GraftOps.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 3, threshold = 0.0).count()
-      val truePairs = operators.Dedup.dedupNgramJaccard(spark, dir).count()
+        sample, "doc_id", "text", n = 3, threshold = 0.0).count()
+      val truePairs = api.GraftOps.ngramJaccardPairs(
+        sample, "doc_id", "text", n = 3,
+        threshold = operators.Dedup.JaccardThreshold).count()
       emit("dedup_recall_report", n, allPairs, truePairs)
       val lsh = operators.Dedup.dedupMinhash(spark, dir).count()
       emit("dedup_recall_report_lsh_arm", n, lsh, truePairs)

@@ -28,18 +28,43 @@ object GraftOps {
     * which the caller must have set) instead of `localCheckpoint()`. */
   val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
 
-  /** Edge-weight mass (= |E| on unit-weight graphs) above which the
-    * Louvain local-move loop defaults to delta iteration. The r12
-    * bracket (1.2M edges → delta 1.76x slower) predates the r14
+  /** Edge-weight mass (= |E| on unit-weight graphs, each undirected
+    * edge counted ONCE — the m of the modularity formula) above which
+    * the Louvain local-move loop defaults to delta iteration. The r12
+    * bracket (delta 1.76x slower at the bench graph) predates the r14
     * codegen fix and no longer reproduces: the r15 AbConf sweep
     * (n=3 per arm, control-bracketed, memos released per pass)
-    * measures delta FASTER at every bench graph size — 0.62x at 1.2M
-    * edges (18.4 vs 29.7 s), 0.92x at 2.4M, 0.87x at 4.8M, and the
-    * r14 sf1 reading (~12M) already had it 15-20% faster. 1e6 keeps
-    * every measured size on the winning arm while leaving tiny
-    * (sub-bench, unmeasured) graphs on the simpler full-sweep plan;
-    * override either way with spark.graft.louvainDelta=true/false. */
-  val LouvainDeltaAutoEdges: Double = 1e6
+    * measures delta FASTER at every bench graph size — 0.62x on the
+    * sf0.1 graph (18.4 vs 29.7 s), 0.92x at 2x, 0.87x at 4x, and the
+    * r14 sf1 reading already had it 15-20% faster.
+    *
+    * r16 FIX: the r15 value (1e6) was calibrated against the
+    * SYMMETRIZED row count ("1.2M edges at sf0.1") but the dispatch
+    * compares the un-doubled m — the sf0.1 L1 level is m = 590,973,
+    * so the r15 bench silently ran the FULL arm (its 29.74 s raw =
+    * the OFF arm's clean minimum; the r15 verdict flagged exactly
+    * this). 5e5 puts every AbConf-measured size on the winning arm in
+    * the m-convention the predicate actually uses; LouvainArmSpec
+    * asserts the sf0.1 dispatch fires and Bench now records the arm.
+    * Tiny (sub-bench, unmeasured) graphs stay on the simpler
+    * full-sweep plan; override either way with
+    * spark.graft.louvainDelta=true/false. */
+  val LouvainDeltaAutoEdges: Double = 5e5
+
+  /** Per-level Louvain dispatch witness (r15 verdict item 2): every
+    * louvainLevel run appends (m, deltaOn) here so Bench can REPORT
+    * which arm actually ran at the bench SF. The r15 bench raw
+    * (29.74 s) equalled the delta-OFF arm's clean minimum while the
+    * ON arm measured 18.4 s, and the bench JSON couldn't say which
+    * had dispatched — now it must. Bounded: at most 2 levels per
+    * louvain call; cleared by [[clearLouvainDispatches]]. */
+  private val louvainDispatchLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Double, Boolean)]()
+  def louvainDispatches: Seq[(Double, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    louvainDispatchLog.iterator().asScala.toSeq
+  }
+  def clearLouvainDispatches(): Unit = louvainDispatchLog.clear()
 
   /** Lineage truncation for iterative state. Default is
     * `localCheckpoint()`: blocks live on executors — fast, no
@@ -1961,6 +1986,7 @@ object GraftOps {
       case Some(v) => v == "true"
       case None    => mVal >= LouvainDeltaAutoEdges
     }
+    louvainDispatchLog.add((mVal, deltaOn))
     val kvcCache = new Array[DataFrame](2)
     var movesPrev: DataFrame = null
     var movesPrev2: DataFrame = null

@@ -459,8 +459,39 @@ object Dedup {
     * from one shared shingle relation and intersects. Band b covers
     * jaccard [b/10, (b+1)/10) (0.9+ capped into band 9); band −1 is
     * the corpus total. */
+  /** r16 (verdict item 4): the EXACT arm runs on a fixed-size logged
+    * document sample — the first [[RecallSampleCap]] docs by doc_id (a
+    * TakeOrderedAndProject, linear in the scan) — the
+    * [[FixedTierCap]] discipline applied to the last registered
+    * uncapped quadratic. The shingle-sharing self-join measured
+    * exactly quadratic at scale (Σ df² candidates 113M → 1.02B,
+    * sf1 → sf3, SOAK_r15.md §1) and kept the entry out of decade
+    * soaks; on the fixed sample its cost is a constant. At
+    * sf0.001/0.01/0.1 (500-5000 docs) the corpus sits under the cap,
+    * so the capped query equals the uncapped one and the oracle
+    * values are unchanged; past the cap, recall is measured on the
+    * sample — statistically the same s-curve, bounded cost — and the
+    * cap is LOGGED whenever it binds. The candidate arm stays the
+    * FULL-corpus production minhash plan (it is the scalable side
+    * being graded); per-doc band signatures make "candidate within
+    * the sample" identical under either corpus, so the sampled
+    * oracle mirrors the plan exactly. */
+  val RecallSampleCap = 8192L
+  def recallExactSample(spark: SparkSession, dir: String): DataFrame = {
+    val allDocs = docs(spark, dir)
+    val n = allDocs.count() // parquet-metadata count, plan-time only
+    if (n <= RecallSampleCap) allDocs
+    else {
+      println(s"[graft] dedup_recall_report: corpus $n docs > cap " +
+        s"$RecallSampleCap — exact arm measured on the first $RecallSampleCap by doc_id")
+      allDocs.orderBy("doc_id").limit(RecallSampleCap.toInt)
+    }
+  }
   def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
-    val exact = dedupNgramJaccard(spark, dir).select(col("a"), col("b"), col("jaccard"))
+    val exact = graft.api.GraftOps.ngramJaccardPairs(
+        recallExactSample(spark, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+      .select(col("a"), col("b"), col("jaccard"))
       .memoized()
     val cand = dedupMinhash(spark, dir).select(col("a"), col("b"))
     val marked = exact.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
@@ -476,11 +507,17 @@ object Dedup {
       .orderBy("band")
   }
 
+  // sdoc/ssh mirror the Spark plan's RecallSampleCap: a LIMIT that is
+  // a no-op at/below the cap (all correctness SFs) and the same
+  // fixed-size doc_id prefix above it. `pairs` (the candidate arm)
+  // stays full-corpus, exactly like the registered plan.
   private lazy val dedupRecallOracle: String =
     s"""WITH $minhashPairCtes,
-          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          sdoc AS (SELECT * FROM documents ORDER BY doc_id LIMIT $RecallSampleCap),
+          ssh AS (${shingleSqlFrom("sdoc")}),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
           inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                     GROUP BY 1, 2),
           exact AS MATERIALIZED (
             SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard

@@ -53,10 +53,11 @@ class HygieneSpec extends AnyFunSuite {
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 
-  test("environment coupling is limited to the three documented knobs") {
+  test("environment coupling is limited to the four documented knobs") {
     val hits = offending(l => l.contains("sys.env") &&
       !l.contains("SPARK_GRAFT_SF_DIR") && !l.contains("SPARK_GRAFT_CPUS") &&
-      !l.contains("SPARK_GRAFT_PASSES")) // r13: scale-soak pass count
+      !l.contains("SPARK_GRAFT_PASSES") && // r13: scale-soak pass count
+      !l.contains("SPARK_GRAFT_SHUFFLE")) // r15: decade-soak reduce width
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 
