@@ -465,9 +465,20 @@ object GraftOps {
     val cand = (0 until tables).map(t =>
       banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
       .reduce(_ unionAll _)
+    // SHUFFLE_HASH on the vector lookups (r16): the default sort-merge
+    // join SORTS the candidate-pair side, and after the first join each
+    // pair row carries a dims-wide double vector — at sf10 that is
+    // ~400M pairs x ~0.5 KB = a >100 GB sort that exhausted the box's
+    // scratch disk (the sf10 soak's ml_dbscan failure, measured by the
+    // r16 spill meter; SOAK_r16.md). The hash join builds on the
+    // SKINNY per-partition vector side (|V|/parts rows) and STREAMS
+    // the pair side unsorted — no pair-side sort at any scale; same
+    // rows, same oracle.
+    val va = e.select(col(id).as("a"), col("v").as("va")).hint("shuffle_hash")
+    val vb = e.select(col(id).as("b"), col("v").as("vb")).hint("shuffle_hash")
     bucketPairs(cand, id, hotThreshold, salt)
-      .join(e.select(col(id).as("a"), col("v").as("va")), "a")
-      .join(e.select(col(id).as("b"), col("v").as("vb")), "b")
+      .join(va, "a")
+      .join(vb, "b")
       .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
       .select("a", "b", "cos")
   }
@@ -1665,8 +1676,16 @@ object GraftOps {
       .join(or.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
       .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+    // SHUFFLE_HASH on the closure probe (r16): the default sort-merge
+    // semi join SORTS the wedge stream — Σ d_or(src)² rows, BILLIONS at
+    // sf10 on the co-purchase graph — which is what actually killed the
+    // entry in both decade soaks (r15: spill filled the disk; r16: GC
+    // heartbeat starvation). The hash semi join builds on the |E| edge
+    // side (bounded, ~16 B/row per partition) and STREAMS the wedges
+    // unsorted: wedge volume costs one pass, not a sort. Same rows.
     wedges
-      .join(or.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")
+      .join(or.select(col("src").as("u"), col("dst").as("w")).hint("shuffle_hash"),
+        Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .select(col("n_triangles"), col("n_edges"))
@@ -1689,7 +1708,10 @@ object GraftOps {
       .join(or.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
       .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
-      .join(or.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"), "left_semi")
+      // hash semi join: stream the wedges, build on |E| (see
+      // triangleCount — the sorted wedge stream is the decade killer)
+      .join(or.select(col("src").as("x"), col("dst").as("y")).hint("shuffle_hash"),
+        Seq("x", "y"), "left_semi")
     val perNode = tris
       .select(explode(array(col("p"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
