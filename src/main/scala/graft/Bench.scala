@@ -192,6 +192,10 @@ object Bench {
     // warning across the whole bench and report it in the JSON; a
     // qualified run requires zero
     CodegenSentinel.install()
+    // start from an empty dispatch log so louvain_arm reports THIS
+    // run's decisions (and the queue can't grow unbounded if a
+    // long-lived session benches repeatedly — r16 advice)
+    graft.api.GraftOps.clearLouvainDispatches()
     // disk-volume meter (r15 verdict item 5): per-query spill/shuffle
     // bytes in bench_out.json so scale soaks budget the resource that
     // actually failed at sf10 (scratch disk), like heap is budgeted
@@ -229,6 +233,11 @@ object Bench {
     // write); max across passes = the worst-case per-entry disk demand
     // a soak must budget for
     val spillByQuery = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    // failed queries carry their exception class+message into the JSON
+    // (r16 verdict item 7): the bare -1 sentinel hid the same two sf10
+    // failures for two rounds running — a soak's pass/fail must be
+    // enumerable from the artifact, not inferred from a magic value
+    val failByQuery = scala.collection.mutable.Map.empty[String, String]
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val (d0, m0, w0) = SpillMeter.snapshot()
@@ -243,7 +252,12 @@ object Bench {
         t
       }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0 }
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        val msg = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(300)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        failByQuery(name) = msg
+        -1.0 }
     }
     // declaration order (not alphabetical) so memo-producing ops run
     // before their consumers and each timing reflects its real compute
@@ -256,6 +270,22 @@ object Bench {
         .filter { case (n, _) => args.isEmpty || args.contains(n) }
     }.filter(_._2.nonEmpty)
     val names = famNames.flatMap(_._2)
+    // SPARK_GRAFT_PREBUILD=1 (single-pass soak convention, r17): build
+    // the entry-owned persisted layouts BEFORE the timed pass, each
+    // build timed and reported under "layouts" in the JSON — visible,
+    // never hidden. Default off: the 2-pass bench's min-of-2 already
+    // charges builds to pass 1 and pins the warm path.
+    val prebuild = sys.env.get("SPARK_GRAFT_PREBUILD").contains("1")
+    val layoutTimes: Seq[(String, Double)] =
+      if (!prebuild) Seq.empty
+      else SparkEntry.layoutPrebuilds
+        .filter { case (q, _, _) => names.exists(_._1 == q) }
+        .map { case (_, lname, f) =>
+          val t0 = System.nanoTime()
+          try f(spark, sfDir) catch { case e: Throwable =>
+            System.err.println(s"[bench] prebuild $lname failed: ${e.getMessage}") }
+          lname -> (System.nanoTime() - t0) / 1e9
+        }
     def pass(): Map[String, Double] = {
       // per-pass memo resets (SuffixArray included since r14: without
       // it pass 2 rode pass 1's memoized suffix array and min-of-2
@@ -349,17 +379,27 @@ object Bench {
       .mkString("{", ",", "}")
     val spillDiskTotal = spillByQuery.valuesIterator.map(_._1).sum
     val shufWriteTotal = spillByQuery.valuesIterator.map(_._3).sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","louvain_m":$louvainM,"spill_disk_total":$spillDiskTotal,"shuffle_write_total":$shufWriteTotal,"queries":$qs,"queries_adj":$qsAdj,"spill":$spillJson,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
+    val failJson = failByQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val layoutJson = layoutTimes
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":${r3(controlRatio)},"control_tries":$controlTries,"control_ratios":{"start":${r3(cStart)},"mid":${r3(cMid)},"end":${r3(cEnd)}},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","louvain_m":$louvainM,"spill_disk_total":$spillDiskTotal,"shuffle_write_total":$shufWriteTotal,"failures":$failJson,"layouts":$layoutJson,"queries":$qs,"queries_adj":$qsAdj,"spill":$spillJson,"skew":$skewJson,"stream":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullJson.getBytes("UTF-8"))
-    // COMPACT final stdout line (<500 bytes): the driver captures only
-    // the tail of stdout, and the 142-query map blew past it every
-    // round (r4-r7 all recorded parsed: null). Totals + run
+    // COMPACT final stdout line: the driver captures only the tail of
+    // stdout, and the 142-query map blew past it every round (r4-r7
+    // all recorded parsed: null). The r16 line measured ~508 bytes —
+    // past the 500-byte budget the original comment claimed — so
+    // shuffle_write_total now lives ONLY in bench_out.json (it was
+    // duplicated) and the budget is re-measured: ~450 bytes at sf0.1
+    // values, ~470 with 11-digit sf10 spill totals. Totals + run
     // qualification + the 5 slowest queries fit; full detail is in
     // bench_out.json.
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","spill_disk_total":$spillDiskTotal,"shuffle_write_total":$shufWriteTotal,"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":${r3(controlRatio)},"control_mid":${r3(cMid)},"control_end":${r3(cEnd)},"adj_total":${r3(adjTotal)},"codegen_fallbacks":$fallbacks,"louvain_arm":"$louvainArm","spill_disk_total":$spillDiskTotal,"control_sec":${skew.get("smj_skewed").map(r3).getOrElse(-1.0)},"queries":$top5,"stream_rows_per_sec":${stream.get("windowed_agg_rows_per_sec").map(r3).getOrElse(-1.0)},"detail":"bench_out.json"}"""
     // stop Spark BEFORE printing: shutdown WARN lines interleaved after
     // the JSON made the driver's stdout parse come up empty (r4/r5 both
     // recorded parsed: null) — the JSON line must be the last stdout

@@ -18,6 +18,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan-only session: skip the LSH hot-bucket probe's eager job so
+    // explain stays lazy (constructs the probe's cold outcome — the
+    // plain self-join plan; see GraftOps.bucketPairs)
+    spark.conf.set("spark.graft.lshProbe", "false")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -40,7 +40,8 @@ object Witness {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def emit(entry: String, n: Long, candidates: Long, emitted: Long): Unit = {
+    def emit(entry: String, n: Long, candidates: Long, emitted: Long,
+             extra: String = ""): Unit = {
       // Locale.ROOT: "%.3f" under a comma-decimal locale would print
       // 638,123 and break the JSON (r15 advice)
       def ratio(x: Long): String =
@@ -49,7 +50,7 @@ object Witness {
         s""""candidates":$candidates,"emitted":$emitted,""" +
         s""""excess":${candidates - emitted},""" +
         s""""cand_per_n":${ratio(candidates)},""" +
-        s""""excess_per_n":${ratio(candidates - emitted)}}""")
+        s""""excess_per_n":${ratio(candidates - emitted)}$extra}""")
     }
 
     // one aggregation over the UNFILTERED candidate frame: candidate
@@ -105,22 +106,38 @@ object Witness {
       // scale is the DECLARED ground-truth arm. Candidates here = the
       // exact arm's shared-shingle join output (threshold 0 keeps
       // every intersecting pair — the volume that could fan out);
-      // emitted = the jaccard >= threshold true pairs. The LSH arm's
-      // own pair count is logged as a third line for the same dir.
-      // r16: the registered exact arm runs on Dedup.recallExactSample
-      // (fixed RecallSampleCap doc_id prefix past sf0.1) — the witness
-      // measures the SAME sampled relation so it tracks the plan the
-      // bench/soak runs, not the retired uncapped quadratic
-      val sample = operators.Dedup.recallExactSample(spark, dir)
-      val n = sources.Tables.documents(spark, dir).count()
+      // emitted = the jaccard >= threshold true pairs. The registered
+      // exact arm runs on Dedup.recallExactSample (hash sample past
+      // the RecallSampleCap) — the witness measures the SAME sampled
+      // relation so it tracks the plan the bench/soak runs.
+      // r17 (advice): every per-n ratio on these lines uses the
+      // SAMPLE size as n (the relation the counts were computed on —
+      // the full-corpus n shrank cand_per_n artificially exactly at
+      // soak SFs, where superlinear fan-out is what this witness
+      // exists to catch); corpus_n rides along for context. The LSH
+      // arm is restricted to pairs with BOTH endpoints in the sample
+      // so its excess subtracts like from like (the full-corpus
+      // candidate count rides along as lsh_candidates_full).
+      import org.apache.spark.sql.functions.col
+      val sample = operators.Dedup.recallExactSample(spark, dir).memoized()
+      val corpusN = sources.Tables.documents(spark, dir).count()
+      val sampleN = sample.count()
       val allPairs = api.GraftOps.ngramJaccardPairs(
         sample, "doc_id", "text", n = 3, threshold = 0.0).count()
       val truePairs = api.GraftOps.ngramJaccardPairs(
         sample, "doc_id", "text", n = 3,
         threshold = operators.Dedup.JaccardThreshold).count()
-      emit("dedup_recall_report", n, allPairs, truePairs)
-      val lsh = operators.Dedup.dedupMinhash(spark, dir).count()
-      emit("dedup_recall_report_lsh_arm", n, lsh, truePairs)
+      emit("dedup_recall_report", sampleN, allPairs, truePairs,
+        s""","corpus_n":$corpusN""")
+      val ids = sample.select(col("doc_id"))
+      val lshAll = operators.Dedup.dedupMinhash(spark, dir)
+      val lshFull = lshAll.count()
+      val lshInSample = lshAll
+        .join(ids.select(col("doc_id").as("a")), Seq("a"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"))
+        .count()
+      emit("dedup_recall_report_lsh_arm", sampleN, lshInSample, truePairs,
+        s""","corpus_n":$corpusN,"lsh_candidates_full":$lshFull""")
       SparkEntry.releaseMemos(spark)
     }
 

@@ -237,9 +237,21 @@ object GraftOps {
         // planted-hot-bucket specs still exercise it). Hot corpora pay
         // the bucket groupBy twice (probe + the checkpointed counts) —
         // rare by construction, and linear both times.
-        val maxBucket = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
-          .agg(coalesce(max(col("__n")), lit(0L)))
-          .head.getLong(0)
+        // r17 (advice): the probe is an EAGER job at DataFrame-
+        // construction time, which broke laziness for plan-only
+        // consumers — Explain executed the full banding+groupBy just
+        // to print a plan. spark.graft.lshProbe=false skips it and
+        // constructs the plain self-join (the probe's cold outcome —
+        // the identical pair set on every corpus without a hot
+        // bucket). Plan-inspection mode only: a genuinely hot corpus
+        // needs the probe on (the default) for the salted dispatch.
+        val probeOn = cand.sparkSession.conf
+          .getOption("spark.graft.lshProbe").forall(_ != "false")
+        val maxBucket =
+          if (!probeOn) 0L
+          else cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
+            .agg(coalesce(max(col("__n")), lit(0L)))
+            .head.getLong(0)
         if (maxBucket <= hotThreshold) plainJoin
         else {
           val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
@@ -470,7 +482,8 @@ object GraftOps {
     // pair row carries a dims-wide double vector — at sf10 that is
     // ~400M pairs x ~0.5 KB = a >100 GB sort that exhausted the box's
     // scratch disk (the sf10 soak's ml_dbscan failure, measured by the
-    // r16 spill meter; SOAK_r16.md). The hash join builds on the
+    // r16 spill meter; BENCH_sf10_r16.json "failures", post-fix rerun
+    // in SOAK_r17.md). The hash join builds on the
     // SKINNY per-partition vector side (|V|/parts rows) and STREAMS
     // the pair side unsorted — no pair-side sort at any scale; same
     // rows, same oracle.
@@ -2179,12 +2192,51 @@ object GraftOps {
     * communities of floor(q_term·10⁸ + 0.5) as a BIGINT sum — float
     * summation order can flip a raw Σ q_term comparison across
     * engines/partitionings; the quantized integer sum cannot. */
-  private def qScore(und: DataFrame, u: String, v: String,
-                     labels: DataFrame): Long =
-    modularity(und, u, v, labels)
-      .agg(coalesce(sum(
-        floor(col("q_term") * 1e8 + 0.5).cast("long")), lit(0L)))
-      .head.getLong(0)
+  /** BOTH hill-climb-guard scores in ONE job (r17): louvainWarm's
+    * guard ran the modularity score twice — two eager |E|-scan
+    * barriers — and
+    * the r16 bench showed the warm entry is eager-job-overhead-bound
+    * at sf0.1 (9.7-16.3 s spread under load vs the 6.93 s pin).
+    * Tagging the two label tables with an arm column and keying every
+    * join/groupBy by (arm, ...) computes each arm's per-community
+    * q_term from exactly the inputs the sequential calls saw (the arm
+    * key splits the joins cleanly; inner-join semantics per arm are
+    * unchanged), through the identical expression tree, into the same
+    * order-free floor-quantized integer sum — so the guard's decision
+    * cannot differ, only the job count (2 scans + 2 barriers → 1). */
+  private def qScorePair(und: DataFrame, u: String, v: String,
+                         la: DataFrame, lb: DataFrame): (Long, Long) = {
+    val tagged = la.withColumn("arm", lit(0)).unionAll(lb.withColumn("arm", lit(1)))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val ec = und.select(col(u).as("s"), col(v).as("p"))
+      .join(tagged.select(col("v").as("s"), col("arm"), col("comm").as("cs")), Seq("s"))
+      .join(tagged.select(col("v").as("p"), col("arm"), col("comm").as("cp")),
+        Seq("p", "arm"))
+    val internal = ec.filter(col("cs") === col("cp"))
+      .groupBy(col("arm"), col("cs").as("comm")).agg(count(lit(1)).as("internal_edges"))
+    val degSum = ec.select(col("arm"), col("cs").as("comm"))
+      .unionAll(ec.select(col("arm"), col("cp").as("comm")))
+      .groupBy("arm", "comm").agg(count(lit(1)).as("degree_sum"))
+    val md = col("m").cast("double")
+    val rows = tagged.groupBy(col("arm"), col("comm").as("comm"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("arm", "comm"), "left")
+      .join(degSum, Seq("arm", "comm"), "left")
+      .select(col("arm"), col("comm"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("q_term", round(
+        (lit(4.0) * md * col("internal_edges").cast("double") -
+          col("degree_sum").cast("double") * col("degree_sum").cast("double")) /
+        (lit(4.0) * md * md), 8))
+      .groupBy("arm").agg(coalesce(sum(
+        floor(col("q_term") * 1e8 + 0.5).cast("long")), lit(0L)).as("qs"))
+      .collect()
+    def arm(i: Int): Long =
+      rows.find(_.getInt(0) == i).map(_.getLong(1)).getOrElse(0L)
+    (arm(0), arm(1))
+  }
 
   def louvainWarm(und: DataFrame, u: String, v: String,
                   baseLabels: DataFrame, rounds: Int): DataFrame = {
@@ -2207,9 +2259,11 @@ object GraftOps {
     // can jointly overshoot (measured: two no-delta sweeps took Q from
     // +0.013 to −0.11); keep the warm result only if its (order-free
     // integer) modularity is at least the carried-forward base's. The
-    // guard costs two |E| scoring passes — model-sized scalars, the
-    // k-center argmax discipline — and makes warm restart monotone.
-    if (qScore(und, u, v, warm) >= qScore(und, u, v, base)) warm else base
+    // guard costs ONE fused |E| scoring pass (both arms in one job —
+    // qScorePair; it ran as two eager scans through r16, half the
+    // entry's fixed job overhead) and makes warm restart monotone.
+    val (qWarm, qBase) = qScorePair(und, u, v, warm, base)
+    if (qWarm >= qBase) warm else base
   }
 
   /** Newman modularity per community over an UNDIRECTED edge list and a

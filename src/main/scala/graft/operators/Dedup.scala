@@ -459,32 +459,45 @@ object Dedup {
     * from one shared shingle relation and intersects. Band b covers
     * jaccard [b/10, (b+1)/10) (0.9+ capped into band 9); band −1 is
     * the corpus total. */
-  /** r16 (verdict item 4): the EXACT arm runs on a fixed-size logged
-    * document sample — the first [[RecallSampleCap]] docs by doc_id (a
-    * TakeOrderedAndProject, linear in the scan) — the
-    * [[FixedTierCap]] discipline applied to the last registered
-    * uncapped quadratic. The shingle-sharing self-join measured
-    * exactly quadratic at scale (Σ df² candidates 113M → 1.02B,
-    * sf1 → sf3, SOAK_r15.md §1) and kept the entry out of decade
-    * soaks; on the fixed sample its cost is a constant. At
-    * sf0.001/0.01/0.1 (500-5000 docs) the corpus sits under the cap,
-    * so the capped query equals the uncapped one and the oracle
-    * values are unchanged; past the cap, recall is measured on the
-    * sample — statistically the same s-curve, bounded cost — and the
-    * cap is LOGGED whenever it binds. The candidate arm stays the
-    * FULL-corpus production minhash plan (it is the scalable side
-    * being graded); per-doc band signatures make "candidate within
-    * the sample" identical under either corpus, so the sampled
-    * oracle mirrors the plan exactly. */
+  /** r16 (verdict item 4): the EXACT arm runs on a fixed-budget logged
+    * document sample — the [[FixedTierCap]] discipline applied to the
+    * last registered uncapped quadratic. The shingle-sharing self-join
+    * measured exactly quadratic at scale (Σ df² candidates 113M →
+    * 1.02B, sf1 → sf3, SOAK_r15.md §1) and kept the entry out of
+    * decade soaks; on the fixed sample its cost is a constant.
+    *
+    * r17 (advice): the sample is a SYSTEMATIC HASH sample, not a
+    * doc_id prefix — docs whose md5(doc_id) (first 8 hex digits as a
+    * BIGINT, the engine-portable hash idiom simhash/winnowing already
+    * use) is ≡ 0 mod ceil(n/cap). A prefix sample is biased whenever
+    * duplicate structure correlates with insertion order (generated
+    * corpora append dup copies late — the prefix saw only originals);
+    * the hash scrambles family offsets, and the identical predicate
+    * replays in DuckDB, so the sampled oracle mirrors the plan at ANY
+    * corpus size (mod = 1 ⇒ no-op below the cap — same rows as the
+    * unsampled query, oracle values unchanged at sf0.001/0.01/0.1).
+    * MEASURED on the sampled relation only: recall is over exact
+    * pairs with BOTH endpoints in the sample (pairs with one endpoint
+    * outside are invisible to the exact arm by construction — an
+    * unbiased estimator of the corpus band recall, since the
+    * candidate arm stays the FULL-corpus production minhash plan and
+    * per-doc band signatures make "candidate within the sample"
+    * identical under either corpus). The cap is LOGGED whenever it
+    * binds. */
   val RecallSampleCap = 8192L
+  /** Engine-portable doc_id hash-sample predicate: Spark side. The
+    * DuckDB mirror lives inline in [[dedupRecallOracle]]. */
+  private def hashSampleExpr(mod: Long) =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % mod === 0L
   def recallExactSample(spark: SparkSession, dir: String): DataFrame = {
     val allDocs = docs(spark, dir)
     val n = allDocs.count() // parquet-metadata count, plan-time only
     if (n <= RecallSampleCap) allDocs
     else {
+      val mod = (n + RecallSampleCap - 1) / RecallSampleCap
       println(s"[graft] dedup_recall_report: corpus $n docs > cap " +
-        s"$RecallSampleCap — exact arm measured on the first $RecallSampleCap by doc_id")
-      allDocs.orderBy("doc_id").limit(RecallSampleCap.toInt)
+        s"$RecallSampleCap — exact arm measured on the md5(doc_id) % $mod == 0 sample")
+      allDocs.filter(hashSampleExpr(mod))
     }
   }
   def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
@@ -507,13 +520,19 @@ object Dedup {
       .orderBy("band")
   }
 
-  // sdoc/ssh mirror the Spark plan's RecallSampleCap: a LIMIT that is
-  // a no-op at/below the cap (all correctness SFs) and the same
-  // fixed-size doc_id prefix above it. `pairs` (the candidate arm)
-  // stays full-corpus, exactly like the registered plan.
+  // sdoc/ssh mirror the Spark plan's RecallSampleCap hash sample: the
+  // identical md5(doc_id) % ceil(n/cap) == 0 predicate (mod computed
+  // from the corpus count IN SQL, so it is 1 — a no-op — at/below the
+  // cap, i.e. at every correctness SF, and the same systematic hash
+  // sample above it). `pairs` (the candidate arm) stays full-corpus,
+  // exactly like the registered plan.
   private lazy val dedupRecallOracle: String =
     s"""WITH $minhashPairCtes,
-          sdoc AS (SELECT * FROM documents ORDER BY doc_id LIMIT $RecallSampleCap),
+          smod AS (SELECT CAST(ceil(count(*) / $RecallSampleCap.0) AS BIGINT) AS md
+                   FROM documents),
+          sdoc AS (SELECT d.* FROM documents d, smod m
+                   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % m.md = 0),
           ssh AS (${shingleSqlFrom("sdoc")}),
           sizes AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
           inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
