@@ -331,6 +331,14 @@ object VectorExpressions {
   private[graft] def vecSumBuilder(exprs: Seq[Expression]): Expression =
     VecSum(asDoubleArray(exprs.head))
 
+  private[graft] def commonPrefixBuilder(exprs: Seq[Expression]): Expression = {
+    def asString(e: Expression): Expression = e.dataType match {
+      case StringType => e
+      case _ => Cast(e, StringType)
+    }
+    CommonPrefixLength(asString(exprs.head), asString(exprs(1)))
+  }
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     val ord = if (exprs(0).dataType == DoubleType) exprs(0) else Cast(exprs(0), DoubleType)
     val payload = if (exprs(1).dataType == LongType) exprs(1) else Cast(exprs(1), LongType)
@@ -366,5 +374,7 @@ object VectorExpressions {
       "vint_pack", vintPackBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vint_unpack", vintUnpackBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "common_prefix_length", commonPrefixBuilder, "built-in")
   }
 }

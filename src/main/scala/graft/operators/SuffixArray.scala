@@ -121,20 +121,21 @@ object SuffixArray {
     * Adjacency is a self-join on sa_rank+1 (distributed), never a
     * global window. */
   def dedupSubstringSa(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val sa = suffixRanks(spark, dir)
     val a = sa.select(col("sa_rank").as("rk"), col("doc_id").as("doc_a"),
       col("pos").as("pos_a"), col("suf").as("sufa"))
     val b = sa.select((col("sa_rank") - 1).as("rk"), col("doc_id").as("doc_b"),
       col("pos").as("pos_b"), col("suf").as("sufb"))
     a.join(b, "rk")
-      // j must not run past either suffix: substring beyond the end
-      // returns the whole (short) string, so two docs sharing a short
-      // identical TAIL would otherwise count equal all the way to the
-      // cap and report a phantom 64-char repeat
-      .withColumn("lcp", expr(
-        s"size(filter(sequence(1, $LcpCap), j -> j <= least(length(sufa), length(sufb))" +
-          " AND substring(sufa, 1, j) = substring(sufb, 1, j)))")
-        .cast("long"))
+      // native byte-scan LCP (functions/StringExpressions.scala): stops
+      // at the first mismatch or at the end of the shorter suffix, so a
+      // short identical TAIL cannot count past either string (the
+      // phantom-repeat hazard of the old substring-compare formula);
+      // both inputs are already LcpCap-char slices so the cap is
+      // structural. O(lcp) bytes per pair vs O(cap²) chars — the r17
+      // lever for the sf10 candidate stream (SOAK_r17.md).
+      .withColumn("lcp", expr("common_prefix_length(sufa, sufb)").cast("long"))
       .filter(col("lcp") >= MinRep)
       .withColumn("snippet", expr("substring(sufa, 1, CAST(least(lcp, 40) AS INT))"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
@@ -180,24 +181,33 @@ object SuffixArray {
     * only at the answer, like the SA oracle itself. */
   val DeltaResidue = 1
   def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    // each join leg carries (key pfx = first MinRep chars) + (tail =
+    // the remaining LcpCap−MinRep) — NOT the full suffix: the prefix
+    // would ride the shuffle twice (as key and inside suf), and at
+    // sf10 the exchange is candidate-sized. Post-join, prefix equality
+    // is the join key's guarantee, so lcp = MinRep + lcp(tails) and
+    // the old `lcp >= MinRep` filter is structural.
+    val tailLen = LcpCap - MinRep
     val base = suffixRanks(spark, dir)
       .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-        col("suf").as("sufa"), substring(col("suf"), 1, MinRep).as("pfx"))
+        substring(col("suf"), 1, MinRep).as("pfx"),
+        substring(col("suf"), MinRep + 1, tailLen).as("tail_a"))
+      .filter(length(col("pfx")) === MinRep)
     val delta = Tables.documents(spark, dir)
       .filter(col("doc_id") % SampleMod === DeltaResidue)
       .select(col("doc_id"), col("text"), posexplode(split(col("text"), "")))
       .filter(col("col") =!= "")
       .select(col("doc_id").as("doc_b"), (col("pos") + 1).cast("long").as("pos_b"),
-        expr(s"substring(text, pos + 1, $LcpCap)").as("sufb"))
-      .withColumn("pfx", substring(col("sufb"), 1, MinRep))
+        expr(s"substring(text, pos + 1, $MinRep)").as("pfx"),
+        expr(s"substring(text, pos + 1 + $MinRep, $tailLen)").as("tail_b"))
       .filter(length(col("pfx")) === MinRep) // shorter tails can't reach MinRep
     delta.join(base, "pfx")
-      .withColumn("lcp", expr(
-        s"size(filter(sequence(1, $LcpCap), j -> j <= least(length(sufa), length(sufb))" +
-          " AND substring(sufa, 1, j) = substring(sufb, 1, j)))")
-        .cast("long"))
-      .filter(col("lcp") >= MinRep)
-      .withColumn("snippet", expr("substring(sufa, 1, CAST(least(lcp, 40) AS INT))"))
+      // native byte-scan LCP on the tails (see dedupSubstringSa)
+      .withColumn("lcp",
+        (lit(MinRep) + expr("common_prefix_length(tail_a, tail_b)")).cast("long"))
+      .withColumn("snippet",
+        concat(col("pfx"), expr(s"substring(tail_a, 1, CAST(least(lcp, 40) AS INT) - $MinRep)")))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("lcp"), col("snippet"))
       .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))

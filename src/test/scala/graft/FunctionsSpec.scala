@@ -196,4 +196,48 @@ class FunctionsSpec extends SparkSpec {
       assert(HashingScheme.b(i) >= 0 && HashingScheme.b(i) < HashingScheme.P)
     }
   }
+
+  test("common_prefix_length equals the substring-compare formula (ASCII property sweep + multi-byte)") {
+    register()
+    // the formula this expression replaced in the suffix tier
+    // (operators/SuffixArray.scala, r16): char-wise prefix equality.
+    // cap must exceed any generated string length — the expression is
+    // uncapped (its suffix-tier inputs are pre-sliced to LcpCap), the
+    // reference formula is not
+    val cap = 200
+    val rnd = new scala.util.Random(451)
+    def randStr(): String = {
+      val n = rnd.nextInt(74)
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString // 3-letter alphabet forces long shared prefixes
+    }
+    val cases = (0 until 400).map { _ =>
+      val a = randStr()
+      // half the pairs share a forced common prefix of a
+      val b = if (rnd.nextBoolean()) a.take(rnd.nextInt(a.length + 1)) + randStr() else randStr()
+      (a, b)
+    } ++ Seq(("", ""), ("", "x"), ("abc", "abc"), ("abc", "ab"),
+      // multi-byte: é = 2 bytes, 日 = 3 bytes; partial-codepoint mismatch
+      ("caféX", "caféY"), ("日本", "日語"), ("é", "ê"))
+    val df = cases.toDF("a", "b")
+    val got = df.selectExpr(
+      "common_prefix_length(a, b) AS fast",
+      s"size(filter(sequence(1, $cap), j -> j <= least(length(a), length(b))" +
+        " AND substring(a, 1, j) = substring(b, 1, j))) AS ref").collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on ${r}")
+    }
+    // interpreted path agrees with codegen (nullSafeEval vs doGenCode)
+    cases.foreach { case (a, b) =>
+      val e = graft.functions.CommonPrefixLength(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+      val interp = e.eval(null).asInstanceOf[Int]
+      val expect = (0 to math.min(a.length, b.length)).takeWhile(j => a.take(j) == b.take(j)).last
+      assert(interp == expect, s"interpreted lcp($a, $b) = $interp, want $expect")
+    }
+    // null propagation
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .selectExpr("common_prefix_length(a, b)").collect()
+    assert(withNull.head.isNullAt(0))
+  }
 }
