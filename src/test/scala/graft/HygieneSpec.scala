@@ -53,11 +53,12 @@ class HygieneSpec extends AnyFunSuite {
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 
-  test("environment coupling is limited to the four documented knobs") {
+  test("environment coupling is limited to the five documented knobs") {
     val hits = offending(l => l.contains("sys.env") &&
       !l.contains("SPARK_GRAFT_SF_DIR") && !l.contains("SPARK_GRAFT_CPUS") &&
       !l.contains("SPARK_GRAFT_PASSES") && // r13: scale-soak pass count
-      !l.contains("SPARK_GRAFT_SHUFFLE")) // r15: decade-soak reduce width
+      !l.contains("SPARK_GRAFT_SHUFFLE") && // r15: decade-soak reduce width
+      !l.contains("SPARK_GRAFT_PREBUILD")) // r17: untimed-but-reported layout builds
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 
