@@ -300,7 +300,7 @@ object Bench {
       // data and under-report their cost.
       operators.Graph.reset(); operators.Classify.reset()
       operators.Similarity.reset(); operators.Bpe.reset()
-      operators.SuffixArray.reset()
+      operators.SuffixArray.reset(); operators.CurationQuality.reset()
       spark.catalog.clearCache()
       // BETWEEN families, release every memoized localCheckpoint block
       // (r14): memos never cross family boundaries (the SparkEntry

@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // args containing '=' are session conf overrides (e.g. force a
+    // scale-dispatched plan variant for inspection:
+    // spark.graft.triangleBloom=true); the rest are query names
+    val (confArgs, nameArgs) = args.drop(1).toSeq.partition(_.contains("="))
+    val names = if (nameArgs.nonEmpty) nameArgs else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,6 +26,10 @@ object Explain {
     // explain stays lazy (constructs the probe's cold outcome — the
     // plain self-join plan; see GraftOps.bucketPairs)
     spark.conf.set("spark.graft.lshProbe", "false")
+    confArgs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

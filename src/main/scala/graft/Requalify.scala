@@ -28,6 +28,7 @@ object Requalify {
       graft.operators.Graph.reset(); graft.operators.SuffixArray.reset()
       graft.operators.Classify.reset(); graft.sources.IoRoundtrip.reset()
       graft.operators.Similarity.reset(); graft.operators.Bpe.reset()
+      graft.operators.CurationQuality.reset()
       spark.catalog.clearCache()
       val ctl = Bench.controlOnly(spark)
       val t0 = System.nanoTime()

@@ -41,7 +41,7 @@ object SparkEntry {
     * and dropped host caches). */
   def releaseMemos(spark: SparkSession): Unit = {
     Graph.reset(); Classify.reset(); Similarity.reset()
-    Bpe.reset(); SuffixArray.reset()
+    Bpe.reset(); SuffixArray.reset(); CurationQuality.reset()
     graft.api.Memo.releaseAll(spark)
   }
 

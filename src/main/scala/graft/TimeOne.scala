@@ -15,6 +15,7 @@ object TimeOne {
         graft.operators.Graph.reset(); graft.operators.SuffixArray.reset()
         graft.operators.Classify.reset(); graft.sources.IoRoundtrip.reset()
         graft.operators.Similarity.reset(); graft.operators.Bpe.reset()
+        graft.operators.CurationQuality.reset()
         val t0 = System.nanoTime()
         fn(spark, dir).collect()
         println(s"XX $name pass$i ${(System.nanoTime()-t0)/1e9}")

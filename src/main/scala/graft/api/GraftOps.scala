@@ -662,6 +662,51 @@ object GraftOps {
     cents
   }
 
+  /** GROUPED Euclidean k-means: one Lloyd loop trains an independent
+    * k-means per distinct value of `grpCols`, returning
+    * (grpCols..., cid, cv). Semantics per group are EXACTLY
+    * [[kmeansL2]] run on that group's rows — seeds are the group's k
+    * (md5(id), id)-smallest vectors (the window form of
+    * orderBy().limit(k)), assignment is the same broadcast argmax with
+    * the same surrogate score and lowest-cid tie-break (the codebook
+    * array arrives by a broadcast equi-join on the group instead of a
+    * cross join), and the centroid update is the same
+    * vec_sum/count + 9-dp round with empty clusters carrying state.
+    * r17 (guide §1.2 step 1 / §2.4): the PQ tiers trained PqM — and
+    * per-cell IVFPQ PqM × cells — SEPARATE kmeansL2 loops, each paying
+    * (1 + iters) eager checkpoint jobs and its own corpus-slice scans;
+    * one grouped loop pays (1 + iters) jobs TOTAL and scans the
+    * training relation once per iteration for all groups. */
+  def kmeansL2Grouped(df: DataFrame, grpCols: Seq[String], id: String,
+                      vec: String, k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val gcols = grpCols.map(col)
+    val e = df.select(gcols :+ col(id).as("__kid") :+
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"): _*)
+    var cents = e.withColumn("__rn", row_number().over(
+        Window.partitionBy(gcols: _*)
+          .orderBy(md5(col("__kid").cast("string")), col("__kid"))))
+      .filter(col("__rn") <= k)
+      .select(gcols :+ col("__kid").as("cid") :+ col("v").as("cv"): _*)
+      .truncated()
+    for (_ <- 1 to iters) {
+      val centArr = cents.groupBy(gcols: _*)
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      val assigned = e.join(broadcast(centArr), grpCols)
+        .select(gcols :+ col("v") :+
+          nearestCid("cs", "2 * dot_product(v, c.cv) - dot_product(c.cv, c.cv)").as("cid"): _*)
+      val updated = assigned.groupBy(gcols :+ col("cid"): _*)
+        .agg(expr("vec_sum(v)").as("sv"), count(lit(1)).as("n"))
+        .select(gcols :+ col("cid") :+
+          expr("transform(sv, x -> round(x / CAST(n AS DOUBLE), 9))").as("cv"): _*)
+      cents = cents.select(gcols :+ col("cid") :+ col("cv").as("__old"): _*)
+        .join(updated, grpCols :+ "cid", "left")
+        .select(gcols :+ col("cid") :+ coalesce(col("cv"), col("__old")).as("cv"): _*)
+        .truncated()
+    }
+    cents
+  }
+
   /** The broadcast-argmax centroid assignment shared by every k-means /
     * IVF / PQ consumer: per-row argmax of `scoreSql` (which may
     * reference the row's columns and `c.cv`) over the collected
@@ -1679,6 +1724,60 @@ object GraftOps {
       .truncated()
   }
 
+  /** Bloom pre-filter for the wedge → closing-edge semi join (guide
+    * §3.2: reduce the big side before shuffling it). The Σ d_or(src)²
+    * wedge stream is the triangle tier's decade-scale cost — 43 GB of
+    * shuffle write at sf10 even after the r16 hash-semi-join fix —
+    * while the closing-edge set it probes is only |E| rows. A Bloom
+    * filter over xxhash64(src, dst) of the oriented edges (3% fpp ≈
+    * 7.3 bits/edge) drops the wedges that cannot close BEFORE the
+    * exchange; the exact semi join still decides membership, so the
+    * result is INDEPENDENT of the filter (false positives cost only
+    * undropped shuffle bytes).
+    * Scale dispatch (parameterised, both cliffs real): AUTO engages
+    * between spark.graft.triangleBloomMinEdges (default 2e6 — below
+    * it the wedge stream is at most a few hundred MB and the build
+    * job + per-wedge probe net out negative, so bench-scale graphs
+    * keep the measured plain plan) and ...MaxEdges (default 2e8 —
+    * above it the filter itself outgrows executor/driver memory at
+    * ~1.2 GB per 10⁹ edges; shard the graph or raise fpp before
+    * raising the cap). spark.graft.triangleBloom=true/false overrides
+    * both ways. The filter ships by broadcast (once per executor, not
+    * per task) and the probe is a native codegen predicate
+    * (functions/BloomProbe.scala). Returns the registered probe
+    * function name, or None for the plain plan. */
+  private val triBloomIds = new java.util.concurrent.atomic.AtomicLong(0)
+  private def wedgeBloomProbe(or: DataFrame): Option[String] = {
+    val spark = or.sparkSession
+    val mode = spark.conf.getOption("spark.graft.triangleBloom")
+    if (mode.contains("false")) return None
+    def confLong(k: String, d: Long) =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    val minEdges = confLong("spark.graft.triangleBloomMinEdges", 2000000L)
+    val maxEdges = confLong("spark.graft.triangleBloomMaxEdges", 200000000L)
+    val nEdges = or.count() // `or` is checkpointed — a cheap scan
+    val on = mode.contains("true") ||
+      (mode.isEmpty && nEdges >= minEdges && nEdges <= maxEdges)
+    if (!on) None
+    else {
+      val bf = or.select(xxhash64(col("src"), col("dst")).as("h"))
+        .stat.bloomFilter("h", math.max(nEdges, 1000L), 0.03)
+      val bc = spark.sparkContext.broadcast(bf)
+      val name = s"graft_tri_bloom_${triBloomIds.incrementAndGet()}"
+      graft.functions.BloomProbe.register(spark, name, bc)
+      Some(name)
+    }
+  }
+
+  /** Wedge stream, Bloom-prefiltered when the dispatch engages; `a`/`b`
+    * name the wedge's candidate closing-edge endpoint columns. */
+  private def bloomedWedges(wedges: DataFrame, or: DataFrame,
+                            a: String, b: String): DataFrame =
+    wedgeBloomProbe(or) match {
+      case Some(fn) => wedges.filter(expr(s"$fn(xxhash64($a, $b))"))
+      case None     => wedges
+    }
+
   def triangleCount(und0: DataFrame, u: String, v: String): DataFrame = {
     // localCheckpoint, not cache(): cache() survives in the CacheManager
     // keyed by canonicalized plan, so a later identical invocation (e.g.
@@ -1696,7 +1795,8 @@ object GraftOps {
     // heartbeat starvation). The hash semi join builds on the |E| edge
     // side (bounded, ~16 B/row per partition) and STREAMS the wedges
     // unsorted: wedge volume costs one pass, not a sort. Same rows.
-    wedges
+    // r17: the stream is Bloom-prefiltered at scale (wedgeBloomProbe).
+    bloomedWedges(wedges, or, "u", "w")
       .join(or.select(col("src").as("u"), col("dst").as("w")).hint("shuffle_hash"),
         Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
@@ -1721,11 +1821,13 @@ object GraftOps {
       .join(or.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.odst") < col("e2.odst"))
       .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
-      // hash semi join: stream the wedges, build on |E| (see
-      // triangleCount — the sorted wedge stream is the decade killer)
+    // hash semi join: stream the wedges, build on |E| (see
+    // triangleCount — the sorted wedge stream is the decade killer);
+    // r17: Bloom-prefiltered at scale like triangleCount
+    val closed = bloomedWedges(tris, or, "x", "y")
       .join(or.select(col("src").as("x"), col("dst").as("y")).hint("shuffle_hash"),
         Seq("x", "y"), "left_semi")
-    val perNode = tris
+    val perNode = closed
       .select(explode(array(col("p"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
@@ -2582,30 +2684,37 @@ object GraftOps {
 
   /** Order-preserving global rank (ties equal, rank = #smaller + 1) of
     * the key columns WITHOUT a global single-partition window: range
-    * partition → local row_number → per-partition offsets (the
-    * distributed zipWithIndex) → min row-number per key group. The
-    * partition ids are MATERIALIZED before the plan forks into
-    * local/offs — spark_partition_id() is nondeterministic and AQE
-    * may coalesce re-executed subtrees differently, which would
-    * silently drop rows at the join back. rank = #strictly-smaller+1
-    * falls out independent of where the range partitioner cut ties,
-    * so the result is partitioning-invariant. Adds `rankCol`. */
+    * partition → local rank() → per-partition offsets (the
+    * distributed zipWithIndex) added back. The partition ids are
+    * MATERIALIZED before the plan forks into local/offs —
+    * spark_partition_id() is nondeterministic and AQE may coalesce
+    * re-executed subtrees differently, which would silently drop rows
+    * at the join back. The range partitioner sends EQUAL keys to one
+    * partition (getPartition is a pure function of the key), so the
+    * local rank() — #strictly-smaller-in-partition + 1 — plus the
+    * partition's global offset IS the global rank; ties share it.
+    * r17 (guide §2.4): the old tail computed local row_number, then a
+    * min-over-key-group WINDOW — a second full exchange + sort of the
+    * table keyed on `keys` — to make tie groups agree; rank() over
+    * the SAME (__pid, keys) window spec delivers that agreement
+    * inside the one existing Window operator. One exchange + one sort
+    * less per call; identical values (min row-number of a tie group =
+    * rank of its first row). Adds `rankCol`. */
   def globalRank(df: DataFrame, keys: Seq[String], rankCol: String): DataFrame = {
     val kcols = keys.map(col)
     val parted = df.repartitionByRange(kcols: _*)
       .withColumn("__pid", spark_partition_id())
       .truncated()
-    val local = parted.withColumn("__ln",
-      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
-    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val local = parted.withColumn("__rk",
+      rank().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+    val offs = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
         sum(col("__n")).over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
     local.join(broadcast(offs), "__pid")
-      .withColumn("__rowno", col("__ln") + col("__off"))
-      .withColumn(rankCol, min(col("__rowno")).over(Window.partitionBy(kcols: _*)))
-      .drop("__pid", "__ln", "__off", "__rowno")
+      .withColumn(rankCol, col("__rk") + col("__off"))
+      .drop("__pid", "__rk", "__off")
   }
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over the same

@@ -887,11 +887,17 @@ object Similarity {
       val rotFn = s"graft_opq_tmp_p$pass"
       graft.functions.MatVec.registerRotation(spark, rotFn, r)
       val rot = x.select(col("vec_id"), expr(s"$rotFn(v)").as("v"))
-      val books = (0 until PqM).map { m =>
-        graft.api.GraftOps.kmeansL2(
-          rot.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("x")),
-          "vec_id", "x", PqK, PqIters).memoized()
-      }
+      // r17: all PqM subspace codebooks from ONE grouped Lloyd loop
+      // per OPQ pass (identical per-subspace math; see kmeansL2Grouped)
+      val allBooks = graft.api.GraftOps.kmeansL2Grouped(
+          rot.select(col("vec_id"),
+            explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
+              s"struct(m AS m, slice(v, m * $PqSub + 1, $PqSub) AS x))")).as("s"))
+            .select(col("s.m").as("__m"), col("vec_id"), col("s.x").as("x")),
+          Seq("__m"), "vec_id", "x", PqK, PqIters)
+        .memoized()
+      val books = (0 until PqM).map(m =>
+        allBooks.filter(col("__m") === m).select("cid", "cv"))
       var enc = rot
       for (m <- 0 until PqM) {
         val ca = books(m).agg(collect_list(struct(col("cid"), col("cv"))).as(s"cs$m"))
@@ -1080,18 +1086,24 @@ object Similarity {
         .select(col("vec_id"), expr(permVecSql).as("v"))
       case None => emb(spark, dir)
     }
-    // per-subspace codebooks; checkpointed — each feeds encode AND luts
-    val books = (0 until PqM).map { m =>
+    // per-subspace codebooks; checkpointed — each feeds encode AND luts.
+    // r17: ONE grouped Lloyd loop trains all PqM subspaces together
+    // (kmeansL2Grouped — identical per-subspace seeds/assignment/update,
+    // (1+iters) jobs total instead of PqM×(1+iters))
+    val books: Seq[DataFrame] = {
       val vecSql = rotFn match {
         case Some(fn) => s"$fn(embedding)"
         case None if permuted => permVecSql
         case None => "embedding"
       }
-      val subExpr = s"slice($vecSql, ${m * PqSub + 1}, $PqSub)"
-      val sub = Tables.embeddings(spark, dir).select(col("vec_id"),
-        expr(subExpr).as("x"))
-      graft.api.GraftOps.kmeansL2(sub, "vec_id", "x", PqK, PqIters)
+      val slices = Tables.embeddings(spark, dir).select(col("vec_id"),
+          explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(m AS m, slice($vecSql, m * $PqSub + 1, $PqSub) AS x))")).as("s"))
+        .select(col("s.m").as("__m"), col("vec_id"), col("s.x").as("x"))
+      val all = graft.api.GraftOps
+        .kmeansL2Grouped(slices, Seq("__m"), "vec_id", "x", PqK, PqIters)
         .memoized()
+      (0 until PqM).map(m => all.filter(col("__m") === m).select("cid", "cv"))
     }
     // encode: per-row argmax over each broadcast codebook — zero
     // shuffle, zero expansion (the kmeans assignment shape, ×PqM)
@@ -1207,27 +1219,30 @@ object Similarity {
     var enc = resid
     // shared: one codebook per subspace; per-cell: one per (cell,
     // subspace), tagged with its cell in a `ccell` column
+    // r17: residual subspace slices exploded once; ONE grouped Lloyd
+    // loop trains every codebook — grouped by subspace (shared books)
+    // or by (subspace, cell) (per-cell books). Per-group semantics are
+    // exactly the old per-slice kmeansL2 calls (same seeds per group —
+    // a cell's id set is the same for every subspace — same assignment
+    // argmax, same 9-dp update), but (1+PqIters) checkpoint jobs total
+    // replace PqM×(1+PqIters) (shared) / PqM×cells×(1+PqIters)
+    // (per-cell), and the per-cell driver-side cell-id readback is gone.
+    val residSlices = resid.select(col("cid").as("ccell"), col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
+          s"struct(m AS m, slice(rv, m * $PqSub + 1, $PqSub) AS x))")).as("s"))
+      .select(col("s.m").as("__grp_m"), col("ccell"), col("vec_id"), col("s.x").as("x"))
     val books: Seq[DataFrame] =
-      if (!perCell) (0 until PqM).map { m =>
-        graft.api.GraftOps.kmeansL2(
-            resid.select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
-            "vec_id", "x", PqK, PqIters)
+      if (!perCell) {
+        val all = graft.api.GraftOps.kmeansL2Grouped(
+            residSlices, Seq("__grp_m"), "vec_id", "x", PqK, PqIters)
           .memoized()
-      }
-      else {
-        // cell ids are the coarse seeds' vec_ids — data-dependent, so
-        // the per-cell training loop reads them once (IvfPqCoarseK
-        // rows, a plan-construction action like graph_diameter's pick)
-        val cellIds = coarse.select("cid").collect().map(_.getLong(0)).sorted
-        (0 until PqM).map { m =>
-          cellIds.map { c =>
-            graft.api.GraftOps.kmeansL2(
-                resid.filter(col("cid") === c)
-                  .select(col("vec_id"), expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)").as("x")),
-                "vec_id", "x", PqK, PqIters)
-              .withColumn("ccell", lit(c))
-          }.reduce(_ unionAll _).memoized()
-        }
+        (0 until PqM).map(m => all.filter(col("__grp_m") === m).select("cid", "cv"))
+      } else {
+        val all = graft.api.GraftOps.kmeansL2Grouped(
+            residSlices, Seq("__grp_m", "ccell"), "vec_id", "x", PqK, PqIters)
+          .memoized()
+        (0 until PqM).map(m =>
+          all.filter(col("__grp_m") === m).select("cid", "cv", "ccell"))
       }
     for (m <- 0 until PqM) {
       enc =

@@ -48,6 +48,10 @@ object SuffixArray {
   val LcpCap = 64
   val MinRep = 20
   val RepTopK = 200
+  /** Base-rank prefix length: the first doubling state covers this
+    * many chars in one string rank instead of log2(BaseLen) rounds.
+    * Must divide into the 2^Rounds depth (power of two ≤ LcpCap). */
+  val BaseLen = 16
 
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   def reset(): Unit = memo.clear()
@@ -70,26 +74,40 @@ object SuffixArray {
         // phantom past-the-end suffix would not exist in the oracle
         .filter(col("col") =!= "")
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          expr(s"substring(text, pos + 1, $LcpCap)").as("suf"),
-          // +1 keeps rank 0 free to mean "past the end of the doc"
-          (ascii(col("col")) + 1).cast("long").as("r"))
-      var sfx = chars.truncated()
+          expr(s"substring(text, pos + 1, $LcpCap)").as("suf"))
+      // r17 (guide §2.4 — remove shuffles outright): the base rank
+      // orders suffixes by their first BaseLen chars in ONE sample-sort
+      // rank over the BaseLen-char prefix string, replacing the 1-char
+      // ascii base + the first log2(BaseLen) doubling rounds (4 rounds
+      // = 4 × (window + distributed rank + checkpoint + distinct-agg)
+      // at sf0.1). Binary string order ≡ char-code order on this ASCII
+      // corpus (the SA oracle's own collation argument), a shorter
+      // prefix sorts before its extensions exactly as rank-0 padding
+      // did, and equal prefixes share a rank — so the equivalence
+      // classes and their order after the base step are IDENTICAL to
+      // four 1-char doublings, and every later round is unchanged.
+      var sfx = rankByKey(
+          chars.withColumn("pfx", substring(col("suf"), 1, BaseLen)), Seq("pfx"))
+        .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("r"))
+        .truncated()
       val n = sfx.count()
-      var d = 1
-      var k = 0
-      var done = false
-      while (k < Rounds && !done) {
+      var d = BaseLen.toLong
+      // all ranks unique ⇒ the order is final; remaining rounds are
+      // no-ops (1-row agg on the already-materialized checkpoint).
+      // max(r)=n would NOT suffice: [1,1,3] has max=n with a tie.
+      // Checked after the base rank too — repeat-poor corpora finish
+      // without a single doubling round.
+      var done = sfx.agg(countDistinct(col("r"))).head().getLong(0) == n
+      // same 2^Rounds = 1024-char comparison depth as the 1-char base
+      while (d < (1L << Rounds) && !done) {
         val byDoc = Window.partitionBy("doc_id").orderBy("pos")
         val keyed = sfx.withColumn("r2",
-          coalesce(lead(col("r"), d).over(byDoc), lit(0L)))
+          coalesce(lead(col("r"), d.toInt).over(byDoc), lit(0L)))
         sfx = rankByKey(keyed, Seq("r", "r2"))
           .select(col("doc_id"), col("pos"), col("suf"), col("__r").as("r"))
           .truncated()
-        // all ranks unique ⇒ the order is final; remaining rounds are
-        // no-ops (1-row agg on the already-materialized checkpoint).
-        // max(r)=n would NOT suffice: [1,1,3] has max=n with a tie.
         done = sfx.agg(countDistinct(col("r"))).head().getLong(0) == n
-        d *= 2; k += 1
+        d *= 2
       }
       // final tie-break to a total order (unique by construction here)
       rankByKey(sfx, Seq("r", "doc_id", "pos"))
