@@ -275,6 +275,71 @@ object GraftOps {
     pairs.distinct()
   }
 
+  /** CO-LOCATED cosine variant of [[bucketPairs]] for the embedding
+    * tier (r17, the ml_dbscan sf10 redesign — SOAK_r17.md §2): `cand`
+    * carries the vector column `v` alongside (id, bj, bv), both bucket
+    * self-join sides project it, and the exact cosine is computed
+    * IN-FLIGHT on the join's output stream, each pair row immediately
+    * narrowing to (a, b, cos). The alternative — pairing ids first and
+    * looking the vectors up afterwards — EXCHANGES the candidate-pair
+    * stream carrying a looked-up dims-wide vector for the second
+    * lookup: ~405M sf10 candidates × ~0.5 KB ≈ 220 GB of shuffle write
+    * (the ENOSPC that failed three consecutive sf10 soaks even after
+    * the r16 fix removed the pair-side SORT). Co-located, the vector
+    * rides only the BANDING shuffle — tables × corpus × vector, LINEAR
+    * in the corpus — and everything pair-sized moves as (a, b, cos),
+    * ~24 B/row. Pair set and values unchanged: same buckets, same
+    * a < b rule, same hot-bucket probe + salt dispatch as
+    * [[bucketPairs]], same round-6 cosine (a pure function of (a, b),
+    * so the distinct on (a, b, cos) collapses cross-band duplicates
+    * exactly as the distinct on (a, b) did). */
+  private def bucketCosinePairs(cand: DataFrame, id: String,
+                                hotThreshold: Long, salt: Int): DataFrame = {
+    def half(d: DataFrame, as: String, vas: String) =
+      d.select(col(id).as(as), col("v").as(vas), col("bj"), col("bv"))
+    def scored(j: DataFrame) = j
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(expr("cosine_sim(va, vb)"), 6).as("cos"))
+    def plainJoin =
+      scored(half(cand, "a", "va").join(half(cand, "b", "vb"), Seq("bj", "bv")))
+    val pairs =
+      if (hotThreshold == Long.MaxValue) plainJoin
+      else {
+        // identical dispatch to bucketPairs: one map-side-combined probe
+        // job (vectors are read, never shuffled — the combine reduces to
+        // (bj, bv, n) before the exchange); plain join when no bucket is
+        // hot, salt-slotted join when one is
+        val probeOn = cand.sparkSession.conf
+          .getOption("spark.graft.lshProbe").forall(_ != "false")
+        val maxBucket =
+          if (!probeOn) 0L
+          else cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
+            .agg(coalesce(max(col("__n")), lit(0L)))
+            .head.getLong(0)
+        if (maxBucket <= hotThreshold) plainJoin
+        else {
+          val counts = cand.groupBy("bj", "bv").agg(count(lit(1)).as("__n"))
+            .truncated()
+          val tagged = cand.join(counts, Seq("bj", "bv"))
+          def sided(as: String, vas: String) =
+            tagged.select(col(id).as(as), col("v").as(vas),
+              col("bj"), col("bv"), col("__n"))
+          val aSide = sided("a", "va").withColumn("__s",
+            when(col("__n") <= hotThreshold, lit(0))
+              .otherwise((conv(substring(md5(col("a").cast("string")), 1, 8), 16, 10)
+                .cast("long") % salt).cast("int")))
+            .drop("__n")
+          val bSide = sided("b", "vb").withColumn("__s",
+            explode(when(col("__n") <= hotThreshold, array(lit(0)))
+              .otherwise(array((0 until salt).map(lit): _*))))
+            .drop("__n")
+          scored(aSide.join(bSide, Seq("bj", "bv", "__s")))
+        }
+      }
+    pairs.distinct()
+  }
+
   /** Shared signature + banding front-end of the MinHash tiers: one
     * checkpointed signature row per doc (consumed by banding and both
     * pair-join sides), exploded to (id, band index, band value). */
@@ -465,35 +530,32 @@ object GraftOps {
                               hotThreshold: Long = Long.MaxValue,
                               salt: Int = 8): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    // e feeds the banding plus BOTH vector-join sides, and banded feeds
-    // the tables-leg candidate union twice: materialize each once or
-    // every leg re-runs the source scan + cast + bucket projection
-    val e = df.select(col(id),
-      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
-      .truncated()
+    // CO-LOCATED COSINE (r17 — SOAK_r17.md §2, the fix the sf10 soak
+    // forced): the vector rides the banding relation instead of being
+    // looked up per pair. History of the alternative: the original
+    // sort-merge pair⋈vector joins SORTED ~400M sf10 candidate rows ×
+    // a dims-wide double vector (the r15/r16 ENOSPC); the r16
+    // shuffle_hash hint removed the sort but still EXCHANGED the
+    // pair stream carrying its first looked-up vector for the second
+    // lookup — ~220 GB of shuffle write on a ~77 GB scratch disk
+    // (BENCH_sf10_r17.json "failures"). Pair-sized exchanges must
+    // never transport vectors: here the banded table carries
+    // (id, v, b0..bT) — ONE materialization, tables × corpus × vector
+    // shuffle, LINEAR in the corpus — each table leg projects
+    // (id, v, bj, bv), and bucketCosinePairs computes the exact
+    // cosine in the join's output stream, narrowing every pair row to
+    // (a, b, cos) before anything pair-sized moves. Same rows, same
+    // oracle.
     val buckets = (0 until tables).map(t =>
       expr(s"lsh_bucket(v, $bits, $dims, $t)").as(s"b$t"))
-    val banded = e.select(col(id) +: buckets: _*).truncated()
+    val banded = df
+      .select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col(id) +: col("v") +: buckets: _*)
+      .truncated()
     val cand = (0 until tables).map(t =>
-      banded.select(col(id), lit(t).as("bj"), col(s"b$t").as("bv")))
+      banded.select(col(id), col("v"), lit(t).as("bj"), col(s"b$t").as("bv")))
       .reduce(_ unionAll _)
-    // SHUFFLE_HASH on the vector lookups (r16): the default sort-merge
-    // join SORTS the candidate-pair side, and after the first join each
-    // pair row carries a dims-wide double vector — at sf10 that is
-    // ~400M pairs x ~0.5 KB = a >100 GB sort that exhausted the box's
-    // scratch disk (the sf10 soak's ml_dbscan failure, measured by the
-    // r16 spill meter; BENCH_sf10_r16.json "failures", post-fix rerun
-    // in SOAK_r17.md). The hash join builds on the
-    // SKINNY per-partition vector side (|V|/parts rows) and STREAMS
-    // the pair side unsorted — no pair-side sort at any scale; same
-    // rows, same oracle.
-    val va = e.select(col(id).as("a"), col("v").as("va")).hint("shuffle_hash")
-    val vb = e.select(col(id).as("b"), col("v").as("vb")).hint("shuffle_hash")
-    bucketPairs(cand, id, hotThreshold, salt)
-      .join(va, "a")
-      .join(vb, "b")
-      .withColumn("cos", round(expr("cosine_sim(va, vb)"), 6))
-      .select("a", "b", "cos")
+    bucketCosinePairs(cand, id, hotThreshold, salt)
   }
 
   /** Winnowing document fingerprints (the MOSS sketch — Schleimer,
